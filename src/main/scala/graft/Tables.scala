@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata tables (see /root/repo/TESTDATA.md).
+  *
+  * One loader per table so every query goes through a single,
+  * schema-aware entry point (filter/projection pushdown stays intact —
+  * these return the raw scan, callers select/filter on top).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the
+    * nanos as a raw long (legacy conf) and floor-convert to a microsecond
+    * timestamp — the identical truncation DuckDB applies when it loads a
+    * TIMESTAMP_NS column, so oracle comparisons line up to the microsecond.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}
+
+/** Exact-arithmetic helpers.
+  *
+  * Double summation is order-dependent, and Spark's shuffle order is
+  * nondeterministic — a plain sum(double) can hash-mismatch a
+  * single-threaded DuckDB oracle in the last bits. Money columns in the
+  * testdata carry 2 decimals, so we sum exact integer cents
+  * (round(x*100) as long: both Spark and DuckDB round doubles
+  * half-away-from-zero, verified) and convert back to double once, at the
+  * end. Integer sums are associative — any partition/merge order gives
+  * the identical result on both engines.
+  */
+object Exact {
+  /** x (2-decimal double) -> exact integer cents. */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Sum a 2-decimal money column exactly; emit the total as double. */
+  def moneySum(c: Column): Column = sum(cents(c)).cast("double") / 100
+
+  /** Exact integer-cents sum kept as a long. */
+  def centsSum(c: Column): Column = sum(cents(c))
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for each left row, attach the single latest
+  * right row with `right.ts <= left.ts` sharing the same key.
+  *
+  * The naive formulation — non-equi join then keep max-ts per left row —
+  * materializes every (left, right) pair with ts_r <= ts_l, which is
+  * quadratic per key and explodes at scale. This implementation instead
+  * unions both sides, shuffles ONCE on the key, sorts each partition by
+  * (ts, side, tiebreak) and carries the latest right payload forward with
+  * a running `last(ignoreNulls)` window — O(n log n) per key group and
+  * linear memory, the same merge-scan shape a native time-series engine
+  * uses. Equal timestamps resolve right-before-left, i.e. inclusive
+  * (`>=`) semantics, matching DuckDB's ASOF JOIN.
+  *
+  * @param tiebreak right-side column ordering the carry-forward when two
+  *                 right rows share (key, ts) — makes the pick
+  *                 deterministic instead of partition-order-dependent.
+  */
+object AsOfJoin {
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightPayload: Map[String, String],
+      tiebreak: String): DataFrame = {
+
+    val payloadStruct = struct(
+      rightPayload.toSeq.sortBy(_._1).map { case (src, dst) => col(src).as(dst) }: _*)
+    val rightSide = right.select(
+      col(key).as("_k"), col(ts).as("_ts"), lit(0).as("_side"),
+      col(tiebreak).cast("long").as("_tie"), payloadStruct.as("_payload"))
+    val payloadType = rightSide.schema("_payload").dataType
+
+    val leftSide = left.select(
+      col(key).as("_k"), col(ts).as("_ts"), lit(1).as("_side"),
+      lit(Long.MaxValue).as("_tie"), lit(null).cast(payloadType).as("_payload"),
+      struct(left.columns.map(col): _*).as("_row"))
+
+    val unioned = rightSide
+      .withColumn("_row", lit(null).cast(leftSide.schema("_row").dataType))
+      .unionByName(leftSide)
+
+    // side=0 (right) sorts before side=1 (left) at equal ts => inclusive.
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    unioned
+      .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(col("_row.*") +: rightPayload.values.toSeq.sorted
+        .map(d => col(s"_match.$d").as(d)): _*)
+  }
+
+  /** Column-level helper for callers composing their own plans. */
+  def inclusiveBefore(leftTs: Column, rightTs: Column): Column = leftTs >= rightTs
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * All hashing is expression-based (xxhash64 / md5 — deterministic,
+  * codegen'd, no closures), so every stage stays inside Catalyst and the
+  * plans scale as: one narrow projection to compute signatures, one
+  * shuffle on the LSH bucket key for candidate generation. Nothing here
+  * collects to the driver.
+  *
+  * Plan-shape rule learned the hard way: splicing a derived array Column
+  * (e.g. `split(text)`) into a lambda body re-evaluates that whole
+  * subtree once per lambda element — tokenize-inside-shingle is
+  * O(tokens²) per row, and 16 minhash lanes multiply it again (measured
+  * 113 s vs <1 s at sf0.1). Every multi-referenced intermediate is
+  * therefore materialized as its own projection step, so lambdas bind to
+  * an attribute, not an expression tree.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per distinct key set (hash-aggregate, one shuffle). */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles OVER an already-projected token array column. */
+  private def shinglesOver(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, (i + j + 1).cast("int"))): _*)))
+
+  /** (id, _grams): distinct word n-gram sets, built via stepwise
+    * projections (text -> _toks -> _grams) so nothing is re-evaluated
+    * inside lambdas. */
+  def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+      gramsCol: String = "_grams"): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .select(col(idCol), array_distinct(shinglesOver(col("_toks"), n)).as(gramsCol))
+
+  /** MinHash signature over a bound grams column: lane i is the min of
+    * xxhash64(i, shingle) — a deterministic "permutation" with no stored
+    * model. */
+  private def minhashOver(grams: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => when(size(grams) === 0, lit(Long.MaxValue))
+        .otherwise(array_min(transform(grams, g => xxhash64(i, g)))))
+
+  /** (doc, sig): minhash signatures for every row. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame =
+    withShingles(df, idCol, textCol, shingleN)
+      .select(col(idCol).as("doc"), minhashOver(col("_grams"), numHashes).as("sig"))
+
+  /** LSH bands over a minhash signature: band b hashes the signature
+    * slice [b*rowsPerBand, (b+1)*rowsPerBand). Docs sharing any
+    * (band, bucket) are near-dup candidates. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
+
+  /** Estimated Jaccard from two signatures: fraction of agreeing minhashes. */
+  def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast("double") / numHashes
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    *
+    * Plan shape: project signatures (narrow) → explode bands → shuffle
+    * once on (band, bucket) → in-bucket self-join → estimate Jaccard from
+    * the signatures already carried along (no second lookup join).
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.0): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = signatures(df, idCol, textCol, shingleN, numHashes)
+    val exploded = sigs
+      .select(col("doc"), col("sig"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("doc"), col("sig"), col("b.band"), col("b.bucket"))
+    val a = exploded.alias("a")
+    val b = exploded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        estJaccard(col("a.sig"), col("b.sig"), numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** (doc, fp): 64-bit SimHash fingerprints. Bit i of fp is the sign of
+    * sum over tokens of (bit i of xxhash64(token) ? +1 : -1). Token
+    * hashes are projected once; the 64 bit-lanes then fold over the
+    * bound attribute. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def shr(v: Column, bits: Column) = call_function("shiftright", v, bits.cast("int"))
+    def shl(v: Column, bits: Column) = call_function("shiftleft", v, bits.cast("int"))
+    df.select(col(idCol).as("doc"), split(col(textCol), " ").as("_toks"))
+      .select(col("doc"), transform(col("_toks"), t => xxhash64(t)).as("_hashes"))
+      .select(col("doc"),
+        aggregate(
+          sequence(lit(0), lit(63)),
+          lit(0L),
+          (acc, i) => acc + when(
+            aggregate(col("_hashes"), lit(0L),
+              (s, h) => s + when(shr(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+            shl(lit(1L), i)).otherwise(0L)).as("fp"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** SimHash near-dup candidates: bucket by 16-bit bands of the
+    * fingerprint (one shuffle), verify with exact Hamming distance. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 16): DataFrame = {
+    val fp = simhashes(df, idCol, textCol)
+    val banded = fp.select(col("doc"), col("fp"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("fp"), (b * 16).cast("int"))
+            .bitwiseAND(0xFFFFL).as("bucket")))).as("b"))
+      .select(col("doc"), col("fp"), col("b.band"), col("b.bucket"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        hamming(col("a.fp"), col("b.fp")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard similarity of each doc against one query doc
+    * (a one-row DataFrame, broadcast cross join — no driver collect):
+    * |A∩B| / |A∪B| on distinct word n-grams. Integer set sizes → the
+    * final division is the only float op, so the result is
+    * bit-deterministic regardless of partitioning. */
+  def ngramJaccardVs(df: DataFrame, idCol: String, textCol: String,
+      query: DataFrame, queryTextCol: String, n: Int): DataFrame = {
+    val qGrams = broadcast(
+      withShingles(query.select(lit(0L).as("_qid"), col(queryTextCol).as("_qtext")),
+        "_qid", "_qtext", n, gramsCol = "_qgrams").select("_qgrams"))
+    withShingles(df, idCol, textCol, n)
+      .crossJoin(qGrams)
+      .select(col(idCol),
+        size(array_intersect(col("_grams"), col("_qgrams"))).cast("long").as("n_inter"),
+        size(col("_grams")).cast("long").as("n_self"),
+        size(col("_qgrams")).cast("long").as("n_query"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_self") + col("n_query") - col("n_inter")))
+  }
+}

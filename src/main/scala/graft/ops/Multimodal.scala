@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns plus a typed metadata struct. The Spark side —
+  * schema, partition-sized batching, the per-partition decode loop — is
+  * real; the actual codec call is STUBBED (deterministic fake derived
+  * from the bytes) because no image/audio libraries ship in this
+  * container. Swap `stubDecode` for a real decoder and nothing else
+  * changes.
+  */
+object Multimodal {
+
+  case class MediaMeta(mime: String, nBytes: Long, sha: String)
+  case class MediaRecord(media_id: Long, content: Array[Byte], meta: MediaMeta)
+  case class DecodedMedia(media_id: Long, width: Int, height: Int,
+      nFrames: Int, features: Array[Float])
+
+  /** Wrap a text table as a media table: content = utf-8 bytes (the
+    * stand-in for image bytes), metadata computed from the payload. */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(payloadCol), "UTF-8").as("content"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(encode(col(payloadCol), "UTF-8")).cast("long").as("nBytes"),
+        sha2(encode(col(payloadCol), "UTF-8"), 256).as("sha")).as("meta"))
+
+  /** STUB decoder — deterministic fake: "dimensions" and "features" are
+    * pure functions of the bytes. A real build would call the codec here;
+    * the per-partition batch loop (one decoder init per partition, not
+    * per row) is the part that matters at scale. */
+  private def stubDecode(content: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val n = content.length
+    val w = 64 + (n % 512)
+    val h = 64 + ((n / 7) % 512)
+    val frames = 1 + (n % 16)
+    val feats = Array.tabulate(8) { i =>
+      var acc = 1469598103934665603L // FNV-1a over the byte stream, per lane
+      var j = i
+      while (j < n) { acc = (acc ^ content(j)) * 1099511628211L; j += 8 }
+      ((acc >>> 11).toDouble / (1L << 53).toDouble).toFloat
+    }
+    (w, h, frames, feats)
+  }
+
+  /** Decode pass: mapPartitions so decoder setup happens once per
+    * partition (the genuinely imperative step — everything before and
+    * after stays declarative). */
+  def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real impl: val codec = Codec.init() — once per partition
+        rows.map { case (id, bytes) =>
+          val (w, h, f, feats) = stubDecode(bytes)
+          DecodedMedia(id, w, h, f, feats)
+        }
+      }
+  }
+
+  /** Frame sampling stub: every k-th "frame" index, shape-preserving. */
+  def sampleFrames(spark: SparkSession, decoded: Dataset[DecodedMedia], everyK: Int): DataFrame = {
+    import spark.implicits._
+    decoded.flatMap { d =>
+      (0 until d.nFrames by everyK).map(i => (d.media_id, i, d.width, d.height))
+    }.toDF("media_id", "frame_idx", "width", "height")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Catalyst expressions (narrow, codegen-friendly, no UDFs) — a scan at
+  * 100 TB stays a scan.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Stopword lexicons for the n-gram/stopword language-ID heuristic.
+    * Tiny on purpose: the heuristic is the operator; swap lexicons for a
+    * real corpus. */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "est", "une"))
+
+  def lexiconScore(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*))).cast("long")
+
+  /** CJK codepoint count — the zh signal (no useful zh stopword tokens
+    * in whitespace-tokenized text). */
+  def cjkCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", "")))
+      .cast("long")
+
+  /** Argmax language with a fixed precedence order (en,es,de,fr,zh) —
+    * deterministic, mirrors a strictly-greater-than chain. */
+  def langId(text: Column): Column = {
+    val scores = lexicons.map { case (l, ws) => l -> lexiconScore(text, ws) } :+
+      ("zh" -> cjkCount(text))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown"): Column) { case ((l, s), acc) =>
+      when(s > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("long")
+
+  def whitespaceTokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: alpha runs, digit runs, single punctuation. */
+  def regexTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  def stopwordRatio(text: Column): Column = {
+    val n = whitespaceTokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(lexiconScore(text, lexicons.head._2).cast("double") / n)
+  }
+
+  /** Mean token length as an exact ratio of integers. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(totalLen.cast("double") / size(toks).cast("long"))
+  }
+
+  /** Integer quality score (0..4): length band, punctuation density,
+    * stopword presence, mean token length band. Integer arithmetic end to
+    * end — deterministic and cheap. */
+  def qualityScore(text: Column, nTokens: Column, punct: Column): Column =
+    (when(nTokens.between(5, 100000), 1L).otherwise(0L)
+      + when(punct * 10 <= length(text), 1L).otherwise(0L)
+      + when(lexiconScore(text, lexicons.head._2) > 0, 1L).otherwise(0L)
+      + when(meanTokenLen(text).between(2.0, 12.0), 1L).otherwise(0L))
+
+  /** Canonical document fingerprint: md5 of the whitespace-normalized,
+    * lowercased text. Stable across engines (md5 hex is lowercase in
+    * both Spark and DuckDB). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

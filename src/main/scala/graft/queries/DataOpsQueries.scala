@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal columns) over the documents/embeddings tables.
+  * Hash-based queries (minhash/simhash) have no SQL oracle — the driver
+  * records a rows-only check for those; everything else is
+  * oracle-verified, with integer-exact arithmetic so scores are
+  * bit-deterministic (see graft.ops.Similarity scaladoc).
+  */
+object DataOpsQueries {
+
+  val d01DedupExact = NamedQuery(
+    "d01_dedup_exact",
+    (s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text"))
+        .select(md5(col("text")).as("text_hash"), col("keep_id"), col("n_copies"))
+    },
+    Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+           |FROM documents GROUP BY text""".stripMargin))
+
+  /** MinHash signatures + LSH bucket keys (deterministic; no oracle —
+    * xxhash64 is Spark-specific). */
+  val d02MinhashSignatures = NamedQuery(
+    "d02_minhash_signatures",
+    (s, dir) => {
+      Dedup.signatures(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 16)
+        .select(col("doc"), explode(Dedup.lshBands(col("sig"), bands = 4, rowsPerBand = 4)).as("b"))
+        .select(col("doc").as("doc_id"), col("b.band").cast("long").as("band"), col("b.bucket"))
+    },
+    None)
+
+  /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard. */
+  val d03MinhashPairs = NamedQuery(
+    "d03_minhash_pairs",
+    (s, dir) => {
+      Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minEstJaccard = 0.0)
+    },
+    None)
+
+  /** SimHash fingerprints (pure-expression 64-bit simhash). */
+  val d04Simhash = NamedQuery(
+    "d04_simhash",
+    (s, dir) => {
+      Dedup.simhashes(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("fp"))
+    },
+    None)
+
+  /** Exact word-bigram Jaccard of every doc against doc 0 — integer set
+    * arithmetic, single final division, fully oracle-checkable. */
+  val d05NgramJaccard = NamedQuery(
+    "d05_ngram_jaccard",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val query = docs.where(col("doc_id") === 0)
+      Dedup.ngramJaccardVs(docs.where(col("doc_id") =!= 0), "doc_id", "text",
+          query, "text", n = 2)
+        .where(col("n_inter") > 0)
+        .select(col("doc_id"), col("n_inter"), col("n_self"), col("jaccard"))
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id,
+           |         list_distinct(list_transform(
+           |           generate_series(1, len(string_split(text, ' ')) - 1),
+           |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS grams
+           |  FROM documents),
+           |q AS (SELECT grams AS qgrams FROM g WHERE doc_id = 0)
+           |SELECT doc_id,
+           |       CAST(len(list_intersect(grams, qgrams)) AS BIGINT) AS n_inter,
+           |       CAST(len(grams) AS BIGINT) AS n_self,
+           |       CAST(len(list_intersect(grams, qgrams)) AS DOUBLE)
+           |         / (CAST(len(grams) AS BIGINT) + CAST(len(qgrams) AS BIGINT)
+           |            - CAST(len(list_intersect(grams, qgrams)) AS BIGINT)) AS jaccard
+           |FROM g, q WHERE doc_id <> 0 AND len(list_intersect(grams, qgrams)) > 0""".stripMargin))
+
+  /** Brute-force cosine top-10 against vec 0 — quantized to integer
+    * millis so the dot products are exact on both engines. */
+  val d06CosineTopK = NamedQuery(
+    "d06_cosine_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "vec_id", k = 10)
+    },
+    Some("""WITH quant AS (
+           |  SELECT vec_id,
+           |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS e
+           |  FROM embeddings),
+           |q AS (SELECT e AS qe FROM quant WHERE vec_id = 0)
+           |SELECT vec_id,
+           |       list_dot_product(e, qe)
+           |         / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos_sim
+           |FROM quant, q WHERE vec_id <> 0
+           |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin))
+
+  /** LSH-bucketed ANN (sign random projections) — the scale path; no
+    * oracle (bucketing is hash-defined), rows-only check. */
+  val d07AnnLsh = NamedQuery(
+    "d07_ann_lsh",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshBucketed(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", k = 5, nPlanes = 4)
+    },
+    None)
+
+  val t01LangId = NamedQuery(
+    "t01_langid",
+    (s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("detected_lang"),
+        TextAnalysis.lexiconScore(col("text"), TextAnalysis.lexicons.head._2).as("en_score"))
+    },
+    Some({
+      val lex = TextAnalysis.lexicons
+      def score(words: Seq[String]) =
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+      val scores = lex.map { case (l, ws) => l -> score(ws) } :+
+        ("zh" -> "CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT)")
+      val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+      val caseExpr = scores.foldRight("'unknown'") { case ((l, sc), acc) =>
+        s"CASE WHEN $sc > 0 AND $sc = $best THEN '$l' ELSE $acc END"
+      }
+      s"""SELECT doc_id, $caseExpr AS detected_lang, ${score(lex.head._2)} AS en_score
+         |FROM documents""".stripMargin
+    }))
+
+  val t02TextQuality = NamedQuery(
+    "t02_text_quality",
+    (s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.whitespaceTokenCount(t).as("n_tokens"),
+        TextAnalysis.punctCount(t).as("n_punct"),
+        TextAnalysis.meanTokenLen(t).as("mean_tok_len"),
+        TextAnalysis.qualityScore(t, TextAnalysis.whitespaceTokenCount(t),
+          TextAnalysis.punctCount(t)).as("quality_score"))
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id, text,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+           |         CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+           |              ELSE CAST(list_sum(list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+           |                   / CAST(len(string_split(text, ' ')) AS BIGINT) END AS mean_tok_len,
+           |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'is'))) AS BIGINT) AS en_hits
+           |  FROM documents)
+           |SELECT doc_id, n_tokens, n_punct, mean_tok_len,
+           |       (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END
+           |        + CASE WHEN n_punct * 10 <= length(text) THEN 1 ELSE 0 END
+           |        + CASE WHEN en_hits > 0 THEN 1 ELSE 0 END
+           |        + CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) AS quality_score
+           |FROM m""".stripMargin))
+
+  val t03TokenCount = NamedQuery(
+    "t03_token_count",
+    (s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("re_tokens"))
+    },
+    Some("""SELECT doc_id,
+           |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
+           |FROM documents""".stripMargin))
+
+  val t04Fingerprint = NamedQuery(
+    "t04_fingerprint",
+    (s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+    Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           |FROM documents""".stripMargin))
+
+  /** Multimodal metadata slice — the SQL-expressible part of the media
+    * pipeline (payload size + header bytes); the decode path itself is
+    * exercised by unit tests (stubbed codec, real plumbing). */
+  val m01MediaMeta = NamedQuery(
+    "m01_media_meta",
+    (s, dir) => {
+      Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("media_id"),
+          col("meta.nBytes").as("n_bytes"),
+          substring(hex(col("content")), 1, 16).as("head_hex"),
+          col("meta.sha").as("sha"))
+    },
+    Some("""SELECT doc_id AS media_id,
+           |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |       substring(hex(encode(text)), 1, 16) AS head_hex,
+           |       lower(sha256(text)) AS sha
+           |FROM documents""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(
+    d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
+    d05NgramJaccard, d06CosineTopK, d07AnnLsh,
+    t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, m01MediaMeta)
+}

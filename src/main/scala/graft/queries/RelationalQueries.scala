@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Exact, Tables}
+import graft.ops.AsOfJoin
+
+/** The general relational surface (SURVEY.md §2.7): joins (broadcast /
+  * shuffled / semi / anti / outer / as-of), window functions, sort+limit
+  * top-k, rollup/cube/grouping sets, set ops, scalar subqueries, string &
+  * date function families, and the batch analogues of the streaming
+  * windows. The reference implements none of these (its only code path is
+  * a linear ELT), but the rebuilt engine exposes them as first-class,
+  * oracle-checked operators.
+  */
+object RelationalQueries {
+
+  /** Dim-table joins: both dims are broadcast (no shuffle of the fact). */
+  val q10JoinDims = NamedQuery(
+    "q10_join_dims",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      cust
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          Exact.centsSum(col("c_acctbal")).as("acctbal_cents"))
+    },
+    Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
+           |       SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name, n_name""".stripMargin))
+
+  /** Fact-to-fact equi-join on the shuffle key, revenue in exact cents. */
+  val q11JoinFact = NamedQuery(
+    "q11_join_fact",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+            .cast("long")).as("revenue_cents"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_items,
+           |       SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY o_orderstatus""".stripMargin))
+
+  /** Left-semi join == EXISTS. */
+  val q12SemiJoin = NamedQuery(
+    "q12_semi_join",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      cust.join(o, cust("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))
+
+  /** Left-anti join == NOT EXISTS (on a filtered right side so the
+    * result is non-trivial: customers with no big-ticket order). */
+  val q13AntiJoin = NamedQuery(
+    "q13_anti_join",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val big = Tables.orders(s, dir).where(col("o_totalprice") > 300000)
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin))
+
+  /** Left-outer join with per-key counts (COUNT(col) skips the null-extended rows). */
+  val q14OuterJoin = NamedQuery(
+    "q14_outer_join",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      cust.join(o, cust("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(Exact.cents(col("o_totalprice"))), lit(0L)).as("spend_cents"))
+    },
+    Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           |       COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS spend_cents
+           |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |GROUP BY c_custkey""".stripMargin))
+
+  /** Window: top-3 orders per customer by (price desc, key) — full
+    * tiebreak makes the rank deterministic on both engines. */
+  val q15WindowTopk = NamedQuery(
+    "q15_window_topk",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |  FROM orders) WHERE rn <= 3""".stripMargin))
+
+  /** Window: running total per customer in exact cents. */
+  val q16WindowRunning = NamedQuery(
+    "q16_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(Exact.cents(col("o_totalprice"))).over(w).as("run_cents"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+           |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |               ROWS UNBOUNDED PRECEDING) AS run_cents
+           |FROM orders""".stripMargin))
+
+  /** Global top-k: Spark plans TakeOrderedAndProject (no full sort). */
+  val q17Top100 = NamedQuery(
+    "q17_top100",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_extendedprice"))
+    },
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+           |FROM lineitem
+           |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin))
+
+  val q18Rollup = NamedQuery(
+    "q18_rollup",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          Exact.centsSum(col("l_quantity")).as("qty_cents"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           |       SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+           |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
+
+  val q19Cube = NamedQuery(
+    "q19_cube",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .cube(year(col("o_orderdate")).cast("long").as("y"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderpriority, COUNT(*) AS n
+           |FROM orders GROUP BY CUBE (CAST(year(o_orderdate) AS BIGINT), o_orderpriority)""".stripMargin))
+
+  val q20GroupingSets = NamedQuery(
+    "q20_grouping_sets",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin))
+
+  /** Set operations: INTERSECT / EXCEPT (both distinct) tagged into one result. */
+  val q21SetOps = NamedQuery(
+    "q21_set_ops",
+    (s, dir) => {
+      val ordered = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+      val custs = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+      val both = custs.intersect(ordered).withColumn("tag", lit("both"))
+      val onlyCust = custs.except(ordered).withColumn("tag", lit("cust_only"))
+      both.unionByName(onlyCust).select(col("tag"), col("k"))
+    },
+    Some("""SELECT 'both' AS tag, k FROM
+           |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders)
+           |UNION ALL
+           |SELECT 'cust_only' AS tag, k FROM
+           |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders)""".stripMargin))
+
+  val q22Distinct = NamedQuery(
+    "q22_distinct",
+    (s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_nationkey").cast("long").as("nk"))
+        .distinct()
+    },
+    Some("SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS nk FROM customer"))
+
+  val q23StringFuncs = NamedQuery(
+    "q23_string_funcs",
+    (s, dir) => {
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_name"), 1, 5).as("head5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+        regexp_replace(col("p_type"), " ", "_").as("rep"),
+        instr(col("p_name"), "a").cast("long").as("pos_a"),
+        lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+        reverse(col("p_brand")).as("rev"))
+    },
+    Some("""SELECT p_partkey, upper(p_name) AS up, substring(p_name, 1, 5) AS head5,
+           |       concat_ws('|', p_brand, p_type) AS cat,
+           |       replace(p_type, ' ', '_') AS rep,
+           |       CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a,
+           |       lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           |       reverse(p_brand) AS rev
+           |FROM part""".stripMargin))
+
+  val q24DateFuncs = NamedQuery(
+    "q24_date_funcs",
+    (s, dir) => {
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_format(date_add(to_date(col("o_orderdate")), 7), "yyyy-MM-dd").as("week_later"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("long").as("days_since"))
+    },
+    Some("""SELECT o_orderkey,
+           |       CAST(year(o_orderdate) AS BIGINT) AS y,
+           |       CAST(month(o_orderdate) AS BIGINT) AS m,
+           |       CAST(day(o_orderdate) AS BIGINT) AS d,
+           |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           |       strftime(CAST(o_orderdate AS DATE) + 7, '%Y-%m-%d') AS week_later,
+           |       strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+           |       datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days_since
+           |FROM orders""".stripMargin))
+
+  val q25CaseMath = NamedQuery(
+    "q25_case_math",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_heavy"),
+          sum((col("l_orderkey") % 7).cast("long")).as("mod_sum"),
+          sum(floor(col("l_quantity") / 7).cast("long")).as("floor_sum"),
+          sum(ceil(col("l_quantity") / 7).cast("long")).as("ceil_sum"),
+          sum(abs(col("l_orderkey") - 100).cast("long")).as("abs_sum"))
+    },
+    Some("""SELECT l_returnflag,
+           |       SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_heavy,
+           |       SUM(CAST(l_orderkey % 7 AS BIGINT)) AS mod_sum,
+           |       SUM(CAST(floor(l_quantity / 7) AS BIGINT)) AS floor_sum,
+           |       SUM(CAST(ceil(l_quantity / 7) AS BIGINT)) AS ceil_sum,
+           |       SUM(CAST(abs(l_orderkey - 100) AS BIGINT)) AS abs_sum
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
+  /** Correlated scalar subquery through the SQL front-end (Catalyst
+    * decorrelates it into an aggregate + join). */
+  val q26CorrelatedSubq = NamedQuery(
+    "q26_correlated_subq",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders_v o
+              |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders_v o2
+              |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+           |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+           |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin))
+
+  /** As-of join (inclusive backward): each purchase event picks up the
+    * latest preceding non-purchase event of the same user. Single shuffle
+    * union+window implementation — see graft.ops.AsOfJoin. */
+  val q27AsofJoin = NamedQuery(
+    "q27_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+      val others = ev.where(col("event_type") =!= "purchase")
+      AsOfJoin.backward(purchases, others, key = "user_id", ts = "ts",
+          rightPayload = Map("event_id" -> "prior_event_id", "event_type" -> "prior_type"),
+          tiebreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("prior_event_id"), col("prior_type"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           |     o AS (SELECT event_id, user_id, ts, event_type FROM events WHERE event_type <> 'purchase')
+           |SELECT p.event_id, p.user_id, o.event_id AS prior_event_id, o.event_type AS prior_type
+           |FROM p ASOF LEFT JOIN o ON p.user_id = o.user_id AND p.ts >= o.ts""".stripMargin))
+
+  /** Tumbling time window (batch analogue of the streaming agg). */
+  val q28Tumbling = NamedQuery(
+    "q28_tumbling_window",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.centsSum(col("value")).as("value_cents"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("value_cents"))
+    },
+    Some("""SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n,
+           |       SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
+  /** Session windows (30-min gap) in batch; oracle mirrors Spark's
+    * session semantics (new session iff gap >= 30 min; session end =
+    * last event + gap). */
+  val q29Sessionize = NamedQuery(
+    "q29_sessionize",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+    },
+    Some("""WITH g AS (
+           |  SELECT user_id, ts, event_id,
+           |         CASE WHEN lag(ts) OVER w IS NULL
+           |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+           |              THEN 1 ELSE 0 END AS new_s
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |     sess AS (
+           |  SELECT user_id, ts,
+           |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                          ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM g)
+           |SELECT user_id, MIN(ts) AS session_start,
+           |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           |       COUNT(*) AS n_events
+           |FROM sess GROUP BY user_id, sid""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(
+    q10JoinDims, q11JoinFact, q12SemiJoin, q13AntiJoin, q14OuterJoin,
+    q15WindowTopk, q16WindowRunning, q17Top100, q18Rollup, q19Cube,
+    q20GroupingSets, q21SetOps, q22Distinct, q23StringFuncs, q24DateFuncs,
+    q25CaseMath, q26CorrelatedSubq, q27AsofJoin, q28Tumbling, q29Sessionize)
+}
