@@ -1,0 +1,64 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** O1/O2 — the reference's linear pipeline driver (main.py:326-334):
+  * fetch → bronze → silver → gold, sequential, fail-soft (each stage
+  * logs and returns on error; later stages still run against whatever
+  * upstream data exists). Fail-soft is configurable — `failFast = true`
+  * rethrows, which is what a production scheduler usually wants.
+  *
+  * Each stage is lazy DataFrame composition with exactly one action at
+  * its sink, so Catalyst sees the whole stage plan (pushdown, pruning,
+  * WSCG); the only shuffle in the entire flow is gold's groupBy.
+  */
+object Pipeline {
+
+  final case class StageResult(name: String, ok: Boolean, error: Option[String])
+
+  final case class Stage(name: String, run: SparkSession => Unit)
+
+  def run(spark: SparkSession, stages: Seq[Stage], failFast: Boolean = false): Seq[StageResult] =
+    stages.map { st =>
+      try { st.run(spark); StageResult(st.name, ok = true, None) }
+      catch {
+        case e: Throwable if !failFast =>
+          StageResult(st.name, ok = false, Some(e.toString))
+        case e: Throwable => throw e
+      }
+    }
+
+  /** The reference's raw→bronze→silver→gold medallion flow over a local
+    * directory tree. Stage semantics follow main.py exactly:
+    *   bronze  (main.py:104-164): read raw pages, strict int cast ano/mes
+    *           (keep-original on failure), partitioned snappy write;
+    *   silver  (main.py:189-267): coerce valor (null→0), normalize 6
+    *           nome_* cols, nullable ano/mes, QUALITY GATE (abort before
+    *           write on violation), then date parse, write;
+    *   gold    (main.py:270-323): require {ano,mes,nome_orgao,valor},
+    *           group-sum to total_gasto, write.
+    */
+  def medallion(rawGlob: String, bronzePath: String, silverPath: String,
+      goldPath: String, mode: String = "overwrite"): Seq[Stage] = Seq(
+    Stage("raw_to_bronze", { spark =>
+      val raw = Sources.readRawPages(spark, rawGlob)
+      val cast = Seq("ano", "mes").foldLeft(raw)(Cleaning.strictCastOrKeep(_, _, "INT"))
+      Sinks.writePartitioned(cast, bronzePath, mode)
+    }),
+    Stage("bronze_to_silver", { spark =>
+      val bronze = Sources.readParquetLayer(spark, bronzePath)
+      val cleaned = Cleaning.silverClean(bronze)
+      Quality.requireColumns(cleaned, Seq("ano", "mes", "nome_orgao", "nome_favorecido"))
+      Quality.runGate(cleaned, Quality.silverChecks)
+      val dated = Cleaning.parseDate(cleaned, "data_pagamento")
+      Sinks.writePartitioned(dated, silverPath, mode)
+    }),
+    Stage("silver_to_gold", { spark =>
+      val silver = Sources.readParquetLayer(spark, silverPath)
+      Quality.requireColumns(silver, Seq("ano", "mes", "nome_orgao", "valor"))
+      val gold = Aggregates.goldAggregate(silver)
+        .select(col("ano"), col("mes"), col("nome_orgao"), col("total_gasto"))
+      Sinks.writePartitioned(gold, goldPath, mode)
+    }))
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is pure batch (SURVEY
+  * §2.7) — its closest analogue is the page-resume ledger, which IS the
+  * file-source checkpoint pattern — but the rebuilt engine exposes the
+  * streaming forms of its aggregations as first-class operators. Every
+  * transform here works identically on a batch DataFrame (Spark's
+  * unified API), which is how the batch oracle queries q28/q29 validate
+  * the same plans the stream runs.
+  *
+  * Scale notes: state stores are per-key; watermarks bound state size
+  * (no watermark = unbounded state = eventual OOM at 100 TB/day). Keys
+  * are hash-partitioned across executors — the same salting rules apply
+  * to skewed keys as in batch.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts+sums with a watermark bounding late data. */
+  def tumblingAgg(events: DataFrame, tsCol: String, watermark: String,
+      windowDur: String, keyCol: String, valueCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col(keyCol), col("n"), col("total"))
+
+  /** Sliding-window variant (windowDuration, slideDuration). */
+  def slidingAgg(events: DataFrame, tsCol: String, watermark: String,
+      windowDur: String, slide: String, keyCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"))
+
+  /** Session windows with a fixed inactivity gap. */
+  def sessionAgg(events: DataFrame, tsCol: String, watermark: String,
+      gap: String, keyCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Streaming dedup: exactly-once per key within the watermark horizon
+    * (the streaming form of Dedup.exact — state = one entry per key,
+    * expired by the watermark). */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  // --- custom state: running per-key aggregate via flatMapGroupsWithState ---
+
+  final case class KeyedEvent(user_id: Long, value: Double)
+  final case class RunningTotal(user_id: Long, n: Long, total: Double)
+
+  /** Custom stateful op: emits the updated running (count, sum) per key
+    * on every batch — the mapGroupsWithState pattern the reference's
+    * "recompute everything" silver stage would become on a stream. */
+  def runningTotals(spark: SparkSession, events: Dataset[KeyedEvent]): Dataset[RunningTotal] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunningTotal, RunningTotal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[KeyedEvent], state: GroupState[RunningTotal]) =>
+          val prior = state.getOption.getOrElse(RunningTotal(key, 0L, 0.0))
+          var n = prior.n
+          var total = prior.total
+          rows.foreach { e => n += 1; total += e.value }
+          val updated = RunningTotal(key, n, total)
+          state.update(updated)
+          Iterator(updated)
+      }
+  }
+
+  /** Convenience: run a streaming DataFrame to completion against a
+    * memory sink and return the result table (test/e2e harness). */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

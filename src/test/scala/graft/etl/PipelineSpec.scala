@@ -1,0 +1,93 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** End-to-end raw→bronze→silver→gold over reference-shaped fixture pages
+  * (FIXTURES.md §A) with RECOMPUTED expectations (never committed-artifact
+  * bytes — SURVEY §1.4 caveat 2).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def record(ano: Int, mes: Int, orgao: String, fav: String, valor: String,
+      dataPagamento: String = "\"2011-01-15\""): String =
+    s"""{"ano": $ano, "mes": $mes, "codigo_acao": "4002",
+       |"codigo_elemento_despesa": 39, "codigo_favorecido": "***687963**",
+       |"codigo_funcao": 6, "codigo_grupo_despesa": 3, "codigo_orgao": 52111,
+       |"codigo_orgao_superior": 52000, "codigo_programa": 2058,
+       |"codigo_subfuncao": 181, "codigo_unidade_gestora": 167086,
+       |"data_pagamento": $dataPagamento, "data_pagamento_original": null,
+       |"gestao_pagamento": "00001", "linguagem_cidada": null,
+       |"nome_acao": "acao x", "nome_elemento_despesa": "Outros",
+       |"nome_favorecido": "$fav", "nome_funcao": "defesa",
+       |"nome_grupo_despesa": "custeio", "nome_orgao": "$orgao",
+       |"nome_orgao_superior": "MIN", "nome_programa": "prog",
+       |"nome_subfuncao": "sub", "nome_unidade_gestora": "ug",
+       |"numero_documento": "2011OB000001", "valor": "$valor"}""".stripMargin.replace("\n", " ")
+
+  test("medallion pipeline: raw pages → gold aggregate, recomputed expectation") {
+    val root = tmpDir("pipeline")
+    val rawDir = Paths.get(root, "raw"); Files.createDirectories(rawDir)
+    // envelope page: 3 records, two orgaos, one unparseable valor (→0.0)
+    val page1 = s"""{"count": 4, "next": null, "previous": null, "results": [
+      ${record(2011, 1, " fundo nacional de saúde ", "fav a", "100.10")},
+      ${record(2011, 1, "fundo nacional de saúde", "fav b", "0.90")},
+      ${record(2011, 2, "agencia beta", "fav c", "not-a-number")}]}"""
+    // legacy bare-array page: 1 record (reference SKIPS these; we read them)
+    val page2 = s"""[${record(2012, 3, "agencia beta", "fav d", "7.00", "null")}]"""
+    Files.write(rawDir.resolve("gastos-diretos_gastos_page_1.json"),
+      page1.getBytes(StandardCharsets.UTF_8))
+    Files.write(rawDir.resolve("gastos-diretos_gastos_page_2.json"),
+      page2.getBytes(StandardCharsets.UTF_8))
+
+    val results = Pipeline.run(spark, Pipeline.medallion(
+      s"$root/raw/*.json", s"$root/bronze", s"$root/silver", s"$root/gold"))
+    assert(results.forall(_.ok), results.mkString("; "))
+
+    val bronze = spark.read.parquet(s"$root/bronze")
+    assert(bronze.count() == 4)
+    assert(bronze.schema("valor").dataType.typeName == "string") // bronze keeps raw types
+    assert(bronze.schema("ano").dataType.typeName == "integer")  // C1 strict cast applied
+
+    val silver = spark.read.parquet(s"$root/silver")
+    assert(silver.schema("valor").dataType.typeName == "double")
+    assert(silver.schema("data_pagamento").dataType.typeName == "date")
+    val orgaos = silver.select("nome_orgao").distinct().collect().map(_.getString(0)).toSet
+    assert(orgaos == Set("FUNDO NACIONAL DE SAÚDE", "AGENCIA BETA")) // C3 normalize
+
+    // partition cols come back as int from hive-dir inference; cast for comparison
+    val gold = spark.read.parquet(s"$root/gold")
+      .selectExpr("CAST(ano AS BIGINT)", "CAST(mes AS BIGINT)", "nome_orgao", "total_gasto")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(gold == Set(
+      (2011L, 1L, "FUNDO NACIONAL DE SAÚDE", 101.0),
+      (2011L, 2L, "AGENCIA BETA", 0.0),   // coerced valor → 0.0 still aggregates
+      (2012L, 3L, "AGENCIA BETA", 7.0)))
+  }
+
+  test("quality gate aborts silver before the write (fail-soft reports, no output)") {
+    val root = tmpDir("pipeline-gate")
+    val rawDir = Paths.get(root, "raw"); Files.createDirectories(rawDir)
+    // mes=13 violates InRange(mes,1,12) at the silver gate
+    val bad = s"""{"count": 1, "next": null, "previous": null, "results": [
+      ${record(2011, 13, "orgao", "fav", "1.00")}]}"""
+    Files.write(rawDir.resolve("gastos-diretos_gastos_page_1.json"),
+      bad.getBytes(StandardCharsets.UTF_8))
+
+    val results = Pipeline.run(spark, Pipeline.medallion(
+      s"$root/raw/*.json", s"$root/bronze", s"$root/silver", s"$root/gold"))
+    assert(results.find(_.name == "raw_to_bronze").exists(_.ok))
+    val silverRes = results.find(_.name == "bronze_to_silver").get
+    assert(!silverRes.ok && silverRes.error.get.contains("in_range(mes"))
+    assert(!Files.exists(Paths.get(s"$root/silver"))) // abort-before-write
+    assert(results.find(_.name == "silver_to_gold").exists(!_.ok)) // fail-soft: ran, failed on missing input
+  }
+
+  test("failFast rethrows instead of recording") {
+    val boom = Pipeline.Stage("boom", _ => throw new RuntimeException("x"))
+    intercept[RuntimeException] { Pipeline.run(spark, Seq(boom), failFast = true) }
+    val soft = Pipeline.run(spark, Seq(boom))
+    assert(soft == Seq(Pipeline.StageResult("boom", ok = false, Some("java.lang.RuntimeException: x"))))
+  }
+}

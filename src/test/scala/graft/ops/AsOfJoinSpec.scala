@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of: latest right row at or before each left ts, per key") {
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 12:00:00")),
+      (102L, 2L, ts("2024-01-01 09:00:00")), // before any right row for key 2
+      (103L, 3L, ts("2024-01-01 10:00:00"))  // key with no right rows at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (200L, 1L, ts("2024-01-01 09:30:00"), "view"),
+      (201L, 1L, ts("2024-01-01 11:00:00"), "click"),
+      (202L, 1L, ts("2024-01-01 12:00:00"), "scroll"), // equal ts: inclusive
+      (203L, 2L, ts("2024-01-01 09:30:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+
+    val got = AsOfJoin.backward(left, right, key = "user_id", ts = "ts",
+        rightPayload = Map("event_id" -> "prior_id", "event_type" -> "prior_type"),
+        tiebreak = "event_id")
+      .select("event_id", "prior_id", "prior_type")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+
+    assert(got(100L) == ((Some(200L), Some("view"))))
+    assert(got(101L) == ((Some(202L), Some("scroll")))) // ts equality matches (inclusive >=)
+    assert(got(102L) == ((None, None)))                 // nothing at or before
+    assert(got(103L) == ((None, None)))                 // unmatched key: left row kept
+  }
+
+  test("tiebreak makes equal-(key,ts) right rows deterministic") {
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (50L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (51L, 1L, ts("2024-01-01 10:00:00"), "b")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = AsOfJoin.backward(left, right, "user_id", "ts",
+        Map("event_id" -> "prior_id"), tiebreak = "event_id")
+      .select("prior_id").collect()(0).getLong(0)
+    assert(got == 51L) // highest tiebreak wins (last in carry-forward order)
+  }
+}

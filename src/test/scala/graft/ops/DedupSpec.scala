@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different text about spark engines here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct text with copy counts") {
+    val got = Dedup.exact(docs, "doc_id", Seq("text"))
+      .select("keep_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash: identical docs share full signatures; near dups agree on most lanes") {
+    val sigs = Dedup.signatures(docs, "doc_id", "text", shingleN = 3, numHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree34 = sigs(3L).zip(sigs(4L)).count { case (a, b) => a == b }
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree13 > agree34) // near dup closer than unrelated
+  }
+
+  test("minhashCandidates surfaces the dup pair with estJaccard 1.0") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L } ||
+      pairs.forall { case ((a, b), j) => j <= 1.0 })
+  }
+
+  test("simhash: identical docs → hamming 0; unrelated docs → large hamming") {
+    val fps = Dedup.simhashes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(4L)) > 10)
+    val candidates = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candidates.contains((1L, 2L)))
+  }
+
+  test("ngram Jaccard: identity = 1.0, known overlap computes exactly") {
+    val query = docs.where(col("doc_id") === 1)
+    val got = Dedup.ngramJaccardVs(docs, "doc_id", "text", query, "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(got(1L)._3 == 1.0 && got(2L)._3 == 1.0)
+    // doc3 differs in one word -> loses 2 of 8 distinct bigrams ("the lazy","lazy dog")
+    val (inter, self, j) = got(3L)
+    assert(self == 8 && inter == 6)
+    assert(math.abs(j - 6.0 / 10.0) < 1e-15) // |A∪B| = 8+8-6
+    assert(got(4L)._1 == 0 && got(4L)._3 == 0.0)
+  }
+
+  test("shingles of a doc shorter than n are empty, not an error") {
+    val tiny = Seq((1L, "hi")).toDF("doc_id", "text")
+    val sig = Dedup.signatures(tiny, "doc_id", "text", shingleN = 3, numHashes = 4)
+      .collect()(0).getSeq[Long](1)
+    assert(sig.forall(_ == Long.MaxValue)) // empty-set sentinel, deterministic
+  }
+}

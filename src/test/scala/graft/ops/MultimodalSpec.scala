@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq((1L, "hello media"), (2L, "x")).toDF("doc_id", "text")
+
+  test("asMediaTable: binary payload + typed metadata struct") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    assert(media.schema("content").dataType.typeName == "binary")
+    val r = media.where(col("media_id") === 1).select("meta.nBytes", "meta.mime").collect()(0)
+    assert(r.getLong(0) == "hello media".getBytes("UTF-8").length)
+    assert(r.getString(1) == "application/octet-stream")
+  }
+
+  test("decode runs per-partition and is deterministic over the bytes") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text").repartition(2)
+    val once = Multimodal.decode(spark, media).collect().sortBy(_.media_id)
+    val twice = Multimodal.decode(spark, media).collect().sortBy(_.media_id)
+    assert(once.length == 2)
+    assert(once.map(_.media_id).toSeq == Seq(1L, 2L))
+    // determinism: same bytes -> same fake dimensions and features
+    once.zip(twice).foreach { case (a, b) =>
+      assert(a.width == b.width && a.height == b.height && a.nFrames == b.nFrames)
+      assert(a.features.toSeq == b.features.toSeq)
+      assert(a.features.length == 8)
+    }
+  }
+
+  test("frame sampling emits every k-th frame index, shape preserved") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val decoded = Multimodal.decode(spark, media)
+    val frames = Multimodal.sampleFrames(spark, decoded, everyK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val nFrames = decoded.collect().map(d => d.media_id -> d.nFrames).toMap
+    frames.groupBy(_._1).foreach { case (id, fs) =>
+      val idxs = fs.map(_._2).sorted.toSeq
+      assert(idxs == (0 until nFrames(id) by 2).toSeq)
+    }
+  }
+}

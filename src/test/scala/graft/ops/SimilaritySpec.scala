@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to query
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (3L, Array(0.7f, 0.7f, 0.0f)),   // 45 degrees
+    (4L, Array(-1.0f, 0.0f, 0.0f))   // opposite
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k: exact cosine ordering, query row excluded") {
+    val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        vecs.where(col("vec_id") === 0), "vec_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L, 4L))
+    assert(got(0)._2 == 1.0)
+    assert(math.abs(got(1)._2 - math.sqrt(0.5)) < 1e-9)
+    assert(got(2)._2 == 0.0 && got(3)._2 == -1.0)
+  }
+
+  test("lsh bucketing: identical vectors share a bucket and rank first") {
+    val got = Similarity.lshBucketed(vecs, "vec_id", "embedding",
+        vecs.where(col("vec_id") === 0), "vec_id", k = 3, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // vec 1 (identical) must be in the query's bucket and ranked 1
+    val first = got.find(_._4 == 1L).get
+    assert(first._2 == 1L && first._3 == 1.0)
+    // every candidate is from the same bucket: cos against opposite vector
+    // can never appear with positive rank 1
+    assert(got.forall { case (q, d, _, _) => q == 0L && d != 0L })
+  }
+
+  test("quantization keeps dot products exact across row order") {
+    val a = Similarity.quantize(col("embedding"))
+    val df = vecs.select(col("vec_id"), a.as("q"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows(3L) == Seq(700.0, 700.0, 0.0)) // round(0.7f*1000)=700 exactly
+  }
+}

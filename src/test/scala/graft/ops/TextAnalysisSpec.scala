@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the lexicon with the highest hit count") {
+    val df = Seq(
+      (1L, "the cat of the house and a dog"),
+      (2L, "el perro de la casa que ladra los dias"),
+      (3L, "der hund und die katze das ist gut"),
+      (4L, "xyzzy plugh qwerty"),
+      (5L, "你好世界")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "unknown", 5L -> "zh"))
+  }
+
+  test("token counts: whitespace vs regex tokenizer") {
+    val df = Seq("hello world, it's 42 degrees!").toDF("text")
+    val r = df.select(
+      TextAnalysis.whitespaceTokenCount(col("text")),
+      TextAnalysis.regexTokenCount(col("text"))).collect()(0)
+    assert(r.getLong(0) == 5)
+    // hello|world|,|it|'|s|42|degrees|! = 9
+    assert(r.getLong(1) == 9)
+  }
+
+  test("quality score bands: clean english text scores 4, junk scores low") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog near a river bank",
+      "!!!! ???? ####"
+    ).toDF("text")
+    val t = col("text")
+    val got = df.select(TextAnalysis.qualityScore(t,
+      TextAnalysis.whitespaceTokenCount(t), TextAnalysis.punctCount(t)))
+      .as[Long].collect()
+    assert(got(0) == 4L)
+    assert(got(1) <= 1L)
+  }
+
+  test("fingerprint is whitespace/case-canonical") {
+    val df = Seq(
+      ("A", "The  Quick   Fox"),
+      ("B", "  the quick fox "),
+      ("C", "the quick fox!")
+    ).toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("A") == fps("B"))
+    assert(fps("A") != fps("C"))
+  }
+
+  test("meanTokenLen and stopwordRatio handle empty-ish text") {
+    val df = Seq("ab cd", "").toDF("text")
+    val rows = df.select(
+      TextAnalysis.meanTokenLen(col("text")),
+      TextAnalysis.stopwordRatio(col("text"))).collect()
+    assert(rows(0).getDouble(0) == 2.0)
+    assert(rows(0).getDouble(1) == 0.0)
+  }
+}

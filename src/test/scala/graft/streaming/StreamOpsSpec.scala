@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming ops driven through MemoryStream — asserts the
+  * streaming results equal the batch formulation on the same rows
+  * (Spark's unified-API contract, which the oracle queries rely on). */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+    (2L, ts("2024-01-01 10:20:00"), "click", 2.0),
+    (3L, ts("2024-01-01 10:45:00"), "view", 3.0),
+    (4L, ts("2024-01-01 11:10:00"), "click", 4.0),
+    (5L, ts("2024-01-01 11:40:00"), "view", 5.0))
+
+  test("tumbling agg over a stream matches the batch plan on the same data") {
+    val mem = MemoryStream[(Long, Timestamp, String, Double)](spark, 1)
+    // sentinel far past the test data pushes the watermark so every 2024
+    // window finalizes (append mode only emits windows below watermark);
+    // the sentinel's own window stays open and must NOT appear.
+    mem.addData(rows :+ ((99L, ts("2025-01-01 00:00:00"), "sentinel", 0.0)): _*)
+    val stream = mem.toDF.toDF("event_id", "ts", "event_type", "value")
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.tumblingAgg(stream, "ts", "10 minutes", "1 hour", "event_type", "value"),
+        "tumbling_t")
+      .select("win_start", "event_type", "n", "total")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = rows.toDF("event_id", "ts", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start"), col("event_type"), col("n"), col("total"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == batch)
+    assert(got.size == 4)
+  }
+
+  test("streaming dedup within watermark drops repeated keys") {
+    val mem = MemoryStream[(Long, Timestamp)](spark, 1)
+    mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:01:00")),
+      (2L, ts("2024-01-01 10:02:00")))
+    val stream = mem.toDF.toDF("k", "ts")
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.dedupStream(stream, "ts", "1 hour", Seq("k")), "dedup_t")
+    assert(got.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState accumulates running totals across batches") {
+    val mem = MemoryStream[StreamOps.KeyedEvent](spark, 1)
+    val out = StreamOps.runningTotals(spark, mem.toDS())
+    val q = out.writeStream.format("memory").queryName("running_t")
+      .outputMode("append").start()
+    mem.addData(StreamOps.KeyedEvent(1L, 10.0), StreamOps.KeyedEvent(1L, 5.0),
+      StreamOps.KeyedEvent(2L, 1.0))
+    q.processAllAvailable()
+    mem.addData(StreamOps.KeyedEvent(1L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val finalRows = spark.table("running_t")
+      .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // state carried across batches: user 1 ends at n=3 total=16
+    assert(finalRows == Set((1L, 3L, 16.0), (2L, 1L, 1.0)))
+  }
+
+  test("session windows on a stream group by inactivity gap") {
+    val mem = MemoryStream[(Long, Timestamp)](spark, 1)
+    mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 12:00:00")), (2L, ts("2024-01-01 10:00:00")),
+      (99L, ts("2025-01-01 00:00:00"))) // watermark sentinel; its session stays open
+    val stream = mem.toDF.toDF("user_id", "ts")
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.sessionAgg(stream, "ts", "10 minutes", "30 minutes", "user_id"),
+        "session_t")
+      .select("user_id", "n_events")
+      .where(col("user_id") =!= 99L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // user 1: one 2-event session + one 1-event session; user 2: one session
+    assert(got.sorted.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}
