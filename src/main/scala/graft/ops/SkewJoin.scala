@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins: salting. AQE's skew-join handling
+  * (spark.sql.adaptive.skewJoin) covers sort-merge joins at runtime, but
+  * a join whose hot key is 100× the median still serializes one reducer
+  * unless the key space is widened. Salting is the static fix: explode
+  * the small side `factor`× (one copy per salt), add a uniform random-ish
+  * salt on the big side, and join on (key, salt) — the hot key's rows
+  * spread over `factor` reducers.
+  *
+  * The salt must be DETERMINISTIC per row (we derive it from a hash of
+  * the row's other columns, not rand()) so retries and speculative tasks
+  * produce identical partitions — nondeterministic salting breaks
+  * exactly-once shuffle semantics at scale.
+  */
+object SkewJoin {
+
+  /** Inner equi-join `big ⋈ small` on `key`, with the big side's rows
+    * spread across `factor` salt buckets. `saltSource` columns (from the
+    * big side) feed the deterministic salt hash. Result == plain join,
+    * partition profile != (that's the point). */
+  def saltedInner(big: DataFrame, small: DataFrame, key: String,
+      factor: Int, saltSource: Seq[String]): DataFrame = {
+    require(factor > 0)
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(saltSource.map(col): _*), lit(factor)).cast("int"))
+    val exploded = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("_salt", col("_salt").cast("int"))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Skewed aggregation via two-phase (partial on (key, salt) → final on
+    * key): what Spark's partial aggregation already does for algebraic
+    * aggregates — exposed explicitly for aggregates where the first
+    * phase must bound per-reducer cardinality (e.g. collect-like ops). */
+  def twoPhaseCount(df: DataFrame, key: String, factor: Int,
+      saltSource: Seq[String]): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(saltSource.map(col): _*), lit(factor)))
+      .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key)).agg(sum("_partial").as("n"))
+}

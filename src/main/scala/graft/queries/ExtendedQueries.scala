@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Exact, Tables}
+import graft.ops.SkewJoin
+
+/** Second wave of engine-capability queries: range (non-equi) join,
+  * pivot, exact percentiles, salted skew join, array explode/unnest,
+  * bag union, uncorrelated scalar subqueries, and approximate sketches
+  * (rows-only — estimates are engine-specific by construction).
+  */
+object ExtendedQueries {
+
+  /** Non-equi range join: each lineitem lands in a price band; the band
+    * dim is tiny → Spark broadcasts and the scan stays shuffle-free up
+    * to the final small aggregate. */
+  val q30RangeJoin = NamedQuery(
+    "q30_range_join",
+    (s, dir) => {
+      val bands = broadcast(s.range(0, 12).select(
+        col("id").as("band"),
+        (col("id") * 10000).cast("double").as("lo"),
+        ((col("id") + 1) * 10000).cast("double").as("hi")))
+      val li = Tables.lineitem(s, dir)
+      li.join(bands,
+          li("l_extendedprice") >= bands("lo") && li("l_extendedprice") < bands("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), Exact.centsSum(col("l_extendedprice")).as("price_cents"))
+    },
+    Some("""SELECT b.band, COUNT(*) AS n,
+           |       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+           |FROM lineitem
+           |JOIN (SELECT g AS band, g * 10000.0 AS lo, (g + 1) * 10000.0 AS hi
+           |      FROM generate_series(0, 11) t(g)) b
+           |  ON l_extendedprice >= b.lo AND l_extendedprice < b.hi
+           |GROUP BY b.band""".stripMargin))
+
+  /** Pivot with an explicit value list (no extra distinct-values job —
+    * the list IS the contract, which is also what keeps the plan static
+    * at scale). */
+  val q31Pivot = NamedQuery(
+    "q31_pivot",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(Exact.centsSum(col("l_quantity")))
+        .na.fill(0L, Seq("A", "N", "R"))
+    },
+    Some("""SELECT l_linestatus,
+           |       COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS A,
+           |       COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS N,
+           |       COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS R
+           |FROM lineitem GROUP BY l_linestatus""".stripMargin))
+
+  /** Exact percentiles. Spark's percentile and DuckDB's quantile_cont
+    * share the (n-1)*p linear-interpolation definition; p ∈ {.25,.5,.75}
+    * are exact binary fractions, so interpolation over integer cents is
+    * FP-exact on both engines. */
+  val q32Percentiles = NamedQuery(
+    "q32_percentiles",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), Exact.cents(col("o_totalprice")).as("cents"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(cents, 0.25)").as("p25"),
+          expr("percentile(cents, 0.5)").as("p50"),
+          expr("percentile(cents, 0.75)").as("p75"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT o_orderpriority,
+           |       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) AS p25,
+           |       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50,
+           |       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) AS p75,
+           |       COUNT(*) AS n
+           |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
+  /** Salted skew join: result must equal the plain join (the oracle IS
+    * the unsalted formulation) while the physical plan spreads each
+    * suppkey over 4 salt buckets. */
+  val q33SaltedJoin = NamedQuery(
+    "q33_salted_join",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      SkewJoin.saltedInner(li, sup, key = "l_suppkey", factor = 4,
+          saltSource = Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"), Exact.centsSum(col("l_quantity")).as("qty_cents"))
+    },
+    Some("""SELECT s_name, COUNT(*) AS n,
+           |       SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |GROUP BY s_name""".stripMargin))
+
+  /** Array explode / unnest: token frequencies over documents (the
+    * generic flatten primitive every text pipeline leans on). */
+  val q34Explode = NamedQuery(
+    "q34_explode",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 10)
+    },
+    Some("""SELECT token, COUNT(*) AS n
+           |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           |GROUP BY token HAVING COUNT(*) >= 10""".stripMargin))
+
+  /** U1 — bag union (the reference's page concatenation, main.py:114-120)
+    * made explicit across two differently-sourced key sets. */
+  val q35UnionAll = NamedQuery(
+    "q35_union_all",
+    (s, dir) => {
+      val a = Tables.orders(s, dir).select(col("o_custkey").as("k")).withColumn("src", lit("o"))
+      val b = Tables.customer(s, dir).select(col("c_custkey").as("k")).withColumn("src", lit("c"))
+      a.unionByName(b).groupBy(col("src")).agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+    },
+    Some("""SELECT src, COUNT(*) AS n, SUM(k) AS key_sum FROM (
+           |  SELECT o_custkey AS k, 'o' AS src FROM orders
+           |  UNION ALL SELECT c_custkey AS k, 'c' AS src FROM customer)
+           |GROUP BY src""".stripMargin))
+
+  /** Uncorrelated scalar subquery as a filter (Catalyst plans a
+    * broadcast of the single-row subquery result). */
+  val q36ScalarSubq = NamedQuery(
+    "q36_scalar_subq",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_x")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_x
+              |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders_x)""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+           |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)""".stripMargin))
+
+  /** Approximate sketches (HLL count-distinct, t-digest-style quantile):
+    * the 100 TB substitutes for their exact forms. Estimates are
+    * engine-specific → rows-only check; the UNIT test asserts the
+    * estimate lands within the documented error bound of the exact
+    * answer. */
+  val q37ApproxSketch = NamedQuery(
+    "q37_approx_sketch",
+    (s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_median"),
+        count(lit(1)).as("n"))
+    },
+    None)
+
+  val all: Seq[NamedQuery] = Seq(
+    q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
+    q35UnionAll, q36ScalarSubq, q37ApproxSketch)
+}

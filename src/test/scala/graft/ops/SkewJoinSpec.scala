@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val big = Seq(
+    (1L, 100L), (1L, 101L), (1L, 102L), (1L, 103L), // hot key
+    (2L, 200L), (3L, 300L)
+  ).toDF("k", "payload")
+  private val small = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "name")
+
+  test("salted inner join result equals the plain join") {
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = SkewJoin.saltedInner(big, small, "k", factor = 3,
+        saltSource = Seq("payload"))
+      .select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(salted.size == 6)
+  }
+
+  test("salt spreads the hot key's rows over multiple buckets deterministically") {
+    val salts = big.where(col("k") === 1L)
+      .withColumn("_salt", pmod(xxhash64(col("payload")), lit(3)).cast("int"))
+      .select("_salt").as[Int].collect()
+    assert(salts.distinct.length > 1) // hot key no longer lands on one reducer
+    val again = big.where(col("k") === 1L)
+      .withColumn("_salt", pmod(xxhash64(col("payload")), lit(3)).cast("int"))
+      .select("_salt").as[Int].collect()
+    assert(salts.toSeq == again.toSeq) // deterministic: retries repartition identically
+  }
+
+  test("two-phase count equals plain count per key") {
+    val plain = big.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoPhase = SkewJoin.twoPhaseCount(big, "k", factor = 3, saltSource = Seq("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twoPhase == plain)
+  }
+
+  test("approx sketches land within documented error of exact answers") {
+    val df = spark.range(0, 10000).select(
+      (col("id") % 1000).as("k"), col("id").cast("double").as("v"))
+    val r = df.agg(
+      approx_count_distinct(col("k")).as("acd"),
+      expr("approx_percentile(v, 0.5, 10000)").as("p50")).collect()(0)
+    assert(math.abs(r.getLong(0) - 1000L) <= 50)        // HLL rsd default 5%
+    assert(math.abs(r.getDouble(1) - 4999.5) <= 10.0)   // high-accuracy t-digest-ish
+  }
+}
