@@ -1,0 +1,201 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup hot path.
+  *
+  * The composed-expression forms in graft.ops.Dedup
+  * (transform/sequence/array_min lambda trees) evaluate
+  * numHashes × |grams| lambda frames and materialize an intermediate
+  * array per lane. These expressions compute the identical values in ONE
+  * pass over the input array inside whole-stage codegen — same
+  * hash-by-hash semantics as Spark's xxhash64 (seed 42, XXH64), so
+  * signatures are bit-compatible with the lambda formulation:
+  *   minhash lane i  == min over grams of xxhash64(i, gram)
+  *   simhash bit i   == sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1)
+  */
+object TextHashExpressions {
+
+  private val SPARK_XXHASH_SEED = 42L
+
+  private def requireStringArray(child: Expression, fn: String): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires array<string>, got ${other.catalogString}")
+    }
+
+  /** graft_minhash(array<string>, numHashes) -> array<long>.
+    * Empty/absent grams → all-Long.MaxValue sentinel (deterministic). */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+
+    require(numHashes > 0, "numHashes must be positive")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash"
+
+    // lane seed i == xxhash64's running hash after folding the int literal i
+    private lazy val laneSeeds: Array[Long] =
+      Array.tabulate(numHashes)(i => XXH64.hashInt(i, SPARK_XXHASH_SEED))
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val lanes = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val g = arr.getUTF8String(j)
+          var i = 0
+          while (i < numHashes) {
+            val h = XXH64.hashUTF8String(g, laneSeeds(i))
+            if (h < lanes(i)) lanes(i) = h
+            i += 1
+          }
+        }
+        j += 1
+      }
+      new GenericArrayData(lanes)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val seedsRef = ctx.addReferenceObj("laneSeeds", laneSeeds, "long[]")
+      nullSafeCodeGen(ctx, ev, arr => {
+        val lanes = ctx.freshName("lanes")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val g = ctx.freshName("gram")
+        val h = ctx.freshName("h")
+        s"""
+           |long[] $lanes = new long[$numHashes];
+           |java.util.Arrays.fill($lanes, Long.MAX_VALUE);
+           |for (int $j = 0; $j < $arr.numElements(); $j++) {
+           |  if (!$arr.isNullAt($j)) {
+           |    org.apache.spark.unsafe.types.UTF8String $g = $arr.getUTF8String($j);
+           |    for (int $i = 0; $i < $numHashes; $i++) {
+           |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+           |        .hashUTF8String($g, $seedsRef[$i]);
+           |      if ($h < $lanes[$i]) $lanes[$i] = $h;
+           |    }
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($lanes);
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+      copy(child = newChild)
+  }
+
+  /** graft_simhash(array<string>) -> long: 64-bit SimHash over token
+    * hashes, one pass, 64 sign counters. Empty input → 0L. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child, prettyName)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counters = new Array[Int](64)
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val h = XXH64.hashUTF8String(arr.getUTF8String(j), SPARK_XXHASH_SEED)
+          var i = 0
+          while (i < 64) {
+            counters(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+            i += 1
+          }
+        }
+        j += 1
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 64) { if (counters(i) > 0) fp |= (1L << i); i += 1 }
+      fp
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val counters = ctx.freshName("counters")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val h = ctx.freshName("h")
+        val fp = ctx.freshName("fp")
+        s"""
+           |int[] $counters = new int[64];
+           |for (int $j = 0; $j < $arr.numElements(); $j++) {
+           |  if (!$arr.isNullAt($j)) {
+           |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+           |      .hashUTF8String($arr.getUTF8String($j), ${SPARK_XXHASH_SEED}L);
+           |    for (int $i = 0; $i < 64; $i++) {
+           |      $counters[$i] += ((($h >>> $i) & 1L) == 1L) ? 1 : -1;
+           |    }
+           |  }
+           |}
+           |long $fp = 0L;
+           |for (int $i = 0; $i < 64; $i++) {
+           |  if ($counters[$i] > 0) $fp |= (1L << $i);
+           |}
+           |${ev.value} = $fp;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Function descriptors for SparkSessionExtensions.injectFunction /
+    * direct registry registration. */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash(grams, numHashes)")
+        MinHashSignature(args.head, intLiteral(args(1), "numHashes"))
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash(tokens)")
+        SimHash64(args.head)
+      }))
+
+  /** Idempotent per-session registration (for sessions created without
+    * the extensions conf). */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    descriptors.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}
+
+/** spark.sql.extensions entry point:
+  * .config("spark.sql.extensions", "graft.functions.GraftExtensions") */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    TextHashExpressions.descriptors.foreach(ext.injectFunction)
+}

@@ -49,8 +49,20 @@ object Dedup {
       i => when(size(grams) === 0, lit(Long.MaxValue))
         .otherwise(array_min(transform(grams, g => xxhash64(i, g)))))
 
-  /** (doc, sig): minhash signatures for every row. */
+  /** (doc, sig): minhash signatures for every row. Uses the native
+    * one-pass codegen expression (graft.functions.TextHashExpressions);
+    * bit-compatible with the lambda formulation in signaturesComposed. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    graft.functions.TextHashExpressions.register(df.sparkSession)
+    withShingles(df, idCol, textCol, shingleN)
+      .select(col(idCol).as("doc"),
+        call_function("graft_minhash", col("_grams"), lit(numHashes)).as("sig"))
+  }
+
+  /** Pure-builtin (higher-order-function) minhash — the portable
+    * fallback and the semantics cross-check for the native expression. */
+  def signaturesComposed(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame =
     withShingles(df, idCol, textCol, shingleN)
       .select(col(idCol).as("doc"), minhashOver(col("_grams"), numHashes).as("sig"))
@@ -94,11 +106,18 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  /** (doc, fp): 64-bit SimHash fingerprints. Bit i of fp is the sign of
-    * sum over tokens of (bit i of xxhash64(token) ? +1 : -1). Token
-    * hashes are projected once; the 64 bit-lanes then fold over the
-    * bound attribute. */
+  /** (doc, fp): 64-bit SimHash fingerprints via the native one-pass
+    * expression. Bit i of fp is the sign of sum over tokens of
+    * (bit i of xxhash64(token) ? +1 : -1). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextHashExpressions.register(df.sparkSession)
+    df.select(col(idCol).as("doc"), split(col(textCol), " ").as("_toks"))
+      .select(col("doc"), call_function("graft_simhash", col("_toks")).as("fp"))
+  }
+
+  /** Pure-builtin simhash (64 aggregate lanes over projected token
+    * hashes) — fallback + cross-check for the native expression. */
+  def simhashesComposed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def shr(v: Column, bits: Column) = call_function("shiftright", v, bits.cast("int"))
     def shl(v: Column, bits: Column) = call_function("shiftleft", v, bits.cast("int"))
     df.select(col(idCol).as("doc"), split(col(textCol), " ").as("_toks"))

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** The native expressions must be bit-compatible with the pure-builtin
+  * lambda formulations they replace, in both interpreted and codegen'd
+  * evaluation. */
+class TextHashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs and more text for shingles"),
+    (3L, "hi"),              // shorter than shingle n -> empty grams
+    (4L, ""),
+    (5L, "你好 世界 你好 世界 再见 你好")
+  ).toDF("doc_id", "text")
+
+  test("native minhash == composed minhash, lane for lane") {
+    val native = Dedup.signatures(docs, "doc_id", "text", shingleN = 3, numHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = Dedup.signaturesComposed(docs, "doc_id", "text", shingleN = 3, numHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == composed.keySet)
+    native.keySet.foreach(k => assert(native(k) == composed(k), s"doc $k"))
+    assert(native(3L).forall(_ == Long.MaxValue)) // empty-grams sentinel preserved
+  }
+
+  test("native simhash == composed simhash") {
+    val native = Dedup.simhashes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Dedup.simhashesComposed(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composed)
+  }
+
+  test("expressions work through SQL after registration and survive codegen") {
+    TextHashExpressions.register(spark)
+    docs.createOrReplaceTempView("thx_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_minhash(split(text, ' '), 8) AS sig,
+        |       graft_simhash(split(text, ' ')) AS fp
+        |FROM thx_docs""".stripMargin)
+    val rows = viaSql.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getSeq[Long](1).length == 8))
+    // null input -> null out (UnaryExpression null propagation)
+    val nullRow = spark.sql("SELECT graft_simhash(CAST(NULL AS ARRAY<STRING>))").collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("registration is per-session and idempotent") {
+    val s2 = spark.newSession()
+    TextHashExpressions.register(s2)
+    TextHashExpressions.register(s2) // second call must not throw
+    assert(s2.sql("SELECT graft_simhash(array('a','b'))").collect()(0).getLong(0) ==
+      spark.sql("SELECT graft_simhash(array('a','b'))").collect()(0).getLong(0))
+  }
+}
