@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (co-located) joins: the zero-shuffle path for repeated
+  * fact-to-fact joins at scale.
+  *
+  * A shuffle join moves BOTH sides across the network every time the
+  * join runs. Bucketing pays that shuffle ONCE at write time: both
+  * tables are hash-partitioned into the same number of buckets on the
+  * join key, and every later join (or groupBy on the key) reads
+  * bucket-aligned splits with no Exchange in the plan. At 100 TB this is
+  * the difference between re-shuffling 100 TB per query and never
+  * shuffling it again — the same idea as the reference's hive
+  * ano/mes layout (partition pruning), applied to join keys.
+  *
+  * Constraints Spark imposes: bucketed tables live in the catalog
+  * (saveAsTable, not path-based writes), both sides need the same bucket
+  * count (or a multiple, with spark.sql.bucketing.coalesceBucketsInJoin),
+  * and bucket pruning applies to equality filters on the bucket column.
+  */
+object Bucketing {
+
+  /** Write df as a bucketed+sorted catalog table (overwrite). Sorting
+    * within buckets additionally enables sort-merge joins without a
+    * per-task sort. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      sortBy: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, key)
+    (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Join two equally-bucketed tables on their bucket key — planner
+    * elides both Exchanges (verified in BucketingSpec). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** True iff the executed plan of df contains a shuffle Exchange. */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

@@ -65,6 +65,26 @@ object Similarity {
           d => planeSign(p, d)), (x, s) => x * s), lit(0.0), (a, x) => a + x) > 0,
         call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L))
 
+  /** Embedding near-duplicate pairs: SRP-bucket every vector once (one
+    * narrow projection), self-join within bucket, keep pairs whose exact
+    * cosine clears the threshold. The scale shape of embedding dedup:
+    * candidate generation is a single shuffle on the bucket key; the
+    * O(n²) cosine work only happens inside buckets. Recall < 1 by design
+    * (same-bucket requirement) — raise nPlanes for fewer candidates,
+    * lower it for higher recall. */
+  def embeddingNearDups(embeddings: DataFrame, idCol: String, embCol: String,
+      minCosine: Double, nPlanes: Int = 4): DataFrame = {
+    val bucketed = embeddings
+      .select(col(idCol).as("_id"), quantize(col(embCol)).as("_e"))
+      .select(col("_id"), col("_e"), srpBucketQ(col("_e"), nPlanes).as("_bucket"))
+    val a = bucketed.alias("a")
+    val b = bucketed.alias("b")
+    a.join(b, col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        cosine(col("a._e"), col("b._e")).as("cos_sim"))
+      .where(col("cos_sim") >= minCosine)
+  }
+
   /** LSH-bucketed ANN: shuffle both sides once on the SRP bucket, rank
     * candidates within the bucket by exact cosine. Recall < 1 by design;
     * the bucket code width trades recall for candidate count. */

@@ -110,6 +110,17 @@ object DataOpsQueries {
     },
     None)
 
+  /** Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
+    * cosine verify) — the vector-space member of the dedup family;
+    * rows-only (bucket membership is hash-defined). */
+  val d08EmbeddingNeardup = NamedQuery(
+    "d08_embedding_neardup",
+    (s, dir) => {
+      Similarity.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
+        minCosine = 0.3, nPlanes = 2)
+    },
+    None)
+
   val t01LangId = NamedQuery(
     "t01_langid",
     (s, dir) => {
@@ -202,6 +213,6 @@ object DataOpsQueries {
 
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
-    d05NgramJaccard, d06CosineTopK, d07AnnLsh,
+    d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, m01MediaMeta)
 }

@@ -36,6 +36,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (q, d, _, _) => q == 0L && d != 0L })
   }
 
+  test("embedding near-dups: candidates are a subset of brute-force pairs; exact dup found") {
+    val nearDups = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+        minCosine = 0.9, nPlanes = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // identical pair (0,1) shares every SRP bucket -> must be found at cos 1.0
+    assert(nearDups.get((0L, 1L)).contains(1.0))
+    // every reported pair genuinely clears the threshold (exact verify ran)
+    assert(nearDups.values.forall(_ >= 0.9))
+    // and ordering convention holds
+    assert(nearDups.keys.forall { case (a, b) => a < b })
+  }
+
   test("quantization keeps dot products exact across row order") {
     val a = Similarity.quantize(col("embedding"))
     val df = vecs.select(col("vec_id"), a.as("q"))
