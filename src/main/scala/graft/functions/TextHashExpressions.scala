@@ -161,6 +161,59 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** graft_dot(array<double>, array<double>) -> double: one-pass dot
+    * product. The zip_with/aggregate formulation allocates a zipped
+    * array and runs interpreted lambda frames per element — this is the
+    * pairwise-similarity inner loop, so it gets codegen. Null elements
+    * contribute 0; length mismatch uses the shorter prefix. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_dot requires (array<double>, array<double>), got (${l.catalogString}, ${r.catalogString})")
+      }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getDouble(i) * b.getDouble(i)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+           |    $acc += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def intLiteral(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -181,6 +234,12 @@ object TextHashExpressions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash(tokens)")
         SimHash64(args.head)
+      }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(a, b)")
+        DotProduct(args.head, args(1))
       }))
 
   /** Idempotent per-session registration (for sessions created without

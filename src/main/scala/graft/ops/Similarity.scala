@@ -23,47 +23,80 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb.cast("array<double>"), x => round(x * 1000, 0))
 
-  /** Exact dot product of two quantized vectors (order-independent). */
-  def dot(a: Column, b: Column): Column =
+  /** Exact dot product of two quantized vectors (order-independent).
+    * Resolves to the native codegen expression graft_dot (callers with a
+    * DataFrame in hand register it via ensureFunctions); values are
+    * identical to the zip_with/aggregate fold. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Pure-builtin dot product — fallback + cross-check for graft_dot. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def ensureFunctions(df: DataFrame): Unit =
+    graft.functions.TextHashExpressions.register(df.sparkSession)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Norm of a quantized vector — projected ONCE per row before any
+    * pairwise stage. cosine(a,b) inside a pair join would recompute both
+    * self-dots per PAIR (3× the multiplies, and the per-row norms are
+    * pair-invariant); dot/(norm_a*norm_b) over precomputed norms is the
+    * scale-correct shape. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Brute-force top-k cosine neighbours of one query vector (given as a
     * one-row DataFrame with the same embedding column), excluding the
     * query row itself. */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, embCol: String,
       query: DataFrame, queryIdCol: String, k: Int): DataFrame = {
-    val q = broadcast(query.select(
-      col(queryIdCol).as("_qid"), quantize(col(embCol)).as("_qe")))
+    ensureFunctions(embeddings)
+    val q = broadcast(query
+      .select(col(queryIdCol).as("_qid"), quantize(col(embCol)).as("_qe"))
+      .select(col("_qid"), col("_qe"), norm(col("_qe")).as("_qn")))
     embeddings
       .select(col(idCol), quantize(col(embCol)).as("_e"))
+      .select(col(idCol), col("_e"), norm(col("_e")).as("_n"))
       .crossJoin(q)
       .where(col(idCol) =!= col("_qid"))
-      .select(col(idCol), cosine(col("_e"), col("_qe")).as("cos_sim"))
+      .select(col(idCol), (dot(col("_e"), col("_qe")) / (col("_n") * col("_qn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed hash mapped to {-1, +1} — reproducible across runs with no
-    * stored model. */
-  private def planeSign(plane: Column, dim: Column): Column =
-    when(xxhash64(plane, dim).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic hyperplane sign matrix for (plane, dim): the xxhash64
+    * seed chain mapped to {-1, +1}. Computed ONCE on the driver and
+    * shipped as a literal — the earlier formulation re-hashed every
+    * (plane, dim) cell per ROW, nPlanes × dim wasted hashes on every
+    * vector in a 100 TB scan. Reproducible across runs, no stored model.
+    */
+  def planeMatrix(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    Seq.tabulate(nPlanes) { p =>
+      val seedP = XXH64.hashInt(p, 42L) // xxhash64(p, d) == hashInt(d, hashInt(p, 42))
+      Seq.tabulate(dim)(d => if ((XXH64.hashInt(d, seedP) & 1L) == 1L) 1.0 else -1.0)
+    }
+  }
 
   /** Sign-random-projection bucket (nPlanes-bit code) over an
     * ALREADY-QUANTIZED embedding attribute — vectors in the same bucket
     * are ANN candidates. Pass a bound column, not a derived expression
     * (lambda splicing re-evaluates derived subtrees per element). */
-  def srpBucketQ(q: Column, nPlanes: Int): Column =
+  def srpBucketQ(q: Column, nPlanes: Int, dim: Int): Column = {
+    val planes = typedlit(planeMatrix(nPlanes, dim))
     aggregate(
       sequence(lit(0), lit(nPlanes - 1)),
       lit(0L),
       (acc, p) => acc + when(
-        aggregate(zip_with(q, transform(sequence(lit(0), size(q) - 1),
-          d => planeSign(p, d)), (x, s) => x * s), lit(0.0), (a, x) => a + x) > 0,
+        dot(q, element_at(planes, (p + 1).cast("int"))) > 0,
         call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L))
+  }
+
+  /** Embedding dimensionality, read from one row (driver-side, cached by
+    * the caller; the matrix literal needs it at plan time). */
+  def embeddingDim(df: DataFrame, embCol: String): Int =
+    df.select(size(col(embCol))).head().getInt(0)
 
   /** Embedding near-duplicate pairs: SRP-bucket every vector once (one
     * narrow projection), self-join within bucket, keep pairs whose exact
@@ -74,14 +107,17 @@ object Similarity {
     * lower it for higher recall. */
   def embeddingNearDups(embeddings: DataFrame, idCol: String, embCol: String,
       minCosine: Double, nPlanes: Int = 4): DataFrame = {
+    ensureFunctions(embeddings)
+    val dim = embeddingDim(embeddings, embCol)
     val bucketed = embeddings
       .select(col(idCol).as("_id"), quantize(col(embCol)).as("_e"))
-      .select(col("_id"), col("_e"), srpBucketQ(col("_e"), nPlanes).as("_bucket"))
+      .select(col("_id"), col("_e"), norm(col("_e")).as("_n"),
+        srpBucketQ(col("_e"), nPlanes, dim).as("_bucket"))
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
     a.join(b, col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        cosine(col("a._e"), col("b._e")).as("cos_sim"))
+        (dot(col("a._e"), col("b._e")) / (col("a._n") * col("b._n"))).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
   }
 
@@ -90,17 +126,21 @@ object Similarity {
     * the bucket code width trades recall for candidate count. */
   def lshBucketed(embeddings: DataFrame, idCol: String, embCol: String,
       queries: DataFrame, queryIdCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    ensureFunctions(embeddings)
+    val dim = embeddingDim(embeddings, embCol)
     // quantize once per row, then bucket over the bound attribute
     val data = embeddings
       .select(col(idCol).as("data_id"), quantize(col(embCol)).as("_e"))
-      .select(col("data_id"), col("_e"), srpBucketQ(col("_e"), nPlanes).as("_bucket"))
+      .select(col("data_id"), col("_e"), norm(col("_e")).as("_n"),
+        srpBucketQ(col("_e"), nPlanes, dim).as("_bucket"))
     val qs = queries
       .select(col(queryIdCol).as("query_id"), quantize(col(embCol)).as("_qe"))
-      .select(col("query_id"), col("_qe"), srpBucketQ(col("_qe"), nPlanes).as("_bucket"))
+      .select(col("query_id"), col("_qe"), norm(col("_qe")).as("_qn"),
+        srpBucketQ(col("_qe"), nPlanes, dim).as("_bucket"))
     val scored = data.join(qs, Seq("_bucket"))
       .where(col("data_id") =!= col("query_id"))
       .select(col("query_id"), col("data_id"),
-        cosine(col("_e"), col("_qe")).as("cos_sim"))
+        (dot(col("_e"), col("_qe")) / (col("_n") * col("_qn"))).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("data_id"))

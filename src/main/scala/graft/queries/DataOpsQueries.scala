@@ -117,7 +117,7 @@ object DataOpsQueries {
     "d08_embedding_neardup",
     (s, dir) => {
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
-        minCosine = 0.3, nPlanes = 2)
+        minCosine = 0.3, nPlanes = 3)
     },
     None)
 

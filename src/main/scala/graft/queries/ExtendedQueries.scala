@@ -150,7 +150,67 @@ object ExtendedQueries {
     },
     None)
 
+  /** TPC-H Q3 shape: 3-way join, date filters on both fact sides,
+    * grouped revenue, top-10. The canonical "does the optimizer behave"
+    * query: both filters must reach the scans, customer must broadcast,
+    * and the limit must plan as TakeOrderedAndProject. */
+  val q38Tpch3 = NamedQuery(
+    "q38_tpch3",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir).where(col("o_orderdate") < "1995-03-15")
+      val li = Tables.lineitem(s, dir).where(col("l_shipdate") > "1995-03-15")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           |       SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |              JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+           |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+           |GROUP BY 1, 2
+           |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  /** TPC-H Q5 shape: 5-way join (fact + 4 dims), local-supplier
+    * predicate (customer and supplier share a nation), revenue by
+    * nation. All dims broadcast; the only big shuffle is
+    * orders ⋈ lineitem. */
+  val q39Tpch5 = NamedQuery(
+    "q39_tpch5",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+        .where(year(col("o_orderdate")) === 1996)
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+          cust("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"))
+    },
+    Some("""SELECT n_name,
+           |       SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |              JOIN lineitem ON o_orderkey = l_orderkey
+           |              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |              JOIN nation ON s_nationkey = n_nationkey
+           |WHERE year(CAST(o_orderdate AS DATE)) = 1996
+           |GROUP BY n_name""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
-    q35UnionAll, q36ScalarSubq, q37ApproxSketch)
+    q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5)
 }

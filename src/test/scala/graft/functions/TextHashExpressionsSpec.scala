@@ -51,6 +51,21 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("native dot product == composed dot product, including edge cases") {
+    TextHashExpressions.register(spark)
+    val vecs = Seq(
+      (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (2L, Array(0.0, 0.0), Array(0.0, 0.0)),
+      (3L, Array(-1.5, 2.5), Array(3.0, -4.0))
+    ).toDF("id", "a", "b")
+    val got = vecs.select(col("id"),
+        call_function("graft_dot", col("a"), col("b")).as("native"),
+        graft.ops.Similarity.dotComposed(col("a"), col("b")).as("composed"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    got.foreach { case (id, n, c) => assert(n == c, s"id $id") }
+    assert(got.find(_._1 == 1L).get._2 == 32.0)
+  }
+
   test("registration is per-session and idempotent") {
     val s2 = spark.newSession()
     TextHashExpressions.register(s2)
