@@ -161,6 +161,68 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** graft_shingles(tokens: array<string>, n) -> array<string>: DISTINCT
+    * word n-grams (space-joined), first-occurrence order — the one-pass
+    * form of transform(sequence(...), i -> concat_ws(...)) + array_distinct,
+    * which costs O(tokens) interpreted lambda frames per row plus an
+    * intermediate non-distinct array. Shorter-than-n input → empty array.
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+
+    require(n > 0, "shingle size must be positive")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child, prettyName)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val numToks = toks.numElements()
+      val out = new java.util.LinkedHashSet[UTF8String]()
+      val space = UTF8String.fromString(" ")
+      var i = 0
+      while (i <= numToks - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) {
+          parts(j) = if (toks.isNullAt(i + j)) UTF8String.EMPTY_UTF8
+            else toks.getUTF8String(i + j)
+          j += 1
+        }
+        out.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+      new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, toks => {
+        val out = ctx.freshName("out")
+        val parts = ctx.freshName("parts")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val u8 = "org.apache.spark.unsafe.types.UTF8String"
+        s"""
+           |java.util.LinkedHashSet<$u8> $out = new java.util.LinkedHashSet<$u8>();
+           |for (int $i = 0; $i <= $toks.numElements() - $n; $i++) {
+           |  $u8[] $parts = new $u8[$n];
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    $parts[$j] = $toks.isNullAt($i + $j)
+           |      ? $u8.EMPTY_UTF8 : $toks.getUTF8String($i + $j);
+           |  }
+           |  $out.add($u8.concatWs($u8.fromString(" "), $parts));
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  $out.toArray());
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+  }
+
   /** graft_dot(array<double>, array<double>) -> double: one-pass dot
     * product. The zip_with/aggregate formulation allocates a zipped
     * array and runs interpreted lambda frames per element — this is the
@@ -240,6 +302,12 @@ object TextHashExpressions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot(a, b)")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles(tokens, n)")
+        WordShingles(args.head, intLiteral(args(1), "n"))
       }))
 
   /** Idempotent per-session registration (for sessions created without

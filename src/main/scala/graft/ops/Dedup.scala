@@ -33,10 +33,19 @@ object Dedup {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, (i + j + 1).cast("int"))): _*)))
 
-  /** (id, _grams): distinct word n-gram sets, built via stepwise
-    * projections (text -> _toks -> _grams) so nothing is re-evaluated
-    * inside lambdas. */
+  /** (id, _grams): distinct word n-gram sets via the native one-pass
+    * graft_shingles expression (stepwise text -> _toks -> _grams
+    * projections so lambdas never see derived subtrees). */
   def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+      gramsCol: String = "_grams"): DataFrame = {
+    graft.functions.TextHashExpressions.register(df.sparkSession)
+    df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .select(col(idCol),
+        call_function("graft_shingles", col("_toks"), lit(n)).as(gramsCol))
+  }
+
+  /** Pure-builtin shingles — fallback + cross-check for graft_shingles. */
+  def withShinglesComposed(df: DataFrame, idCol: String, textCol: String, n: Int,
       gramsCol: String = "_grams"): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("_toks"))
       .select(col(idCol), array_distinct(shinglesOver(col("_toks"), n)).as(gramsCol))

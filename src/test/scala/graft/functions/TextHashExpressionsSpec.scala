@@ -51,6 +51,16 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("native shingles == composed shingles (content, order, distinctness)") {
+    val native = Dedup.withShingles(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val composed = Dedup.withShinglesComposed(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native == composed)
+    assert(native(3L).isEmpty) // "hi" shorter than n
+    assert(native(1L).contains("the quick brown"))
+  }
+
   test("native dot product == composed dot product, including edge cases") {
     TextHashExpressions.register(spark)
     val vecs = Seq(
