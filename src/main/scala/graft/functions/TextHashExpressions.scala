@@ -223,6 +223,56 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** graft_sig_agree(array<long>, array<long>) -> long: number of
+    * positions where the two arrays hold equal non-null values — the
+    * minhash lane-agreement count, evaluated once per candidate pair. */
+  case class SignatureAgreement(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_sig_agree requires (array<bigint>, array<bigint>), got (${l.catalogString}, ${r.catalogString})")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_sig_agree"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var agree = 0L
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) agree += 1
+        i += 1
+      }
+      agree
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val agree = ctx.freshName("agree")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $agree = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i)
+           |      && $a.getLong($i) == $b.getLong($i)) $agree++;
+           |}
+           |${ev.value} = $agree;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SignatureAgreement =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** graft_dot(array<double>, array<double>) -> double: one-pass dot
     * product. The zip_with/aggregate formulation allocates a zipped
     * array and runs interpreted lambda frames per element — this is the
@@ -308,6 +358,12 @@ object TextHashExpressions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_shingles(tokens, n)")
         WordShingles(args.head, intLiteral(args(1), "n"))
+      }),
+    (FunctionIdentifier("graft_sig_agree"),
+      new ExpressionInfo(classOf[SignatureAgreement].getName, "graft_sig_agree"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_sig_agree(a, b)")
+        SignatureAgreement(args.head, args(1))
       }))
 
   /** Idempotent per-session registration (for sessions created without

@@ -84,8 +84,15 @@ object Dedup {
       b => struct(b.as("band"),
         xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
 
-  /** Estimated Jaccard from two signatures: fraction of agreeing minhashes. */
+  /** Estimated Jaccard from two signatures: fraction of agreeing minhash
+    * lanes. Runs per candidate PAIR, so the lane count is the native
+    * one-pass graft_sig_agree (the zip_with+filter form evaluates
+    * interpreted lambda frames per lane per pair). */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    call_function("graft_sig_agree", sigA, sigB).cast("double") / numHashes
+
+  /** Pure-builtin agreement fraction — fallback + cross-check. */
+  def estJaccardComposed(sigA: Column, sigB: Column, numHashes: Int): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
       .cast("double") / numHashes
 

@@ -61,6 +61,21 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(native(1L).contains("the quick brown"))
   }
 
+  test("native signature agreement == composed estJaccard") {
+    TextHashExpressions.register(spark)
+    val sigs = Seq(
+      (1L, Array(1L, 2L, 3L, 4L), Array(1L, 2L, 3L, 4L)),  // all agree
+      (2L, Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 9L)),  // half agree
+      (3L, Array(1L, 2L, 3L, 4L), Array(9L, 9L, 9L, 9L))   // none agree
+    ).toDF("id", "a", "b")
+    val got = sigs.select(col("id"),
+        Dedup.estJaccard(col("a"), col("b"), 4).as("native"),
+        Dedup.estJaccardComposed(col("a"), col("b"), 4).as("composed"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    got.foreach { case (id, n, c) => assert(n == c, s"id $id") }
+    assert(got.map(_._2).toSeq == Seq(1.0, 0.5, 0.0))
+  }
+
   test("native dot product == composed dot product, including edge cases") {
     TextHashExpressions.register(spark)
     val vecs = Seq(

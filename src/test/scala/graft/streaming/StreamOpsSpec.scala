@@ -69,6 +69,19 @@ class StreamOpsSpec extends SparkSpec {
     assert(finalRows == Set((1L, 3L, 16.0), (2L, 1L, 1.0)))
   }
 
+  test("file-source stream (parquet dir) aggregates like the batch read") {
+    // the real production entry: readStream over a growing directory
+    val dir = java.nio.file.Files.createTempDirectory("stream-src").toString
+    val batch = rows.toDF("event_id", "ts", "event_type", "value")
+    batch.write.mode("overwrite").parquet(dir) // temp dir already exists
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    assert(stream.isStreaming)
+    val got = StreamOps.runToMemory(spark,
+        stream.groupBy("event_type").count(), "filesrc_t", outputMode = "complete")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("click", 3L), ("view", 2L)))
+  }
+
   test("session windows on a stream group by inactivity gap") {
     val mem = MemoryStream[(Long, Timestamp)](spark, 1)
     mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
