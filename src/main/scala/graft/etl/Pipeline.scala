@@ -61,4 +61,26 @@ object Pipeline {
         .select(col("ano"), col("mes"), col("nome_orgao"), col("total_gasto"))
       Sinks.writePartitioned(gold, goldPath, mode)
     }))
+
+  /** Partition-scoped incremental recompute (SURVEY §4.1): rebuild
+    * silver+gold ONLY for the partitions matching `partitionFilter`
+    * (e.g. $"ano" === 2017 && $"mes" === 12). The filter prunes the
+    * bronze scan (hive partition pruning — only those directories are
+    * read) and the dynamic-overwrite sink replaces only the recomputed
+    * partitions. Daily at 100 TB this is the difference between
+    * reprocessing one day and reprocessing the lake. */
+  def incrementalSilverGold(bronzePath: String, silverPath: String,
+      goldPath: String, partitionFilter: org.apache.spark.sql.Column): Seq[Stage] = Seq(
+    Stage("bronze_to_silver_incremental", { spark =>
+      val bronze = Sources.readParquetLayer(spark, bronzePath).where(partitionFilter)
+      val cleaned = Cleaning.silverClean(bronze)
+      Quality.runGate(cleaned, Quality.silverChecks)
+      Sinks.overwritePartitionsOf(Cleaning.parseDate(cleaned, "data_pagamento"), silverPath)
+    }),
+    Stage("silver_to_gold_incremental", { spark =>
+      val silver = Sources.readParquetLayer(spark, silverPath).where(partitionFilter)
+      val gold = Aggregates.goldAggregate(silver)
+        .select(col("ano"), col("mes"), col("nome_orgao"), col("total_gasto"))
+      Sinks.overwritePartitionsOf(gold, goldPath)
+    }))
 }

@@ -22,4 +22,21 @@ object Sinks {
       .partitionBy(partitionBy: _*)
       .parquet(path)
   }
+
+  /** Dynamic partition overwrite: replace ONLY the partitions present in
+    * df, leave all others untouched — the write mode for incremental
+    * recompute (a daily run that rebuilds one ano/mes does not clobber
+    * seven years of history, and does not re-write 100 TB). */
+  def overwritePartitionsOf(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String] = GastosSchema.partitionColumns,
+      compression: String = "snappy"): Unit = {
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", compression)
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+  }
 }

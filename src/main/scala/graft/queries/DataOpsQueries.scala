@@ -211,8 +211,21 @@ object DataOpsQueries {
            |       lower(sha256(text)) AS sha
            |FROM documents""".stripMargin))
 
+  /** Decode + frame-sample pass over the media table — exercises the
+    * mapPartitions plumbing end to end in the harness (stub codec, real
+    * batching/schema); rows-only (decoder output is impl-defined). */
+  val m02MediaDecode = NamedQuery(
+    "m02_media_decode",
+    (s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
+      val decoded = Multimodal.decode(s, media)
+      Multimodal.sampleFrames(s, decoded, everyK = 4)
+    },
+    None)
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
-    t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, m01MediaMeta)
+    t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint,
+    m01MediaMeta, m02MediaDecode)
 }

@@ -84,6 +84,49 @@ class PipelineSpec extends SparkSpec {
     assert(results.find(_.name == "silver_to_gold").exists(!_.ok)) // fail-soft: ran, failed on missing input
   }
 
+  test("incremental recompute rewrites only the filtered partitions") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("pipeline-incr")
+    val rawDir = Paths.get(root, "raw"); Files.createDirectories(rawDir)
+    val page = s"""{"count": 3, "next": null, "previous": null, "results": [
+      ${record(2011, 1, "orgao a", "fav", "10.00")},
+      ${record(2011, 2, "orgao a", "fav", "20.00")},
+      ${record(2012, 1, "orgao b", "fav", "30.00")}]}"""
+    Files.write(rawDir.resolve("gastos-diretos_gastos_page_1.json"),
+      page.getBytes(StandardCharsets.UTF_8))
+    val full = Pipeline.run(spark, Pipeline.medallion(
+      s"$root/raw/*.json", s"$root/bronze", s"$root/silver", s"$root/gold"))
+    assert(full.forall(_.ok), full.mkString("; "))
+
+    // remember gold file timestamps per partition, then recompute only 2011/mes=1
+    def goldFiles() = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(s"$root/gold")).iterator.asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val before = goldFiles()
+    Thread.sleep(20)
+    val incr = Pipeline.run(spark, Pipeline.incrementalSilverGold(
+      s"$root/bronze", s"$root/silver", s"$root/gold",
+      col("ano") === 2011 && col("mes") === 1))
+    assert(incr.forall(_.ok), incr.mkString("; "))
+    val after = goldFiles()
+
+    // untouched partitions keep their files byte-for-byte (same path, same mtime)
+    val untouchedBefore = before.filterNot(_._1.contains("ano=2011/mes=1"))
+    assert(untouchedBefore.forall { case (p, t) => after.get(p).contains(t) })
+    // the recomputed partition has fresh files
+    assert(after.keys.exists(_.contains("ano=2011/mes=1")))
+    assert(!before.filter(_._1.contains("ano=2011/mes=1")).keySet
+      .subsetOf(after.keySet)) // old file replaced
+    // and the table still reads complete + correct
+    val gold = spark.read.parquet(s"$root/gold")
+      .selectExpr("CAST(ano AS BIGINT)", "CAST(mes AS BIGINT)", "total_gasto")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gold == Set((2011L, 1L, 10.0), (2011L, 2L, 20.0), (2012L, 1L, 30.0)))
+  }
+
   test("failFast rethrows instead of recording") {
     val boom = Pipeline.Stage("boom", _ => throw new RuntimeException("x"))
     intercept[RuntimeException] { Pipeline.run(spark, Seq(boom), failFast = true) }
