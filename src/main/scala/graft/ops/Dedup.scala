@@ -173,6 +173,62 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Duplicate-cluster resolution: candidate pairs → connected
+    * components → cluster id = min doc id reachable. Iterative min-label
+    * propagation (the simplified large-star step): each round every doc
+    * adopts the smallest label among itself and its neighbours; stop
+    * when a round changes nothing or maxIter hits. Rounds are whole-plan
+    * joins+aggregates (no driver data), converging in O(diameter) ≤
+    * O(log n) rounds for near-dup graphs, whose components are tiny and
+    * shallow in practice. The per-round isEmpty check is one action —
+    * the legitimate driver-side part of an iterative algorithm.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighbourMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels
+        .join(neighbourMin, labels("doc_id") === neighbourMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      converged = updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .where(col("cluster_id") =!= col("old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end minhash dedup: signatures → LSH candidates → clusters →
+    * canonical keep decision (min doc id per cluster; docs with no
+    * near-dup candidate keep themselves). */
+  def resolveMinhashDups(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashCandidates(df, idCol, textCol, shingleN, numHashes,
+      bands, minEstJaccard)
+    val clusters = dupClusters(pairs)
+    df.select(col(idCol).as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard similarity of each doc against one query doc
     * (a one-row DataFrame, broadcast cross join — no driver collect):
     * |A∩B| / |A∪B| on distinct word n-grams. Integer set sizes → the

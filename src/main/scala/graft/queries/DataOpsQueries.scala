@@ -211,6 +211,20 @@ object DataOpsQueries {
            |       lower(sha256(text)) AS sha
            |FROM documents""".stripMargin))
 
+  /** Full dedup resolution: minhash candidates → connected components →
+    * canonical doc per cluster. The oracle checks the EXACT-dup subset
+    * (cluster membership for hash-threshold near-dups is engine-defined,
+    * but identical texts must always land in one cluster with min-id
+    * canonical — expressible in SQL). */
+  val d09DedupResolve = NamedQuery(
+    "d09_dedup_resolve",
+    (s, dir) => {
+      Dedup.resolveMinhashDups(Tables.documents(s, dir), "doc_id", "text",
+          minEstJaccard = 1.0)
+        .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+    },
+    None)
+
   /** Decode + frame-sample pass over the media table — exercises the
     * mapPartitions plumbing end to end in the harness (stub codec, real
     * batching/schema); rows-only (decoder output is impl-defined). */
@@ -226,6 +240,7 @@ object DataOpsQueries {
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
+    d09DedupResolve,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint,
     m01MediaMeta, m02MediaDecode)
 }

@@ -59,6 +59,24 @@ class DedupSpec extends SparkSpec {
     assert(got(4L)._1 == 0 && got(4L)._3 == 0.0)
   }
 
+  test("dupClusters: chains collapse to the min id; disjoint components stay apart") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; singleton edge-less docs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("resolveMinhashDups keeps one canonical doc per near-dup cluster") {
+    val resolved = Dedup.resolveMinhashDups(docs, "doc_id", "text", minEstJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byDoc = resolved.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byDoc(1L) == ((1L, true)))   // canonical of the exact-dup cluster
+    assert(byDoc(2L) == ((1L, false)))  // folded into doc 1
+    assert(byDoc(4L) == ((4L, true)))   // no candidates: keeps itself
+    assert(resolved.count(_._3) == resolved.map(_._2).distinct.length)
+  }
+
   test("shingles of a doc shorter than n are empty, not an error") {
     val tiny = Seq((1L, "hi")).toDF("doc_id", "text")
     val sig = Dedup.signatures(tiny, "doc_id", "text", shingleN = 3, numHashes = 4)
