@@ -63,24 +63,34 @@ object Pipeline {
     }))
 
   /** Partition-scoped incremental recompute (SURVEY §4.1): rebuild
-    * silver+gold ONLY for the partitions matching `partitionFilter`
-    * (e.g. $"ano" === 2017 && $"mes" === 12). The filter prunes the
-    * bronze scan (hive partition pruning — only those directories are
-    * read) and the dynamic-overwrite sink replaces only the recomputed
-    * partitions. Daily at 100 TB this is the difference between
-    * reprocessing one day and reprocessing the lake. */
+    * silver+gold ONLY for the given (ano, mes) partitions. Taking
+    * explicit partition values — not an arbitrary Column — is a safety
+    * contract: dynamic partition overwrite replaces whole partitions, so
+    * a row-level filter here would silently drop every non-matching row
+    * of the touched partitions. The partition filter prunes the bronze
+    * scan to the matching hive directories; untouched partitions are
+    * never read or rewritten. Daily at 100 TB this is the difference
+    * between reprocessing one day and reprocessing the lake. */
   def incrementalSilverGold(bronzePath: String, silverPath: String,
-      goldPath: String, partitionFilter: org.apache.spark.sql.Column): Seq[Stage] = Seq(
-    Stage("bronze_to_silver_incremental", { spark =>
-      val bronze = Sources.readParquetLayer(spark, bronzePath).where(partitionFilter)
-      val cleaned = Cleaning.silverClean(bronze)
-      Quality.runGate(cleaned, Quality.silverChecks)
-      Sinks.overwritePartitionsOf(Cleaning.parseDate(cleaned, "data_pagamento"), silverPath)
-    }),
-    Stage("silver_to_gold_incremental", { spark =>
-      val silver = Sources.readParquetLayer(spark, silverPath).where(partitionFilter)
-      val gold = Aggregates.goldAggregate(silver)
-        .select(col("ano"), col("mes"), col("nome_orgao"), col("total_gasto"))
-      Sinks.overwritePartitionsOf(gold, goldPath)
-    }))
+      goldPath: String, partitions: Seq[(Int, Int)]): Seq[Stage] = {
+    require(partitions.nonEmpty, "no partitions to recompute")
+    val partitionFilter = partitions
+      .map { case (ano, mes) => col("ano") === ano && col("mes") === mes }
+      .reduce(_ || _)
+    Seq(
+      Stage("bronze_to_silver_incremental", { spark =>
+        val bronze = Sources.readParquetLayer(spark, bronzePath).where(partitionFilter)
+        val cleaned = Cleaning.silverClean(bronze)
+        Quality.requireColumns(cleaned, Seq("ano", "mes", "nome_orgao", "nome_favorecido"))
+        Quality.runGate(cleaned, Quality.silverChecks)
+        Sinks.overwritePartitionsOf(Cleaning.parseDate(cleaned, "data_pagamento"), silverPath)
+      }),
+      Stage("silver_to_gold_incremental", { spark =>
+        val silver = Sources.readParquetLayer(spark, silverPath).where(partitionFilter)
+        Quality.requireColumns(silver, Seq("ano", "mes", "nome_orgao", "valor"))
+        val gold = Aggregates.goldAggregate(silver)
+          .select(col("ano"), col("mes"), col("nome_orgao"), col("total_gasto"))
+        Sinks.overwritePartitionsOf(gold, goldPath)
+      }))
+  }
 }

@@ -181,23 +181,26 @@ object TextHashExpressions {
       val toks = input.asInstanceOf[ArrayData]
       val numToks = toks.numElements()
       val out = new java.util.LinkedHashSet[UTF8String]()
-      val space = UTF8String.fromString(" ")
       var i = 0
       while (i <= numToks - n) {
         val parts = new Array[UTF8String](n)
         var j = 0
         while (j < n) {
-          parts(j) = if (toks.isNullAt(i + j)) UTF8String.EMPTY_UTF8
-            else toks.getUTF8String(i + j)
+          // null tokens stay null: concatWs skips them, matching the
+          // composed concat_ws fallback bit for bit
+          parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
           j += 1
         }
-        out.add(UTF8String.concatWs(space, parts: _*))
+        out.add(UTF8String.concatWs(WordShingles.Space, parts: _*))
         i += 1
       }
       new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // hoisted: one separator object per plan, not one per shingle
+      val space = ctx.addReferenceObj("space", WordShingles.Space,
+        "org.apache.spark.unsafe.types.UTF8String")
       nullSafeCodeGen(ctx, ev, toks => {
         val out = ctx.freshName("out")
         val parts = ctx.freshName("parts")
@@ -210,17 +213,22 @@ object TextHashExpressions {
            |  $u8[] $parts = new $u8[$n];
            |  for (int $j = 0; $j < $n; $j++) {
            |    $parts[$j] = $toks.isNullAt($i + $j)
-           |      ? $u8.EMPTY_UTF8 : $toks.getUTF8String($i + $j);
+           |      ? null : $toks.getUTF8String($i + $j);
            |  }
-           |  $out.add($u8.concatWs($u8.fromString(" "), $parts));
+           |  $out.add($u8.concatWs($space, $parts));
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
            |  $out.toArray());
            |""".stripMargin
       })
+    }
 
     override protected def withNewChildInternal(newChild: Expression): WordShingles =
       copy(child = newChild)
+  }
+
+  object WordShingles {
+    private[functions] val Space: UTF8String = UTF8String.fromString(" ")
   }
 
   /** graft_sig_agree(array<long>, array<long>) -> long: number of
@@ -366,8 +374,29 @@ object TextHashExpressions {
         SignatureAgreement(args.head, args(1))
       }))
 
-  /** Idempotent per-session registration (for sessions created without
-    * the extensions conf). */
+  // --- typed Column builders -----------------------------------------
+  // Direct expression construction via the classic Column<->Expression
+  // bridge: works in ANY session with no function registration (the
+  // registry below only serves the SQL string surface).
+
+  private def expr(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+  private def toCol(e: Expression) =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+
+  def minhash(grams: org.apache.spark.sql.Column, numHashes: Int): org.apache.spark.sql.Column =
+    toCol(MinHashSignature(expr(grams), numHashes))
+  def simhash(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    toCol(SimHash64(expr(tokens)))
+  def dotProduct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    toCol(DotProduct(expr(a), expr(b)))
+  def shingles(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    toCol(WordShingles(expr(tokens), n))
+  def sigAgreement(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    toCol(SignatureAgreement(expr(a), expr(b)))
+
+  /** Idempotent per-session registration (for the SQL string surface;
+    * the typed builders above need no registration). */
   def register(spark: SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     descriptors.foreach { case (ident, info, builder) =>

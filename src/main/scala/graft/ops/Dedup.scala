@@ -37,12 +37,10 @@ object Dedup {
     * graft_shingles expression (stepwise text -> _toks -> _grams
     * projections so lambdas never see derived subtrees). */
   def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
-      gramsCol: String = "_grams"): DataFrame = {
-    graft.functions.TextHashExpressions.register(df.sparkSession)
+      gramsCol: String = "_grams"): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("_toks"))
       .select(col(idCol),
-        call_function("graft_shingles", col("_toks"), lit(n)).as(gramsCol))
-  }
+        graft.functions.TextHashExpressions.shingles(col("_toks"), n).as(gramsCol))
 
   /** Pure-builtin shingles — fallback + cross-check for graft_shingles. */
   def withShinglesComposed(df: DataFrame, idCol: String, textCol: String, n: Int,
@@ -62,12 +60,10 @@ object Dedup {
     * one-pass codegen expression (graft.functions.TextHashExpressions);
     * bit-compatible with the lambda formulation in signaturesComposed. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int): DataFrame = {
-    graft.functions.TextHashExpressions.register(df.sparkSession)
+      shingleN: Int, numHashes: Int): DataFrame =
     withShingles(df, idCol, textCol, shingleN)
       .select(col(idCol).as("doc"),
-        call_function("graft_minhash", col("_grams"), lit(numHashes)).as("sig"))
-  }
+        graft.functions.TextHashExpressions.minhash(col("_grams"), numHashes).as("sig"))
 
   /** Pure-builtin (higher-order-function) minhash — the portable
     * fallback and the semantics cross-check for the native expression. */
@@ -89,7 +85,8 @@ object Dedup {
     * one-pass graft_sig_agree (the zip_with+filter form evaluates
     * interpreted lambda frames per lane per pair). */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
-    call_function("graft_sig_agree", sigA, sigB).cast("double") / numHashes
+    graft.functions.TextHashExpressions.sigAgreement(sigA, sigB)
+      .cast("double") / numHashes
 
   /** Pure-builtin agreement fraction — fallback + cross-check. */
   def estJaccardComposed(sigA: Column, sigB: Column, numHashes: Int): Column =
@@ -125,11 +122,9 @@ object Dedup {
   /** (doc, fp): 64-bit SimHash fingerprints via the native one-pass
     * expression. Bit i of fp is the sign of sum over tokens of
     * (bit i of xxhash64(token) ? +1 : -1). */
-  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    graft.functions.TextHashExpressions.register(df.sparkSession)
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc"), split(col(textCol), " ").as("_toks"))
-      .select(col("doc"), call_function("graft_simhash", col("_toks")).as("fp"))
-  }
+      .select(col("doc"), graft.functions.TextHashExpressions.simhash(col("_toks")).as("fp"))
 
   /** Pure-builtin simhash (64 aggregate lanes over projected token
     * hashes) — fallback + cross-check for the native expression. */
@@ -184,7 +179,7 @@ object Dedup {
     * the legitimate driver-side part of an iterative algorithm.
     */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 20, strict: Boolean = true): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -192,6 +187,7 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
+    var cached: DataFrame = null // previous cached generation, released each round
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -204,12 +200,24 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .cache()
+      // this action materializes `updated`, after which the previous
+      // generation's cache is dead weight — release it immediately
       converged = updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .where(col("cluster_id") =!= col("old")).isEmpty
+      if (cached != null) cached.unpersist()
+      cached = updated
       labels = updated
       iter += 1
     }
     edges.unpersist()
+    if (!converged && strict) {
+      if (cached != null) cached.unpersist()
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds — a component has " +
+          s"diameter > $maxIter; raise maxIter or pass strict = false")
+    }
+    // the final generation stays cached (callers typically consume it at
+    // once); unpersist() it to release — lineage is preserved
     labels
   }
 

@@ -23,18 +23,16 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb.cast("array<double>"), x => round(x * 1000, 0))
 
-  /** Exact dot product of two quantized vectors (order-independent).
-    * Resolves to the native codegen expression graft_dot (callers with a
-    * DataFrame in hand register it via ensureFunctions); values are
-    * identical to the zip_with/aggregate fold. */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  /** Exact dot product of two quantized vectors (order-independent):
+    * the native codegen expression graft_dot, built directly (works in
+    * any session, no registration); values are identical to the
+    * zip_with/aggregate fold. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.TextHashExpressions.dotProduct(a, b)
 
   /** Pure-builtin dot product — fallback + cross-check for graft_dot. */
   def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def ensureFunctions(df: DataFrame): Unit =
-    graft.functions.TextHashExpressions.register(df.sparkSession)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -51,7 +49,6 @@ object Similarity {
     * query row itself. */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, embCol: String,
       query: DataFrame, queryIdCol: String, k: Int): DataFrame = {
-    ensureFunctions(embeddings)
     val q = broadcast(query
       .select(col(queryIdCol).as("_qid"), quantize(col(embCol)).as("_qe"))
       .select(col("_qid"), col("_qe"), norm(col("_qe")).as("_qn")))
@@ -93,10 +90,16 @@ object Similarity {
         call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L))
   }
 
-  /** Embedding dimensionality, read from one row (driver-side, cached by
-    * the caller; the matrix literal needs it at plan time). */
-  def embeddingDim(df: DataFrame, embCol: String): Int =
-    df.select(size(col(embCol))).head().getInt(0)
+  /** Embedding dimensionality from the first row with a non-empty
+    * vector — an early-stopping limit(1) scan, not a full aggregate.
+    * Empty input (or all-null vectors) → 0: planeMatrix degenerates to
+    * empty planes, which is harmless because there are no rows to
+    * bucket. */
+  def embeddingDim(df: DataFrame, embCol: String): Int = {
+    val rows = df.select(size(col(embCol)).as("_dim")).where(col("_dim") > 0)
+      .limit(1).collect()
+    if (rows.isEmpty) 0 else rows(0).getInt(0)
+  }
 
   /** Embedding near-duplicate pairs: SRP-bucket every vector once (one
     * narrow projection), self-join within bucket, keep pairs whose exact
@@ -107,7 +110,6 @@ object Similarity {
     * lower it for higher recall. */
   def embeddingNearDups(embeddings: DataFrame, idCol: String, embCol: String,
       minCosine: Double, nPlanes: Int = 4): DataFrame = {
-    ensureFunctions(embeddings)
     val dim = embeddingDim(embeddings, embCol)
     val bucketed = embeddings
       .select(col(idCol).as("_id"), quantize(col(embCol)).as("_e"))
@@ -126,7 +128,6 @@ object Similarity {
     * the bucket code width trades recall for candidate count. */
   def lshBucketed(embeddings: DataFrame, idCol: String, embCol: String,
       queries: DataFrame, queryIdCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
-    ensureFunctions(embeddings)
     val dim = embeddingDim(embeddings, embCol)
     // quantize once per row, then bucket over the bound attribute
     val data = embeddings

@@ -212,10 +212,10 @@ object DataOpsQueries {
            |FROM documents""".stripMargin))
 
   /** Full dedup resolution: minhash candidates → connected components →
-    * canonical doc per cluster. The oracle checks the EXACT-dup subset
-    * (cluster membership for hash-threshold near-dups is engine-defined,
-    * but identical texts must always land in one cluster with min-id
-    * canonical — expressible in SQL). */
+    * canonical doc per cluster. Rows-only here (cluster membership at a
+    * hash threshold is engine-defined); the exact-dup invariant —
+    * identical texts share one cluster with the min-id canonical — is
+    * asserted in DedupSpec rather than the SQL oracle. */
   val d09DedupResolve = NamedQuery(
     "d09_dedup_resolve",
     (s, dir) => {

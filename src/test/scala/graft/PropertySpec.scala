@@ -46,7 +46,10 @@ class PropertySpec extends SparkSpec {
   test("coercing double cast round-trips clean decimal strings and zeroes garbage") {
     val cleanGen = Gen.listOfN(20, Gen.chooseNum(-99999L, 99999L))
     samples(cleanGen, 8).foreach { cents =>
-      val df = cents.map(c => f"${c / 100.0}%.2f").toDF("valor")
+      // Locale.ROOT: the f-interpolator would emit comma decimals on
+      // pt_BR/de_DE machines and break the round-trip
+      val df = cents.map(c => String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(c / 100.0))).toDF("valor")
       val got = Cleaning.coerceDoubleFillZero(df, "valor").as[Double].collect()
       assert(got.toSet == cents.map(_ / 100.0).toSet)
     }

@@ -108,8 +108,7 @@ class PipelineSpec extends SparkSpec {
     val before = goldFiles()
     Thread.sleep(20)
     val incr = Pipeline.run(spark, Pipeline.incrementalSilverGold(
-      s"$root/bronze", s"$root/silver", s"$root/gold",
-      col("ano") === 2011 && col("mes") === 1))
+      s"$root/bronze", s"$root/silver", s"$root/gold", Seq((2011, 1))))
     assert(incr.forall(_.ok), incr.mkString("; "))
     val after = goldFiles()
 

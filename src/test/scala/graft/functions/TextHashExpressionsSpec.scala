@@ -91,6 +91,25 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(got.find(_._1 == 1L).get._2 == 32.0)
   }
 
+  test("shingles treat null tokens like concat_ws (skipped, no phantom separator)") {
+    TextHashExpressions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_shingles(array('a', CAST(NULL AS STRING), 'b'), 3) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("a b")) // null skipped, single separator — concat_ws semantics
+  }
+
+  test("typed builders work in a fresh session with no registration") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val r = df.select(
+      graft.ops.Similarity.dot(col("a"), col("b")).as("d"),
+      graft.ops.Similarity.cosine(col("a"), col("b")).as("c")).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 11.0 / (math.sqrt(5) * math.sqrt(25))) < 1e-12)
+  }
+
   test("registration is per-session and idempotent") {
     val s2 = spark.newSession()
     TextHashExpressions.register(s2)

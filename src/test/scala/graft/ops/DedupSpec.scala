@@ -67,6 +67,16 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters strict mode throws when a chain outruns maxIter") {
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b") // diameter 5
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxIter = 2)
+    }
+    // non-strict returns the partial labels instead
+    val partial = Dedup.dupClusters(chain, maxIter = 2, strict = false)
+    assert(partial.count() == 6)
+  }
+
   test("resolveMinhashDups keeps one canonical doc per near-dup cluster") {
     val resolved = Dedup.resolveMinhashDups(docs, "doc_id", "text", minEstJaccard = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
