@@ -79,4 +79,27 @@ object TextAnalysis {
     * both Spark and DuckDB). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  // --- PII scan / redaction ------------------------------------------
+  // Patterns restricted to syntax shared by Java regex (Spark) and RE2
+  // (DuckDB) — character classes and bounded quantifiers only, no
+  // lookaround — so the scan is oracle-checkable and portable.
+
+  /** (name, pattern, replacement) triples. maskedId is the reference's
+    * codigo_favorecido shape (masked CPF like `***687963**`,
+    * SURVEY §1.2). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\+?[0-9]{2}[ -][0-9]{4,5}[ -][0-9]{4}", "[PHONE]"),
+    ("masked_id", "\\*\\*\\*[0-9]{6}\\*\\*", "[ID]"))
+
+  /** Occurrence count of one PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(call_function("regexp_extract_all", text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact every configured PII pattern (order: as declared). */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, pattern, repl)) =>
+      regexp_replace(t, pattern, repl)
+    }
 }

@@ -193,6 +193,33 @@ object DataOpsQueries {
     Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
            |FROM documents""".stripMargin))
 
+  /** PII scan + redaction over documents: per-pattern counts and the
+    * fingerprint of the redacted text. Patterns use the Java∩RE2 regex
+    * subset so both engines match identically; crafted-input behavior is
+    * asserted in TextAnalysisSpec (synthetic corpus carries no PII, so
+    * counts here are expected zeros — the oracle still proves both
+    * engines agree on that). */
+  val t05PiiScan = NamedQuery(
+    "t05_pii_scan",
+    (s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.piiCount(t, TextAnalysis.piiPatterns(0)._2).as("n_email"),
+        TextAnalysis.piiCount(t, TextAnalysis.piiPatterns(1)._2).as("n_phone"),
+        TextAnalysis.piiCount(t, TextAnalysis.piiPatterns(2)._2).as("n_masked_id"),
+        md5(TextAnalysis.redactPii(t)).as("redacted_md5"))
+    },
+    Some("""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(text, '\+?[0-9]{2}[ -][0-9]{4,5}[ -][0-9]{4}')) AS BIGINT) AS n_phone,
+           |  CAST(len(regexp_extract_all(text, '\*\*\*[0-9]{6}\*\*')) AS BIGINT) AS n_masked_id,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           |        '\+?[0-9]{2}[ -][0-9]{4,5}[ -][0-9]{4}', '[PHONE]', 'g'),
+           |        '\*\*\*[0-9]{6}\*\*', '[ID]', 'g')) AS redacted_md5
+           |FROM documents""".stripMargin))
+
   /** Multimodal metadata slice — the SQL-expressible part of the media
     * pipeline (payload size + header bytes); the decode path itself is
     * exercised by unit tests (stubbed codec, real plumbing). */
@@ -241,6 +268,6 @@ object DataOpsQueries {
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     d09DedupResolve,
-    t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint,
+    t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     m01MediaMeta, m02MediaDecode)
 }

@@ -54,6 +54,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps("A") != fps("C"))
   }
 
+  test("PII scan counts and redaction replace emails, phones, masked ids") {
+    val df = Seq(
+      "contact me at jane.doe+x@example.co.uk or +55 91234 5678 today",
+      "favorecido ***687963** paid twice: ***123456** and ***123456**",
+      "no pii here at all"
+    ).toDF("text")
+    val t = col("text")
+    val got = df.select(
+      TextAnalysis.piiCount(t, TextAnalysis.piiPatterns(0)._2).as("e"),
+      TextAnalysis.piiCount(t, TextAnalysis.piiPatterns(1)._2).as("p"),
+      TextAnalysis.piiCount(t, TextAnalysis.piiPatterns(2)._2).as("m"),
+      TextAnalysis.redactPii(t).as("red"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0)._1 == 1 && got(0)._2 == 1)
+    assert(got(0)._4 == "contact me at [EMAIL] or [PHONE] today")
+    assert(got(1)._3 == 3)
+    assert(got(1)._4 == "favorecido [ID] paid twice: [ID] and [ID]")
+    assert(got(2) == ((0L, 0L, 0L, "no pii here at all")))
+  }
+
   test("meanTokenLen and stopwordRatio handle empty-ish text") {
     val df = Seq("ab cd", "").toDF("text")
     val rows = df.select(
