@@ -24,17 +24,25 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Two timed runs, report the min: steady-state per-query time with
     // first-run codegen/classload noise removed.
-    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must NOT report its (tiny) failure wall time as a
+    // benchmark number — that would make a plan regression look like a
+    // speedup. Failures surface as -1 and are excluded from the total.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
+    def merge(a: Double, b: Double): Double =
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val run1 = ordered.map { case (n, fn) => n -> timeOnce(n, fn) }.toMap
-    val results = ordered.map { case (n, fn) => n -> math.min(run1(n), timeOnce(n, fn)) }
+    val run1 = ordered.map { case (n, fn) => n -> timeOnce(fn) }.toMap
+    val results = ordered.map { case (n, fn) => n -> merge(run1(n), timeOnce(fn)) }
+    val failed = results.filter(_._2 < 0).map(_._1)
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries (reported as -1): ${failed.mkString(", ")}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

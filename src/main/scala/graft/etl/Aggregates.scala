@@ -16,7 +16,11 @@ object Aggregates {
       valueCol: String = "valor"): DataFrame =
     silver
       .groupBy(col("ano"), col("mes"), col(keyCol))
-      .agg(sum(col(valueCol)).as("total_gasto"))
+      // exact integer-cents sum (valor is 2-decimal money): raw
+      // sum(double) is shuffle-order-dependent in the last ulps, which
+      // would make incremental vs full recompute of identical data
+      // bit-diverge (graft.Exact scaladoc)
+      .agg(graft.Exact.moneySum(col(valueCol)).as("total_gasto"))
 
   /** A2–A5 — the console EDA (main.py:241-249) as ONE aggregate pass
     * instead of four separate actions; returns a one-row DataFrame. */

@@ -48,11 +48,13 @@ object GastosSchema {
 
   /** API page envelope: {count, next, previous, results:[record]}
     * (main.py:74; FIXTURES.md §A.1). */
-  val envelope: StructType = StructType(Seq(
+  def envelopeOf(record: StructType): StructType = StructType(Seq(
     StructField("count", LongType),
     StructField("next", StringType),
     StructField("previous", StringType),
-    StructField("results", ArrayType(raw))))
+    StructField("results", ArrayType(record))))
+
+  val envelope: StructType = envelopeOf(raw)
 
   val partitionColumns: Seq[String] = Seq("ano", "mes")
 }

@@ -42,9 +42,12 @@ object Pipeline {
   def medallion(rawGlob: String, bronzePath: String, silverPath: String,
       goldPath: String, mode: String = "overwrite"): Seq[Stage] = Seq(
     Stage("raw_to_bronze", { spark =>
-      val raw = Sources.readRawPages(spark, rawGlob)
-      val cast = Seq("ano", "mes").foldLeft(raw)(Cleaning.strictCastOrKeep(_, _, "INT"))
-      Sinks.writePartitioned(cast, bronzePath, mode)
+      // ano/mes are already IntegerType in the declared read schema
+      // (GastosSchema.raw), so the reference's astype(int) (C1,
+      // main.py:142-146) is satisfied at parse time — malformed values
+      // become null under PERMISSIVE and the silver gate catches them.
+      // strictCastOrKeep stays available for string-typed inputs.
+      Sinks.writePartitioned(Sources.readRawPages(spark, rawGlob), bronzePath, mode)
     }),
     Stage("bronze_to_silver", { spark =>
       val bronze = Sources.readParquetLayer(spark, bronzePath)
@@ -80,6 +83,16 @@ object Pipeline {
     Seq(
       Stage("bronze_to_silver_incremental", { spark =>
         val bronze = Sources.readParquetLayer(spark, bronzePath).where(partitionFilter)
+        // dynamic overwrite can only REPLACE partitions present in the
+        // written frame — a requested partition that became empty in
+        // bronze would silently keep its stale silver/gold rows. Fail
+        // loudly instead; deleting dead partitions is an explicit op.
+        val present = bronze.select(col("ano"), col("mes")).distinct().collect()
+          .map(r => (r.getAs[Number]("ano").intValue, r.getAs[Number]("mes").intValue)).toSet
+        val empty = partitions.filterNot(present.contains)
+        if (empty.nonEmpty) throw new IllegalStateException(
+          s"partitions ${empty.mkString(", ")} have no bronze rows; dynamic " +
+            "overwrite cannot clear them — delete the dead partitions explicitly")
         val cleaned = Cleaning.silverClean(bronze)
         Quality.requireColumns(cleaned, Seq("ano", "mes", "nome_orgao", "nome_favorecido"))
         Quality.runGate(cleaned, Quality.silverChecks)

@@ -56,6 +56,9 @@ object Quality {
   /** Violation counts for every check in a single aggregate pass. */
   def measure(df: DataFrame, checks: Seq[Check]): Map[String, Long] = {
     require(checks.nonEmpty, "no checks given")
+    val dup = checks.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate check names would shadow each other in the result map: ${dup.mkString(", ")}")
     val row = df.agg(
       sum(checks.head.violation).as("c0"),
       checks.tail.zipWithIndex.map { case (c, i) => sum(c.violation).as(s"c${i + 1}") }: _*

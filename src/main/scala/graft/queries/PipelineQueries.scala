@@ -123,15 +123,17 @@ object PipelineQueries {
   val q06QualityGate = NamedQuery(
     "q06_quality_gate",
     (s, dir) => {
+      import graft.etl.Quality
       val li = Tables.lineitem(s, dir)
-      def viol(pred: org.apache.spark.sql.Column) =
-        sum(when(not(coalesce(pred, lit(false))), 1L).otherwise(0L))
+      // the operator library's Check ADT IS the implementation — the
+      // pandas NULL-semantics decision lives in Quality alone
+      def viol(c: Quality.Check) = sum(c.violation)
       li.agg(
-        sum(when(col("l_orderkey").isNull || col("l_returnflag").isNull, 1L)
-          .otherwise(0L)).as("null_keys"),
-        viol(col("l_quantity").between(1, 50)).as("qty_out_of_range"),
-        viol(col("l_extendedprice") >= 0).as("neg_price"),
-        viol(col("l_discount").between(0, 1)).as("bad_discount"))
+        viol(Quality.Predicate("null_keys",
+          col("l_orderkey").isNotNull && col("l_returnflag").isNotNull)).as("null_keys"),
+        viol(Quality.InRange("l_quantity", 1, 50)).as("qty_out_of_range"),
+        viol(Quality.NonNegative("l_extendedprice")).as("neg_price"),
+        viol(Quality.InRange("l_discount", 0, 1)).as("bad_discount"))
     },
     Some("""SELECT SUM(CASE WHEN l_orderkey IS NULL OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_keys,
            |       SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS qty_out_of_range,
