@@ -37,9 +37,13 @@ object Fetcher {
   def existingPages(outDir: Path, slug: String, table: String): Set[Int] = {
     val re = s"^${java.util.regex.Pattern.quote(s"${slug}_${table}_page_")}(\\d+)\\.json$$".r
     if (!Files.isDirectory(outDir)) Set.empty
-    else Files.list(outDir).iterator.asScala
-      .flatMap(p => re.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
-      .toSet
+    else {
+      val stream = Files.list(outDir) // must be closed: holds a DirectoryStream fd
+      try stream.iterator.asScala
+        .flatMap(p => re.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+        .toSet
+      finally stream.close()
+    }
   }
 
   def fetchAll(
@@ -52,7 +56,8 @@ object Fetcher {
       maxPages: Int = 1000,
       sleep: Long => Unit = Thread.sleep,
       pageSleepMs: Long = 1000,
-      backoffMs: Long = 15000): Report = {
+      backoffMs: Long = 15000,
+      maxConsecutive429: Int = 10): Report = {
 
     Files.createDirectories(outDir)
     val headers = Map("Authorization" -> s"Token $token")
@@ -63,6 +68,7 @@ object Fetcher {
     var skipped = 0
     var records = 0L
     var why = "max_pages"
+    var consecutive429 = 0
 
     while (url != null && page <= maxPages) {
       if (done.contains(page)) {
@@ -72,13 +78,29 @@ object Fetcher {
         page += 1
         url = pageUrl(baseUrl, page)
       } else {
-        val resp = client.get(url, headers)
-        if (resp.status == 429) {
-          sleep(backoffMs) // retry same url
+        // transport failures (the only way PageClient can signal a
+        // network error is to throw) abort like the reference's
+        // except RequestException (main.py:97-99): keep partial progress
+        val resp = try client.get(url, headers) catch {
+          case e: Exception => Response(-1, e.toString)
+        }
+        if (resp.status == -1) {
+          why = s"transport_error: ${resp.body}"
+          url = null
+        } else if (resp.status == 429) {
+          // retry same url, but bounded: a permanently rate-limited (or
+          // revoked) token must not loop forever — page never advances
+          // on this path, so maxPages alone cannot terminate it
+          consecutive429 += 1
+          if (consecutive429 >= maxConsecutive429) {
+            why = "rate_limited"
+            url = null
+          } else sleep(backoffMs)
         } else if (resp.status != 200) {
           why = s"http_${resp.status}"
           url = null
         } else {
+          consecutive429 = 0
           val root = mapper.readTree(resp.body)
           val results = root.path("results")
           if (!results.isArray || results.size == 0) {

@@ -32,14 +32,24 @@ object AsOfJoin {
 
     val payloadStruct = struct(
       rightPayload.toSeq.sortBy(_._1).map { case (src, dst) => col(src).as(dst) }: _*)
-    val rightSide = right.select(
-      col(key).as("_k"), col(ts).as("_ts"), lit(0).as("_side"),
-      col(tiebreak).cast("long").as("_tie"), payloadStruct.as("_payload"))
+    // SQL equality-join semantics: a null key (or null ts) on the right
+    // matches nothing — without this filter Window.partitionBy would
+    // group null keys into one partition and "match" them. The tiebreak
+    // keeps its original type (any orderable column works; a long cast
+    // would throw under ANSI for strings).
+    val rightSide = right
+      .where(col(key).isNotNull && col(ts).isNotNull)
+      .select(
+        col(key).as("_k"), col(ts).as("_ts"), lit(0).as("_side"),
+        col(tiebreak).as("_tie"), payloadStruct.as("_payload"))
     val payloadType = rightSide.schema("_payload").dataType
+    val tieType = rightSide.schema("_tie").dataType
 
+    // left rows sort after right rows at equal (k, ts) via _side alone,
+    // so their _tie is irrelevant — null keeps the column type-compatible
     val leftSide = left.select(
       col(key).as("_k"), col(ts).as("_ts"), lit(1).as("_side"),
-      lit(Long.MaxValue).as("_tie"), lit(null).cast(payloadType).as("_payload"),
+      lit(null).cast(tieType).as("_tie"), lit(null).cast(payloadType).as("_payload"),
       struct(left.columns.map(col): _*).as("_row"))
 
     val unioned = rightSide

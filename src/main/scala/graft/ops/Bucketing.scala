@@ -37,7 +37,10 @@ object Bucketing {
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
-  /** True iff the executed plan of df contains a shuffle Exchange. */
+  /** True iff the executed plan of df contains a shuffle Exchange of
+    * any partitioning (hash, range, round-robin, single) — broadcast
+    * exchanges move data but are not shuffles and are excluded. */
   def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    "(?<!Broadcast)Exchange ".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
 }

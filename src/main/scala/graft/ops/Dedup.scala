@@ -103,8 +103,17 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       minEstJaccard: Double = 0.0): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — rowsPerBand = 0 " +
+        "would put EVERY doc in one bucket (O(n^2) self-join), and a remainder " +
+        "silently drops signature lanes from banding")
     val rowsPerBand = numHashes / bands
+    // docs shorter than shingleN have the all-MaxValue sentinel signature;
+    // two such docs would "agree" on every lane (est 1.0) despite sharing
+    // nothing — empty shingle sets have no defined Jaccard, so they are
+    // excluded from candidate generation entirely
     val sigs = signatures(df, idCol, textCol, shingleN, numHashes)
+      .where(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
     val exploded = sigs
       .select(col("doc"), col("sig"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("doc"), col("sig"), col("b.band"), col("b.bucket"))

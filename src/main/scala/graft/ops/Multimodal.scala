@@ -20,7 +20,12 @@ object Multimodal {
 
   /** Wrap a text table as a media table: content = utf-8 bytes (the
     * stand-in for image bytes), metadata computed from the payload. */
-  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType.typeName
+    require(Set("long", "integer", "short", "byte").contains(idType),
+      s"media id column `$idCol` must be integral, got $idType — a string id " +
+        "would throw CAST_INVALID_INPUT under ANSI (or null out under non-ANSI " +
+        "and crash decode's non-nullable encoder)")
     df.select(
       col(idCol).cast("long").as("media_id"),
       encode(col(payloadCol), "UTF-8").as("content"),
@@ -28,6 +33,7 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         octet_length(encode(col(payloadCol), "UTF-8")).cast("long").as("nBytes"),
         sha2(encode(col(payloadCol), "UTF-8"), 256).as("sha")).as("meta"))
+  }
 
   /** STUB decoder — deterministic fake: "dimensions" and "features" are
     * pure functions of the bytes. A real build would call the codec here;

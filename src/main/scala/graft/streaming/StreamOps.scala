@@ -63,20 +63,33 @@ object StreamOps {
 
   /** Custom stateful op: emits the updated running (count, sum) per key
     * on every batch — the mapGroupsWithState pattern the reference's
-    * "recompute everything" silver stage would become on a stream. */
-  def runningTotals(spark: SparkSession, events: Dataset[KeyedEvent]): Dataset[RunningTotal] = {
+    * "recompute everything" silver stage would become on a stream.
+    * State for keys idle longer than `idleTimeout` is dropped (this
+    * file's own rule: unbounded key cardinality with untimed state is
+    * an eventual OOM — the one custom-state operator must follow it). */
+  def runningTotals(spark: SparkSession, events: Dataset[KeyedEvent],
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[RunningTotal] = {
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[RunningTotal, RunningTotal](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: Long, rows: Iterator[KeyedEvent], state: GroupState[RunningTotal]) =>
-          val prior = state.getOption.getOrElse(RunningTotal(key, 0L, 0.0))
-          var n = prior.n
-          var total = prior.total
-          rows.foreach { e => n += 1; total += e.value }
-          val updated = RunningTotal(key, n, total)
-          state.update(updated)
-          Iterator(updated)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(RunningTotal(key, 0L, 0.0))
+            var n = prior.n
+            var total = prior.total
+            rows.foreach { e => n += 1; total += e.value }
+            val updated = RunningTotal(key, n, total)
+            state.update(updated)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator(updated)
+          }
       }
   }
 

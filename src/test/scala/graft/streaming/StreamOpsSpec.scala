@@ -53,7 +53,10 @@ class StreamOpsSpec extends SparkSpec {
 
   test("flatMapGroupsWithState accumulates running totals across batches") {
     val mem = MemoryStream[StreamOps.KeyedEvent](spark, 1)
-    val out = StreamOps.runningTotals(spark, mem.toDS())
+    // no idle timeout in the test: processing-time timeouts make the
+    // engine schedule wake-up batches forever, which stalls
+    // processAllAvailable; production default keeps the 1h expiry
+    val out = StreamOps.runningTotals(spark, mem.toDS(), idleTimeout = None)
     val q = out.writeStream.format("memory").queryName("running_t")
       .outputMode("append").start()
     mem.addData(StreamOps.KeyedEvent(1L, 10.0), StreamOps.KeyedEvent(1L, 5.0),
