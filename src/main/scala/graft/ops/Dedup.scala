@@ -203,19 +203,20 @@ object Dedup {
       val neighbourMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      // carry the old label through the update so the convergence check
+      // reads the cached frame instead of re-joining the two generations
       val updated = labels
         .join(neighbourMin, labels("doc_id") === neighbourMin("src"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("_old"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .cache()
       // this action materializes `updated`, after which the previous
       // generation's cache is dead weight — release it immediately
-      converged = updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .where(col("cluster_id") =!= col("old")).isEmpty
+      converged = updated.where(col("cluster_id") =!= col("_old")).isEmpty
       if (cached != null) cached.unpersist()
       cached = updated
-      labels = updated
+      labels = updated.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
     edges.unpersist()

@@ -123,6 +123,68 @@ object Similarity {
       .where(col("cos_sim") >= minCosine)
   }
 
+  /** IVF (inverted-file) ANN: k-means partitions the vector space into
+    * nLists cells; every data vector is assigned to its nearest centroid
+    * (the "inverted list"); each query probes only its nProbe nearest
+    * cells and ranks those candidates by exact cosine. The other
+    * classical ANN scale path next to SRP-LSH: candidate generation is
+    * one shuffle on the list id, and recall/cost is tuned by nProbe
+    * (probe all lists = exact). Centroids are a tiny driver-side model
+    * (nLists × dim), shipped as a broadcast literal; training is one
+    * spark.ml KMeans fit with a fixed seed for reproducibility. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val data = embeddings.select(
+      col(idCol).as("data_id"),
+      quantize(col(embCol)).as("_e"),
+      array_to_vector(col(embCol).cast("array<double>")).as("_vec"))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("_vec").setPredictionCol("_list").fit(data)
+    val assigned = model.transform(data)
+      .select(col("data_id"), col("_e"), norm(col("_e")).as("_n"), col("_list"))
+
+    // centroid table: nLists rows of (list id, quantized centroid) — a
+    // broadcast-sized literal, same quantization as the vectors so the
+    // probe distances are exact integer arithmetic
+    val centroids = broadcast(embeddings.sparkSession.createDataFrame(
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(x => math.round(x * 1000).toDouble))
+      }).toDF("_list", "_centroid"))
+
+    // each query probes its nProbe nearest cells (euclidean, matching
+    // the k-means training objective)
+    val qs = queries.select(
+      col(queryIdCol).as("query_id"), quantize(col(embCol)).as("_qe"))
+      .select(col("query_id"), col("_qe"), norm(col("_qe")).as("_qn"))
+    val dist2 = aggregate(
+      zip_with(col("_qe"), col("_centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_d2"), col("_list"))
+    val probes = qs.crossJoin(centroids)
+      .withColumn("_d2", dist2)
+      .withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_qe"), col("_qn"), col("_list"))
+
+    // one shuffle on the list id; exact cosine within the probed cells
+    val scored = assigned.join(probes, Seq("_list"))
+      .where(col("data_id") =!= col("query_id"))
+      .select(col("query_id"), col("data_id"),
+        (dot(col("_e"), col("_qe")) / (col("_n") * col("_qn"))).as("cos_sim"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("data_id"))
+    // no dedup needed: each data vector lives in exactly one cell, and
+    // probe lists are distinct (query, cell) pairs
+    scored.withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: shuffle both sides once on the SRP bucket, rank
     * candidates within the bucket by exact cosine. Recall < 1 by design;
     * the bucket code width trades recall for candidate count. */

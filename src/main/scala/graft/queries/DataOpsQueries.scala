@@ -238,6 +238,18 @@ object DataOpsQueries {
            |       lower(sha256(text)) AS sha
            |FROM documents""".stripMargin))
 
+  /** IVF ANN (k-means cells + nProbe probing) — the second classical
+    * ANN scale path next to d07's SRP-LSH; rows-only (cell assignment is
+    * model-defined; exact-recovery is asserted in SimilaritySpec). */
+  val d10AnnIvf = NamedQuery(
+    "d10_ann_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", k = 5, nLists = 8, nProbe = 2)
+    },
+    None)
+
   /** Full dedup resolution: minhash candidates → connected components →
     * canonical doc per cluster. Rows-only here (cluster membership at a
     * hash threshold is engine-defined); the exact-dup invariant —
@@ -267,7 +279,7 @@ object DataOpsQueries {
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
-    d09DedupResolve,
+    d09DedupResolve, d10AnnIvf,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     m01MediaMeta, m02MediaDecode)
 }

@@ -48,6 +48,28 @@ class SimilaritySpec extends SparkSpec {
     assert(nearDups.keys.forall { case (a, b) => a < b })
   }
 
+  test("IVF ANN: probing all lists recovers the exact brute-force top-k") {
+    // 20 vectors in two tight clusters + the query
+    val data = ((0 until 10).map(i => (i.toLong, Array(1.0f, 0.01f * i, 0.0f))) ++
+      (10 until 20).map(i => (i.toLong, Array(0.0f, 1.0f, 0.01f * i))))
+      .toDF("vec_id", "embedding")
+    val q = data.where(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(data, "vec_id", "embedding", q, "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // nProbe == nLists → every cell probed → must equal brute force
+    val all = Similarity.ivfTopK(data, "vec_id", "embedding", q, "vec_id", k = 5,
+        nLists = 4, nProbe = 4)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(all.toSeq == exact.toSeq)
+    // nProbe = 1 probes only the query's own cluster — still finds the
+    // same-cluster neighbours (vectors 1..9 dominate the top-5)
+    val probed = Similarity.ivfTopK(data, "vec_id", "embedding", q, "vec_id", k = 5,
+        nLists = 2, nProbe = 1)
+      .collect().map(r => r.getLong(1))
+    assert(probed.forall(id => id >= 1 && id <= 9))
+  }
+
   test("quantization keeps dot products exact across row order") {
     val a = Similarity.quantize(col("embedding"))
     val df = vecs.select(col("vec_id"), a.as("q"))
