@@ -134,7 +134,8 @@ object Similarity {
     * spark.ml KMeans fit with a fixed seed for reproducibility. */
   def ivfTopK(embeddings: DataFrame, idCol: String, embCol: String,
       queries: DataFrame, queryIdCol: String, k: Int,
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      trainMaxIter: Int = 5): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -142,7 +143,11 @@ object Similarity {
       col(idCol).as("data_id"),
       quantize(col(embCol)).as("_e"),
       array_to_vector(col(embCol).cast("array<double>")).as("_vec"))
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    // few iterations on purpose: cell boundaries only gate candidate
+    // RECALL, not result correctness (exact cosine re-ranks), so a
+    // roughly-converged partition buys most of the recall at a fraction
+    // of the training cost
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(trainMaxIter)
       .setFeaturesCol("_vec").setPredictionCol("_list").fit(data)
     val assigned = model.transform(data)
       .select(col("data_id"), col("_e"), norm(col("_e")).as("_n"), col("_list"))

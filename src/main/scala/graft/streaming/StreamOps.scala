@@ -93,6 +93,24 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream inner join with bounded state: both sides are
+    * watermarked and the join condition carries a time range, so the
+    * state store holds only rows inside the watermark horizon (an
+    * unconstrained stream-stream join would buffer both streams
+    * forever). Classic enrichment shape: match right-side events to
+    * left-side events of the same key within `within` AFTER the left
+    * event's timestamp. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String,
+      watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/e2e harness). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

@@ -85,6 +85,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set(("click", 3L), ("view", 2L)))
   }
 
+  test("stream-stream interval join matches right events within the window") {
+    val clicks = MemoryStream[(Long, Timestamp)](spark, 1)
+    val buys = MemoryStream[(Long, Timestamp)](spark, 1)
+    clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    buys.addData(
+      (1L, ts("2024-01-01 10:05:00")),  // within 10 min of click -> match
+      (1L, ts("2024-01-01 11:00:00")),  // too late -> no match
+      (2L, ts("2024-01-01 09:55:00")))  // before the click -> no match
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF.toDF("user_id", "click_ts"),
+      buys.toDF.toDF("user_id", "buy_ts"),
+      keyCol = "user_id", leftTs = "click_ts", rightTs = "buy_ts",
+      watermark = "1 hour", within = "10 minutes")
+    val got = StreamOps.runToMemory(spark,
+        joined.select(col("l.user_id"), col("buy_ts")), "ssjoin_t")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(got.toSeq == Seq((1L, ts("2024-01-01 10:05:00"))))
+  }
+
   test("session windows on a stream group by inactivity gap") {
     val mem = MemoryStream[(Long, Timestamp)](spark, 1)
     mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
