@@ -10,8 +10,28 @@ import org.apache.spark.sql.functions._
   * these return the raw scan, callers select/filter on top).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Memoized per (session, path): spark.read.parquet re-lists files and
+  // re-reads footers on every call, a fixed ~50-100 ms tax per query.
+  // The DataFrame (and its resolved file index) is immutable — reusing
+  // it across the 54 harness queries removes that per-query floor.
+  // Weak keys: entries die with their session.
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]())
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) { m = new java.util.HashMap[String, DataFrame](); cache.put(spark, m) }
+      m
+    }
+    perSession.synchronized {
+      val key = s"$dir/$name.parquet"
+      var df = perSession.get(key)
+      if (df == null) { df = spark.read.parquet(key); perSession.put(key, df) }
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
