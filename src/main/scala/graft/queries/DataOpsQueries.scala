@@ -165,10 +165,10 @@ object DataOpsQueries {
            |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'is'))) AS BIGINT) AS en_hits
            |  FROM documents)
            |SELECT doc_id, n_tokens, n_punct, mean_tok_len,
-           |       (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END
+           |       CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END
            |        + CASE WHEN n_punct * 10 <= length(text) THEN 1 ELSE 0 END
            |        + CASE WHEN en_hits > 0 THEN 1 ELSE 0 END
-           |        + CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) AS quality_score
+           |        + CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS BIGINT) AS quality_score
            |FROM m""".stripMargin))
 
   val t03TokenCount = NamedQuery(

@@ -28,7 +28,7 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"), Exact.centsSum(col("l_extendedprice")).as("price_cents"))
     },
     Some("""SELECT b.band, COUNT(*) AS n,
-           |       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+           |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
            |FROM lineitem
            |JOIN (SELECT g AS band, g * 10000.0 AS lo, (g + 1) * 10000.0 AS hi
            |      FROM generate_series(0, 11) t(g)) b
@@ -48,9 +48,9 @@ object ExtendedQueries {
         .na.fill(0L, Seq("A", "N", "R"))
     },
     Some("""SELECT l_linestatus,
-           |       COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS A,
-           |       COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS N,
-           |       COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS R
+           |       CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS BIGINT) AS A,
+           |       CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS BIGINT) AS N,
+           |       CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS BIGINT) AS R
            |FROM lineitem GROUP BY l_linestatus""".stripMargin))
 
   /** Exact percentiles. Spark's percentile and DuckDB's quantile_cont
@@ -90,7 +90,7 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"), Exact.centsSum(col("l_quantity")).as("qty_cents"))
     },
     Some("""SELECT s_name, COUNT(*) AS n,
-           |       SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+           |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
            |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
            |GROUP BY s_name""".stripMargin))
 
@@ -118,7 +118,7 @@ object ExtendedQueries {
       val b = Tables.customer(s, dir).select(col("c_custkey").as("k")).withColumn("src", lit("c"))
       a.unionByName(b).groupBy(col("src")).agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
     },
-    Some("""SELECT src, COUNT(*) AS n, SUM(k) AS key_sum FROM (
+    Some("""SELECT src, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum FROM (
            |  SELECT o_custkey AS k, 'o' AS src FROM orders
            |  UNION ALL SELECT c_custkey AS k, 'c' AS src FROM customer)
            |GROUP BY src""".stripMargin))
@@ -170,7 +170,7 @@ object ExtendedQueries {
         .limit(10)
     },
     Some("""SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
-           |       SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+           |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
            |FROM customer JOIN orders ON c_custkey = o_custkey
            |              JOIN lineitem ON o_orderkey = l_orderkey
            |WHERE c_mktsegment = 'BUILDING'
@@ -202,7 +202,7 @@ object ExtendedQueries {
           .cast("long")).as("revenue_cents"))
     },
     Some("""SELECT n_name,
-           |       SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+           |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
            |FROM customer JOIN orders ON c_custkey = o_custkey
            |              JOIN lineitem ON o_orderkey = l_orderkey
            |              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey

@@ -73,7 +73,7 @@ object PipelineQueries {
     },
     Some("""SELECT event_type,
            |       COUNT(*) AS n,
-           |       SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS sum_k
+           |       CAST(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k
            |FROM events GROUP BY event_type""".stripMargin))
 
   /** C3 — text normalization (main.py:215-226): upper+trim, null-safe.
@@ -112,7 +112,7 @@ object PipelineQueries {
     // form is representation-proof.
     Some("""SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
            |       COUNT(*) AS n,
-           |       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
            |FROM orders GROUP BY 1""".stripMargin))
 
   /** V0–V4 — the data-quality gate (main.py:167-186) as a single
@@ -135,10 +135,10 @@ object PipelineQueries {
         viol(Quality.NonNegative("l_extendedprice")).as("neg_price"),
         viol(Quality.InRange("l_discount", 0, 1)).as("bad_discount"))
     },
-    Some("""SELECT SUM(CASE WHEN l_orderkey IS NULL OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_keys,
-           |       SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS qty_out_of_range,
-           |       SUM(CASE WHEN NOT COALESCE(l_extendedprice >= 0, FALSE) THEN 1 ELSE 0 END) AS neg_price,
-           |       SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE) THEN 1 ELSE 0 END) AS bad_discount
+    Some("""SELECT CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+           |       CAST(SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+           |       CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+           |       CAST(SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount
            |FROM lineitem""".stripMargin))
 
   /** C1+C4 — strict vs coercing casts (main.py:142-146, 228-231): a
@@ -157,8 +157,8 @@ object PipelineQueries {
           count(lit(1)).as("n"))
     },
     Some("""SELECT p_brand,
-           |       SUM(CAST(CAST(p_size AS VARCHAR) AS BIGINT)) AS size_roundtrip,
-           |       SUM(CASE WHEN TRY_CAST(p_type AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS uncastable_types,
+           |       CAST(SUM(CAST(CAST(p_size AS VARCHAR) AS BIGINT)) AS BIGINT) AS size_roundtrip,
+           |       CAST(SUM(CASE WHEN TRY_CAST(p_type AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS uncastable_types,
            |       COUNT(*) AS n
            |FROM part GROUP BY p_brand""".stripMargin))
 

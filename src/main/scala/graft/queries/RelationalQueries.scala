@@ -30,7 +30,7 @@ object RelationalQueries {
           Exact.centsSum(col("c_acctbal")).as("acctbal_cents"))
     },
     Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
-           |       SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+           |       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
            |FROM customer
            |JOIN nation ON c_nationkey = n_nationkey
            |JOIN region ON n_regionkey = r_regionkey
@@ -50,7 +50,7 @@ object RelationalQueries {
             .cast("long")).as("revenue_cents"))
     },
     Some("""SELECT o_orderstatus, COUNT(*) AS n_items,
-           |       SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+           |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |GROUP BY o_orderstatus""".stripMargin))
 
@@ -92,7 +92,7 @@ object RelationalQueries {
           coalesce(sum(Exact.cents(col("o_totalprice"))), lit(0L)).as("spend_cents"))
     },
     Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-           |       COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS spend_cents
+           |       CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS spend_cents
            |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
            |GROUP BY c_custkey""".stripMargin))
 
@@ -125,9 +125,9 @@ object RelationalQueries {
           sum(Exact.cents(col("o_totalprice"))).over(w).as("run_cents"))
     },
     Some("""SELECT o_custkey, o_orderkey,
-           |       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+           |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
            |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           |               ROWS UNBOUNDED PRECEDING) AS run_cents
+           |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
            |FROM orders""".stripMargin))
 
   /** Global top-k: Spark plans TakeOrderedAndProject (no full sort). */
@@ -155,7 +155,7 @@ object RelationalQueries {
           grouping(col("l_linestatus")).cast("long").as("g_status"))
     },
     Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           |       SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+           |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
            |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
            |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
@@ -265,11 +265,11 @@ object RelationalQueries {
           sum(abs(col("l_orderkey") - 100).cast("long")).as("abs_sum"))
     },
     Some("""SELECT l_returnflag,
-           |       SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_heavy,
-           |       SUM(CAST(l_orderkey % 7 AS BIGINT)) AS mod_sum,
-           |       SUM(CAST(floor(l_quantity / 7) AS BIGINT)) AS floor_sum,
-           |       SUM(CAST(ceil(l_quantity / 7) AS BIGINT)) AS ceil_sum,
-           |       SUM(CAST(abs(l_orderkey - 100) AS BIGINT)) AS abs_sum
+           |       CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+           |       CAST(SUM(CAST(l_orderkey % 7 AS BIGINT)) AS BIGINT) AS mod_sum,
+           |       CAST(SUM(CAST(floor(l_quantity / 7) AS BIGINT)) AS BIGINT) AS floor_sum,
+           |       CAST(SUM(CAST(ceil(l_quantity / 7) AS BIGINT)) AS BIGINT) AS ceil_sum,
+           |       CAST(SUM(CAST(abs(l_orderkey - 100) AS BIGINT)) AS BIGINT) AS abs_sum
            |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
   /** Correlated scalar subquery through the SQL front-end (Catalyst
@@ -316,7 +316,7 @@ object RelationalQueries {
           col("n"), col("value_cents"))
     },
     Some("""SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n,
-           |       SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
            |FROM events GROUP BY 1, 2""".stripMargin))
 
   /** Session windows (30-min gap) in batch; oracle mirrors Spark's

@@ -79,6 +79,15 @@ def main(sf_dir, out_dir):
             print(f"  {name:26s} ROWCOUNT spark={len(g)} duckdb={len(w)}")
             n_fail += 1
             continue
+        # The driver hashes rendered values, so dtype drift (e.g. DuckDB
+        # HUGEINT -> float64 vs Spark int64) fails its gate even when cell
+        # values compare equal. Be exactly as strict here.
+        dbad = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+                if str(g[c].dtype) != str(w[c].dtype)]
+        if dbad:
+            print(f"  {name:26s} DTYPE_MISMATCH (spark,duckdb): {dbad}")
+            n_fail += 1
+            continue
         bad = []
         for c in g.columns:
             gv, wv = g[c].tolist(), w[c].tolist()
