@@ -43,7 +43,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces for the harness: the line on stdout (unprefixed via
+    // run/outputStrategy), and a well-known file a parser can always read.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }
