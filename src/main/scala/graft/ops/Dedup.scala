@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora.
@@ -93,32 +94,72 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
       .cast("double") / numHashes
 
-  /** MinHash+LSH near-duplicate candidate pairs.
-    *
-    * Plan shape: project signatures (narrow) → explode bands → shuffle
-    * once on (band, bucket) → in-bucket self-join → estimate Jaccard from
-    * the signatures already carried along (no second lookup join).
+  /** Drops every bucket whose membership exceeds `maxBucketSize` BEFORE
+    * an in-bucket self-join. A degenerate bucket (boilerplate-heavy
+    * corpus, all-zero vectors) otherwise turns the join quadratic — the
+    * classic 100 TB failure mode of LSH candidate generation. The window
+    * count shuffles on the same key the join needs, so the guard adds no
+    * extra exchange. The cap is not silent: `bucketOverflow` reports the
+    * dropped buckets and their sizes for auditing/alerting, and every
+    * candidates function documents its cap parameter.
     */
-  def minhashCandidates(
-      df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      minEstJaccard: Double = 0.0): DataFrame = {
+  private[ops] def capBuckets(exploded: DataFrame, keys: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    exploded
+      .withColumn("_bn", count(lit(1)).over(w))
+      .where(col("_bn") <= maxBucketSize)
+      .drop("_bn")
+  }
+
+  /** Audit companion of the bucket cap: per-overflowing-bucket sizes
+    * (empty when no bucket exceeds the cap). Run it alongside any capped
+    * candidates call to log what the cap dropped. */
+  private[ops] def bucketOverflowOf(exploded: DataFrame, keys: Seq[String],
+      maxBucketSize: Int): DataFrame =
+    exploded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucketSize)
+
+  /** (doc, sig, band, bucket) — each valid doc exploded to its LSH band
+    * buckets. Shared by candidate generation and the overflow audit. */
+  private def minhashBanded(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — rowsPerBand = 0 " +
         "would put EVERY doc in one bucket (O(n^2) self-join), and a remainder " +
         "silently drops signature lanes from banding")
     val rowsPerBand = numHashes / bands
-    // docs shorter than shingleN have the all-MaxValue sentinel signature;
-    // two such docs would "agree" on every lane (est 1.0) despite sharing
-    // nothing — empty shingle sets have no defined Jaccard, so they are
-    // excluded from candidate generation entirely
-    val sigs = signatures(df, idCol, textCol, shingleN, numHashes)
-      .where(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
-    val exploded = sigs
+    // Docs shorter than shingleN have no shingles and no defined Jaccard,
+    // so they are excluded up front — ON THE RAW TOKEN COUNT, not on the
+    // signature sentinel: a filter over the sig attribute gets pushed
+    // below the projection and re-evaluates the full k-lane minhash per
+    // row (verified in the physical plan), while re-splitting the text in
+    // the filter costs one cheap pass inside the same codegen stage.
+    val valid = df.where(size(split(col(textCol), " ")) >= shingleN)
+    signatures(valid, idCol, textCol, shingleN, numHashes)
       .select(col("doc"), col("sig"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("doc"), col("sig"), col("b.band"), col("b.bucket"))
-    val a = exploded.alias("a")
-    val b = exploded.alias("b")
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    *
+    * Plan shape: project signatures (narrow) → explode bands → shuffle
+    * once on (band, bucket) → in-bucket self-join → estimate Jaccard from
+    * the signatures already carried along (no second lookup join).
+    *
+    * `maxBucketSize` caps the in-bucket join (see capBuckets); pairs in a
+    * dropped bucket are still found through any other band they share.
+    * Audit the drops with [[minhashBucketOverflow]].
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.0, maxBucketSize: Int = 10000): DataFrame = {
+    val exploded = minhashBanded(df, idCol, textCol, shingleN, numHashes, bands)
+    val guarded = capBuckets(exploded, Seq("band", "bucket"), maxBucketSize)
+    val a = guarded.alias("a")
+    val b = guarded.alias("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
@@ -127,6 +168,13 @@ object Dedup {
       .where(col("est_jaccard") >= minEstJaccard)
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Buckets minhashCandidates would drop at this cap, with sizes. */
+  def minhashBucketOverflow(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame =
+    bucketOverflowOf(minhashBanded(df, idCol, textCol, shingleN, numHashes, bands),
+      Seq("band", "bucket"), maxBucketSize)
 
   /** (doc, fp): 64-bit SimHash fingerprints via the native one-pass
     * expression. Bit i of fp is the sign of sum over tokens of
@@ -155,17 +203,23 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
-  /** SimHash near-dup candidates: bucket by 16-bit bands of the
-    * fingerprint (one shuffle), verify with exact Hamming distance. */
-  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 16): DataFrame = {
-    val fp = simhashes(df, idCol, textCol)
-    val banded = fp.select(col("doc"), col("fp"),
+  /** (doc, fp, band, bucket) — 16-bit band buckets of the fingerprint. */
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashes(df, idCol, textCol).select(col("doc"), col("fp"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
           call_function("shiftright", col("fp"), (b * 16).cast("int"))
             .bitwiseAND(0xFFFFL).as("bucket")))).as("b"))
       .select(col("doc"), col("fp"), col("b.band"), col("b.bucket"))
+
+  /** SimHash near-dup candidates: bucket by 16-bit bands of the
+    * fingerprint (one shuffle), verify with exact Hamming distance.
+    * `maxBucketSize` caps the in-bucket join (see capBuckets); audit the
+    * drops with [[simhashBucketOverflow]]. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 16, maxBucketSize: Int = 10000): DataFrame = {
+    val banded = capBuckets(simhashBanded(df, idCol, textCol),
+      Seq("band", "bucket"), maxBucketSize)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -176,6 +230,12 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Buckets simhashCandidates would drop at this cap, with sizes. */
+  def simhashBucketOverflow(df: DataFrame, idCol: String, textCol: String,
+      maxBucketSize: Int = 10000): DataFrame =
+    bucketOverflowOf(simhashBanded(df, idCol, textCol),
+      Seq("band", "bucket"), maxBucketSize)
 
   /** Duplicate-cluster resolution: candidate pairs → connected
     * components → cluster id = min doc id reachable. Iterative min-label
@@ -233,13 +293,27 @@ object Dedup {
 
   /** End-to-end minhash dedup: signatures → LSH candidates → clusters →
     * canonical keep decision (min doc id per cluster; docs with no
-    * near-dup candidate keep themselves). */
+    * near-dup candidate keep themselves).
+    *
+    * Docs shorter than shingleN have no shingles, so minhash can't see
+    * them at all — byte-identical short docs would silently survive as
+    * "non-duplicates". They get an exact-text dedup pass instead (one
+    * hash-agg, linear): each short doc pairs with the min-id doc of its
+    * identical-text group, and those pairs feed the same cluster
+    * resolution. */
   def resolveMinhashDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       minEstJaccard: Double = 0.5): DataFrame = {
     val pairs = minhashCandidates(df, idCol, textCol, shingleN, numHashes,
       bands, minEstJaccard)
-    val clusters = dupClusters(pairs)
+    val short = df.where(size(split(col(textCol), " ")) < shingleN)
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val shortPairs = short
+      .join(short.groupBy(col("_text")).agg(min(col("doc_id")).as("_keep")), Seq("_text"))
+      .where(col("doc_id") =!= col("_keep"))
+      .select(col("_keep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1.0).as("est_jaccard"))
+    val clusters = dupClusters(pairs.unionByName(shortPairs))
     df.select(col(idCol).as("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),

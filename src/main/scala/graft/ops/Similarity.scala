@@ -90,6 +90,49 @@ object Similarity {
         call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L))
   }
 
+  /** LSH amplification: nTables independent nPlanes-bit SRP codes per
+    * vector — array<struct<tbl,bucket>>. A pair collides if it shares any
+    * table's bucket (recall 1-(1-p^k)^L instead of p^k), which is what
+    * lets the code width stay selective (few candidates per bucket) while
+    * recall stays high. Tables t uses planes [t·nPlanes, (t+1)·nPlanes)
+    * of one deterministic matrix. */
+  def srpTableBucketsQ(q: Column, nTables: Int, nPlanes: Int, dim: Int): Column = {
+    val planes = typedlit(planeMatrix(nTables * nPlanes, dim))
+    transform(sequence(lit(0), lit(nTables - 1)), t =>
+      struct(t.cast("int").as("tbl"),
+        aggregate(
+          sequence(lit(0), lit(nPlanes - 1)),
+          lit(0L),
+          (acc, p) => acc + when(
+            dot(q, element_at(planes, (t * nPlanes + p + 1).cast("int"))) > 0,
+            call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L))
+          .as("bucket")))
+  }
+
+  /** Multi-probe expansion of one bucket code: the code itself plus every
+    * 1-bit flip (multiProbeBits = 1) — probing neighbouring buckets
+    * recovers most of the recall a wider code costs, for an nPlanes+1
+    * candidate-key fan-out on ONE side of the join only. */
+  def probeBuckets(bucket: Column, nPlanes: Int, multiProbeBits: Int): Column = {
+    require(multiProbeBits >= 0 && multiProbeBits <= 1,
+      s"multiProbeBits ($multiProbeBits) — only 0 (exact) and 1 (1-bit flips) are supported")
+    if (multiProbeBits == 0) array(bucket)
+    else concat(array(bucket),
+      transform(sequence(lit(0), lit(nPlanes - 1)),
+        p => bucket.bitwiseXOR(call_function("shiftleft", lit(1L), p.cast("int")))))
+  }
+
+  /** Window-count bucket guard over (tbl, bucket): same contract as
+    * Dedup.capBuckets — drop degenerate buckets before a pair join,
+    * audited via [[nearDupBucketOverflow]], never silently quadratic. */
+  private def capTableBuckets(df: DataFrame, maxBucketSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_tbl"), col("_bucket"))
+    df.withColumn("_bn", count(lit(1)).over(w))
+      .where(col("_bn") <= maxBucketSize)
+      .drop("_bn")
+  }
+
   /** Embedding dimensionality from the first row with a non-empty
     * vector — an early-stopping limit(1) scan, not a full aggregate.
     * Empty input (or all-null vectors) → 0: planeMatrix degenerates to
@@ -101,26 +144,60 @@ object Similarity {
     if (rows.isEmpty) 0 else rows(0).getInt(0)
   }
 
+  /** (id, e, n, tbl, bucket) rows — one per (vector, table). */
+  private def tableBucketed(embeddings: DataFrame, idCol: String, embCol: String,
+      nTables: Int, nPlanes: Int, dim: Int): DataFrame =
+    embeddings
+      .select(col(idCol).as("_id"), quantize(col(embCol)).as("_e"))
+      .select(col("_id"), col("_e"), norm(col("_e")).as("_n"),
+        explode(srpTableBucketsQ(col("_e"), nTables, nPlanes, dim)).as("_tb"))
+      .select(col("_id"), col("_e"), col("_n"),
+        col("_tb.tbl").as("_tbl"), col("_tb.bucket").as("_bucket"))
+
   /** Embedding near-duplicate pairs: SRP-bucket every vector once (one
     * narrow projection), self-join within bucket, keep pairs whose exact
     * cosine clears the threshold. The scale shape of embedding dedup:
-    * candidate generation is a single shuffle on the bucket key; the
-    * O(n²) cosine work only happens inside buckets. Recall < 1 by design
-    * (same-bucket requirement) — raise nPlanes for fewer candidates,
-    * lower it for higher recall. */
+    * candidate generation is a single shuffle on the (table, bucket) key;
+    * the O(n²) cosine work only happens inside buckets.
+    *
+    * Recall/cost dial: a pair is a candidate iff some table's codes are
+    * within multiProbeBits of each other. Wider codes (nPlanes) cut
+    * candidate volume ~2× per bit; more tables and 1-bit probing buy the
+    * recall back (1-(1-p')^L for per-table hit rate p'). The defaults
+    * (12-bit codes × 4 tables × 1-bit probe) target true near-dups
+    * (cos ≥ 0.9, per-pair hit rate ≈ 0.96); for moderate-similarity
+    * mining drop nPlanes to ~6. `maxBucketSize` drops degenerate buckets
+    * before the join — audit with [[nearDupBucketOverflow]]. */
   def embeddingNearDups(embeddings: DataFrame, idCol: String, embCol: String,
-      minCosine: Double, nPlanes: Int = 4): DataFrame = {
+      minCosine: Double, nPlanes: Int = 12, nTables: Int = 4,
+      multiProbeBits: Int = 1, maxBucketSize: Int = 10000): DataFrame = {
     val dim = embeddingDim(embeddings, embCol)
-    val bucketed = embeddings
-      .select(col(idCol).as("_id"), quantize(col(embCol)).as("_e"))
-      .select(col("_id"), col("_e"), norm(col("_e")).as("_n"),
-        srpBucketQ(col("_e"), nPlanes, dim).as("_bucket"))
+    val bucketed = capTableBuckets(
+      tableBucketed(embeddings, idCol, embCol, nTables, nPlanes, dim), maxBucketSize)
+    // one side keeps its exact code, the other probes its 1-bit
+    // neighbourhood — together they cover code pairs within hamming 1
+    val probed = capTableBuckets(
+      bucketed.select(col("_id"), col("_e"), col("_n"), col("_tbl"),
+        explode(probeBuckets(col("_bucket"), nPlanes, multiProbeBits)).as("_bucket")),
+      maxBucketSize)
     val a = bucketed.alias("a")
-    val b = bucketed.alias("b")
-    a.join(b, col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
+    val b = probed.alias("b")
+    a.join(b, col("a._tbl") === col("b._tbl") && col("a._bucket") === col("b._bucket") &&
+        col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         (dot(col("a._e"), col("b._e")) / (col("a._n") * col("b._n"))).as("cos_sim"))
       .where(col("cos_sim") >= minCosine)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Buckets embeddingNearDups would drop at this cap, with sizes. */
+  def nearDupBucketOverflow(embeddings: DataFrame, idCol: String, embCol: String,
+      nPlanes: Int = 12, nTables: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
+    val dim = embeddingDim(embeddings, embCol)
+    tableBucketed(embeddings, idCol, embCol, nTables, nPlanes, dim)
+      .groupBy(col("_tbl"), col("_bucket"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucketSize)
   }
 
   /** IVF (inverted-file) ANN: k-means partitions the vector space into
@@ -143,12 +220,17 @@ object Similarity {
       col(idCol).as("data_id"),
       quantize(col(embCol)).as("_e"),
       array_to_vector(col(embCol).cast("array<double>")).as("_vec"))
-    // few iterations on purpose: cell boundaries only gate candidate
-    // RECALL, not result correctness (exact cosine re-ranks), so a
-    // roughly-converged partition buys most of the recall at a fraction
-    // of the training cost
+    // Training is bounded BOTH ways: few iterations AND a capped row
+    // sample. Cell boundaries only gate candidate RECALL, not result
+    // correctness (exact cosine re-ranks), so a roughly-converged
+    // partition over a bounded sample buys most of the recall — while
+    // fitting on the full input would make every k-means iteration a full
+    // scan of a 100 TB table. limit() short-circuits the scan after
+    // trainCap rows (deterministic for a fixed file layout).
+    val trainCap = math.max(10000, 100 * nLists)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(trainMaxIter)
-      .setFeaturesCol("_vec").setPredictionCol("_list").fit(data)
+      .setFeaturesCol("_vec").setPredictionCol("_list")
+      .fit(data.select(col("_vec")).limit(trainCap))
     val assigned = model.transform(data)
       .select(col("data_id"), col("_e"), norm(col("_e")).as("_n"), col("_list"))
 
@@ -190,25 +272,33 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** LSH-bucketed ANN: shuffle both sides once on the SRP bucket, rank
-    * candidates within the bucket by exact cosine. Recall < 1 by design;
-    * the bucket code width trades recall for candidate count. */
+  /** LSH-bucketed ANN: shuffle both sides once on the (table, bucket)
+    * key, rank candidates by exact cosine. Recall < 1 by design; the
+    * recall/cost dial is (nPlanes, nTables, multiProbeBits) exactly as in
+    * [[embeddingNearDups]] — probing fans out the QUERY side only (the
+    * small side), the data side stays one row per (vector, table).
+    * `maxBucketSize` drops degenerate data buckets before the join. */
   def lshBucketed(embeddings: DataFrame, idCol: String, embCol: String,
-      queries: DataFrame, queryIdCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+      queries: DataFrame, queryIdCol: String, k: Int, nPlanes: Int = 12,
+      nTables: Int = 4, multiProbeBits: Int = 1,
+      maxBucketSize: Int = 10000): DataFrame = {
     val dim = embeddingDim(embeddings, embCol)
-    // quantize once per row, then bucket over the bound attribute
-    val data = embeddings
-      .select(col(idCol).as("data_id"), quantize(col(embCol)).as("_e"))
-      .select(col("data_id"), col("_e"), norm(col("_e")).as("_n"),
-        srpBucketQ(col("_e"), nPlanes, dim).as("_bucket"))
+    val data = capTableBuckets(
+      tableBucketed(embeddings, idCol, embCol, nTables, nPlanes, dim), maxBucketSize)
+      .withColumnRenamed("_id", "data_id")
     val qs = queries
       .select(col(queryIdCol).as("query_id"), quantize(col(embCol)).as("_qe"))
       .select(col("query_id"), col("_qe"), norm(col("_qe")).as("_qn"),
-        srpBucketQ(col("_qe"), nPlanes, dim).as("_bucket"))
-    val scored = data.join(qs, Seq("_bucket"))
+        explode(srpTableBucketsQ(col("_qe"), nTables, nPlanes, dim)).as("_tb"))
+      .select(col("query_id"), col("_qe"), col("_qn"), col("_tb.tbl").as("_tbl"),
+        explode(probeBuckets(col("_tb.bucket"), nPlanes, multiProbeBits)).as("_bucket"))
+    val scored = data.join(qs, Seq("_tbl", "_bucket"))
       .where(col("data_id") =!= col("query_id"))
       .select(col("query_id"), col("data_id"),
         (dot(col("_e"), col("_qe")) / (col("_n") * col("_qn"))).as("cos_sim"))
+      // a (query, data) pair can collide in several tables/probes — one
+      // candidate row each before ranking
+      .dropDuplicates("query_id", "data_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("data_id"))

@@ -105,8 +105,11 @@ object DataOpsQueries {
     "d07_ann_lsh",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // 6-bit codes (not the 12-bit near-dup default): this corpus has no
+      // high-cosine pairs (max ≈ 0.5), so recall needs the wider buckets;
+      // 4 tables + 1-bit probes do the amplification
       Similarity.lshBucketed(emb, "vec_id", "embedding",
-        emb.where(col("vec_id") < 5), "vec_id", k = 5, nPlanes = 4)
+        emb.where(col("vec_id") < 5), "vec_id", k = 5, nPlanes = 6)
     },
     None)
 
@@ -116,8 +119,10 @@ object DataOpsQueries {
   val d08EmbeddingNeardup = NamedQuery(
     "d08_embedding_neardup",
     (s, dir) => {
+      // same moderate-similarity dial as d07: 6-bit codes × 4 tables ×
+      // 1-bit probes (the 12-bit default targets cos ≥ 0.9 true near-dups)
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
-        minCosine = 0.3, nPlanes = 3)
+        minCosine = 0.3, nPlanes = 6)
     },
     None)
 

@@ -87,6 +87,49 @@ class DedupSpec extends SparkSpec {
     assert(resolved.count(_._3) == resolved.map(_._2).distinct.length)
   }
 
+  test("minhash candidates: no k-lane minhash evaluation inside a Filter node") {
+    // the short-doc exclusion must filter on the raw token count, not on
+    // the signature attribute — a sig-based predicate is pushed below the
+    // projection and re-evaluates the full minhash per row
+    val plan = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    val offending = plan.linesIterator
+      .filter(l => l.trim.startsWith("Filter") && l.contains("graft_minhash"))
+    assert(offending.isEmpty, s"minhash inside Filter:\n$plan")
+  }
+
+  test("bucket cap drops a degenerate bucket instead of self-joining it quadratically") {
+    val boiler = (1L to 1000L)
+      .map(i => (i, "exactly the same boilerplate text for every single row"))
+      .toDF("doc_id", "text")
+    // every doc lands in ONE bucket per band; the cap drops them all →
+    // zero candidate pairs instead of 4 × 10^6/2 pair rows
+    assert(Dedup.minhashCandidates(boiler, "doc_id", "text", maxBucketSize = 100).isEmpty)
+    val overflow = Dedup.minhashBucketOverflow(boiler, "doc_id", "text", maxBucketSize = 100)
+      .collect().map(_.getAs[Long]("n_members"))
+    assert(overflow.length == 4 && overflow.forall(_ == 1000L))
+    // same guard on the simhash path
+    assert(Dedup.simhashCandidates(boiler, "doc_id", "text", maxBucketSize = 100).isEmpty)
+    assert(Dedup.simhashBucketOverflow(boiler, "doc_id", "text", maxBucketSize = 100)
+      .collect().map(_.getAs[Long]("n_members")).forall(_ == 1000L))
+    // an admitting cap returns the pairs (spot-check on a small corpus)
+    assert(Dedup.minhashCandidates(docs, "doc_id", "text", maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("resolveMinhashDups folds byte-identical short docs via the exact-text pass") {
+    val tiny = Seq(
+      (1L, "hi there"), (2L, "hi there"),          // < shingleN tokens, identical
+      (3L, "bye now"),                             // < shingleN tokens, unique
+      (4L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val byDoc = Dedup.resolveMinhashDups(tiny, "doc_id", "text", minEstJaccard = 1.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(byDoc(1L) == ((1L, true)))
+    assert(byDoc(2L) == ((1L, false))) // identical short doc folded into 1
+    assert(byDoc(3L) == ((3L, true)))
+    assert(byDoc(4L) == ((4L, true)))
+  }
+
   test("shingles of a doc shorter than n are empty, not an error") {
     val tiny = Seq((1L, "hi")).toDF("doc_id", "text")
     val sig = Dedup.signatures(tiny, "doc_id", "text", shingleN = 3, numHashes = 4)

@@ -70,6 +70,49 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.forall(id => id >= 1 && id <= 9))
   }
 
+  // deterministic pseudo-random corpus: 60 distinct 16-dim originals plus
+  // 30 planted near-dup clones (one coordinate nudged → cos ≈ 0.95)
+  private val plantedDim = 16
+  private def plantedBase(i: Int): Array[Float] = Array.tabulate(plantedDim) { j =>
+    ((((i * 31 + j * 7) % 13) - 6) / 6.0f) + ((((i * 29 + j * 5) % 11) - 5) / 30.0f)
+  }
+  private lazy val planted = {
+    val originals = (0 until 60).map(i => (i.toLong, plantedBase(i)))
+    val clones = (0 until 30).map { i =>
+      val v = plantedBase(i); v(i % plantedDim) += 0.8f
+      ((i + 1000).toLong, v)
+    }
+    (originals ++ clones).toDF("vec_id", "embedding")
+  }
+
+  test("planted near-dups: amplified LSH (tables + 1-bit probes) keeps recall high") {
+    val pairs = Similarity.embeddingNearDups(planted, "vec_id", "embedding",
+        minCosine = 0.9) // default dials: 12-bit codes x 4 tables x 1-bit probe
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 30).count(i => pairs.contains((i.toLong, (i + 1000).toLong)))
+    assert(found >= 24, s"planted-pair recall $found/30 at default dials")
+  }
+
+  test("lshBucketed at default dials recovers the true neighbour of planted queries") {
+    val queries = planted.where(col("vec_id") >= 1000L && col("vec_id") < 1010L)
+    val top1 = Similarity.lshBucketed(planted, "vec_id", "embedding",
+        queries, "vec_id", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 10).count(i => top1.get((i + 1000).toLong).contains(i.toLong))
+    assert(hits >= 8, s"top-1 recall $hits/10 at default dials")
+  }
+
+  test("near-dup bucket cap: identical-vector floods are dropped and auditable") {
+    val flood = (0 until 500).map(i => (i.toLong, Array(1.0f, 0.5f, -0.25f, 0.125f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.embeddingNearDups(flood, "vec_id", "embedding",
+      minCosine = 0.0, maxBucketSize = 50).isEmpty)
+    val overflow = Similarity.nearDupBucketOverflow(flood, "vec_id", "embedding",
+        maxBucketSize = 50)
+      .collect().map(_.getAs[Long]("n_members"))
+    assert(overflow.nonEmpty && overflow.forall(_ == 500L))
+  }
+
   test("quantization keeps dot products exact across row order") {
     val a = Similarity.quantize(col("embedding"))
     val df = vecs.select(col("vec_id"), a.as("q"))
