@@ -10,17 +10,60 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** MD5 halves + Kirsch-Mitzenmacher lane mixing, shared by the portable
+  * hash expressions below. The 64-bit halves are the LITTLE-ENDIAN reads
+  * of digest bytes [0,8) and [8,16), chosen to equal DuckDB's
+  * `md5_number_upper` / `md5_number_lower` bit for bit — which is what
+  * makes minhash/simhash signatures reproducible in a second engine and
+  * therefore SQL-oracle-checkable (lane i = h1 + i·h2, wrapping).
+  */
+object Md5Mix {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val scratch = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](2)
+  }
+
+  /** (h1, h2) halves of md5(utf8 bytes of s). Returns a THREAD-LOCAL
+    * array valid only until the next call on the same thread — consume
+    * both values before hashing again. */
+  def halves(s: UTF8String): Array[Long] = {
+    val d = md.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    val out = scratch.get()
+    out(0) = leLong(digest, 0)
+    out(1) = leLong(digest, 8)
+    out
+  }
+
+  private def leLong(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (b(off + k) & 0xFFL); k -= 1 }
+    v
+  }
+}
+
 /** Native Catalyst expressions for the dedup hot path.
   *
   * The composed-expression forms in graft.ops.Dedup
   * (transform/sequence/array_min lambda trees) evaluate
   * numHashes × |grams| lambda frames and materialize an intermediate
   * array per lane. These expressions compute the identical values in ONE
-  * pass over the input array inside whole-stage codegen — same
-  * hash-by-hash semantics as Spark's xxhash64 (seed 42, XXH64), so
-  * signatures are bit-compatible with the lambda formulation:
-  *   minhash lane i  == min over grams of xxhash64(i, gram)
-  *   simhash bit i   == sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1)
+  * pass over the input array inside whole-stage codegen.
+  *
+  * Two hash chains are provided, same signature semantics, different
+  * lane derivation:
+  *   - xxhash64 chain (graft_minhash / graft_simhash): lane i =
+  *     xxhash64(i, gram) — Spark-native, bit-compatible with the
+  *     composed lambda formulation, not reproducible outside Spark.
+  *   - md5 chain (graft_minhash_md5 / graft_simhash_md5): lanes mixed
+  *     from the two md5 halves (see [[Md5Mix]]) — reproducible in any
+  *     engine with an md5 (DuckDB, Trino, Postgres), which is what the
+  *     dedup operators default to so their outputs are oracle-checkable.
   */
 object TextHashExpressions {
 
@@ -96,6 +139,135 @@ object TextHashExpressions {
     }
 
     override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+      copy(child = newChild)
+  }
+
+  /** graft_minhash_md5(array<string>, numHashes) -> array<long>: the
+    * engine-portable minhash. Lane i of a gram = h1 + i·h2 (wrapping)
+    * over the md5 halves; signature lane i = min over grams. Empty/
+    * absent grams → all-Long.MaxValue sentinel, same as the xxhash
+    * chain. */
+  case class PortableMinHash(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+
+    require(numHashes > 0, "numHashes must be positive")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_md5"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val lanes = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val hs = Md5Mix.halves(arr.getUTF8String(j))
+          val h2 = hs(1)
+          var h = hs(0)
+          var i = 0
+          while (i < numHashes) {
+            if (h < lanes(i)) lanes(i) = h
+            h += h2
+            i += 1
+          }
+        }
+        j += 1
+      }
+      new GenericArrayData(lanes)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val lanes = ctx.freshName("lanes")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val hs = ctx.freshName("hs")
+        val h = ctx.freshName("h")
+        val h2 = ctx.freshName("h2")
+        s"""
+           |long[] $lanes = new long[$numHashes];
+           |java.util.Arrays.fill($lanes, Long.MAX_VALUE);
+           |for (int $j = 0; $j < $arr.numElements(); $j++) {
+           |  if (!$arr.isNullAt($j)) {
+           |    long[] $hs = graft.functions.Md5Mix.halves($arr.getUTF8String($j));
+           |    long $h = $hs[0];
+           |    long $h2 = $hs[1];
+           |    for (int $i = 0; $i < $numHashes; $i++) {
+           |      if ($h < $lanes[$i]) $lanes[$i] = $h;
+           |      $h += $h2;
+           |    }
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($lanes);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PortableMinHash =
+      copy(child = newChild)
+  }
+
+  /** graft_simhash_md5(array<string>) -> long: engine-portable 64-bit
+    * SimHash — per-token hash is the FIRST md5 half (DuckDB
+    * md5_number_upper), bit votes as in the xxhash chain. Empty → 0L. */
+  case class PortableSimHash(child: Expression)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child, prettyName)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash_md5"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counters = new Array[Int](64)
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val h = Md5Mix.halves(arr.getUTF8String(j))(0)
+          var i = 0
+          while (i < 64) {
+            counters(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+            i += 1
+          }
+        }
+        j += 1
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 64) { if (counters(i) > 0) fp |= (1L << i); i += 1 }
+      fp
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val counters = ctx.freshName("counters")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val h = ctx.freshName("h")
+        val fp = ctx.freshName("fp")
+        s"""
+           |int[] $counters = new int[64];
+           |for (int $j = 0; $j < $arr.numElements(); $j++) {
+           |  if (!$arr.isNullAt($j)) {
+           |    long $h = graft.functions.Md5Mix.halves($arr.getUTF8String($j))[0];
+           |    for (int $i = 0; $i < 64; $i++) {
+           |      $counters[$i] += ((($h >>> $i) & 1L) == 1L) ? 1 : -1;
+           |    }
+           |  }
+           |}
+           |long $fp = 0L;
+           |for (int $i = 0; $i < 64; $i++) {
+           |  if ($counters[$i] > 0) $fp |= (1L << $i);
+           |}
+           |${ev.value} = $fp;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PortableSimHash =
       copy(child = newChild)
   }
 
@@ -372,6 +544,18 @@ object TextHashExpressions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_sig_agree(a, b)")
         SignatureAgreement(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_minhash_md5"),
+      new ExpressionInfo(classOf[PortableMinHash].getName, "graft_minhash_md5"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash_md5(grams, numHashes)")
+        PortableMinHash(args.head, intLiteral(args(1), "numHashes"))
+      }),
+    (FunctionIdentifier("graft_simhash_md5"),
+      new ExpressionInfo(classOf[PortableSimHash].getName, "graft_simhash_md5"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash_md5(tokens)")
+        PortableSimHash(args.head)
       }))
 
   // --- typed Column builders -----------------------------------------
@@ -388,6 +572,10 @@ object TextHashExpressions {
     toCol(MinHashSignature(expr(grams), numHashes))
   def simhash(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     toCol(SimHash64(expr(tokens)))
+  def minhashMd5(grams: org.apache.spark.sql.Column, numHashes: Int): org.apache.spark.sql.Column =
+    toCol(PortableMinHash(expr(grams), numHashes))
+  def simhashMd5(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    toCol(PortableSimHash(expr(tokens)))
   def dotProduct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     toCol(DotProduct(expr(a), expr(b)))
   def shingles(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =

@@ -57,16 +57,26 @@ object Dedup {
       i => when(size(grams) === 0, lit(Long.MaxValue))
         .otherwise(array_min(transform(grams, g => xxhash64(i, g)))))
 
-  /** (doc, sig): minhash signatures for every row. Uses the native
-    * one-pass codegen expression (graft.functions.TextHashExpressions);
-    * bit-compatible with the lambda formulation in signaturesComposed. */
+  /** (doc, sig): minhash signatures for every row — the ENGINE-PORTABLE
+    * md5 chain (native one-pass codegen expression, lanes reproducible
+    * in DuckDB/Trino SQL — see graft.functions.Md5Mix), which is what
+    * makes the dedup pipeline's outputs oracle-checkable end to end. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame =
+    withShingles(df, idCol, textCol, shingleN)
+      .select(col(idCol).as("doc"),
+        graft.functions.TextHashExpressions.minhashMd5(col("_grams"), numHashes).as("sig"))
+
+  /** xxhash64-chain signatures (Spark-native lanes, not reproducible
+    * outside Spark) — kept for workloads that don't need cross-engine
+    * reproducibility; bit-compatible with signaturesComposed. */
+  def signaturesXxh(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame =
     withShingles(df, idCol, textCol, shingleN)
       .select(col(idCol).as("doc"),
         graft.functions.TextHashExpressions.minhash(col("_grams"), numHashes).as("sig"))
 
-  /** Pure-builtin (higher-order-function) minhash — the portable
+  /** Pure-builtin (higher-order-function) xxhash minhash — the composed
     * fallback and the semantics cross-check for the native expression. */
   def signaturesComposed(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame =
@@ -75,11 +85,15 @@ object Dedup {
 
   /** LSH bands over a minhash signature: band b hashes the signature
     * slice [b*rowsPerBand, (b+1)*rowsPerBand). Docs sharing any
-    * (band, bucket) are near-dup candidates. */
+    * (band, bucket) are near-dup candidates. The bucket is the md5 of the
+    * comma-joined lane values — a string key, portable across engines
+    * (xxhash64 of the slice would be Spark-only). */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
-        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
+        md5(concat_ws(",",
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")))).as("bucket")))
 
   /** Estimated Jaccard from two signatures: fraction of agreeing minhash
     * lanes. Runs per candidate PAIR, so the lane count is the native
@@ -177,9 +191,14 @@ object Dedup {
       Seq("band", "bucket"), maxBucketSize)
 
   /** (doc, fp): 64-bit SimHash fingerprints via the native one-pass
-    * expression. Bit i of fp is the sign of sum over tokens of
-    * (bit i of xxhash64(token) ? +1 : -1). */
+    * expression — md5 chain (portable): bit i of fp is the sign of the
+    * sum over tokens of (bit i of the token's first md5 half ? +1 : -1). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), split(col(textCol), " ").as("_toks"))
+      .select(col("doc"), graft.functions.TextHashExpressions.simhashMd5(col("_toks")).as("fp"))
+
+  /** xxhash64-chain simhash (Spark-native) — see [[signaturesXxh]]. */
+  def simhashesXxh(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc"), split(col(textCol), " ").as("_toks"))
       .select(col("doc"), graft.functions.TextHashExpressions.simhash(col("_toks")).as("fp"))
 

@@ -13,6 +13,29 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object DataOpsQueries {
 
+  /** Shared DuckDB CTE computing the SAME minhash signatures as
+    * graft.functions.TextHashExpressions.PortableMinHash: distinct word
+    * 3-grams, lane i = min over grams of (h1 + i·h2) wrapping mod 2^64
+    * then mapped to signed BIGINT, where (h1, h2) are DuckDB's
+    * md5_number_upper/lower — the little-endian md5 halves the Spark
+    * expression reproduces bit for bit (asserted in
+    * TextHashExpressionsSpec). Docs shorter than 3 tokens are excluded
+    * (no shingles). */
+  private val minhashSigCte =
+    """t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |        generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      |      FROM t WHERE len(toks) >= 3),
+      |h AS (SELECT doc_id, CAST(md5_number_upper(gram) AS HUGEINT) AS h1,
+      |             CAST(md5_number_lower(gram) AS HUGEINT) AS h2 FROM g),
+      |l AS (SELECT doc_id, i,
+      |             MIN(CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616 ELSE m END AS BIGINT)) AS lane
+      |      FROM (SELECT doc_id, i, (h1 + i * h2) % 18446744073709551616 AS m
+      |            FROM h CROSS JOIN generate_series(0, 15) s(i))
+      |      GROUP BY doc_id, i),
+      |sig AS (SELECT doc_id, list(lane ORDER BY i) AS sig FROM l GROUP BY doc_id)""".stripMargin
+
   val d01DedupExact = NamedQuery(
     "d01_dedup_exact",
     (s, dir) => {
@@ -22,8 +45,9 @@ object DataOpsQueries {
     Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
            |FROM documents GROUP BY text""".stripMargin))
 
-  /** MinHash signatures + LSH bucket keys (deterministic; no oracle —
-    * xxhash64 is Spark-specific). */
+  /** MinHash signatures + LSH bucket keys — fully oracle-checked via the
+    * portable md5 hash chain (docs without shingles carry the sentinel
+    * signature and hash to the sentinel bucket on both engines). */
   val d02MinhashSignatures = NamedQuery(
     "d02_minhash_signatures",
     (s, dir) => {
@@ -32,25 +56,51 @@ object DataOpsQueries {
         .select(col("doc"), explode(Dedup.lshBands(col("sig"), bands = 4, rowsPerBand = 4)).as("b"))
         .select(col("doc").as("doc_id"), col("b.band").cast("long").as("band"), col("b.bucket"))
     },
-    None)
+    Some(s"""WITH $minhashSigCte,
+            |full_sig AS (
+            |  SELECT t.doc_id,
+            |         COALESCE(s.sig, list_transform(generate_series(1, 16), x -> 9223372036854775807)) AS sig
+            |  FROM t LEFT JOIN sig s USING (doc_id))
+            |SELECT doc_id, CAST(b AS BIGINT) AS band,
+            |       md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket
+            |FROM full_sig CROSS JOIN generate_series(0, 3) bb(b)""".stripMargin))
 
-  /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard. */
+  /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard —
+    * oracle replays the band/bucket join and lane agreement in SQL. */
   val d03MinhashPairs = NamedQuery(
     "d03_minhash_pairs",
     (s, dir) => {
       Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, minEstJaccard = 0.0)
     },
-    None)
+    Some(s"""WITH $minhashSigCte,
+            |bands AS (
+            |  SELECT doc_id, b AS band,
+            |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+            |  FROM sig CROSS JOIN generate_series(0, 3) bb(b))
+            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |       CAST(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 16 AS est_jaccard
+            |FROM bands a JOIN bands b
+            |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin))
 
-  /** SimHash fingerprints (pure-expression 64-bit simhash). */
+  /** SimHash fingerprints — oracle-checked (portable md5 chain: the
+    * per-token hash is md5_number_upper, bit votes reassembled to a
+    * signed 64-bit fingerprint). */
   val d04Simhash = NamedQuery(
     "d04_simhash",
     (s, dir) => {
       Dedup.simhashes(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc").as("doc_id"), col("fp"))
     },
-    None)
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+           |th AS (SELECT doc_id, md5_number_upper(tk) AS h FROM tok),
+           |bits AS (SELECT doc_id, i,
+           |                CASE WHEN SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+           |         FROM th CROSS JOIN generate_series(0, 63) s(i) GROUP BY doc_id, i),
+           |fp0 AS (SELECT doc_id, SUM(CASE WHEN bit = 1 THEN CAST(1 AS HUGEINT) << i ELSE 0 END) AS m
+           |        FROM bits GROUP BY doc_id)
+           |SELECT doc_id, CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS fp
+           |FROM fp0""".stripMargin))
 
   /** Exact word-bigram Jaccard of every doc against doc 0 — integer set
     * arithmetic, single final division, fully oracle-checkable. */
@@ -256,10 +306,15 @@ object DataOpsQueries {
     None)
 
   /** Full dedup resolution: minhash candidates → connected components →
-    * canonical doc per cluster. Rows-only here (cluster membership at a
-    * hash threshold is engine-defined); the exact-dup invariant —
-    * identical texts share one cluster with the min-id canonical — is
-    * asserted in DedupSpec rather than the SQL oracle. */
+    * canonical doc per cluster. Oracle-checked because at
+    * minEstJaccard = 1.0 a candidate pair exists iff the two signatures
+    * are IDENTICAL (est = agreement/16 = 1.0 needs all lanes equal, and
+    * identical signatures share every band bucket), so connected
+    * components collapse to signature-equality classes — expressible as
+    * a window MIN over the signature key. Short docs (< 3 tokens) fold
+    * by exact text, mirroring resolveMinhashDups' exact-text pass. The
+    * Spark side still runs the general iterative component resolution;
+    * the oracle checks its fixpoint. */
   val d09DedupResolve = NamedQuery(
     "d09_dedup_resolve",
     (s, dir) => {
@@ -267,7 +322,15 @@ object DataOpsQueries {
           minEstJaccard = 1.0)
         .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
     },
-    None)
+    Some(s"""WITH $minhashSigCte,
+            |keyed AS (
+            |  SELECT t.doc_id,
+            |         CASE WHEN s.doc_id IS NOT NULL THEN 'L:' || array_to_string(s.sig, ',')
+            |              ELSE 'S:' || t.text END AS k
+            |  FROM t LEFT JOIN sig s USING (doc_id))
+            |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY k) AS cluster_id,
+            |       doc_id = MIN(doc_id) OVER (PARTITION BY k) AS is_canonical
+            |FROM keyed""".stripMargin))
 
   /** Decode + frame-sample pass over the media table — exercises the
     * mapPartitions plumbing end to end in the harness (stub codec, real

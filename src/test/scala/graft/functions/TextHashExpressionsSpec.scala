@@ -18,8 +18,8 @@ class TextHashExpressionsSpec extends SparkSpec {
     (5L, "你好 世界 你好 世界 再见 你好")
   ).toDF("doc_id", "text")
 
-  test("native minhash == composed minhash, lane for lane") {
-    val native = Dedup.signatures(docs, "doc_id", "text", shingleN = 3, numHashes = 16)
+  test("native xxh minhash == composed minhash, lane for lane") {
+    val native = Dedup.signaturesXxh(docs, "doc_id", "text", shingleN = 3, numHashes = 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val composed = Dedup.signaturesComposed(docs, "doc_id", "text", shingleN = 3, numHashes = 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
@@ -28,12 +28,58 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(native(3L).forall(_ == Long.MaxValue)) // empty-grams sentinel preserved
   }
 
-  test("native simhash == composed simhash") {
-    val native = Dedup.simhashes(docs, "doc_id", "text")
+  test("native xxh simhash == composed simhash") {
+    val native = Dedup.simhashesXxh(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val composed = Dedup.simhashesComposed(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(native == composed)
+  }
+
+  // independent reference implementation of the md5 chain (MessageDigest
+  // + explicit little-endian reads) — NOT the production code path
+  private def refHalves(s: String): (Long, Long) = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def le(off: Int) = (7 to 0 by -1).foldLeft(0L)((v, k) => (v << 8) | (d(off + k) & 0xFFL))
+    (le(0), le(8))
+  }
+
+  test("md5 halves equal DuckDB md5_number_upper/lower bit for bit") {
+    // DuckDB 1.0.0: SELECT md5_number_upper('abc'), md5_number_lower('abc')
+    //   -> (12704604231530709392, 8250560606382298838)  [UBIGINT]
+    val (h1, h2) = refHalves("abc")
+    assert(h1 == java.lang.Long.parseUnsignedLong("12704604231530709392"))
+    assert(h2 == 8250560606382298838L)
+    val viaExpr = Md5Mix.halves(org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
+    assert(viaExpr(0) == h1 && viaExpr(1) == h2)
+  }
+
+  test("portable md5 minhash/simhash match the reference chain (codegen path)") {
+    val grams = Seq("the quick brown", "quick brown fox", "你好 世界 再见")
+    val k = 8
+    val expectedSig = (0 until k).map { i =>
+      grams.map { g => val (h1, h2) = refHalves(g); h1 + i * h2 }.min
+    }
+    val expectedFp = {
+      val counters = new Array[Int](64)
+      for (t <- Seq("alpha", "beta", "gamma", "beta"); i <- 0 until 64)
+        counters(i) += (if (((refHalves(t)._1 >>> i) & 1L) == 1L) 1 else -1)
+      (0 until 64).foldLeft(0L)((fp, i) => if (counters(i) > 0) fp | (1L << i) else fp)
+    }
+    val got = Seq((grams.toArray, Array("alpha", "beta", "gamma", "beta")))
+      .toDF("grams", "toks")
+      .select(
+        TextHashExpressions.minhashMd5(col("grams"), k).as("sig"),
+        TextHashExpressions.simhashMd5(col("toks")).as("fp"))
+      .collect()(0)
+    assert(got.getSeq[Long](0) == expectedSig)
+    assert(got.getLong(1) == expectedFp)
+    // empty grams keep the sentinel convention
+    val sentinel = Seq(Tuple1(Array.empty[String])).toDF("grams")
+      .select(TextHashExpressions.minhashMd5(col("grams"), 4).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(sentinel.forall(_ == Long.MaxValue))
   }
 
   test("expressions work through SQL after registration and survive codegen") {
