@@ -14,23 +14,33 @@ object Tables {
   // re-reads footers on every call, a fixed ~50-100 ms tax per query.
   // The DataFrame (and its resolved file index) is immutable — reusing
   // it across the 54 harness queries removes that per-query floor.
-  // Weak keys: entries die with their session.
+  //
+  // Lifetime is bounded, not weak: a weak-keyed map cannot evict here
+  // because the cached DataFrame values strongly reference their
+  // SparkSession, pinning the key forever. Instead the cache is an LRU
+  // capped at MaxEntries (a dead session's entries age out under any
+  // continued use) plus an explicit invalidate(session) hook for prompt
+  // release when a session is discarded.
+  private val MaxEntries = 256
   private val cache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]())
-
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) { m = new java.util.HashMap[String, DataFrame](); cache.put(spark, m) }
-      m
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > MaxEntries
     }
-    perSession.synchronized {
-      val key = s"$dir/$name.parquet"
-      var df = perSession.get(key)
-      if (df == null) { df = spark.read.parquet(key); perSession.put(key, df) }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.synchronized {
+      val key = (spark, s"$dir/$name.parquet")
+      var df = cache.get(key)
+      if (df == null) { df = spark.read.parquet(key._2); cache.put(key, df) }
       df
     }
+
+  /** Drop every cached reader of this session (call when discarding a
+    * session before JVM exit). */
+  def invalidate(spark: SparkSession): Unit = cache.synchronized {
+    cache.keySet.removeIf(_._1 eq spark)
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")

@@ -101,9 +101,17 @@ object Fetcher {
           url = null
         } else {
           consecutive429 = 0
-          val root = mapper.readTree(resp.body)
-          val results = root.path("results")
-          if (!results.isArray || results.size == 0) {
+          // a 200 with an unparseable body stops the loop gracefully,
+          // keeping the Report and the pages already on disk — the
+          // reference gets this for free (JSONDecodeError is a
+          // RequestException, main.py:97-99)
+          val root = try mapper.readTree(resp.body) catch {
+            case _: com.fasterxml.jackson.core.JsonProcessingException => null
+          }
+          if (root == null) {
+            why = "bad_json"
+            url = null
+          } else if (!root.path("results").isArray || root.path("results").size == 0) {
             why = "exhausted"
             url = null
           } else {
@@ -111,7 +119,7 @@ object Fetcher {
             Files.write(outDir.resolve(s"${slug}_${table}_page_$page.json"),
               resp.body.getBytes(StandardCharsets.UTF_8))
             fetched += 1
-            records += results.size
+            records += root.path("results").size
             page += 1
             val next = root.path("next")
             url = if (next.isTextual) next.asText else null

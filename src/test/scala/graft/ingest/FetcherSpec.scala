@@ -76,6 +76,18 @@ class FetcherSpec extends AnyFunSuite {
     assert(rep.stoppedBecause == "http_500" && rep.pagesFetched == 0)
   }
 
+  test("a 200 with a malformed JSON body stops gracefully, keeping fetched pages") {
+    val base = "http://api.test/data/"
+    val out = newDir()
+    val client = new StubClient(Map(
+      base -> Fetcher.Response(200, page(1, 2)),
+      s"$base?page=2" -> Fetcher.Response(200, """{"count": 4, "next": nope}""")))
+    val rep = Fetcher.fetchAll(client, base, "tok", out, "s", "t", sleep = _ => ())
+    assert(rep.stoppedBecause == "bad_json")
+    assert(rep.pagesFetched == 1) // page 1 survived
+    assert(Files.exists(out.resolve("s_t_page_1.json")))
+  }
+
   test("maxPages caps the crawl") {
     val base = "http://api.test/data/"
     val client = new StubClient((1 to 5).map { n =>
