@@ -209,6 +209,31 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** graft_md5_upper(string) -> long: the first little-endian md5 half
+    * of the input's utf8 bytes — DuckDB's md5_number_upper as a signed
+    * 64-bit value. The primitive behind deterministic content-keyed
+    * sampling (graft.ops.Sampling): one scalar hash per row, portable. */
+  case class Md5Upper(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.catalogString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_md5_upper"
+
+    override def nullSafeEval(input: Any): Any =
+      Md5Mix.halves(input.asInstanceOf[UTF8String])(0)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.Md5Mix.halves($s)[0];")
+
+    override protected def withNewChildInternal(newChild: Expression): Md5Upper =
+      copy(child = newChild)
+  }
+
   /** graft_simhash_md5(array<string>) -> long: engine-portable 64-bit
     * SimHash — per-token hash is the FIRST md5 half (DuckDB
     * md5_number_upper), bit votes as in the xxhash chain. Empty → 0L. */
@@ -556,6 +581,12 @@ object TextHashExpressions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash_md5(tokens)")
         PortableSimHash(args.head)
+      }),
+    (FunctionIdentifier("graft_md5_upper"),
+      new ExpressionInfo(classOf[Md5Upper].getName, "graft_md5_upper"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_md5_upper(s)")
+        Md5Upper(args.head)
       }))
 
   // --- typed Column builders -----------------------------------------
@@ -576,6 +607,8 @@ object TextHashExpressions {
     toCol(PortableMinHash(expr(grams), numHashes))
   def simhashMd5(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     toCol(PortableSimHash(expr(tokens)))
+  def md5Upper(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    toCol(Md5Upper(expr(s)))
   def dotProduct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     toCol(DotProduct(expr(a), expr(b)))
   def shingles(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =

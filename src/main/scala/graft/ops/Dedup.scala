@@ -340,6 +340,45 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Cross-corpus contamination scan — the train/eval overlap check a
+    * training pipeline runs before shipping a corpus: pairs
+    * (train doc, eval doc) sharing at least `minSharedGrams` distinct
+    * word n-grams (the GPT-3-style long-n-gram collision test).
+    *
+    * Plan shape: shingle both sides (narrow, distinct n-grams per doc),
+    * explode, join on the md5 of the gram (compact portable key), count
+    * shared grams per pair. Grams whose per-side document frequency
+    * exceeds `maxGramDf` are dropped before the join (window count on
+    * the join key — no extra exchange): a boilerplate n-gram appearing
+    * in k docs per side would contribute k² join rows while carrying no
+    * contamination signal. Audit what the cap dropped with
+    * [[contaminationGramOverflow]].
+    */
+  def contaminationScan(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 8,
+      minSharedGrams: Int = 2, maxGramDf: Int = 1000): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      withShingles(df, idCol, textCol, shingleN)
+        .select(col(idCol).as(as), explode(col("_grams")).as("_g"))
+        .select(col(as), md5(col("_g")).as("_gh"))
+    def capped(g: DataFrame) = capBuckets(g, Seq("_gh"), maxGramDf)
+    capped(grams(train, "train_id"))
+      .join(capped(grams(evalSet, "eval_id")), Seq("_gh"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .where(col("n_shared_grams") >= minSharedGrams)
+  }
+
+  /** Grams contaminationScan would drop at this cap (per side), with
+    * their document frequencies. */
+  def contaminationGramOverflow(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 8, maxGramDf: Int = 1000): DataFrame =
+    bucketOverflowOf(
+      withShingles(df, idCol, textCol, shingleN)
+        .select(col(idCol), explode(col("_grams")).as("_g"))
+        .select(col(idCol), md5(col("_g")).as("_gh")),
+      Seq("_gh"), maxGramDf)
+
   /** Exact n-gram Jaccard similarity of each doc against one query doc
     * (a one-row DataFrame, broadcast cross join — no driver collect):
     * |A∩B| / |A∪B| on distinct word n-grams. Integer set sizes → the

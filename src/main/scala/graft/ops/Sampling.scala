@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data curation.
+  *
+  * Every decision is a pure function of row CONTENT, not of RNG state:
+  * u(key) = (md5_upper(key) >>> 11) / 2^53, a uniform double in [0, 1)
+  * built from the same little-endian md5 half as the dedup hash chain
+  * (graft.functions.Md5Mix). Consequences that matter at 100 TB:
+  *   - re-running the sample yields byte-identical output (no seed
+  *     plumbing, no partition-order sensitivity — unlike df.sample,
+  *     whose draw depends on row order within partitions);
+  *   - appending new data never flips the verdict on existing rows, so
+  *     incremental pipelines can sample shards independently;
+  *   - identical texts sample identically — consistent with dedup;
+  *   - the exact sample is reproducible in DuckDB SQL
+  *     ((md5_number_upper(key) >> 11) / 9007199254740992.0), so sampling
+  *     operators are hash-exact oracle-checkable.
+  *
+  * The division is by a power of two and the mantissa fits in 53 bits,
+  * so u is FP-exact on both engines — a `u < rate` cut is deterministic.
+  */
+object Sampling {
+
+  /** Uniform [0,1) derived from a string column's content. */
+  def hashUniform(key: Column): Column =
+    call_function("shiftrightunsigned",
+      graft.functions.TextHashExpressions.md5Upper(key), lit(11))
+      .cast("double") / lit(9007199254740992.0) // 2^53
+
+  /** Content-keyed Bernoulli sample: keep rows with u(key) < rate. */
+  def uniformSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.where(hashUniform(col(keyCol)) < lit(rate))
+
+  /** Per-stratum rates — the balancing pass of a corpus pipeline (e.g.
+    * downsample the dominant language while keeping the tail): rows in a
+    * stratum missing from `rates` sample at `defaultRate`. Narrow (no
+    * shuffle): the rate is a when-chain over the stratum column. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.where(hashUniform(col(keyCol)) < rate)
+  }
+
+  /** Deterministic cap of n rows per key — the scalable "reservoir":
+    * rank rows within each key by (u(sortKey), sortKey) and keep the
+    * first n. One shuffle on the key; no RNG; stable under re-runs and
+    * across engines. */
+  def capPerKey(df: DataFrame, keyCol: String, sortKeyCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashUniform(col(sortKeyCol)), col(sortKeyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= n)
+      .drop("_rk")
+  }
+}

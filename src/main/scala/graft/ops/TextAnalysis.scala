@@ -102,4 +102,29 @@ object TextAnalysis {
     piiPatterns.foldLeft(text) { case (t, (_, pattern, repl)) =>
       regexp_replace(t, pattern, repl)
     }
+
+  /** Top-k most characteristic terms per document, ranked tf-idf-STYLE
+    * but in exact integers: (term frequency desc, document frequency
+    * asc, term asc). Integer ranking sidesteps the one non-portable part
+    * of classic tf-idf — ln() is not guaranteed bit-identical across
+    * engines — while ordering identically to tf·idf whenever tf ties
+    * break on rarity. Plan: explode (narrow) → (doc, term) hash-agg →
+    * term df hash-agg → broadcast-or-shuffle join back → per-doc window
+    * top-k. Both counts are emitted so callers can apply their own
+    * weighting downstream. */
+  def topTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
 }

@@ -344,10 +344,74 @@ object DataOpsQueries {
     },
     None)
 
+  /** Train/eval contamination scan (GPT-3-style 8-gram collision test):
+    * eval slice = doc_id ≡ 0 (mod 10), report pairs sharing ≥ 2 distinct
+    * 8-grams. Fully oracle-checked (shingles + md5 gram keys are
+    * portable). */
+  val d11Contamination = NamedQuery(
+    "d11_contamination",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationScan(
+        docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 8, minSharedGrams = 2)
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |        generate_series(1, len(toks) - 7),
+           |        i -> array_to_string(toks[i : i+7], ' ')))) AS gram
+           |      FROM t WHERE len(toks) >= 8),
+           |tr0 AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 10 <> 0),
+           |ev0 AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 10 = 0),
+           |tr AS (SELECT train_id, gram FROM
+           |        (SELECT train_id, gram, COUNT(*) OVER (PARTITION BY gram) AS dfc FROM tr0)
+           |       WHERE dfc <= 1000),
+           |ev AS (SELECT eval_id, gram FROM
+           |        (SELECT eval_id, gram, COUNT(*) OVER (PARTITION BY gram) AS dfc FROM ev0)
+           |       WHERE dfc <= 1000)
+           |SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+           |FROM tr JOIN ev USING (gram)
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin))
+
+  /** Deterministic content-keyed stratified sample: downsample the
+    * dominant language (en → 0.3), keep the tail. Hash-exact oracle —
+    * the sampling uniform is FP-exact on both engines (see
+    * graft.ops.Sampling). */
+  val d12StratifiedSample = NamedQuery(
+    "d12_stratified_sample",
+    (s, dir) => {
+      graft.ops.Sampling.stratifiedSample(Tables.documents(s, dir),
+          keyCol = "text", stratumCol = "lang",
+          rates = Map("en" -> 0.3), defaultRate = 1.0)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+    Some("""SELECT doc_id, lang, source FROM documents
+           |WHERE CAST(md5_number_upper(text) >> 11 AS DOUBLE) / 9007199254740992.0
+           |      < CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END""".stripMargin))
+
+  /** Top-5 characteristic terms per doc, integer-exact tf-idf-style
+    * ranking (tf desc, df asc, term) — see TextAnalysis.topTerms. */
+  val t06TopTerms = NamedQuery(
+    "t06_top_terms",
+    (s, dir) => {
+      TextAnalysis.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
+    },
+    Some("""WITH tf AS (
+           |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           |  GROUP BY 1, 2),
+           |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, term, tf, df, rank FROM (
+           |  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+           |         row_number() OVER (PARTITION BY tf.doc_id
+           |                            ORDER BY tf.tf DESC, d.df ASC, tf.term) AS rank
+           |  FROM tf JOIN d USING (term))
+           |WHERE rank <= 5""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
-    d09DedupResolve, d10AnnIvf,
+    d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
-    m01MediaMeta, m02MediaDecode)
+    t06TopTerms, m01MediaMeta, m02MediaDecode)
 }

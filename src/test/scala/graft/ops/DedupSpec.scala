@@ -130,6 +130,29 @@ class DedupSpec extends SparkSpec {
     assert(byDoc(4L) == ((4L, true)))
   }
 
+  test("contamination scan finds planted train/eval n-gram overlap, caps boilerplate") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"  // 8 tokens → one 8-gram
+    val train = Seq(
+      (1L, s"intro words here $shared trailing content one"),
+      (2L, "completely unrelated training document with other content words"),
+      (3L, s"another doc embedding $shared and more after it")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, s"eval set doc containing $shared inside its body"),
+      (101L, "clean evaluation document nothing shared at all here")).toDF("doc_id", "text")
+    val hits = Dedup.contaminationScan(train, eval_, "doc_id", "text",
+        shingleN = 8, minSharedGrams = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 100L), (3L, 100L)))
+    // a gram above the df cap is dropped: with cap 1 the shared gram
+    // (df 2 on the train side) no longer produces pairs
+    assert(Dedup.contaminationScan(train, eval_, "doc_id", "text",
+      shingleN = 8, minSharedGrams = 1, maxGramDf = 1).isEmpty)
+    val overflow = Dedup.contaminationGramOverflow(train, "doc_id", "text",
+        shingleN = 8, maxGramDf = 1)
+      .collect().map(_.getAs[Long]("n_members"))
+    assert(overflow.nonEmpty && overflow.forall(_ == 2L))
+  }
+
   test("shingles of a doc shorter than n are empty, not an error") {
     val tiny = Seq((1L, "hi")).toDF("doc_id", "text")
     val sig = Dedup.signatures(tiny, "doc_id", "text", shingleN = 3, numHashes = 4)

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0 until 400).map { i =>
+    (i.toLong, s"document number $i with some content", if (i % 4 == 0) "tail" else "en")
+  }.toDF("doc_id", "text", "lang")
+
+  test("hash sampling is deterministic and content-keyed") {
+    val a = Sampling.uniformSample(docs, "text", 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.uniformSample(docs, "text", 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)                       // re-run → identical sample
+    assert(a.nonEmpty && a.size < 400)   // actually samples
+    // repartitioning must not change the verdict (df.sample would)
+    val c = Sampling.uniformSample(docs.repartition(7), "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == c)
+  }
+
+  test("rate monotonicity: a lower-rate sample is a subset of a higher-rate one") {
+    val small = Sampling.uniformSample(docs, "text", 0.2).select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.uniformSample(docs, "text", 0.8).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    assert(small.size < big.size)
+  }
+
+  test("stratified rates apply per stratum; default covers the rest") {
+    val sampled = Sampling.stratifiedSample(docs, "text", "lang",
+      Map("en" -> 0.25), defaultRate = 1.0)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("tail") == 100)                 // rate 1.0 keeps everything
+    assert(byLang("en") > 30 && byLang("en") < 120) // ~25% of 300
+  }
+
+  test("capPerKey keeps exactly n deterministic rows per key") {
+    val capped = Sampling.capPerKey(docs, "lang", "text", n = 10)
+    val counts = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 10, "tail" -> 10))
+    val again = Sampling.capPerKey(docs.repartition(5), "lang", "text", n = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+}

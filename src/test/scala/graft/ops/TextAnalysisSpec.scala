@@ -82,4 +82,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(0).getDouble(0) == 2.0)
     assert(rows(0).getDouble(1) == 0.0)
   }
+
+  test("topTerms ranks by tf desc then rarity (df asc) then term, capped at k") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple banana banana cherry"),
+      (2L, "banana banana banana durian durian cherry")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val doc1 = got.filter(_._1 == 1L).sortBy(_._5)
+    // apple tf=3 wins; banana tf=2 beats cherry tf=1
+    assert(doc1.map(t => (t._2, t._3, t._5)).toSeq == Seq(("apple", 3L, 1L), ("banana", 2L, 2L)))
+    val doc2 = got.filter(_._1 == 2L).sortBy(_._5)
+    // banana tf=3 first; durian tf=2 (df=1, rarer than cherry df=2) second
+    assert(doc2.map(t => (t._2, t._3, t._5)).toSeq == Seq(("banana", 3L, 1L), ("durian", 2L, 2L)))
+    // df column counts documents containing the term corpus-wide
+    assert(got.find(t => t._2 == "banana").get._4 == 2L)
+  }
 }
