@@ -334,7 +334,10 @@ object DataOpsQueries {
 
   /** Decode + frame-sample pass over the media table — exercises the
     * mapPartitions plumbing end to end in the harness (stub codec, real
-    * batching/schema); rows-only (decoder output is impl-defined). */
+    * batching/schema). Oracle-checked: the STUB's dimensions/frame-count
+    * are pure functions of the payload byte length, so the sampled-frame
+    * output is SQL-reproducible (a real codec would be rows-only — the
+    * oracle checks the plumbing, not codec fidelity). */
   val m02MediaDecode = NamedQuery(
     "m02_media_decode",
     (s, dir) => {
@@ -342,7 +345,15 @@ object DataOpsQueries {
       val decoded = Multimodal.decode(s, media)
       Multimodal.sampleFrames(s, decoded, everyK = 4)
     },
-    None)
+    Some("""WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
+           |f AS (SELECT media_id,
+           |             CAST(64 + n % 512 AS INTEGER) AS width,
+           |             CAST(64 + (n // 7) % 512 AS INTEGER) AS height,
+           |             1 + n % 16 AS frames
+           |      FROM m)
+           |SELECT media_id, CAST(i AS INTEGER) AS frame_idx, width, height
+           |FROM f CROSS JOIN generate_series(0, 15) t(i)
+           |WHERE i < frames AND i % 4 = 0""".stripMargin))
 
   /** Train/eval contamination scan (GPT-3-style 8-gram collision test):
     * eval slice = doc_id ≡ 0 (mod 10), report pairs sharing ≥ 2 distinct
