@@ -347,9 +347,58 @@ object RelationalQueries {
            |       COUNT(*) AS n_events
            |FROM sess GROUP BY user_id, sid""".stripMargin))
 
+  /** Window navigation family: lag/lead, partition first, ntile,
+    * percent_rank, cume_dist. The order (o_orderdate, o_orderkey) is
+    * total, so every function is deterministic; percent_rank/cume_dist
+    * are single IEEE divisions of integers — bit-identical across
+    * engines. */
+  val q40WindowNav = NamedQuery(
+    "q40_window_nav",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |       lag(o_orderkey, 1) OVER w AS prev_key,
+           |       lead(o_orderkey, 1) OVER w AS next_key,
+           |       first_value(o_orderkey) OVER w AS first_key,
+           |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           |       percent_rank() OVER w AS pct_rank,
+           |       cume_dist() OVER w AS cume
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin))
+
+  /** Collection aggregate: collect_list sorted to a canonical order
+    * (aggregation order is nondeterministic on both engines — sorting is
+    * what makes the result well-defined), emitted as a joined string so
+    * the comparison stays scalar. */
+  val q41ArrayAgg = NamedQuery(
+    "q41_array_agg",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("l_linenumber").cast("long"))))
+            .as("lines"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT l_orderkey,
+           |       array_to_string(list_sort(list(CAST(l_linenumber AS BIGINT))), ',') AS lines,
+           |       COUNT(*) AS n_lines
+           |FROM lineitem GROUP BY l_orderkey""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q10JoinDims, q11JoinFact, q12SemiJoin, q13AntiJoin, q14OuterJoin,
     q15WindowTopk, q16WindowRunning, q17Top100, q18Rollup, q19Cube,
     q20GroupingSets, q21SetOps, q22Distinct, q23StringFuncs, q24DateFuncs,
-    q25CaseMath, q26CorrelatedSubq, q27AsofJoin, q28Tumbling, q29Sessionize)
+    q25CaseMath, q26CorrelatedSubq, q27AsofJoin, q28Tumbling, q29Sessionize,
+    q40WindowNav, q41ArrayAgg)
 }
