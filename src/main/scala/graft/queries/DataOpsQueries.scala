@@ -419,10 +419,34 @@ object DataOpsQueries {
            |  FROM tf JOIN d USING (term))
            |WHERE rank <= 5""".stripMargin))
 
+  /** Sequence packing (offset bin assignment per language, 512-token
+    * budget) — deterministic layout + running-sum cut, hash-exact oracle
+    * (see graft.ops.Packing). */
+  val d13SequencePack = NamedQuery(
+    "d13_sequence_pack",
+    (s, dir) => {
+      graft.ops.Packing.packByOffset(Tables.documents(s, dir),
+        "doc_id", "text", "lang", budgetTokens = 512)
+    },
+    Some("""WITH x AS (
+           |  SELECT doc_id, lang,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |         CAST(md5_number_upper(text) >> 11 AS DOUBLE) / 9007199254740992.0 AS u
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, lang, n_tokens,
+           |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+           |                             ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM x)
+           |SELECT doc_id, lang, n_tokens,
+           |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id
+           |FROM c""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
+    d13SequencePack,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, m01MediaMeta, m02MediaDecode)
 }

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0 until 120).map { i =>
+    val words = 3 + (i * 7) % 40 // 3..42 tokens
+    (i.toLong, Seq.fill(words)(s"w$i").mkString(" "), if (i % 3 == 0) "a" else "b")
+  }.toDF("doc_id", "text", "lang")
+
+  test("bins start at 0 per stratum and cover contiguous token offsets") {
+    val packed = Packing.packByOffset(docs, "doc_id", "text", "lang", budgetTokens = 100)
+    val byStratum = packed.collect()
+      .groupBy(_.getString(1))
+      .map { case (s, rows) => s -> rows.map(_.getLong(3)).distinct.sorted.toSeq }
+    byStratum.values.foreach { bins =>
+      assert(bins.head == 0L)
+      assert(bins == (bins.head to bins.last)) // no gaps
+    }
+  }
+
+  test("every bin's token total stays within budget + one max doc (offset property)") {
+    val budget = 100L
+    val packed = Packing.packByOffset(docs, "doc_id", "text", "lang", budget)
+    val maxDoc = 42L
+    val totals = packed.groupBy("lang", "bin_id").agg(sum("n_tokens").as("t"))
+      .collect().map(_.getAs[Long]("t"))
+    assert(totals.forall(_ <= budget + maxDoc))
+    // and packing is dense: every non-final bin holds more than budget - maxDoc
+    val perStratum = packed.collect().groupBy(r => (r.getString(1)))
+    perStratum.foreach { case (_, rows) =>
+      val byBin = rows.groupBy(_.getLong(3)).map { case (b, rs) => b -> rs.map(_.getLong(2)).sum }
+      val last = byBin.keys.max
+      byBin.filter(_._1 != last).values.foreach(t => assert(t > budget - maxDoc))
+    }
+  }
+
+  test("packing is deterministic under repartitioning") {
+    val a = Packing.packByOffset(docs, "doc_id", "text", "lang", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val b = Packing.packByOffset(docs.repartition(13), "doc_id", "text", "lang", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(a == b)
+  }
+}
