@@ -395,10 +395,45 @@ object RelationalQueries {
            |       COUNT(*) AS n_lines
            |FROM lineitem GROUP BY l_orderkey""".stripMargin))
 
+  /** Multiple DISTINCT aggregates in one pass — Catalyst plans the
+    * Expand-based rewrite (one shuffle, grouping-id lanes) instead of
+    * per-distinct subqueries. */
+  val q42MultiDistinct = NamedQuery(
+    "q42_multi_distinct",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(year(col("o_orderdate")).cast("long")).as("n_years"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT o_orderpriority,
+           |       COUNT(DISTINCT o_custkey) AS n_cust,
+           |       COUNT(DISTINCT CAST(year(o_orderdate) AS BIGINT)) AS n_years,
+           |       COUNT(*) AS n
+           |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
+  /** Null-key grouping semantics: NULL is a real group (Spark and ANSI
+    * SQL agree; pandas would drop it — the documented C-family semantic
+    * decision), and count(col) skips nulls while count(*) does not. */
+  val q43NullGroup = NamedQuery(
+    "q43_null_group",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k_raw", expr("get_json_object(props, '$.k')"))
+        .groupBy(col("k_raw"))
+        .agg(count(lit(1)).as("n"), count(col("k_raw")).as("n_nonnull"))
+    },
+    Some("""SELECT json_extract_string(props, '$.k') AS k_raw,
+           |       COUNT(*) AS n,
+           |       COUNT(json_extract_string(props, '$.k')) AS n_nonnull
+           |FROM events GROUP BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q10JoinDims, q11JoinFact, q12SemiJoin, q13AntiJoin, q14OuterJoin,
     q15WindowTopk, q16WindowRunning, q17Top100, q18Rollup, q19Cube,
     q20GroupingSets, q21SetOps, q22Distinct, q23StringFuncs, q24DateFuncs,
     q25CaseMath, q26CorrelatedSubq, q27AsofJoin, q28Tumbling, q29Sessionize,
-    q40WindowNav, q41ArrayAgg)
+    q40WindowNav, q41ArrayAgg, q42MultiDistinct, q43NullGroup)
 }
