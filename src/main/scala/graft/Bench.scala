@@ -46,9 +46,12 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces for the harness: the line on stdout (unprefixed via
     // run/outputStrategy), and a well-known file a parser can always read.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // stdout first — a write failure (read-only cwd) must not take the
+    // primary channel down with it.
     println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] bench_result.json not written: $e") }
     spark.stop()
   }
 }

@@ -108,10 +108,11 @@ object Fetcher {
           val root = try mapper.readTree(resp.body) catch {
             case _: com.fasterxml.jackson.core.JsonProcessingException => null
           }
+          val results = if (root == null) null else root.path("results")
           if (root == null) {
             why = "bad_json"
             url = null
-          } else if (!root.path("results").isArray || root.path("results").size == 0) {
+          } else if (!results.isArray || results.size == 0) {
             why = "exhausted"
             url = null
           } else {
@@ -119,7 +120,7 @@ object Fetcher {
             Files.write(outDir.resolve(s"${slug}_${table}_page_$page.json"),
               resp.body.getBytes(StandardCharsets.UTF_8))
             fetched += 1
-            records += root.path("results").size
+            records += results.size
             page += 1
             val next = root.path("next")
             url = if (next.isTextual) next.asText else null

@@ -2,7 +2,6 @@ package graft.ingest
 
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.nio.charset.StandardCharsets
 import java.time.Duration
 
 /** Production [[Fetcher.PageClient]] over java.net.http — the concrete
@@ -27,8 +26,12 @@ final class HttpPageClient(
     .build()
 
   override def get(url: String, headers: Map[String, String]): Fetcher.Response = {
+    // no-arg ofString honors the response's declared charset
+    // (Content-Type; UTF-8 only as the fallback) — forcing UTF-8 would
+    // mojibake a correctly-labelled non-UTF-8 body before it ever
+    // reached the raw layer
     val resp = client.send(HttpPageClient.buildRequest(url, headers, requestTimeout),
-      HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+      HttpResponse.BodyHandlers.ofString())
     Fetcher.Response(resp.statusCode(), resp.body())
   }
 }

@@ -314,25 +314,27 @@ object Dedup {
     * canonical keep decision (min doc id per cluster; docs with no
     * near-dup candidate keep themselves).
     *
-    * Docs shorter than shingleN have no shingles, so minhash can't see
-    * them at all — byte-identical short docs would silently survive as
-    * "non-duplicates". They get an exact-text dedup pass instead (one
-    * hash-agg, linear): each short doc pairs with the min-id doc of its
-    * identical-text group, and those pairs feed the same cluster
-    * resolution. */
+    * An exact-text dedup pass (one hash-agg, linear) runs over ALL docs
+    * alongside the LSH candidates, for two reasons: (a) docs shorter
+    * than shingleN have no shingles, so minhash can't see them at all;
+    * (b) a massively-duplicated document overflows every band bucket at
+    * once, so the bucket-size cap would drop all of its LSH pairs — the
+    * exact pass keeps byte-identical duplicates clustered no matter how
+    * many copies exist, and the cap only ever costs NEAR-dup recall on
+    * degenerate buckets. Each doc pairs with the min-id doc of its
+    * identical-text group; those pairs feed the same cluster resolution. */
   def resolveMinhashDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     val pairs = minhashCandidates(df, idCol, textCol, shingleN, numHashes,
-      bands, minEstJaccard)
-    val short = df.where(size(split(col(textCol), " ")) < shingleN)
-      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
-    val shortPairs = short
-      .join(short.groupBy(col("_text")).agg(min(col("doc_id")).as("_keep")), Seq("_text"))
+      bands, minEstJaccard, maxBucketSize)
+    val keyed = df.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    val exactPairs = keyed
+      .join(keyed.groupBy(col("_text")).agg(min(col("doc_id")).as("_keep")), Seq("_text"))
       .where(col("doc_id") =!= col("_keep"))
       .select(col("_keep").as("doc_a"), col("doc_id").as("doc_b"),
         lit(1.0).as("est_jaccard"))
-    val clusters = dupClusters(pairs.unionByName(shortPairs))
+    val clusters = dupClusters(pairs.unionByName(exactPairs))
     df.select(col(idCol).as("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -48,12 +48,16 @@ object Sampling {
   }
 
   /** Deterministic cap of n rows per key — the scalable "reservoir":
-    * rank rows within each key by (u(sortKey), sortKey) and keep the
-    * first n. One shuffle on the key; no RNG; stable under re-runs and
-    * across engines. */
-  def capPerKey(df: DataFrame, keyCol: String, sortKeyCol: String, n: Int): DataFrame = {
+    * rank rows within each key by (u(sortKey), id) and keep the first n.
+    * One shuffle on the key; no RNG; stable under re-runs and across
+    * engines. `idCol` must be unique per row — it is what keeps the
+    * order total when two rows share identical sortKey content (u and
+    * sortKey alone would tie, and row_number over a tie is
+    * partition-order-dependent). */
+  def capPerKey(df: DataFrame, keyCol: String, sortKeyCol: String,
+      idCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(hashUniform(col(sortKeyCol)), col(sortKeyCol))
+      .orderBy(hashUniform(col(sortKeyCol)), col(idCol))
     df.withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= n)
       .drop("_rk")

@@ -175,11 +175,16 @@ object Similarity {
     val bucketed = capTableBuckets(
       tableBucketed(embeddings, idCol, embCol, nTables, nPlanes, dim), maxBucketSize)
     // one side keeps its exact code, the other probes its 1-bit
-    // neighbourhood — together they cover code pairs within hamming 1
-    val probed = capTableBuckets(
-      bucketed.select(col("_id"), col("_e"), col("_n"), col("_tbl"),
-        explode(probeBuckets(col("_bucket"), nPlanes, multiProbeBits)).as("_bucket")),
-      maxBucketSize)
+    // neighbourhood — together they cover code pairs within hamming 1.
+    // The probe side is NOT re-capped on the probe key: the exact-bucket
+    // cap already bounds every neighbour bucket's membership, so join
+    // rows per (tbl, bucket) are ≤ cap² · (nPlanes + 1) — while a
+    // probe-key cap would drop a small bucket's own exact rows whenever
+    // its 1-bit neighbourhood is populous (losing true pairs that
+    // nearDupBucketOverflow, which counts exact membership, would never
+    // report).
+    val probed = bucketed.select(col("_id"), col("_e"), col("_n"), col("_tbl"),
+      explode(probeBuckets(col("_bucket"), nPlanes, multiProbeBits)).as("_bucket"))
     val a = bucketed.alias("a")
     val b = probed.alias("b")
     a.join(b, col("a._tbl") === col("b._tbl") && col("a._bucket") === col("b._bucket") &&

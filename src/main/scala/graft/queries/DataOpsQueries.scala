@@ -21,8 +21,13 @@ object DataOpsQueries {
     * expression reproduces bit for bit (asserted in
     * TextHashExpressionsSpec). Docs shorter than 3 tokens are excluded
     * (no shingles). */
+  // text IS NOT NULL on both engines: Spark's explode/split null
+  // semantics and DuckDB's unnest drop null-text rows DIFFERENTLY, so
+  // the hash-family queries exclude them symmetrically up front (current
+  // testdata has none — this is drift-proofing, not behavior change)
   private val minhashSigCte =
-    """t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    """t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+      |      WHERE text IS NOT NULL),
       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |        generate_series(1, len(toks) - 2),
       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
@@ -51,8 +56,8 @@ object DataOpsQueries {
   val d02MinhashSignatures = NamedQuery(
     "d02_minhash_signatures",
     (s, dir) => {
-      Dedup.signatures(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 3, numHashes = 16)
+      Dedup.signatures(Tables.documents(s, dir).where(col("text").isNotNull),
+          "doc_id", "text", shingleN = 3, numHashes = 16)
         .select(col("doc"), explode(Dedup.lshBands(col("sig"), bands = 4, rowsPerBand = 4)).as("b"))
         .select(col("doc").as("doc_id"), col("b.band").cast("long").as("band"), col("b.bucket"))
     },
@@ -89,10 +94,12 @@ object DataOpsQueries {
   val d04Simhash = NamedQuery(
     "d04_simhash",
     (s, dir) => {
-      Dedup.simhashes(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.simhashes(Tables.documents(s, dir).where(col("text").isNotNull),
+          "doc_id", "text")
         .select(col("doc").as("doc_id"), col("fp"))
     },
-    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+           |             WHERE text IS NOT NULL),
            |th AS (SELECT doc_id, md5_number_upper(tk) AS h FROM tok),
            |bits AS (SELECT doc_id, i,
            |                CASE WHEN SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
@@ -318,8 +325,8 @@ object DataOpsQueries {
   val d09DedupResolve = NamedQuery(
     "d09_dedup_resolve",
     (s, dir) => {
-      Dedup.resolveMinhashDups(Tables.documents(s, dir), "doc_id", "text",
-          minEstJaccard = 1.0)
+      Dedup.resolveMinhashDups(Tables.documents(s, dir).where(col("text").isNotNull),
+          "doc_id", "text", minEstJaccard = 1.0)
         .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
     },
     Some(s"""WITH $minhashSigCte,
@@ -425,14 +432,14 @@ object DataOpsQueries {
   val d13SequencePack = NamedQuery(
     "d13_sequence_pack",
     (s, dir) => {
-      graft.ops.Packing.packByOffset(Tables.documents(s, dir),
+      graft.ops.Packing.packByOffset(Tables.documents(s, dir).where(col("text").isNotNull),
         "doc_id", "text", "lang", budgetTokens = 512)
     },
     Some("""WITH x AS (
            |  SELECT doc_id, lang,
            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
            |         CAST(md5_number_upper(text) >> 11 AS DOUBLE) / 9007199254740992.0 AS u
-           |  FROM documents),
+           |  FROM documents WHERE text IS NOT NULL),
            |c AS (
            |  SELECT doc_id, lang, n_tokens,
            |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id

@@ -117,6 +117,20 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 
+  test("resolveMinhashDups clusters mass duplicates even when the bucket cap drops all LSH pairs") {
+    // 300 identical long docs overflow every band bucket at cap 100 —
+    // LSH contributes zero edges, the exact-text pass must still fold
+    // them into one cluster
+    val flood = (1L to 300L)
+      .map(i => (i, "the same long boilerplate sentence repeated across every document"))
+      .toDF("doc_id", "text")
+    val resolved = Dedup.resolveMinhashDups(flood, "doc_id", "text",
+        minEstJaccard = 0.9, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(resolved.forall(_._2 == 1L))
+    assert(resolved.count(_._3) == 1)
+  }
+
   test("resolveMinhashDups folds byte-identical short docs via the exact-text pass") {
     val tiny = Seq(
       (1L, "hi there"), (2L, "hi there"),          // < shingleN tokens, identical

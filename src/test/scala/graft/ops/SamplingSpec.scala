@@ -38,12 +38,23 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("capPerKey keeps exactly n deterministic rows per key") {
-    val capped = Sampling.capPerKey(docs, "lang", "text", n = 10)
+    val capped = Sampling.capPerKey(docs, "lang", "text", "doc_id", n = 10)
     val counts = capped.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("en" -> 10, "tail" -> 10))
-    val again = Sampling.capPerKey(docs.repartition(5), "lang", "text", n = 10)
+    val again = Sampling.capPerKey(docs.repartition(5), "lang", "text", "doc_id", n = 10)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("capPerKey stays deterministic when sort-key content is duplicated") {
+    // identical text everywhere → u(sortKey) ties on every row; the id
+    // tiebreaker must make the pick stable across partitionings
+    val dupes = (0 until 200).map(i => (i.toLong, "same text", "k")).toDF("doc_id", "text", "lang")
+    val a = Sampling.capPerKey(dupes, "lang", "text", "doc_id", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.capPerKey(dupes.repartition(11), "lang", "text", "doc_id", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a == Set(0L, 1L, 2L, 3L, 4L))
   }
 }
