@@ -27,6 +27,16 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact text dedup keyed by md5(text) instead of the text itself:
+    * the shuffle carries 32-char hashes, not documents — at corpus scale
+    * that is the difference between shuffling the dataset and shuffling
+    * ~1% of it. Equality classes match [[exact]] modulo md5 collisions
+    * (the standard dedup trade). Output: (text_hash, keep_id, n_copies). */
+  def exactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Word n-gram shingles OVER an already-projected token array column. */
   private def shinglesOver(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
@@ -328,9 +338,10 @@ object Dedup {
       minEstJaccard: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     val pairs = minhashCandidates(df, idCol, textCol, shingleN, numHashes,
       bands, minEstJaccard, maxBucketSize)
-    val keyed = df.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+    // keyed by md5(text): the exact pass shuffles hashes, not documents
+    val keyed = df.select(col(idCol).as("doc_id"), md5(col(textCol)).as("_th"))
     val exactPairs = keyed
-      .join(keyed.groupBy(col("_text")).agg(min(col("doc_id")).as("_keep")), Seq("_text"))
+      .join(keyed.groupBy(col("_th")).agg(min(col("doc_id")).as("_keep")), Seq("_th"))
       .where(col("doc_id") =!= col("_keep"))
       .select(col("_keep").as("doc_a"), col("doc_id").as("doc_b"),
         lit(1.0).as("est_jaccard"))

@@ -44,8 +44,7 @@ object DataOpsQueries {
   val d01DedupExact = NamedQuery(
     "d01_dedup_exact",
     (s, dir) => {
-      Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text"))
-        .select(md5(col("text")).as("text_hash"), col("keep_id"), col("n_copies"))
+      Dedup.exactByHash(Tables.documents(s, dir), "doc_id", "text")
     },
     Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
            |FROM documents GROUP BY text""".stripMargin))
