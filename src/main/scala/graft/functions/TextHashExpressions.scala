@@ -531,6 +531,90 @@ object TextHashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** graft_srp_codes(array<double>) -> array<long>: all nTables
+    * sign-random-projection bucket codes of a vector in ONE codegen
+    * pass. The composed form (transform × aggregate × per-plane
+    * graft_dot) runs nTables·nPlanes interpreted lambda frames per row —
+    * this is the ANN indexing hot loop, so it gets a native expression
+    * with the plane matrix attached as a reference object. Table t's
+    * code: bit p = sign of vec · planes[t·nPlanes + p]. Null elements
+    * contribute 0 to the dot (graft_dot convention). */
+  case class SrpCodes(child: Expression, planes: Array[Array[Double]], nTables: Int)
+      extends UnaryExpression {
+
+    require(nTables > 0 && planes.length % nTables == 0,
+      s"planes (${planes.length}) must be a multiple of nTables ($nTables)")
+    private val nPlanes = planes.length / nTables
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.catalogString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_srp_codes"
+
+    override def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData]
+      val n = vec.numElements()
+      val codes = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var code = 0L
+        var p = 0
+        while (p < nPlanes) {
+          val plane = planes(t * nPlanes + p)
+          val dims = math.min(n, plane.length)
+          var acc = 0.0
+          var i = 0
+          while (i < dims) {
+            if (!vec.isNullAt(i)) acc += vec.getDouble(i) * plane(i)
+            i += 1
+          }
+          if (acc > 0) code |= (1L << p)
+          p += 1
+        }
+        codes(t) = code
+        t += 1
+      }
+      new GenericArrayData(codes)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, vec => {
+        val codes = ctx.freshName("codes")
+        val t = ctx.freshName("t")
+        val p = ctx.freshName("p")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val code = ctx.freshName("code")
+        val plane = ctx.freshName("plane")
+        val dims = ctx.freshName("dims")
+        s"""
+           |long[] $codes = new long[$nTables];
+           |for (int $t = 0; $t < $nTables; $t++) {
+           |  long $code = 0L;
+           |  for (int $p = 0; $p < $nPlanes; $p++) {
+           |    double[] $plane = $planesRef[$t * $nPlanes + $p];
+           |    int $dims = java.lang.Math.min($vec.numElements(), $plane.length);
+           |    double $acc = 0.0;
+           |    for (int $i = 0; $i < $dims; $i++) {
+           |      if (!$vec.isNullAt($i)) $acc += $vec.getDouble($i) * $plane[$i];
+           |    }
+           |    if ($acc > 0) $code |= (1L << $p);
+           |  }
+           |  $codes[$t] = $code;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SrpCodes =
+      copy(child = newChild)
+  }
+
   private def intLiteral(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -609,6 +693,9 @@ object TextHashExpressions {
     toCol(PortableSimHash(expr(tokens)))
   def md5Upper(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     toCol(Md5Upper(expr(s)))
+  def srpCodes(vec: org.apache.spark.sql.Column, planes: Array[Array[Double]],
+      nTables: Int): org.apache.spark.sql.Column =
+    toCol(SrpCodes(expr(vec), planes, nTables))
   def dotProduct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     toCol(DotProduct(expr(a), expr(b)))
   def shingles(tokens: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =

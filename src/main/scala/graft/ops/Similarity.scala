@@ -91,11 +91,20 @@ object Similarity {
   }
 
   /** LSH amplification: nTables independent nPlanes-bit SRP codes per
-    * vector — array<struct<tbl,bucket>>. A pair collides if it shares any
-    * table's bucket (recall 1-(1-p^k)^L instead of p^k), which is what
-    * lets the code width stay selective (few candidates per bucket) while
-    * recall stays high. Tables t uses planes [t·nPlanes, (t+1)·nPlanes)
-    * of one deterministic matrix. */
+    * vector. A pair collides if it shares any table's bucket (recall
+    * 1-(1-p^k)^L instead of p^k), which is what lets the code width stay
+    * selective (few candidates per bucket) while recall stays high.
+    * Table t uses planes [t·nPlanes, (t+1)·nPlanes) of one deterministic
+    * matrix. Returns array<long> of the nTables codes (index = table id)
+    * — computed by the native one-pass graft_srp_codes expression; the
+    * composed transform×aggregate×dot form runs nTables·nPlanes
+    * interpreted lambda frames per row on this exact hot loop. */
+  def srpTableCodes(q: Column, nTables: Int, nPlanes: Int, dim: Int): Column =
+    graft.functions.TextHashExpressions.srpCodes(
+      q, planeMatrix(nTables * nPlanes, dim).map(_.toArray).toArray, nTables)
+
+  /** Composed-builtin form of [[srpTableCodes]] as array<struct> — kept
+    * as the semantics cross-check for the native expression. */
   def srpTableBucketsQ(q: Column, nTables: Int, nPlanes: Int, dim: Int): Column = {
     val planes = typedlit(planeMatrix(nTables * nPlanes, dim))
     transform(sequence(lit(0), lit(nTables - 1)), t =>
@@ -144,15 +153,16 @@ object Similarity {
     if (rows.isEmpty) 0 else rows(0).getInt(0)
   }
 
-  /** (id, e, n, tbl, bucket) rows — one per (vector, table). */
+  /** (id, e, n, tbl, bucket) rows — one per (vector, table); the table
+    * id is the position in the native codes array (posexplode). */
   private def tableBucketed(embeddings: DataFrame, idCol: String, embCol: String,
       nTables: Int, nPlanes: Int, dim: Int): DataFrame =
     embeddings
       .select(col(idCol).as("_id"), quantize(col(embCol)).as("_e"))
       .select(col("_id"), col("_e"), norm(col("_e")).as("_n"),
-        explode(srpTableBucketsQ(col("_e"), nTables, nPlanes, dim)).as("_tb"))
-      .select(col("_id"), col("_e"), col("_n"),
-        col("_tb.tbl").as("_tbl"), col("_tb.bucket").as("_bucket"))
+        posexplode(srpTableCodes(col("_e"), nTables, nPlanes, dim)))
+      .withColumnRenamed("pos", "_tbl")
+      .withColumnRenamed("col", "_bucket")
 
   /** Embedding near-duplicate pairs: SRP-bucket every vector once (one
     * narrow projection), self-join within bucket, keep pairs whose exact
@@ -294,9 +304,10 @@ object Similarity {
     val qs = queries
       .select(col(queryIdCol).as("query_id"), quantize(col(embCol)).as("_qe"))
       .select(col("query_id"), col("_qe"), norm(col("_qe")).as("_qn"),
-        explode(srpTableBucketsQ(col("_qe"), nTables, nPlanes, dim)).as("_tb"))
-      .select(col("query_id"), col("_qe"), col("_qn"), col("_tb.tbl").as("_tbl"),
-        explode(probeBuckets(col("_tb.bucket"), nPlanes, multiProbeBits)).as("_bucket"))
+        posexplode(srpTableCodes(col("_qe"), nTables, nPlanes, dim)))
+      .withColumnRenamed("pos", "_tbl")
+      .select(col("query_id"), col("_qe"), col("_qn"), col("_tbl"),
+        explode(probeBuckets(col("col"), nPlanes, multiProbeBits)).as("_bucket"))
     val scored = data.join(qs, Seq("_tbl", "_bucket"))
       .where(col("data_id") =!= col("query_id"))
       .select(col("query_id"), col("data_id"),

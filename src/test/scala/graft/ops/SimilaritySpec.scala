@@ -102,6 +102,21 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 8, s"top-1 recall $hits/10 at default dials")
   }
 
+  test("native graft_srp_codes == composed table-bucket form, table for table") {
+    val df = planted.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val native = df.select(col("vec_id"),
+        Similarity.srpTableCodes(col("q"), nTables = 4, nPlanes = 12, dim = plantedDim).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = df.select(col("vec_id"),
+        Similarity.srpTableBucketsQ(col("q"), nTables = 4, nPlanes = 12, dim = plantedDim).as("tb"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .sortBy(_.getInt(0)).map(_.getLong(1))
+      }.toMap
+    assert(native.keySet == composed.keySet)
+    native.keySet.foreach(k => assert(native(k) == composed(k), s"vec $k"))
+  }
+
   test("near-dup bucket cap: identical-vector floods are dropped and auditable") {
     val flood = (0 until 500).map(i => (i.toLong, Array(1.0f, 0.5f, -0.25f, 0.125f)))
       .toDF("vec_id", "embedding")
