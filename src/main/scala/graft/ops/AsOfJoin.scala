@@ -50,7 +50,7 @@ object AsOfJoin {
     val leftSide = left.select(
       col(key).as("_k"), col(ts).as("_ts"), lit(1).as("_side"),
       lit(null).cast(tieType).as("_tie"), lit(null).cast(payloadType).as("_payload"),
-      struct(left.columns.map(col): _*).as("_row"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_row"))
 
     val unioned = rightSide
       .withColumn("_row", lit(null).cast(leftSide.schema("_row").dataType))
