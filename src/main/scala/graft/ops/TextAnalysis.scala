@@ -103,6 +103,29 @@ object TextAnalysis {
       regexp_replace(t, pattern, repl)
     }
 
+  /** Gopher-style repetition signals: per-doc duplicate n-gram fraction
+    * (1 - distinct/total) for word bigrams and trigrams — the standard
+    * filter for boilerplate/repetitive text in pretraining pipelines.
+    * One NARROW pass: totals are arithmetic on the token count, distinct
+    * counts come from the one-pass graft_shingles expression; a scan
+    * stays a scan (no shuffle, no explode). */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextHashExpressions.shingles
+    def frac(distinct: Column, total: Column): Column =
+      when(total > 0, lit(1.0) - distinct.cast("double") / total).otherwise(lit(0.0))
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+      .select(col("doc_id"),
+        greatest(size(col("_toks")) - 1, lit(0)).cast("long").as("bi_total"),
+        size(shingles(col("_toks"), 2)).cast("long").as("bi_distinct"),
+        greatest(size(col("_toks")) - 2, lit(0)).cast("long").as("tri_total"),
+        size(shingles(col("_toks"), 3)).cast("long").as("tri_distinct"))
+      .select(col("doc_id"), col("bi_total"), col("bi_distinct"),
+        frac(col("bi_distinct"), col("bi_total")).as("bi_dup_frac"),
+        col("tri_total"), col("tri_distinct"),
+        frac(col("tri_distinct"), col("tri_total")).as("tri_dup_frac"))
+  }
+
   /** Top-k most characteristic terms per document, ranked tf-idf-STYLE
     * but in exact integers: (term frequency desc, document frequency
     * asc, term asc). Integer ranking sidesteps the one non-portable part

@@ -448,11 +448,40 @@ object DataOpsQueries {
            |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id
            |FROM c""".stripMargin))
 
+  /** Gopher-style repetition filter signals: duplicate word-n-gram
+    * fractions per doc, single narrow pass (see
+    * TextAnalysis.repetitionStats). */
+  val t07Repetition = NamedQuery(
+    "t07_repetition",
+    (s, dir) => {
+      TextAnalysis.repetitionStats(
+        Tables.documents(s, dir).where(col("text").isNotNull), "doc_id", "text")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |           WHERE text IS NOT NULL),
+           |c AS (SELECT doc_id,
+           |             CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS bi_total,
+           |             CAST(len(list_distinct(list_transform(
+           |               generate_series(1, len(toks) - 1),
+           |               i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS bi_distinct,
+           |             CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS tri_total,
+           |             CAST(len(list_distinct(list_transform(
+           |               generate_series(1, len(toks) - 2),
+           |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS BIGINT) AS tri_distinct
+           |      FROM t)
+           |SELECT doc_id, bi_total, bi_distinct,
+           |       CASE WHEN bi_total > 0
+           |            THEN 1.0 - CAST(bi_distinct AS DOUBLE) / bi_total ELSE 0.0 END AS bi_dup_frac,
+           |       tri_total, tri_distinct,
+           |       CASE WHEN tri_total > 0
+           |            THEN 1.0 - CAST(tri_distinct AS DOUBLE) / tri_total ELSE 0.0 END AS tri_dup_frac
+           |FROM c""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
     d13SequencePack,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
-    t06TopTerms, m01MediaMeta, m02MediaDecode)
+    t06TopTerms, t07Repetition, m01MediaMeta, m02MediaDecode)
 }

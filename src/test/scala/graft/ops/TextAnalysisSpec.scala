@@ -83,6 +83,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(0).getDouble(1) == 0.0)
   }
 
+  test("repetitionStats: repeated text scores high dup fraction, varied text scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),   // 5 bigrams, 1 distinct
+      (2L, "all words completely different here"), // 4 bigrams, 4 distinct
+      (3L, "hi"),                               // no bigrams
+      (4L, "a b a b a b")                       // 5 bigrams, 2 distinct
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(6)))).toMap
+    assert(got(1L) == ((5L, 1L, 1.0 - 1.0 / 5, 1.0 - 1.0 / 4)))
+    assert(got(2L) == ((4L, 4L, 0.0, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0, 0.0)))
+    assert(got(4L)._3 == 1.0 - 2.0 / 5) // "a b"/"b a" alternate
+  }
+
   test("topTerms ranks by tf desc then rarity (df asc) then term, capped at k") {
     import spark.implicits._
     val docs = Seq(
