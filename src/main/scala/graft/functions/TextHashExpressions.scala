@@ -571,7 +571,10 @@ object TextHashExpressions {
             if (!vec.isNullAt(i)) acc += vec.getDouble(i) * plane(i)
             i += 1
           }
-          if (acc > 0) code |= (1L << p)
+          // NaN counts as positive — Spark SQL's NaN-is-largest ordering
+          // (what the composed when(dot > 0) form evaluates to), kept so
+          // native and composed bucket NaN-bearing vectors identically
+          if (acc > 0 || java.lang.Double.isNaN(acc)) code |= (1L << p)
           p += 1
         }
         codes(t) = code
@@ -602,7 +605,7 @@ object TextHashExpressions {
            |    for (int $i = 0; $i < $dims; $i++) {
            |      if (!$vec.isNullAt($i)) $acc += $vec.getDouble($i) * $plane[$i];
            |    }
-           |    if ($acc > 0) $code |= (1L << $p);
+           |    if ($acc > 0 || java.lang.Double.isNaN($acc)) $code |= (1L << $p);
            |  }
            |  $codes[$t] = $code;
            |}

@@ -114,12 +114,15 @@ object TextAnalysis {
     import graft.functions.TextHashExpressions.shingles
     def frac(distinct: Column, total: Column): Column =
       when(total > 0, lit(1.0) - distinct.cast("double") / total).otherwise(lit(0.0))
+    // greatest(..., 0) coerces BOTH the null-text case (size(null) → null,
+    // greatest skips nulls → 0) and the shorter-than-n case (negative) —
+    // a null-text row yields all-zero counts, never distinct > total
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
       .select(col("doc_id"),
         greatest(size(col("_toks")) - 1, lit(0)).cast("long").as("bi_total"),
-        size(shingles(col("_toks"), 2)).cast("long").as("bi_distinct"),
+        greatest(size(shingles(col("_toks"), 2)), lit(0)).cast("long").as("bi_distinct"),
         greatest(size(col("_toks")) - 2, lit(0)).cast("long").as("tri_total"),
-        size(shingles(col("_toks"), 3)).cast("long").as("tri_distinct"))
+        greatest(size(shingles(col("_toks"), 3)), lit(0)).cast("long").as("tri_distinct"))
       .select(col("doc_id"), col("bi_total"), col("bi_distinct"),
         frac(col("bi_distinct"), col("bi_total")).as("bi_dup_frac"),
         col("tri_total"), col("tri_distinct"),

@@ -115,6 +115,15 @@ class SimilaritySpec extends SparkSpec {
       }.toMap
     assert(native.keySet == composed.keySet)
     native.keySet.foreach(k => assert(native(k) == composed(k), s"vec $k"))
+    // NaN-bearing vectors: Spark's NaN-is-largest ordering means every
+    // plane reads "positive" — native must agree with the composed form
+    val nanDf = Seq((0L, Array(Float.NaN, 1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val nNan = nanDf.select(Similarity.srpTableCodes(col("q"), 2, 4, 3).as("c"))
+      .collect()(0).getSeq[Long](0)
+    val cNan = nanDf.select(Similarity.srpTableBucketsQ(col("q"), 2, 4, 3).as("tb"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0).sortBy(_.getInt(0)).map(_.getLong(1))
+    assert(nNan == cNan && nNan.forall(_ == 15L)) // all 4 bits set per table
   }
 
   test("near-dup bucket cap: identical-vector floods are dropped and auditable") {

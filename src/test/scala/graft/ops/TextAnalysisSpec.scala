@@ -98,6 +98,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) == ((4L, 4L, 0.0, 0.0)))
     assert(got(3L) == ((0L, 0L, 0.0, 0.0)))
     assert(got(4L)._3 == 1.0 - 2.0 / 5) // "a b"/"b a" alternate
+    // null text: an all-zero row, never distinct > total
+    val withNull = Seq((9L, null: String)).toDF("doc_id", "text")
+    val nr = TextAnalysis.repetitionStats(withNull, "doc_id", "text").collect()(0)
+    assert((1 to 6).map(i => nr.get(i)) == Seq(0L, 0L, 0.0, 0L, 0L, 0.0))
   }
 
   test("topTerms ranks by tf desc then rarity (df asc) then term, capped at k") {
