@@ -210,7 +210,61 @@ object ExtendedQueries {
            |WHERE year(CAST(o_orderdate AS DATE)) = 1996
            |GROUP BY n_name""".stripMargin))
 
+  /** JSON scalar family, typed-parse path: from_json with a declared
+    * schema (vs q43's get_json_object string extraction) feeding an
+    * aggregation. The parse is a narrow codegen'd projection — a scan
+    * stays a scan; only the 5-group aggregate exchanges. */
+  val q44JsonFuncs = NamedQuery(
+    "q44_json_funcs",
+    (s, dir) => {
+      val k = from_json(col("props"), "k LONG", Map.empty[String, String]).getField("k")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("k")).as("k_sum"),
+          max(col("k")).as("k_max"),
+          count(col("k")).as("n_k"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT event_type,
+           |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           |       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+           |       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k,
+           |       COUNT(*) AS n
+           |FROM events GROUP BY event_type""".stripMargin))
+
+  /** Higher-order array functions (transform / aggregate / filter /
+    * array_max) over the embedding column, on the d06 integer-quantize
+    * recipe (round(x*1000) — HALF_UP on both engines) so the per-row
+    * reductions are exact integer arithmetic. Single narrow projection,
+    * zero shuffles — the per-row form of the similarity hot loop. */
+  val q45ArrayHof = NamedQuery(
+    "q45_array_hof",
+    (s, dir) => {
+      val qe = transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long"))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), qe.as("e"))
+        .select(
+          col("vec_id"),
+          size(col("e")).cast("long").as("n_dims"),
+          aggregate(col("e"), lit(0L), (acc, x) => acc + x * x).as("qnorm2"),
+          array_max(col("e")).as("qmax"),
+          size(filter(col("e"), x => x > 0)).cast("long").as("n_pos"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id,
+           |         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 1000) AS BIGINT)) AS e
+           |  FROM embeddings)
+           |SELECT vec_id,
+           |       CAST(len(e) AS BIGINT) AS n_dims,
+           |       CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS qnorm2,
+           |       list_max(e) AS qmax,
+           |       CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos
+           |FROM q""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
-    q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5)
+    q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
+    q44JsonFuncs, q45ArrayHof)
 }
