@@ -448,6 +448,26 @@ object DataOpsQueries {
            |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id
            |FROM c""".stripMargin))
 
+  /** Deterministic per-key cap (the scalable "reservoir" of corpus
+    * balancing): at most 50 docs per language, ranked by the same
+    * content-keyed uniform as d12 — one shuffle on the key, no RNG,
+    * hash-exact oracle (see graft.ops.Sampling.capPerKey). */
+  val d14CapPerKey = NamedQuery(
+    "d14_cap_per_key",
+    (s, dir) => {
+      graft.ops.Sampling.capPerKey(
+          Tables.documents(s, dir).where(col("text").isNotNull),
+          keyCol = "lang", sortKeyCol = "text", idCol = "doc_id", n = 50)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+    Some("""SELECT doc_id, lang, source FROM (
+           |  SELECT doc_id, lang, source,
+           |         row_number() OVER (PARTITION BY lang
+           |           ORDER BY CAST(md5_number_upper(text) >> 11 AS DOUBLE) / 9007199254740992.0,
+           |                    doc_id) AS rk
+           |  FROM documents WHERE text IS NOT NULL)
+           |WHERE rk <= 50""".stripMargin))
+
   /** Gopher-style repetition filter signals: duplicate word-n-gram
     * fractions per doc, single narrow pass (see
     * TextAnalysis.repetitionStats). */
@@ -481,7 +501,7 @@ object DataOpsQueries {
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
-    d13SequencePack,
+    d13SequencePack, d14CapPerKey,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, m01MediaMeta, m02MediaDecode)
 }
