@@ -200,6 +200,49 @@ object Dedup {
     bucketOverflowOf(minhashBanded(df, idCol, textCol, shingleN, numHashes, bands),
       Seq("band", "bucket"), maxBucketSize)
 
+  /** Exact-Jaccard verification of candidate pairs — the verify stage of
+    * the candidates→verify dedup pipeline: recompute the TRUE distinct
+    * n-gram Jaccard, but only for the supplied (aCol, bCol) pairs, so the
+    * exact set arithmetic costs O(candidate gram volume), never O(n²).
+    *
+    * Plan shape: gram sets are exploded once and semi-joined down to the
+    * docs that appear in any pair BEFORE the big shuffles (the id list is
+    * tiny relative to the corpus — Spark broadcasts it), then one join
+    * per pair side keyed on md5(gram) (32-char keys travel, not gram
+    * text). Pairs sharing zero grams survive with n_shared = 0 (left
+    * join); pairs referencing a doc with no shingles (< shingleN tokens,
+    * Jaccard undefined) drop out. jaccard = n_shared/(n_a+n_b-n_shared)
+    * is a single IEEE division of longs — bit-deterministic. */
+  def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      shingleN: Int = 3): DataFrame = {
+    val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
+    val ids = p.select(col("doc_a").as("_gid"))
+      .unionByName(p.select(col("doc_b").as("_gid"))).distinct()
+    val grams = withShingles(df, idCol, textCol, shingleN)
+      .where(size(col("_grams")) > 0)
+      .select(col(idCol).as("_gid"), col("_grams"))
+      .join(ids, Seq("_gid"), "left_semi")
+    val counts = grams.select(col("_gid"), size(col("_grams")).cast("long").as("_ng"))
+    val exploded = grams
+      .select(col("_gid"), explode(col("_grams")).as("_g"))
+      .select(col("_gid"), md5(col("_g")).as("_gh"))
+    val shared = p
+      .join(exploded.withColumnRenamed("_gid", "doc_a"), Seq("doc_a"))
+      .join(exploded.withColumnRenamed("_gid", "doc_b"), Seq("doc_b", "_gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    p.join(shared, Seq("doc_a", "doc_b"), "left")
+      .join(counts.withColumnRenamed("_gid", "doc_a").withColumnRenamed("_ng", "n_a"),
+        Seq("doc_a"))
+      .join(counts.withColumnRenamed("_gid", "doc_b").withColumnRenamed("_ng", "n_b"),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"), col("n_a"), col("n_b"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+  }
+
   /** (doc, fp): 64-bit SimHash fingerprints via the native one-pass
     * expression — md5 chain (portable): bit i of fp is the sign of the
     * sum over tokens of (bit i of the token's first md5 half ? +1 : -1). */

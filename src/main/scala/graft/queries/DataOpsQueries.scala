@@ -448,6 +448,41 @@ object DataOpsQueries {
            |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id
            |FROM c""".stripMargin))
 
+  /** Candidates → exact-verify: the second stage of the standard dedup
+    * pipeline — true n-gram Jaccard recomputed ONLY for the LSH candidate
+    * pairs (work ∝ candidates, never n²; see Dedup.verifyJaccard).
+    * Fully oracle-checked: candidate generation replays the d03 band
+    * join, verification is integer set arithmetic + one IEEE division. */
+  val d15JaccardVerify = NamedQuery(
+    "d15_jaccard_verify",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minEstJaccard = 0.0)
+      Dedup.verifyJaccard(docs, "doc_id", "text", pairs)
+    },
+    Some(s"""WITH $minhashSigCte,
+            |bands AS (
+            |  SELECT doc_id, b AS band,
+            |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket
+            |  FROM sig CROSS JOIN generate_series(0, 3) bb(b)),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            |gd AS (SELECT doc_id, list_distinct(list_transform(
+            |         generate_series(1, len(toks) - 2),
+            |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+            |       FROM t WHERE len(toks) >= 3)
+            |SELECT doc_a, doc_b,
+            |       CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_shared,
+            |       CAST(len(ga.grams) AS BIGINT) AS n_a,
+            |       CAST(len(gb.grams) AS BIGINT) AS n_b,
+            |       CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+            |         / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+            |FROM cand JOIN gd ga ON ga.doc_id = cand.doc_a
+            |          JOIN gd gb ON gb.doc_id = cand.doc_b""".stripMargin))
+
   /** Deterministic per-key cap (the scalable "reservoir" of corpus
     * balancing): at most 50 docs per language, ranked by the same
     * content-keyed uniform as d12 — one shuffle on the key, no RNG,
@@ -501,7 +536,7 @@ object DataOpsQueries {
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
-    d13SequencePack, d14CapPerKey,
+    d13SequencePack, d14CapPerKey, d15JaccardVerify,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, m01MediaMeta, m02MediaDecode)
 }

@@ -37,6 +37,20 @@ class DedupSpec extends SparkSpec {
       pairs.forall { case ((a, b), j) => j <= 1.0 })
   }
 
+  test("verifyJaccard computes exact set arithmetic for supplied pairs only") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.verifyJaccard(docs, "doc_id", "text", pairs, shingleN = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("jaccard")))).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L))) // only the asked pairs
+    assert(got((1L, 2L)) == ((7L, 7L, 7L, 1.0)))            // identical: 7 trigrams
+    // doc3 swaps one word -> loses the 2 trigrams containing "lazy"
+    assert(got((1L, 3L)) == ((5L, 7L, 7L, 5.0 / 9.0)))
+    assert(got((1L, 4L))._1 == 0L && got((1L, 4L))._4 == 0.0) // zero-overlap pair kept
+  }
+
   test("simhash: identical docs → hamming 0; unrelated docs → large hamming") {
     val fps = Dedup.simhashes(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
