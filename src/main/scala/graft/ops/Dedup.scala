@@ -216,7 +216,15 @@ object Dedup {
   def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       shingleN: Int = 3): DataFrame = {
-    val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
+    // The pair list feeds four plan branches (id restriction ×2, the
+    // shared-gram join, the final assembly); without a barrier Spark
+    // re-derives the WHOLE candidate-generation subtree per branch (no
+    // exchange reuse — each branch prunes different columns). Candidate
+    // pairs are the small output of LSH by construction, so the
+    // scale-correct move is the classic pipeline one: materialize them
+    // once. cache() is keyed by canonicalized plan, so repeated calls on
+    // the same pairs reuse one entry instead of piling up.
+    val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b")).cache()
     val ids = p.select(col("doc_a").as("_gid"))
       .unionByName(p.select(col("doc_b").as("_gid"))).distinct()
     val grams = withShingles(df, idCol, textCol, shingleN)
