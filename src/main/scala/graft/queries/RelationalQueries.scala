@@ -430,10 +430,35 @@ object RelationalQueries {
            |       COUNT(json_extract_string(props, '$.k')) AS n_nonnull
            |FROM events GROUP BY 1""".stripMargin))
 
+  /** RANGE window frame (value-based, not row-based): trailing 30-day
+    * revenue per customer. A distinct window execution path from
+    * q16/q40's ROWS frames — frame bounds move by ORDER-BY VALUE, so
+    * same-day orders are peers and enter the frame together, making the
+    * sum deterministic without a total order. Integer day + cents keep
+    * it hash-exact. */
+  val q46RangeFrame = NamedQuery(
+    "q46_range_frame",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, 0)
+      Tables.orders(s, dir)
+        .withColumn("day",
+          datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date")).cast("long"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          sum(Exact.cents(col("o_totalprice"))).over(w).as("cents_30d"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |       CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+           |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           |         PARTITION BY o_custkey
+           |         ORDER BY CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+           |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_30d
+           |FROM orders""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q10JoinDims, q11JoinFact, q12SemiJoin, q13AntiJoin, q14OuterJoin,
     q15WindowTopk, q16WindowRunning, q17Top100, q18Rollup, q19Cube,
     q20GroupingSets, q21SetOps, q22Distinct, q23StringFuncs, q24DateFuncs,
     q25CaseMath, q26CorrelatedSubq, q27AsofJoin, q28Tumbling, q29Sessionize,
-    q40WindowNav, q41ArrayAgg, q42MultiDistinct, q43NullGroup)
+    q40WindowNav, q41ArrayAgg, q42MultiDistinct, q43NullGroup, q46RangeFrame)
 }
