@@ -455,10 +455,47 @@ object RelationalQueries {
            |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_30d
            |FROM orders""".stripMargin))
 
+  /** Time-series resample with gap fill (the "date spine" primitive):
+    * hourly event counts per type INCLUDING empty hours. The spine is
+    * generated from a 1-row bounds aggregate × the tiny type dim
+    * (sequence + explode — broadcast-sized by construction); the fact
+    * side collapses to (type, hour) partials before the left join, so
+    * nothing here scales with raw event volume except the one
+    * pre-aggregation. 215 of 3600 output rows at sf0.01 are genuinely
+    * gap-filled zeros. */
+  val q47DateSpine = NamedQuery(
+    "q47_date_spine",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("hr", date_trunc("hour", col("ts")))
+      val counts = ev.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"), Exact.centsSum(col("value")).as("value_cents"))
+      val bounds = ev.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      val spine = bounds.crossJoin(ev.select(col("event_type")).distinct())
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+      spine.join(counts, Seq("event_type", "hr"), "left")
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+    },
+    Some("""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr, value FROM events),
+           |b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM e),
+           |ty AS (SELECT DISTINCT event_type FROM e),
+           |spine AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+           |          FROM b, ty),
+           |c AS (SELECT event_type, hr, COUNT(*) AS n,
+           |             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+           |      FROM e GROUP BY 1, 2)
+           |SELECT s.event_type, strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+           |       COALESCE(c.n, 0) AS n, COALESCE(c.value_cents, 0) AS value_cents
+           |FROM spine s LEFT JOIN c USING (event_type, hr)""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q10JoinDims, q11JoinFact, q12SemiJoin, q13AntiJoin, q14OuterJoin,
     q15WindowTopk, q16WindowRunning, q17Top100, q18Rollup, q19Cube,
     q20GroupingSets, q21SetOps, q22Distinct, q23StringFuncs, q24DateFuncs,
     q25CaseMath, q26CorrelatedSubq, q27AsofJoin, q28Tumbling, q29Sessionize,
-    q40WindowNav, q41ArrayAgg, q42MultiDistinct, q43NullGroup, q46RangeFrame)
+    q40WindowNav, q41ArrayAgg, q42MultiDistinct, q43NullGroup, q46RangeFrame,
+    q47DateSpine)
 }
