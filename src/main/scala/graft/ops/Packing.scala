@@ -26,6 +26,31 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Sliding-window token chunking — the splitting counterpart of
+    * packing: each doc becomes ceil-many overlapping chunks of up to
+    * `chunkSize` tokens, chunk i starting at token i·stride (overlap =
+    * chunkSize − stride). Entirely narrow (split → explode → slice, zero
+    * shuffles): a scan stays a scan at any corpus size. Chunk count per
+    * doc is ⌊(n−1)/stride⌋+1 — every token lands in ≥ 1 chunk and no
+    * chunk starts past the end; empty/null texts yield no rows.
+    * Output: (id, chunk_idx, n_chunk_tokens, chunk_text). */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride ($stride) <= chunkSize ($chunkSize) — a stride past " +
+        "the chunk end would silently drop the tokens between chunks")
+    df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0),
+          ((size(col("_toks")) - 1) / lit(stride)).cast("int"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkSize)).as("_chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("_chunk")).as("chunk_text"))
+  }
+
   /** (id, stratum, n_tokens, bin_id) — see object doc. */
   def packByOffset(df: DataFrame, idCol: String, textCol: String,
       stratumCol: String, budgetTokens: Long): DataFrame = {

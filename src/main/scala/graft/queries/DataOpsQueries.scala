@@ -503,6 +503,27 @@ object DataOpsQueries {
            |  FROM documents WHERE text IS NOT NULL)
            |WHERE rk <= 50""".stripMargin))
 
+  /** Sliding-window chunking (64-token chunks, stride 48): the doc →
+    * training-sequence splitting step. Narrow zero-shuffle plan;
+    * hash-exact oracle (chunk layout is pure integer arithmetic over the
+    * token array — see Packing.chunkByTokens). */
+  val d16ChunkSplit = NamedQuery(
+    "d16_chunk_split",
+    (s, dir) => {
+      graft.ops.Packing.chunkByTokens(
+        Tables.documents(s, dir).where(col("text").isNotNull),
+        "doc_id", "text", chunkSize = 64, stride = 48)
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |           WHERE text IS NOT NULL),
+           |c AS (SELECT doc_id, toks,
+           |             unnest(generate_series(0, (len(toks) - 1) // 48)) AS chunk_idx
+           |      FROM t WHERE len(toks) > 0)
+           |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |       CAST(len(toks[chunk_idx*48+1 : chunk_idx*48+64]) AS BIGINT) AS n_chunk_tokens,
+           |       array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text
+           |FROM c""".stripMargin))
+
   /** Gopher-style repetition filter signals: duplicate word-n-gram
     * fractions per doc, single narrow pass (see
     * TextAnalysis.repetitionStats). */
@@ -536,7 +557,7 @@ object DataOpsQueries {
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
-    d13SequencePack, d14CapPerKey, d15JaccardVerify,
+    d13SequencePack, d14CapPerKey, d15JaccardVerify, d16ChunkSplit,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, m01MediaMeta, m02MediaDecode)
 }

@@ -11,6 +11,24 @@ class PackingSpec extends SparkSpec {
     (i.toLong, Seq.fill(words)(s"w$i").mkString(" "), if (i % 3 == 0) "a" else "b")
   }.toDF("doc_id", "text", "lang")
 
+  test("chunkByTokens: overlapping chunks cover every token, last chunk short") {
+    val one = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val got = Packing.chunkByTokens(one, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .collect()
+      .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk_text")))
+    assert(got.toSeq == Seq(
+      (0L, 4L, "t0 t1 t2 t3"),
+      (1L, 4L, "t3 t4 t5 t6"),
+      (2L, 4L, "t6 t7 t8 t9"),
+      (3L, 1L, "t9")))
+    // a stride that would skip tokens is rejected loudly
+    intercept[IllegalArgumentException] {
+      Packing.chunkByTokens(one, "doc_id", "text", chunkSize = 4, stride = 5)
+    }
+  }
+
   test("bins start at 0 per stratum and cover contiguous token offsets") {
     val packed = Packing.packByOffset(docs, "doc_id", "text", "lang", budgetTokens = 100)
     val byStratum = packed.collect()
