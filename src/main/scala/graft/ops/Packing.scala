@@ -51,17 +51,44 @@ object Packing {
         concat_ws(" ", col("_chunk")).as("chunk_text"))
   }
 
-  /** (id, stratum, n_tokens, bin_id) — see object doc. */
+  /** (id, stratum, n_tokens, bin_id) — see object doc.
+    *
+    * The running token total is a DISTRIBUTED prefix sum, not one window
+    * over the whole stratum: a naive Window.partitionBy(stratum) puts
+    * every row of a stratum in a single task — with a handful of
+    * languages over 100 TB that is a 20 TB sort on one executor. Instead
+    * the layout order (u, id) is cut into `buckets` salt ranges (bucket =
+    * ⌊u·B⌋, monotone in u, so the global order is unchanged), the running
+    * sum runs per balanced (stratum, bucket) group, and each bucket's
+    * exclusive base offset comes from a tiny per-bucket totals aggregate
+    * (strata × buckets rows) broadcast back onto the stream. Output is
+    * bit-identical to the single-window form — same total order, same
+    * integer arithmetic — which is what the DuckDB oracle still checks.
+    */
   def packByOffset(df: DataFrame, idCol: String, textCol: String,
-      stratumCol: String, budgetTokens: Long): DataFrame = {
+      stratumCol: String, budgetTokens: Long, buckets: Int = 256): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(Sampling.hashUniform(col(textCol)), col(idCol))
+    require(buckets > 0, "buckets must be positive")
+    val base = df.select(col(idCol), col(stratumCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        Sampling.hashUniform(col(textCol)).as("_u"))
+      .withColumn("_bkt", floor(col("_u") * buckets).cast("int"))
+    // local running sum within each balanced (stratum, bucket) group
+    val wLocal = Window.partitionBy(col(stratumCol), col("_bkt"))
+      .orderBy(col("_u"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), col(stratumCol), col(textCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-      .withColumn("_cum", sum(col("n_tokens")).over(w))
+    val local = base.withColumn("_cum_local", sum(col("n_tokens")).over(wLocal))
+    // exclusive prefix of bucket totals within the stratum (tiny frame:
+    // one row per (stratum, bucket))
+    val wBase = Window.partitionBy(col(stratumCol)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy(col(stratumCol), col("_bkt"))
+      .agg(sum(col("n_tokens")).as("_tot"))
+      .withColumn("_base", sum(col("_tot")).over(wBase) - col("_tot"))
+      .select(col(stratumCol), col("_bkt"), col("_base"))
+    local.join(broadcast(offsets), Seq(stratumCol, "_bkt"))
       .select(col(idCol), col(stratumCol), col("n_tokens"),
-        floor((col("_cum") - col("n_tokens")) / budgetTokens).cast("long").as("bin_id"))
+        floor((col("_base") + col("_cum_local") - col("n_tokens")) / budgetTokens)
+          .cast("long").as("bin_id"))
   }
 }

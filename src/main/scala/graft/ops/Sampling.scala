@@ -53,7 +53,14 @@ object Sampling {
     * engines. `idCol` must be unique per row — it is what keeps the
     * order total when two rows share identical sortKey content (u and
     * sortKey alone would tie, and row_number over a tie is
-    * partition-order-dependent). */
+    * partition-order-dependent).
+    *
+    * Skew note: the row_number ≤ n filter plans as WindowGroupLimit on
+    * BOTH sides of the exchange (verified in the d14 physical plan), so
+    * each map task ships at most n rows per key — a dominant key costs
+    * n·partitions shuffled rows, not its full population. The
+    * stratum-sized-single-task ceiling that bites naive per-key windows
+    * does not apply here. */
   def capPerKey(df: DataFrame, keyCol: String, sortKeyCol: String,
       idCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
