@@ -86,7 +86,13 @@ object Packing {
       .agg(sum(col("n_tokens")).as("_tot"))
       .withColumn("_base", sum(col("_tot")).over(wBase) - col("_tot"))
       .select(col(stratumCol), col("_bkt"), col("_base"))
-    local.join(broadcast(offsets), Seq(stratumCol, "_bkt"))
+    // null-safe on the stratum: a null stratum is a legitimate window
+    // group, and a plain equi-join would silently drop those rows
+    val off = offsets
+      .withColumnRenamed(stratumCol, "_off_stratum")
+      .withColumnRenamed("_bkt", "_off_bkt")
+    local.join(broadcast(off),
+        col(stratumCol) <=> col("_off_stratum") && col("_bkt") === col("_off_bkt"))
       .select(col(idCol), col(stratumCol), col("n_tokens"),
         floor((col("_base") + col("_cum_local") - col("n_tokens")) / budgetTokens)
           .cast("long").as("bin_id"))

@@ -29,6 +29,16 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packByOffset keeps null-stratum rows as their own group") {
+    val withNulls = docs.withColumn("lang",
+      when(col("doc_id") % 5 === 0, lit(null: String)).otherwise(col("lang")))
+    val packed = Packing.packByOffset(withNulls, "doc_id", "text", "lang", budgetTokens = 100)
+    assert(packed.count() == 120)                         // nothing dropped
+    val nullBins = packed.where(col("lang").isNull).select("bin_id")
+      .collect().map(_.getLong(0)).distinct.sorted
+    assert(nullBins.nonEmpty && nullBins.head == 0L)       // binned from offset 0
+  }
+
   test("bins start at 0 per stratum and cover contiguous token offsets") {
     val packed = Packing.packByOffset(docs, "doc_id", "text", "lang", budgetTokens = 100)
     val byStratum = packed.collect()
