@@ -68,6 +68,25 @@ object Multimodal {
       }
   }
 
+  /** Resize planning: fit each frame inside a maxSide × maxSide box
+    * preserving aspect ratio, never upscaling. Pure integer arithmetic
+    * over the decoded dimensions — the PLAN is declarative (and
+    * oracle-checkable); the pixel work it parameterizes would live next
+    * to the codec in [[decode]]'s partition loop. */
+  def resizePlan(decoded: Dataset[DecodedMedia], maxSide: Int): DataFrame = {
+    require(maxSide > 0, "maxSide must be positive")
+    val longest = greatest(col("width"), col("height"))
+    val fits = longest <= maxSide
+    decoded.toDF().select(
+      col("media_id"), col("width"), col("height"),
+      when(fits, col("width"))
+        .otherwise(greatest(lit(1), ((col("width") * maxSide) / longest).cast("int")))
+        .as("out_width"),
+      when(fits, col("height"))
+        .otherwise(greatest(lit(1), ((col("height") * maxSide) / longest).cast("int")))
+        .as("out_height"))
+  }
+
   /** Frame sampling stub: every k-th "frame" index, shape-preserving. */
   def sampleFrames(spark: SparkSession, decoded: Dataset[DecodedMedia], everyK: Int): DataFrame = {
     import spark.implicits._

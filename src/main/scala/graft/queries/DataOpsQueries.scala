@@ -361,6 +361,26 @@ object DataOpsQueries {
            |FROM f CROSS JOIN generate_series(0, 15) t(i)
            |WHERE i < frames AND i % 4 = 0""".stripMargin))
 
+  /** Resize planning over decoded media (fit in a 224-box, aspect
+    * preserved, never upscale) — integer arithmetic over the stub
+    * decoder's dimensions, so the plan is SQL-reproducible like m02. */
+  val m03MediaResize = NamedQuery(
+    "m03_media_resize",
+    (s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.resizePlan(Multimodal.decode(s, media), maxSide = 224)
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
+           |d AS (SELECT media_id, CAST(64 + n % 512 AS INTEGER) AS width,
+           |             CAST(64 + (n // 7) % 512 AS INTEGER) AS height FROM m),
+           |g AS (SELECT *, greatest(width, height) AS longest FROM d)
+           |SELECT media_id, width, height,
+           |       CAST(CASE WHEN longest <= 224 THEN width
+           |            ELSE greatest(1, (width * 224) // longest) END AS INTEGER) AS out_width,
+           |       CAST(CASE WHEN longest <= 224 THEN height
+           |            ELSE greatest(1, (height * 224) // longest) END AS INTEGER) AS out_height
+           |FROM g""".stripMargin))
+
   /** Train/eval contamination scan (GPT-3-style 8-gram collision test):
     * eval slice = doc_id ≡ 0 (mod 10), report pairs sharing ≥ 2 distinct
     * 8-grams. Fully oracle-checked (shingles + md5 gram keys are
@@ -559,5 +579,5 @@ object DataOpsQueries {
     d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
     d13SequencePack, d14CapPerKey, d15JaccardVerify, d16ChunkSplit,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
-    t06TopTerms, t07Repetition, m01MediaMeta, m02MediaDecode)
+    t06TopTerms, t07Repetition, m01MediaMeta, m02MediaDecode, m03MediaResize)
 }

@@ -30,6 +30,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizePlan fits in the box, preserves aspect, never upscales") {
+    import Multimodal.DecodedMedia
+    val decoded = Seq(
+      DecodedMedia(1L, 100, 50, 1, Array.empty[Float]),   // fits: untouched
+      DecodedMedia(2L, 448, 224, 1, Array.empty[Float]),  // 2:1 landscape
+      DecodedMedia(3L, 10, 1000, 1, Array.empty[Float]),  // extreme portrait
+      DecodedMedia(4L, 224, 224, 1, Array.empty[Float])   // exact boundary
+    ).toDS()
+    val got = Multimodal.resizePlan(decoded, maxSide = 224)
+      .collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("out_width"), r.getAs[Int]("out_height")))).toMap
+    assert(got(1L) == ((100, 50)))   // no upscale
+    assert(got(2L) == ((224, 112)))  // scaled by 1/2, aspect kept
+    assert(got(3L) == ((2, 224)))    // floor(10*224/1000)=2, clamped >= 1
+    assert(got(4L) == ((224, 224)))  // boundary: untouched
+  }
+
   test("frame sampling emits every k-th frame index, shape preserved") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val decoded = Multimodal.decode(spark, media)
