@@ -62,17 +62,25 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic hyperplane sign matrix for (plane, dim): the xxhash64
-    * seed chain mapped to {-1, +1}. Computed ONCE on the driver and
-    * shipped as a literal — the earlier formulation re-hashed every
-    * (plane, dim) cell per ROW, nPlanes × dim wasted hashes on every
-    * vector in a 100 TB scan. Reproducible across runs, no stored model.
+  /** Deterministic Rademacher (±1) hyperplane matrix for (plane, dim) —
+    * sign = parity of the first md5 half of "srp:plane:dim", the SAME
+    * little-endian half as the dedup hash chain (graft.functions.Md5Mix),
+    * so the whole SRP bucketing is reproducible in DuckDB SQL
+    * (`md5_number_upper('srp:' || p || ':' || d) & 1`) — which is what
+    * gives d07/d08 full oracles. ±1 projections are the standard
+    * Achlioptas-style SRP variant (sign-of-dot preserves angles the same
+    * way Gaussian planes do). Computed ONCE on the driver and shipped as
+    * a literal — the earlier formulation re-hashed every (plane, dim)
+    * cell per ROW, nPlanes × dim wasted hashes on every vector in a
+    * 100 TB scan. Reproducible across runs and engines, no stored model.
     */
   def planeMatrix(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
     Seq.tabulate(nPlanes) { p =>
-      val seedP = XXH64.hashInt(p, 42L) // xxhash64(p, d) == hashInt(d, hashInt(p, 42))
-      Seq.tabulate(dim)(d => if ((XXH64.hashInt(d, seedP) & 1L) == 1L) 1.0 else -1.0)
+      Seq.tabulate(dim) { d =>
+        val h = graft.functions.Md5Mix.halves(UTF8String.fromString(s"srp:$p:$d"))(0)
+        if ((h & 1L) == 1L) 1.0 else -1.0
+      }
     }
   }
 

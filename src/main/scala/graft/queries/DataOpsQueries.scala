@@ -155,8 +155,32 @@ object DataOpsQueries {
            |FROM quant, q WHERE vec_id <> 0
            |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin))
 
-  /** LSH-bucketed ANN (sign random projections) — the scale path; no
-    * oracle (bucketing is hash-defined), rows-only check. */
+  /** Shared DuckDB CTE replaying the SRP bucketing for 4 tables × 6-bit
+    * codes: the plane matrix is Rademacher ±1 with sign = parity of
+    * md5_number_upper("srp:plane:dim") — the SAME derivation
+    * Similarity.planeMatrix computes on the driver, which is what turns
+    * the ANN queries from rows-only into hash-exact oracles. A 1-bit
+    * multi-probe collision (probe side explodes one-bit flips) is
+    * exactly `hamming(code_a, code_b) <= 1` on some table. */
+  private val srpCodesCte =
+    """q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |                                    x -> round(x * 1000)) AS e
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM q),
+      |dotp AS (SELECT q.vec_id, pp.pp,
+      |                list_sum(list_transform(generate_series(1, len(e)),
+      |                  d -> e[d] * (CASE WHEN md5_number_upper(
+      |                        'srp:' || pp.pp || ':' || (d - 1)) & 1 = 1
+      |                      THEN 1.0 ELSE -1.0 END))) AS dp
+      |         FROM q CROSS JOIN generate_series(0, 23) pp(pp)),
+      |codes AS (SELECT vec_id, pp // 6 AS t,
+      |                 CAST(SUM(CASE WHEN dp > 0 THEN (1 << (pp % 6)) ELSE 0 END) AS BIGINT) AS code
+      |          FROM dotp GROUP BY 1, 2)""".stripMargin
+
+  /** LSH-bucketed ANN (sign random projections) — the scale path.
+    * Oracle-checked: the md5-derived Rademacher planes make bucket codes
+    * engine-portable (see srpCodesCte), and the cosine re-rank is exact
+    * integer arithmetic + IEEE division. */
   val d07AnnLsh = NamedQuery(
     "d07_ann_lsh",
     (s, dir) => {
@@ -167,11 +191,26 @@ object DataOpsQueries {
       Similarity.lshBucketed(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 5), "vec_id", k = 5, nPlanes = 6)
     },
-    None)
+    Some(s"""WITH $srpCodesCte,
+            |cand AS (
+            |  SELECT DISTINCT qc.vec_id AS query_id, dc.vec_id AS data_id
+            |  FROM codes qc JOIN codes dc ON qc.t = dc.t
+            |    AND bit_count(xor(qc.code, dc.code)) <= 1
+            |  WHERE qc.vec_id < 5 AND dc.vec_id <> qc.vec_id),
+            |scored AS (
+            |  SELECT query_id, data_id,
+            |         list_dot_product(nq.e, nd.e) / (nd.nrm * nq.nrm) AS cos_sim
+            |  FROM cand JOIN n nq ON nq.vec_id = query_id
+            |            JOIN n nd ON nd.vec_id = data_id)
+            |SELECT query_id, data_id, cos_sim, rank FROM (
+            |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            |              ORDER BY cos_sim DESC, data_id) AS BIGINT) AS rank
+            |  FROM scored)
+            |WHERE rank <= 5""".stripMargin))
 
   /** Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
-    * cosine verify) — the vector-space member of the dedup family;
-    * rows-only (bucket membership is hash-defined). */
+    * cosine verify) — the vector-space member of the dedup family.
+    * Oracle-checked via the same portable SRP codes as d07. */
   val d08EmbeddingNeardup = NamedQuery(
     "d08_embedding_neardup",
     (s, dir) => {
@@ -180,7 +219,16 @@ object DataOpsQueries {
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
         minCosine = 0.3, nPlanes = 6)
     },
-    None)
+    Some(s"""WITH $srpCodesCte,
+            |cand AS (
+            |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            |  FROM codes a JOIN codes b ON a.t = b.t AND a.vec_id < b.vec_id
+            |    AND bit_count(xor(a.code, b.code)) <= 1)
+            |SELECT id_a, id_b,
+            |       list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) AS cos_sim
+            |FROM cand JOIN n na ON na.vec_id = id_a
+            |          JOIN n nb ON nb.vec_id = id_b
+            |WHERE list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) >= 0.3""".stripMargin))
 
   val t01LangId = NamedQuery(
     "t01_langid",
