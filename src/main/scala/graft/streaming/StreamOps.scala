@@ -111,6 +111,16 @@ object StreamOps {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
   }
 
+  /** Stream-static enrichment join: a streaming fact against a batch
+    * dimension. Stateless on the stream side (no watermark needed — each
+    * micro-batch joins the dim as-of execution), and the dim should be
+    * broadcast-sized: Spark re-plans the join per micro-batch, so a
+    * broadcast dim keeps every batch shuffle-free on the stream side —
+    * the streaming twin of the q10 broadcast-dim plan. */
+  def enrich(stream: DataFrame, dim: DataFrame, keyCol: String,
+      joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), joinType)
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/e2e harness). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

@@ -51,6 +51,22 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-static enrichment joins the broadcast dim per micro-batch") {
+    val mem = MemoryStream[(Long, Timestamp, String, Double)](spark, 1)
+    mem.addData(rows: _*)
+    val stream = mem.toDF.toDF("event_id", "ts", "event_type", "value")
+    val dim = Seq(("click", 10L), ("view", 20L)).toDF("event_type", "weight")
+    val got = StreamOps.runToMemory(spark,
+        StreamOps.enrich(stream, dim, "event_type"), "enrich_t")
+      .select("event_id", "weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = rows.toDF("event_id", "ts", "event_type", "value")
+      .join(dim, Seq("event_type"), "left")
+      .select("event_id", "weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch && got.size == 5)
+  }
+
   test("flatMapGroupsWithState accumulates running totals across batches") {
     val mem = MemoryStream[StreamOps.KeyedEvent](spark, 1)
     // no idle timeout in the test: processing-time timeouts make the
