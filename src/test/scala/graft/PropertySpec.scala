@@ -57,6 +57,86 @@ class PropertySpec extends SparkSpec {
     assert(Cleaning.coerceDoubleFillZero(garbage, "valor").as[Double].collect().forall(_ == 0.0))
   }
 
+  test("chunking reproduces exact token slices and covers every token") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      size <- Gen.chooseNum(1, 20)
+      stride <- Gen.chooseNum(1, size)
+    } yield (n, size, stride)
+    samples(gen, 10).foreach { case (n, size, stride) =>
+      val toks = (0 until n).map(i => s"t$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.ops.Packing.chunkByTokens(df, "doc_id", "text", size, stride)
+        .collect()
+        .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("n_chunk_tokens"),
+          r.getAs[String]("chunk_text")))
+        .sortBy(_._1)
+      assert(got.map(_._1).toSeq == (0L to ((n - 1) / stride).toLong))
+      got.foreach { case (i, m, text) =>
+        val expect = toks.slice(i.toInt * stride, math.min(i.toInt * stride + size, n))
+        assert(text == expect.mkString(" ") && m == expect.length.toLong)
+      }
+      // coverage: every token index falls inside some chunk
+      val covered = got.flatMap { case (i, m, _) =>
+        (i.toInt * stride) until (i.toInt * stride + m.toInt) }.toSet
+      assert(covered == (0 until n).toSet)
+    }
+  }
+
+  test("verifyJaccard equals driver-side set arithmetic on random pairs") {
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.chooseNum(1, 15).flatMap(k => Gen.listOfN(k, wordGen))
+    samples(Gen.listOfN(5, docGen), 6).foreach { docsToks =>
+      val docs = docsToks.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }.toDF("doc_id", "text")
+      val pairs = (for {
+        a <- docsToks.indices; b <- docsToks.indices if a < b
+      } yield (a.toLong, b.toLong)).toDF("doc_a", "doc_b")
+      val got = graft.ops.Dedup.verifyJaccard(docs, "doc_id", "text", pairs, shingleN = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          ((r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard")))).toMap
+      def grams(t: Seq[String]) = t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      for (a <- docsToks.indices; b <- docsToks.indices if a < b) {
+        val (ga, gb) = (grams(docsToks(a)), grams(docsToks(b)))
+        if (ga.isEmpty || gb.isEmpty)
+          assert(!got.contains((a.toLong, b.toLong))) // gramless side -> pair dropped
+        else {
+          val inter = (ga & gb).size.toLong
+          val (nShared, j) = got((a.toLong, b.toLong))
+          assert(nShared == inter)
+          assert(j == inter.toDouble / (ga.size + gb.size - inter))
+        }
+      }
+    }
+  }
+
+  test("offset packing equals the single-order driver-side recomputation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val wordGen = Gen.oneOf("x", "y", "z", "w")
+    val docGen = Gen.chooseNum(1, 30).flatMap(k => Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    val gen = Gen.listOfN(40, Gen.zip(docGen, Gen.oneOf("s1", "s2")))
+    samples(gen, 6).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((t, s), i) => (i.toLong, t, s) }.toDF("doc_id", "text", "lang")
+      val got = graft.ops.Packing.packByOffset(df, "doc_id", "text", "lang", budgetTokens = 25)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin_id")).toMap
+      def u(t: String) =
+        (graft.functions.Md5Mix.halves(UTF8String.fromString(t))(0) >>> 11).toDouble / 9007199254740992.0
+      val expected = rows.zipWithIndex.map { case ((t, s), i) =>
+        (i.toLong, t, s, t.split(" ").length.toLong)
+      }.groupBy(_._3).flatMap { case (_, rs) =>
+        var cum = 0L
+        rs.sortBy(r => (u(r._2), r._1)).map { case (id, _, _, n) =>
+          cum += n
+          id -> (cum - n) / 25
+        }
+      }
+      assert(got == expected)
+    }
+  }
+
   test("minhash estimated Jaccard is 1 for identical docs and in [0,1] always") {
     val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
     val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
