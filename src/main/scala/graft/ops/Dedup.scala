@@ -333,9 +333,14 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // seed with min(self, direct neighbours) — the first propagation
+    // round folded into one aggregate over the (cached) edge list, so the
+    // loop starts a hop ahead: shallow near-dup components (diameter ≤ 2,
+    // the common case) converge one full join-round earlier
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("_nmin"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("_nmin")).as("cluster_id"))
     var cached: DataFrame = null // previous cached generation, released each round
     var converged = false
     var iter = 0
