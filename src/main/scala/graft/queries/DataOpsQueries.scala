@@ -592,6 +592,39 @@ object DataOpsQueries {
            |       array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text
            |FROM c""".stripMargin))
 
+  /** Corpus statistics rollup — the "dataset card" aggregation a corpus
+    * pipeline publishes per (lang, source) stratum: doc/token/char
+    * volumes, exact-dup count (via md5, so the distinct shuffles 32-char
+    * hashes, not documents), mean doc length. One hash-aggregate with a
+    * single distinct (Catalyst's Expand rewrite); integer-exact except
+    * the one final IEEE division. */
+  val d17CorpusStats = NamedQuery(
+    "d17_corpus_stats",
+    (s, dir) => {
+      Tables.documents(s, dir).where(col("text").isNotNull)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("_nt"),
+          length(col("text")).cast("long").as("_nc"),
+          md5(col("text")).as("_h"))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("_nt")).as("n_tokens"),
+          sum(col("_nc")).as("n_chars"),
+          countDistinct(col("_h")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("_h"))).as("n_exact_dups"),
+          (sum(col("_nt")).cast("double") / count(lit(1))).as("mean_tokens"))
+    },
+    Some("""SELECT lang, source,
+           |       COUNT(*) AS n_docs,
+           |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           |       CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+           |       COUNT(DISTINCT md5(text)) AS n_distinct,
+           |       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+           |       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS mean_tokens
+           |FROM documents WHERE text IS NOT NULL
+           |GROUP BY lang, source""".stripMargin))
+
   /** Gopher-style repetition filter signals: duplicate word-n-gram
     * fractions per doc, single narrow pass (see
     * TextAnalysis.repetitionStats). */
@@ -626,6 +659,7 @@ object DataOpsQueries {
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
     d13SequencePack, d14CapPerKey, d15JaccardVerify, d16ChunkSplit,
+    d17CorpusStats,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, m01MediaMeta, m02MediaDecode, m03MediaResize)
 }
