@@ -491,11 +491,35 @@ object RelationalQueries {
            |       COALESCE(c.n, 0) AS n, COALESCE(c.value_cents, 0) AS value_cents
            |FROM spine s LEFT JOIN c USING (event_type, hr)""".stripMargin))
 
+  /** NOT IN with a subquery — Spark plans this as a NULL-AWARE anti join
+    * (a distinct physical path from q13's left_anti: three-valued logic
+    * means one NULL in the subquery empties the result, so the join must
+    * track null presence). Both engines implement the ANSI semantics;
+    * the aggregate keeps the checked output small. */
+  val q48NullAwareAnti = NamedQuery(
+    "q48_null_aware_anti",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_naa")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_naa")
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+              |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+              |FROM orders_naa
+              |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer_naa
+              |                        WHERE c_mktsegment = 'MACHINERY')
+              |GROUP BY o_orderpriority""".stripMargin)
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+           |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+           |FROM orders
+           |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+           |                        WHERE c_mktsegment = 'MACHINERY')
+           |GROUP BY o_orderpriority""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q10JoinDims, q11JoinFact, q12SemiJoin, q13AntiJoin, q14OuterJoin,
     q15WindowTopk, q16WindowRunning, q17Top100, q18Rollup, q19Cube,
     q20GroupingSets, q21SetOps, q22Distinct, q23StringFuncs, q24DateFuncs,
     q25CaseMath, q26CorrelatedSubq, q27AsofJoin, q28Tumbling, q29Sessionize,
     q40WindowNav, q41ArrayAgg, q42MultiDistinct, q43NullGroup, q46RangeFrame,
-    q47DateSpine)
+    q47DateSpine, q48NullAwareAnti)
 }
