@@ -491,11 +491,14 @@ object RelationalQueries {
            |       COALESCE(c.n, 0) AS n, COALESCE(c.value_cents, 0) AS value_cents
            |FROM spine s LEFT JOIN c USING (event_type, hr)""".stripMargin))
 
-  /** NOT IN with a subquery — Spark plans this as a NULL-AWARE anti join
-    * (a distinct physical path from q13's left_anti: three-valued logic
-    * means one NULL in the subquery empties the result, so the join must
-    * track null presence). Both engines implement the ANSI semantics;
-    * the aggregate keeps the checked output small. */
+  /** NOT IN with a subquery — ANSI three-valued logic (one NULL in the
+    * subquery would empty the result). On this data Catalyst PROVES both
+    * sides non-nullable from the parquet schema and degrades the
+    * null-aware anti join to a plain BroadcastHashJoin LeftAnti (verified
+    * in the plan) — the optimizer behavior this query pins: the engine
+    * pays the null-tracking cost only when nullability is real. Both
+    * engines implement the ANSI semantics; the aggregate keeps the
+    * checked output small. */
   val q48NullAwareAnti = NamedQuery(
     "q48_null_aware_anti",
     (s, dir) => {
