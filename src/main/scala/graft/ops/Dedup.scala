@@ -223,8 +223,11 @@ object Dedup {
     // pairs are the small output of LSH by construction, so the
     // scale-correct move is the classic pipeline one: materialize them
     // once. cache() is keyed by canonicalized plan, so repeated calls on
-    // the same pairs reuse one entry instead of piling up.
-    val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b")).cache()
+    // the same pairs reuse one entry instead of piling up. The dedupe is
+    // load-bearing, not just hygiene: a repeated input pair would join
+    // the gram stream once PER COPY and double-count n_shared.
+    val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b").cache()
     val ids = p.select(col("doc_a").as("_gid"))
       .unionByName(p.select(col("doc_b").as("_gid"))).distinct()
     val grams = withShingles(df, idCol, textCol, shingleN)

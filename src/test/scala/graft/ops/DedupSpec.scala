@@ -49,6 +49,10 @@ class DedupSpec extends SparkSpec {
     // doc3 swaps one word -> loses the 2 trigrams containing "lazy"
     assert(got((1L, 3L)) == ((5L, 7L, 7L, 5.0 / 9.0)))
     assert(got((1L, 4L))._1 == 0L && got((1L, 4L))._4 == 0.0) // zero-overlap pair kept
+    // duplicated input pairs must not double-count shared grams
+    val dup = Seq((1L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val viaDup = Dedup.verifyJaccard(docs, "doc_id", "text", dup, shingleN = 3).collect()
+    assert(viaDup.length == 1 && viaDup(0).getAs[Long]("n_shared") == 5L)
   }
 
   test("simhash: identical docs → hamming 0; unrelated docs → large hamming") {
