@@ -40,18 +40,31 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries (reported as -1): ${failed.mkString(", ")}")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Belt and braces for the harness: the line on stdout (unprefixed via
-    // run/outputStrategy), and a well-known file a parser can always read.
-    // stdout first — a write failure (read-only cwd) must not take the
-    // primary channel down with it.
-    println(line)
+    // The harness captures only a short TAIL of stdout (2000 chars observed:
+    // BENCH_r01/r02 both had "parsed":null because the full 70-query line is
+    // ~3.5 KB and was truncated mid-JSON). So stdout carries a SHORT line —
+    // overall total plus the headline (most expensive / flagship) queries —
+    // guaranteed to fit in the tail window, while the full per-query map goes
+    // to bench_result.json for anyone who wants it.
+    val headline = Seq(
+      "q01_gold_agg", "q38_tpch3", "q39_tpch5", "q15_window_topk",
+      "q29_sessionize", "d03_minhash_pairs", "d07_ann_lsh",
+      "d08_embedding_neardup", "d09_dedup_resolve", "d10_ann_ivf",
+      "d11_contamination", "d15_jaccard_verify", "d13_sequence_pack",
+      "t06_top_terms", "m02_media_decode")
+    val headlineQs = results.filter { case (k, _) => headline.contains(k) }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(headlineQs)},"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] bench_result.json not written: $e") }
+    // stop() BEFORE the stdout line: Spark shutdown may log stragglers to
+    // stderr, and the harness interleaves streams — nothing is allowed to
+    // land after the parseable line.
     spark.stop()
+    println(line)
   }
 }
