@@ -212,7 +212,15 @@ object Dedup {
     * text). Pairs sharing zero grams survive with n_shared = 0 (left
     * join); pairs referencing a doc with no shingles (< shingleN tokens,
     * Jaccard undefined) drop out. jaccard = n_shared/(n_a+n_b-n_shared)
-    * is a single IEEE division of longs — bit-deterministic. */
+    * is a single IEEE division of longs — bit-deterministic.
+    *
+    * Cache lifetime: the returned plan holds a cache entry on the
+    * deduped pair set (the materialize-once barrier below). cache() is
+    * keyed by canonicalized plan, so repeated calls over the SAME pairs
+    * share one entry, but each DISTINCT pair set pins its own until the
+    * session ends — callers looping over many pair sets own the cleanup
+    * (`spark.catalog.clearCache()` or unpersist via the catalog) once
+    * the result is consumed. */
   def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       shingleN: Int = 3): DataFrame = {

@@ -32,8 +32,11 @@ object Packing {
     * chunkSize − stride). Entirely narrow (split → explode → slice, zero
     * shuffles): a scan stays a scan at any corpus size. Chunk count per
     * doc is ⌊(n−1)/stride⌋+1 — every token lands in ≥ 1 chunk and no
-    * chunk starts past the end; empty/null texts yield no rows.
-    * Output: (id, chunk_idx, n_chunk_tokens, chunk_text). */
+    * chunk starts past the end. Null texts yield no rows; an EMPTY text
+    * yields one chunk holding a single empty token, because the
+    * repo-wide split-tokenizer convention has split("", " ") = [""]
+    * (size 1) — consistent with the DuckDB oracle and with n_tokens
+    * elsewhere. Output: (id, chunk_idx, n_chunk_tokens, chunk_text). */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int = 64, stride: Int = 48): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
@@ -64,6 +67,15 @@ object Packing {
     * (strata × buckets rows) broadcast back onto the stream. Output is
     * bit-identical to the single-window form — same total order, same
     * integer arithmetic — which is what the DuckDB oracle still checks.
+    *
+    * Balance caveat: the salt bucket is ⌊u·B⌋ with u keyed on the TEXT,
+    * so byte-identical duplicate texts all share one u and land in one
+    * (stratum, bucket) group — a heavily-duplicated corpus re-creates
+    * the single-task skew this rewrite removes (correctness unaffected).
+    * The bucket split cannot tiebreak on id without breaking
+    * monotonicity with the (u, id) layout order, so balance assumes
+    * near-distinct texts; pipelines dedup (d01/d09) before packing,
+    * which is also what keeps bins from filling with copies.
     */
   def packByOffset(df: DataFrame, idCol: String, textCol: String,
       stratumCol: String, budgetTokens: Long, buckets: Int = 256): DataFrame = {

@@ -180,7 +180,13 @@ object DataOpsQueries {
   /** LSH-bucketed ANN (sign random projections) — the scale path.
     * Oracle-checked: the md5-derived Rademacher planes make bucket codes
     * engine-portable (see srpCodesCte), and the cosine re-rank is exact
-    * integer arithmetic + IEEE division. */
+    * integer arithmetic + IEEE division.
+    *
+    * Cap assumption: the oracle does NOT model lshBucketed's
+    * maxBucketSize guard (default 10000) — it holds only while no
+    * (table, code) bucket exceeds the cap at the verification SF
+    * (6-bit codes × sf0.1's 20k vectors ≪ cap; audit with
+    * Similarity.nearDupBucketOverflow if the dial or SF changes). */
   val d07AnnLsh = NamedQuery(
     "d07_ann_lsh",
     (s, dir) => {
@@ -210,7 +216,11 @@ object DataOpsQueries {
 
   /** Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
     * cosine verify) — the vector-space member of the dedup family.
-    * Oracle-checked via the same portable SRP codes as d07. */
+    * Oracle-checked via the same portable SRP codes as d07.
+    * Same cap assumption as d07: the oracle keeps what an over-cap
+    * bucket would drop; holds while every (table, code) bucket stays
+    * under maxBucketSize at verification SFs (audit with
+    * nearDupBucketOverflow). */
   val d08EmbeddingNeardup = NamedQuery(
     "d08_embedding_neardup",
     (s, dir) => {
@@ -520,7 +530,11 @@ object DataOpsQueries {
     * pipeline — true n-gram Jaccard recomputed ONLY for the LSH candidate
     * pairs (work ∝ candidates, never n²; see Dedup.verifyJaccard).
     * Fully oracle-checked: candidate generation replays the d03 band
-    * join, verification is integer set arithmetic + one IEEE division. */
+    * join, verification is integer set arithmetic + one IEEE division.
+    * Cap assumption (as d07/d08): the oracle's band join is uncapped;
+    * valid while no (band, bucket) exceeds minhashCandidates'
+    * maxBucketSize at the verification SF (audit:
+    * Dedup.minhashBucketOverflow). */
   val d15JaccardVerify = NamedQuery(
     "d15_jaccard_verify",
     (s, dir) => {
