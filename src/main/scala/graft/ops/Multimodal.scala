@@ -87,6 +87,27 @@ object Multimodal {
         .as("out_height"))
   }
 
+  /** Audio-style fixed-window framing over the raw byte stream: emit
+    * (frame_idx, byte_off, byte_len) slices of `window` bytes every
+    * `hop` bytes (the waveform-chunking step before any feature
+    * extractor). Pure integer arithmetic over the payload length —
+    * narrow, zero-shuffle, declarative (sequence + posexplode); the
+    * byte slices it parameterizes would be consumed inside [[decode]]'s
+    * partition loop. Empty payloads emit no frames; a final partial
+    * window is emitted with its true (shorter) length. */
+  def byteFrames(media: DataFrame, window: Int, hop: Int): DataFrame = {
+    require(window > 0 && hop > 0, "window and hop must be positive")
+    media
+      .select(col("media_id"), col("meta.nBytes").as("_n"))
+      .where(col("_n") > 0)
+      .select(col("media_id"), col("_n"),
+        posexplode(sequence(lit(0L), col("_n") - 1, lit(hop.toLong))))
+      .select(col("media_id"),
+        col("pos").cast("long").as("frame_idx"),
+        col("col").as("byte_off"),
+        least(lit(window.toLong), col("_n") - col("col")).as("byte_len"))
+  }
+
   /** Frame sampling stub: every k-th "frame" index, shape-preserving. */
   def sampleFrames(spark: SparkSession, decoded: Dataset[DecodedMedia], everyK: Int): DataFrame = {
     import spark.implicits._

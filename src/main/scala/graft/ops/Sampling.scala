@@ -47,6 +47,31 @@ object Sampling {
     df.where(hashUniform(col(keyCol)) < rate)
   }
 
+  /** Deterministic global shuffle + shard for training-data export: the
+    * "shuffle the corpus, split into N files" step every pretraining run
+    * needs, without RNG. Each row's shard is floor(u(key)·n) — a pure
+    * function of content, so re-runs and engine re-implementations
+    * produce the identical layout — and its position within the shard is
+    * the rank by (u, id), a total order (idCol must be unique; u alone
+    * ties for byte-identical texts).
+    *
+    * Scale shape: one hash-partition exchange on `shard` (n ≈ target
+    * file count) + an in-shard sort — exactly the shuffle a
+    * repartition(n).sortWithinPartitions export would cost, but with a
+    * deterministic, resumable assignment instead of round-robin. The
+    * caveat of [[Packing.packByOffset]] applies: byte-identical
+    * duplicates share u and therefore a shard — dedup first. */
+  def shuffleShard(df: DataFrame, idCol: String, keyCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val u = hashUniform(col(keyCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_u"), col(idCol))
+    df.withColumn("_u", u)
+      .withColumn("shard", floor(col("_u") * nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_u")
+  }
+
   /** Deterministic cap of n rows per key — the scalable "reservoir":
     * rank rows within each key by (u(sortKey), id) and keep the first n.
     * One shuffle on the key; no RNG; stable under re-runs and across

@@ -129,6 +129,42 @@ object TextAnalysis {
         frac(col("tri_distinct"), col("tri_total")).as("tri_dup_frac"))
   }
 
+  /** Per-document token Shannon entropy — the information-density
+    * quality signal (near-zero entropy = degenerate/repetitive text;
+    * boilerplate detectors threshold on it). H = ln(N) − (Σ c·ln c)/N
+    * over per-term counts c, N = token count.
+    *
+    * Float determinism: double addition is order-dependent, so the sum
+    * runs as a left fold over the SORTED count array (collect_list order
+    * is nondeterministic; sorting canonicalizes it — equal counts are
+    * interchangeable in a sum) — any partitioning, and any engine that
+    * folds lists left-to-right, produces the identical bit pattern up to
+    * ln() ulp differences, which the final round(·, 6) absorbs. Plan:
+    * explode → (doc, term) hash-agg → per-doc collect — two shuffles,
+    * both keyed on doc_id-bounded cardinality, no window. */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .select(
+        col("doc_id"),
+        aggregate(col("cs"), lit(0L), (acc, c) => acc + c).as("n_tokens"),
+        size(col("cs")).cast("long").as("n_distinct"),
+        col("cs"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(
+          log(col("n_tokens").cast("double")) -
+            aggregate(col("cs"), lit(0.0),
+              (acc, c) => acc + c.cast("double") * log(c.cast("double"))) /
+              col("n_tokens").cast("double"),
+          6).as("entropy"))
+  }
+
   /** Top-k most characteristic terms per document, ranked tf-idf-STYLE
     * but in exact integers: (term frequency desc, document frequency
     * asc, term asc). Integer ranking sidesteps the one non-portable part

@@ -668,12 +668,81 @@ object DataOpsQueries {
            |            THEN 1.0 - CAST(tri_distinct AS DOUBLE) / tri_total ELSE 0.0 END AS tri_dup_frac
            |FROM c""".stripMargin))
 
+  /** Deterministic global shuffle + shard for training export (the
+    * "shuffle corpus, split into N files" step): shard and in-shard
+    * position are pure functions of content — no RNG, hash-exact oracle
+    * (see Sampling.shuffleShard). */
+  val d18ShuffleShard = NamedQuery(
+    "d18_shuffle_shard",
+    (s, dir) => {
+      graft.ops.Sampling.shuffleShard(
+          Tables.documents(s, dir).where(col("text").isNotNull),
+          idCol = "doc_id", keyCol = "text", nShards = 16)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+    Some("""SELECT doc_id,
+           |       CAST(floor(u * 16) AS BIGINT) AS shard,
+           |       CAST(row_number() OVER (PARTITION BY floor(u * 16)
+           |                               ORDER BY u, doc_id) AS BIGINT) AS pos
+           |FROM (SELECT doc_id,
+           |             CAST(md5_number_upper(text) >> 11 AS DOUBLE) / 9007199254740992.0 AS u
+           |      FROM documents WHERE text IS NOT NULL)""".stripMargin))
+
+  /** Per-doc token Shannon entropy — the information-density quality
+    * signal (see TextAnalysis.tokenEntropy for the float-determinism
+    * contract: sorted-count left fold + round 6). */
+  val t08Entropy = NamedQuery(
+    "t08_entropy",
+    (s, dir) => {
+      TextAnalysis.tokenEntropy(
+        Tables.documents(s, dir).where(col("text").isNotNull), "doc_id", "text")
+    },
+    Some("""WITH tf AS (
+           |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |        FROM documents WHERE text IS NOT NULL)
+           |  GROUP BY 1, 2),
+           |a AS (SELECT doc_id, list_sort(list(c)) AS cs FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |       CAST(list_sum(cs) AS BIGINT) AS n_tokens,
+           |       CAST(len(cs) AS BIGINT) AS n_distinct,
+           |       round(ln(CAST(list_sum(cs) AS DOUBLE))
+           |             - list_sum(list_transform(cs, c -> c * ln(CAST(c AS DOUBLE))))
+           |               / CAST(list_sum(cs) AS DOUBLE), 6) AS entropy
+           |FROM a""".stripMargin))
+
+  /** Audio-style fixed-window framing over the raw byte stream (window
+    * 1024, hop 512) — the waveform-chunking twin of m02's video frame
+    * sampling: frame offsets/lengths are pure integer arithmetic over
+    * the payload length, so the mapPartitions-free declarative plan
+    * (sequence + explode, narrow) is fully oracle-checked. A real
+    * feature extractor would consume (byte_off, byte_len) slices inside
+    * the decode partition loop. */
+  val m04AudioFrames = NamedQuery(
+    "m04_audio_frames",
+    (s, dir) => {
+      Multimodal.byteFrames(
+        Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text"),
+        window = 1024, hop = 512)
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+           |                  CAST(octet_length(encode(text)) AS BIGINT) AS n
+           |           FROM documents),
+           |f AS (SELECT media_id, n, unnest(generate_series(0, n - 1, 512)) AS byte_off
+           |      FROM m WHERE n > 0)
+           |SELECT media_id,
+           |       CAST(byte_off // 512 AS BIGINT) AS frame_idx,
+           |       CAST(byte_off AS BIGINT) AS byte_off,
+           |       CAST(least(1024, n - byte_off) AS BIGINT) AS byte_len
+           |FROM f""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
     d13SequencePack, d14CapPerKey, d15JaccardVerify, d16ChunkSplit,
-    d17CorpusStats,
+    d17CorpusStats, d18ShuffleShard,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
-    t06TopTerms, t07Repetition, m01MediaMeta, m02MediaDecode, m03MediaResize)
+    t06TopTerms, t07Repetition, t08Entropy,
+    m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames)
 }

@@ -263,8 +263,83 @@ object ExtendedQueries {
            |       CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos
            |FROM q""".stripMargin))
 
+  /** MERGE / snapshot-diff (the SCD change-capture primitive): classify
+    * every key of two snapshot versions as insert / delete / update /
+    * unchanged via one full-outer join on the key. Snapshots are
+    * deterministic slices of orders: old = pre-1996; new = pre-1997
+    * minus keys ≡ 0 (mod 13) ("cancelled"), with prices revised +1.00 on
+    * keys ≡ 0 (mod 7). The changelog this emits is exactly what a MERGE
+    * INTO / CDC apply step consumes. Scale shape: one shuffle-or-AQE
+    * join on the key, both sides filtered at the scan; integer cents
+    * keep the diff predicate exact. */
+  val q49ScdMerge = NamedQuery(
+    "q49_scd_merge",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val old = ord.where(col("o_orderdate") < "1996-01-01")
+        .select(col("o_orderkey"), Exact.cents(col("o_totalprice")).as("old_cents"))
+      val neu = ord.where(col("o_orderdate") < "1997-01-01" && col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"),
+          (Exact.cents(col("o_totalprice"))
+            + when(col("o_orderkey") % 7 === 0, 100L).otherwise(0L)).as("new_cents"))
+      old.join(neu, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          when(col("old_cents").isNull, "insert")
+            .when(col("new_cents").isNull, "delete")
+            .when(col("old_cents") =!= col("new_cents"), "update")
+            .otherwise("unchanged").as("action"),
+          col("old_cents"), col("new_cents"))
+    },
+    Some("""WITH old AS (
+           |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS old_cents
+           |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'),
+           |new AS (
+           |  SELECT o_orderkey,
+           |         CAST(round(o_totalprice * 100) AS BIGINT)
+           |           + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS new_cents
+           |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+           |    AND o_orderkey % 13 <> 0)
+           |SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           |       CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+           |            WHEN new.o_orderkey IS NULL THEN 'delete'
+           |            WHEN old_cents <> new_cents THEN 'update'
+           |            ELSE 'unchanged' END AS action,
+           |       old_cents, new_cents
+           |FROM old FULL OUTER JOIN new USING (o_orderkey)""".stripMargin))
+
+  /** Unpivot / melt (wide → long): the inverse of q31's pivot. The four
+    * lineitem measures unpivot to (measure, cents) rows — Catalyst plans
+    * a single Expand (one pass, 4× rows, no shuffle) feeding one small
+    * aggregate; nothing scales with the measure count but the Expand
+    * width. */
+  val q50Unpivot = NamedQuery(
+    "q50_unpivot",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(
+          Exact.cents(col("l_quantity")).as("quantity"),
+          Exact.cents(col("l_extendedprice")).as("extendedprice"),
+          Exact.cents(col("l_discount")).as("discount"),
+          Exact.cents(col("l_tax")).as("tax"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "measure", "cents")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    },
+    Some("""SELECT measure, COUNT(*) AS n,
+           |       CAST(SUM(cents) AS BIGINT) AS total_cents,
+           |       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+           |FROM (
+           |  SELECT 'quantity' AS measure, CAST(round(l_quantity * 100) AS BIGINT) AS cents FROM lineitem
+           |  UNION ALL SELECT 'extendedprice', CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+           |  UNION ALL SELECT 'discount', CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+           |  UNION ALL SELECT 'tax', CAST(round(l_tax * 100) AS BIGINT) FROM lineitem)
+           |GROUP BY measure""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
-    q44JsonFuncs, q45ArrayHof)
+    q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot)
 }

@@ -48,6 +48,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L) == ((224, 224)))  // boundary: untouched
   }
 
+  test("byteFrames: hop-spaced offsets, partial tail window, empty payload skipped") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "x" * 2500), (2L, "y" * 1024), (3L, "z" * 100), (4L, ""))
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+    val got = Multimodal.byteFrames(media, window = 1024, hop = 512)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    // 2500 bytes → offsets 0,512,1024,1536,2048; last window truncated to 452
+    assert(got(1L).sortBy(_._2).map(t => (t._3, t._4)).toSeq ==
+      Seq((0L, 1024L), (512L, 1024L), (1024L, 1024L), (1536L, 964L), (2048L, 452L)))
+    // frame_idx is the dense 0-based window counter
+    assert(got(1L).map(_._2).sorted.toSeq == (0L to 4L).toSeq)
+    // exactly one full window at n == window
+    assert(got(2L).sortBy(_._2).map(t => (t._3, t._4)).toSeq ==
+      Seq((0L, 1024L), (512L, 512L)))
+    // short payload: one partial frame
+    assert(got(3L).map(t => (t._3, t._4)).toSeq == Seq((0L, 100L)))
+    // empty payload emits nothing
+    assert(!got.contains(4L))
+  }
+
   test("frame sampling emits every k-th frame index, shape preserved") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val decoded = Multimodal.decode(spark, media)

@@ -47,6 +47,22 @@ class SamplingSpec extends SparkSpec {
     assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("shuffleShard: total cover, bounded shards, contiguous positions, deterministic") {
+    val sharded = Sampling.shuffleShard(docs, "doc_id", "text", nShards = 16)
+    val rows = sharded.select("doc_id", "shard", "pos").collect()
+    assert(rows.length == 400)                               // every row lands somewhere
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+    // per-shard positions are exactly 1..count (a total order, no gaps)
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // content-keyed: partitioning must not move anything
+    val again = Sampling.shuffleShard(docs.repartition(7), "doc_id", "text", 16)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("capPerKey stays deterministic when sort-key content is duplicated") {
     // identical text everywhere → u(sortKey) ties on every row; the id
     // tiebreaker must make the pick stable across partitionings

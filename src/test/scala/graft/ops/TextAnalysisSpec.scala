@@ -104,6 +104,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert((1 to 6).map(i => nr.get(i)) == Seq(0L, 0L, 0.0, 0L, 0L, 0.0))
   }
 
+  test("tokenEntropy: uniform text → 0, distinct tokens → ln(n), mixed in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),        // one term: H = 0
+      (2L, "a b c d"),        // uniform over 4: H = ln 4
+      (3L, "a a b b"),        // counts [2,2] of 4: H = ln 2
+      (4L, "x")               // single token: H = 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 0.0)))
+    assert(got(2L)._1 == 4L && got(2L)._2 == 4L)
+    assert(math.abs(got(2L)._3 - math.log(4)) < 1e-6)
+    assert(math.abs(got(3L)._3 - math.log(2)) < 1e-6)
+    assert(got(4L) == ((1L, 1L, 0.0)))
+    // determinism: repartitioning must not flip a single bit (sorted fold)
+    val a = TextAnalysis.tokenEntropy(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val b = TextAnalysis.tokenEntropy(docs.repartition(5), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(a == b)
+  }
+
   test("topTerms ranks by tf desc then rarity (df asc) then term, capped at k") {
     import spark.implicits._
     val docs = Seq(

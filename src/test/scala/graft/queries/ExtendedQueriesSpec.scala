@@ -29,6 +29,41 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(strings.exceptAll(typed).isEmpty)
   }
 
+  test("q49: merge actions partition the key space of both snapshots") {
+    val ord = Tables.orders(spark, dir)
+    val oldKeys = ord.where(col("o_orderdate") < "1996-01-01")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val newKeys = ord.where(col("o_orderdate") < "1997-01-01" && col("o_orderkey") % 13 =!= 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val got = ExtendedQueries.q49ScdMerge.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == (oldKeys ++ newKeys))      // full outer: every key once
+    assert(got.filter(_._2 == "insert").keySet == (newKeys -- oldKeys))
+    assert(got.filter(_._2 == "delete").keySet == (oldKeys -- newKeys))
+    // updates are exactly the surviving keys whose price was revised (mod 7)
+    val both = oldKeys intersect newKeys
+    assert(got.filter(_._2 == "update").keySet == both.filter(_ % 7 == 0))
+    assert(got.filter(_._2 == "unchanged").keySet == both.filterNot(_ % 7 == 0))
+  }
+
+  test("q50: unpivoted measure totals match direct per-column aggregation") {
+    val li = Tables.lineitem(spark, dir)
+    val expect = Map(
+      "quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+      "discount" -> "l_discount", "tax" -> "l_tax"
+    ).map { case (m, c) =>
+      m -> li.agg(sum(round(col(c) * 100, 0).cast("long"))).collect()(0).getLong(0)
+    }
+    val n = li.count()
+    val got = ExtendedQueries.q50Unpivot.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (m, (cnt, total)) =>
+      assert(cnt == n)                  // Expand emits one row per measure per input row
+      assert(total == expect(m))
+    }
+  }
+
   test("q45: array reductions match a driver-side recomputation per row") {
     val qe = transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long"))
     val rows = ExtendedQueries.q45ArrayHof.run(spark, dir)
