@@ -338,8 +338,34 @@ object ExtendedQueries {
            |  UNION ALL SELECT 'tax', CAST(round(l_tax * 100) AS BIGINT) FROM lineitem)
            |GROUP BY measure""".stripMargin))
 
+  /** Incremental re-aggregation (partial-merge): the "never recompute
+    * history" pattern — a materialized per-group state (counts + sums
+    * over the closed period) merges with a delta aggregate (the open
+    * period) by summing partials, and the result must equal the full
+    * recomputation (which is exactly what the oracle states). Works
+    * because count/sum are commutative monoids — the same property that
+    * makes map-side partial aggregation correct. At 100 TB the state
+    * side is a few rows per group read from a gold table; only the delta
+    * scans raw data. Integer cents keep the merge exact. */
+  val q51IncrementalAgg = NamedQuery(
+    "q51_incremental_agg",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), Exact.centsSum(col("o_totalprice")).as("cents"))
+      val state = partial(ord.where(col("o_orderdate") < "1997-01-01"))
+      val delta = partial(ord.where(col("o_orderdate") >= "1997-01-01"))
+      state.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+           |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
-    q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot)
+    q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg)
 }

@@ -64,6 +64,19 @@ class ExtendedQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q51: merged state+delta partials equal the full recomputation") {
+    val full = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val merged = ExtendedQueries.q51IncrementalAgg.run(spark, dir)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // the split is genuine: both periods contribute rows
+    val ord = Tables.orders(spark, dir)
+    assert(ord.where(col("o_orderdate") < "1997-01-01").count() > 0)
+    assert(ord.where(col("o_orderdate") >= "1997-01-01").count() > 0)
+  }
+
   test("q45: array reductions match a driver-side recomputation per row") {
     val qe = transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long"))
     val rows = ExtendedQueries.q45ArrayHof.run(spark, dir)
