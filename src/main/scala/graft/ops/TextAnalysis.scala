@@ -171,21 +171,26 @@ object TextAnalysis {
     * of classic tf-idf — ln() is not guaranteed bit-identical across
     * engines — while ordering identically to tf·idf whenever tf ties
     * break on rarity. Plan: explode (narrow) → (doc, term) hash-agg →
-    * term df hash-agg → broadcast-or-shuffle join back → per-doc window
-    * top-k. Both counts are emitted so callers can apply their own
-    * weighting downstream. */
+    * window COUNT over the term partition (df = tf rows per term = docs
+    * containing the term) → per-doc window top-k. The window form
+    * computes df from the SAME tf rows instead of a separate aggregate
+    * joined back — the join formulation re-executed the entire
+    * scan+explode+agg subtree for its aggregate branch (no exchange
+    * reuse across the extra HashAggregate, seen in the t06 plan),
+    * doubling the dominant explode cost. Both counts are emitted so
+    * callers can apply their own weighting downstream. */
   def topTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term"))
-    tf.join(df, Seq("term"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
   }
