@@ -165,6 +165,42 @@ object TextAnalysis {
           6).as("entropy"))
   }
 
+  /** Corpus vocabulary of the `size` most frequent terms, ids assigned
+    * 1..size by (count desc, term asc) — deterministic under ties, so
+    * the id map is reproducible across runs and engines. Scale shape:
+    * one explode + term hash-agg, then a TakeOrdered of `size` rows; the
+    * final id window runs on those `size` rows only (vocab is small by
+    * construction — id 0 is reserved for OOV in [[encodeTokens]]). */
+  def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      size: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("term"))
+    docs.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(size)
+      .withColumn("id", row_number().over(w).cast("long"))
+      .select(col("term"), col("id"), col("c"))
+  }
+
+  /** Encode each document as its token-id sequence under `vocab`
+    * (OOV → 0) — the text → training-sample step. The vocab side is
+    * broadcast (bounded by construction); per-doc order is restored by
+    * sorting the collected (pos, id) structs, so the result is
+    * deterministic under any partitioning. Emitted as a joined string
+    * (the q41 convention: canonical scalar for comparison). */
+  def encodeTokens(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+    toks.join(broadcast(vocab.select(col("term"), col("id"))), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0L)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            s => s.getField("id"))).as("ids"))
+  }
+
   /** Top-k most characteristic terms per document, ranked tf-idf-STYLE
     * but in exact integers: (term frequency desc, document frequency
     * asc, term asc). Integer ranking sidesteps the one non-portable part

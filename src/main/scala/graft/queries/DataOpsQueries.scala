@@ -711,6 +711,31 @@ object DataOpsQueries {
            |               / CAST(list_sum(cs) AS DOUBLE), 6) AS entropy
            |FROM a""".stripMargin))
 
+  /** Vocabulary build + token-id encoding (the tokenize-for-training
+    * step): top-512 terms by (count desc, term) become ids 1..512, every
+    * doc re-emitted as its id sequence with OOV → 0. Deterministic tie
+    * handling makes the id map — and therefore the encoded corpus —
+    * hash-exact reproducible in SQL. */
+  val d19VocabEncode = NamedQuery(
+    "d19_vocab_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      TextAnalysis.encodeTokens(docs, "doc_id", "text",
+        TextAnalysis.buildVocab(docs, "text", size = 512))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |           WHERE text IS NOT NULL),
+           |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+           |               unnest(toks) AS term FROM t),
+           |vocab AS (SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS id
+           |          FROM (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1)
+           |          QUALIFY id <= 512),
+           |enc AS (SELECT tok.doc_id, tok.pos, COALESCE(v.id, 0) AS id
+           |        FROM tok LEFT JOIN vocab v USING (term))
+           |SELECT doc_id, COUNT(*) AS n_tokens,
+           |       array_to_string(list(id ORDER BY pos), ',') AS ids
+           |FROM enc GROUP BY doc_id""".stripMargin))
+
   /** Audio-style fixed-window framing over the raw byte stream (window
     * 1024, hop 512) — the waveform-chunking twin of m02's video frame
     * sampling: frame offsets/lengths are pure integer arithmetic over
@@ -741,7 +766,7 @@ object DataOpsQueries {
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
     d13SequencePack, d14CapPerKey, d15JaccardVerify, d16ChunkSplit,
-    d17CorpusStats, d18ShuffleShard,
+    d17CorpusStats, d18ShuffleShard, d19VocabEncode,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames)

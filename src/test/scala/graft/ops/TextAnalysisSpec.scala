@@ -128,6 +128,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("buildVocab + encodeTokens: frequency-ranked ids, OOV → 0, order preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b rare")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", size = 3)
+    val ids = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b(4) > a(3) > c(1)=rare(1) tie broken lexically: c wins the last slot
+    assert(ids == Map("b" -> 1L, "a" -> 2L, "c" -> 3L))
+    val enc = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(enc(1L) == ((6L, "1,1,1,2,2,3")))
+    assert(enc(2L) == ((3L, "2,1,0")))    // rare is OOV under size=3
+    // determinism under repartitioning (collected structs are sorted)
+    val enc2 = TextAnalysis.encodeTokens(docs.repartition(5), "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(enc2 == enc.map { case (k, v) => k -> v._2 })
+  }
+
   test("topTerms ranks by tf desc then rarity (df asc) then term, capped at k") {
     import spark.implicits._
     val docs = Seq(
