@@ -165,6 +165,32 @@ object TextAnalysis {
           6).as("entropy"))
   }
 
+  /** Corpus bigram language-model statistics: count(w1,w2), the history
+    * count n(w1·) = Σ_w2 count(w1,w2), and the conditional estimate
+    * P(w2|w1) = count(w1,w2)/n(w1·). The denominator comes from a window
+    * SUM over the already-aggregated bigram counts — never a second pass
+    * over the corpus (the t06 lesson: a separate unigram aggregate
+    * joined back re-executes the explode subtree). The probability is
+    * one IEEE division of two exact longs — bit-deterministic on any
+    * engine. Bigrams via arrays_zip of two token-array slices (empty for
+    * docs shorter than 2 tokens — no row, no sequence() edge case). */
+  def bigramCounts(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val pairs = arrays_zip(
+      slice(toks, lit(1), size(toks) - 1).as("w1"),
+      slice(toks, lit(2), size(toks) - 1).as("w2"))
+    val wHist = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    docs.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+      .withColumn("n_w1", sum(col("n_bigram")).over(wHist))
+      .where(col("n_bigram") >= minCount)
+      .select(col("w1"), col("w2"), col("n_bigram"), col("n_w1"),
+        (col("n_bigram").cast("double") / col("n_w1")).as("cond_p"))
+  }
+
   /** Corpus vocabulary of the `size` most frequent terms, ids assigned
     * 1..size by (count desc, term asc) — deterministic under ties, so
     * the id map is reproducible across runs and engines. Scale shape:

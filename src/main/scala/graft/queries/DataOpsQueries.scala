@@ -761,6 +761,27 @@ object DataOpsQueries {
            |       CAST(least(1024, n - byte_off) AS BIGINT) AS byte_len
            |FROM f""".stripMargin))
 
+  /** Corpus bigram LM statistics (count, history count, conditional
+    * probability) — see TextAnalysis.bigramCounts: window-sum
+    * denominator, one explode pass, exact-ratio probability. */
+  val t09BigramLm = NamedQuery(
+    "t09_bigram_lm",
+    (s, dir) => {
+      TextAnalysis.bigramCounts(
+        Tables.documents(s, dir).where(col("text").isNotNull), "text", minCount = 5L)
+    },
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+           |           WHERE text IS NOT NULL),
+           |b AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+           |             unnest(toks[2:len(toks)]) AS w2 FROM t),
+           |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bigram FROM b GROUP BY 1, 2),
+           |w AS (SELECT w1, w2, n_bigram,
+           |             CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
+           |      FROM c)
+           |SELECT w1, w2, n_bigram, n_w1,
+           |       CAST(n_bigram AS DOUBLE) / n_w1 AS cond_p
+           |FROM w WHERE n_bigram >= 5""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -768,6 +789,6 @@ object DataOpsQueries {
     d13SequencePack, d14CapPerKey, d15JaccardVerify, d16ChunkSplit,
     d17CorpusStats, d18ShuffleShard, d19VocabEncode,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
-    t06TopTerms, t07Repetition, t08Entropy,
+    t06TopTerms, t07Repetition, t08Entropy, t09BigramLm,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames)
 }

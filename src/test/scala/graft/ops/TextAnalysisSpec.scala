@@ -128,6 +128,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bigramCounts: exact conditional probabilities, short docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a c"),   // bigrams: ab, ba, ab, ba, ac
+      (2L, "a b"),           // ab
+      (3L, "solo")           // no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCounts(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // history a· occurs 4 times: ab×3, ac×1
+    assert(got(("a", "b")) == ((3L, 4L, 0.75)))
+    assert(got(("a", "c")) == ((1L, 4L, 0.25)))
+    assert(got(("b", "a")) == ((2L, 2L, 1.0)))
+    assert(!got.contains(("solo", "solo")))
+    assert(got.size == 3)
+    // per-history probabilities always sum to 1 when nothing is filtered
+    val sums = got.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._3).sum)
+    sums.foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-12) }
+  }
+
   test("buildVocab + encodeTokens: frequency-ranked ids, OOV → 0, order preserved") {
     import spark.implicits._
     val docs = Seq(
