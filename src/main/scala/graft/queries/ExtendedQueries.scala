@@ -364,8 +364,45 @@ object ExtendedQueries {
            |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
            |FROM orders GROUP BY o_orderpriority""".stripMargin))
 
+  /** Arg-max via struct-ordered MAX: the "latest row per key" primitive
+    * as ONE hash-aggregate — max(struct(ts, id, payload...)) rides
+    * Spark's lexicographic struct comparison, so the winner is
+    * deterministic ((ts, event_id) is a total order) and the plan is a
+    * partial+final agg with map-side combine — no window, no sort, no
+    * per-key row shuffle (only one struct per key crosses the wire). The
+    * oracle states the same result via the window formulation — value
+    * equality across two different mechanisms is the point. */
+  val q52ArgMax = NamedQuery(
+    "q52_argmax",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+            .as("m"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("m.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
+          col("m.event_id").as("last_event_id"),
+          col("m.event_type").as("last_event_type"),
+          Exact.cents(col("m.value")).as("last_value_cents"),
+          col("n_events"))
+    },
+    Some("""SELECT user_id,
+           |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           |       event_id AS last_event_id,
+           |       event_type AS last_event_type,
+           |       CAST(round(value * 100) AS BIGINT) AS last_value_cents,
+           |       n_events
+           |FROM (SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+           |             row_number() OVER (PARTITION BY user_id
+           |                                ORDER BY ts DESC, event_id DESC) AS rk
+           |      FROM events)
+           |WHERE rk = 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
-    q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg)
+    q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
+    q52ArgMax)
 }

@@ -77,6 +77,25 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(ord.where(col("o_orderdate") >= "1997-01-01").count() > 0)
   }
 
+  test("q52: struct-ordered max picks the same winner as the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = ev
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"))
+    val got = ExtendedQueries.q52ArgMax.run(spark, dir)
+      .select(col("user_id"), col("last_event_id"))
+    assert(got.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(got).isEmpty)
+    // and the plan is an aggregate, not a window (the scale point)
+    val plan = ExtendedQueries.q52ArgMax.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+  }
+
   test("q45: array reductions match a driver-side recomputation per row") {
     val qe = transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long"))
     val rows = ExtendedQueries.q45ArrayHof.run(spark, dir)
