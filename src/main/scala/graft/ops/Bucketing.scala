@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed (co-located) joins: the zero-shuffle path for repeated
   * fact-to-fact joins at scale.
@@ -43,4 +44,21 @@ object Bucketing {
   def hasShuffle(df: DataFrame): Boolean =
     "(?<!Broadcast)Exchange ".r
       .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
+
+  /** Z-order (Morton) interleave of the low `bits` bits of two integral
+    * columns: x occupies the even result bits, y the odd — so sorting or
+    * range-partitioning on the key clusters rows that are close in BOTH
+    * dimensions, which is what makes multi-column min/max file pruning
+    * effective at scale (sort on (x, y) prunes only on x). Pure integer
+    * bit arithmetic (2·bits codegen'd terms, no shuffle, engine-portable
+    * — the identical expression is writable in DuckDB SQL). */
+  def zOrderKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1, 16], got $bits")
+    val xm = pmod(x.cast("long"), lit(1L << bits))
+    val ym = pmod(y.cast("long"), lit(1L << bits))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
 }

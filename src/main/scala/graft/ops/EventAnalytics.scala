@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over a (user, type, timestamp) log — the
+  * product-analytics layer of the engine (sessionization's siblings:
+  * ordered conversion funnels and cohort retention). Reference has no
+  * event analytics (pure batch ELT, /root/reference/proj-eng-dados/
+  * main.py); these are engine capabilities per SURVEY §2.7.
+  *
+  * Scale notes: every stage is keyed on the user id — the per-step
+  * joins in [[funnel]] and the first-seen window in
+  * [[retentionCohorts]] all shuffle on the same key, so Catalyst can
+  * reuse exchanges, and no stage ever materializes an unkeyed window
+  * over the full log.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: a user reaches stage i when an event of
+    * type steps(i) occurs at-or-after their stage-(i−1) time, with the
+    * WHOLE funnel inside `horizonHours` of the stage-0 entry (the
+    * standard product-analytics "conversion window"). Stage times are
+    * the earliest qualifying event (min), so the funnel is greedy and
+    * deterministic; re-entries after the first qualifying event are
+    * ignored.
+    *
+    * Plan: stage 0 is one hash-agg on user; each later stage is a join
+    * of that step's (pre-filtered) events against the reached-so-far
+    * frame — all shuffles keyed on user, work bounded by that step's
+    * event volume. Output: (stage, step, n_users), one row per step,
+    * computed in a single final 1-row aggregate unpivoted via explode
+    * (no per-stage jobs). */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], horizonHours: Int): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val entry = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("user")).agg(min(col(tsCol)).as("t0"))
+      .withColumn("deadline",
+        col("t0") + expr(s"INTERVAL $horizonHours HOURS"))
+    val perUser = steps.zipWithIndex.drop(1).foldLeft(entry) {
+      case (acc, (step, i)) =>
+        val stepTimes = events.where(col(typeCol) === step)
+          .select(col(userCol).as("user"), col(tsCol).as("_ts"))
+          .join(acc.select(col("user"), col(s"t${i - 1}"), col("deadline")),
+            Seq("user"))
+          .where(col("_ts") >= col(s"t${i - 1}") && col("_ts") <= col("deadline"))
+          .groupBy(col("user")).agg(min(col("_ts")).as(s"t$i"))
+        acc.join(stepTimes, Seq("user"), "left")
+    }
+    val stageCounts = steps.indices.map(i =>
+      sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"_n$i"))
+    perUser.agg(stageCounts.head, stageCounts.tail: _*)
+      .select(explode(array(steps.zipWithIndex.map { case (step, i) =>
+        struct(lit(i.toLong).as("stage"), lit(step).as("step"),
+          col(s"_n$i").as("n_users"))
+      }: _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.step").as("step"),
+        col("r.n_users").as("n_users"))
+  }
+
+  /** Cohort retention matrix: users are cohorted by their first active
+    * day; cell (cohort_day, day_offset) counts the cohort's users active
+    * `day_offset` days later. Classic growth-analytics rollup.
+    *
+    * Plan: distinct (user, day) first — the log collapses to at most
+    * users×days rows before anything else — then the cohort day is a
+    * window MIN on user and the matrix one hash-agg; count(*) suffices
+    * because rows are already distinct per (user, day). The cohort day
+    * is emitted as an ISO string (the repo-wide oracle date
+    * convention). */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("user"))
+    events.select(col(userCol).as("user"), to_date(col(tsCol)).as("day"))
+      .distinct()
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -94,4 +94,33 @@ object Sampling {
       .where(col("_rk") <= n)
       .drop("_rk")
   }
+
+  /** Temperature-based mixture weights across corpus strata (sources):
+    * weight_i ∝ n_tokens_i^0.5, the α = 0.5 temperature-sampling rule
+    * that upweights small sources relative to proportional sampling —
+    * plus each source's share and its token allocation under
+    * `budgetTokens`. The exponent is fixed at 0.5 because sqrt is
+    * IEEE-correctly-rounded on every engine while pow(x, α) is not —
+    * a generic α would be engine-specific.
+    *
+    * Float determinism: sqrt(n_tokens) is quantized to integer MICROS
+    * (round ×1e6 → long) so the normalizing total is an exact integer
+    * sum, and share = w_micro/total is one IEEE division of longs.
+    * The whole-frame window SUM runs over the per-stratum aggregate —
+    * #strata rows, not corpus rows — so the single-task frame is
+    * scale-safe by construction. */
+  def mixtureWeights(df: DataFrame, stratumCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val wAll = Window.partitionBy()
+    df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+      .withColumn("w_micro",
+        round(sqrt(col("n_tokens").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("total_micro", sum(col("w_micro")).over(wAll))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"), col("w_micro"),
+        (col("w_micro").cast("double") / col("total_micro")).as("share"),
+        round((col("w_micro").cast("double") / col("total_micro")) * budgetTokens, 0)
+          .cast("long").as("sampled_tokens"))
+  }
 }

@@ -256,4 +256,106 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
   }
+
+  /** Collocation extraction: pointwise mutual information of each corpus
+    * bigram against its margins, all in BIGRAM event space —
+    * pmi = ln(p(w1,w2) / (p(w1,·)·p(·,w2))) with p(w1,·) = n_w1/N over
+    * bigram occurrences. Margins come from two window SUMs over the
+    * already-aggregated bigram counts (bounded by distinct bigrams,
+    * never a second corpus pass); the total is a 1-row aggregate
+    * broadcast back. Determinism: the ln argument is computed as
+    * (n12/n1)·(N/n2) — two IEEE divisions of exact longs and one
+    * product, never an integer product that could overflow at corpus
+    * scale (N² ≫ 2^63 at 100 TB) — and the final round(·, 6) absorbs
+    * ln() ulp differences across engines (the t08 contract). */
+  def pmiScores(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val pairs = arrays_zip(
+      slice(toks, lit(1), size(toks) - 1).as("w1"),
+      slice(toks, lit(2), size(toks) - 1).as("w2"))
+    val counts = docs.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+    val w1w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val w2w = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
+    val total = counts.agg(sum(col("n_bigram")).as("n_total"))
+    counts
+      .withColumn("n_w1", sum(col("n_bigram")).over(w1w))
+      .withColumn("n_w2", sum(col("n_bigram")).over(w2w))
+      .where(col("n_bigram") >= minCount)
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_bigram"), col("n_w1"), col("n_w2"),
+        round(log((col("n_bigram").cast("double") / col("n_w1")) *
+          (col("n_total").cast("double") / col("n_w2"))), 6).as("pmi"))
+  }
+
+  /** BPE tokenizer-training step 1: adjacent character-pair frequencies
+    * over the corpus vocabulary, each pair weighted by its word's corpus
+    * frequency — exactly the statistic the first BPE merge maximizes.
+    * Scale shape: the corpus-sized work is one explode + term hash-agg
+    * (the same vocabulary aggregate every tokenizer build needs); the
+    * per-character explode then runs over DISTINCT terms only — bounded
+    * by vocabulary size, not corpus size. Top-k by (count desc, pair)
+    * is a TakeOrdered of k rows; ids from a k-row window. Integer-exact
+    * throughout. */
+  def bpePairCounts(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .where(length(col("term")) >= 2)
+    val pairCounts = words
+      .select(col("term"), col("c"),
+        explode(sequence(lit(1), length(col("term")) - 1)).as("i"))
+      .select(col("term").substr(col("i"), lit(2)).as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n_occ"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("pair"))
+    pairCounts.orderBy(col("n_occ").desc, col("pair")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("pair"), col("n_occ"), col("rank"))
+  }
+
+  /** Per-stratum domain-shift signal: KL divergence of each stratum's
+    * unigram distribution from the corpus distribution, over the corpus
+    * top-`vocabSize` vocabulary with all remaining tokens folded into
+    * one `<oov>` symbol (so both distributions are complete and every
+    * stratum term has corpus mass — no zero-denominator terms; a term a
+    * stratum lacks contributes 0 by the 0·ln 0 convention, i.e. its row
+    * simply doesn't exist).
+    *
+    * Two corpus passes by construction (the vocabulary must be global
+    * before tokens can be mapped onto it), then one (stratum, term)
+    * hash-agg; margins via window SUMs over the aggregated counts and a
+    * broadcast 1-row total, as in [[pmiScores]]. Float determinism: each
+    * term's contribution p_s·ln(p_s/p_c) is built from IEEE divisions of
+    * exact longs, then quantized to integer NANOS (round ×1e9 → long)
+    * so the per-stratum sum is an order-free integer sum — the t08
+    * ulp-absorption contract, but immune to summation order too. */
+  def domainDivergence(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      stratumCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val vocab = buildVocab(docs, textCol, vocabSize).select(col("term"))
+    val counts = docs
+      .select(col(stratumCol).as("stratum"), explode(split(col(textCol), " ")).as("term"))
+      .join(broadcast(vocab.withColumn("_v", lit(1))), Seq("term"), "left")
+      .select(col("stratum"),
+        when(col("_v").isNotNull, col("term")).otherwise(lit("<oov>")).as("mterm"))
+      .groupBy(col("stratum"), col("mterm"))
+      .agg(count(lit(1)).as("n_st"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+    val wT = org.apache.spark.sql.expressions.Window.partitionBy(col("mterm"))
+    val total = counts.agg(sum(col("n_st")).as("n_c"))
+    val pS = col("n_st").cast("double") / col("n_s")
+    val pC = col("n_ct").cast("double") / col("n_c")
+    counts
+      .withColumn("n_s", sum(col("n_st")).over(wS))
+      .withColumn("n_ct", sum(col("n_st")).over(wT))
+      .crossJoin(broadcast(total))
+      .select(col("stratum"), col("n_s"),
+        round(pS * log(pS / pC) * 1e9, 0).cast("long").as("_nano"))
+      .groupBy(col("stratum"))
+      .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("n_terms"),
+        (sum(col("_nano")).cast("double") / 1e9).as("kl"))
+  }
 }

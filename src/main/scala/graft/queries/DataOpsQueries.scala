@@ -782,13 +782,150 @@ object DataOpsQueries {
            |       CAST(n_bigram AS DOUBLE) / n_w1 AS cond_p
            |FROM w WHERE n_bigram >= 5""".stripMargin))
 
+  /** Bigram collocation PMI (min count 5) — see TextAnalysis.pmiScores
+    * for the overflow-proof ln argument and the round-6 ulp contract. */
+  val t10Pmi = NamedQuery(
+    "t10_pmi",
+    (s, dir) => {
+      TextAnalysis.pmiScores(
+        Tables.documents(s, dir).where(col("text").isNotNull), "text", minCount = 5L)
+    },
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+           |           WHERE text IS NOT NULL),
+           |b AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+           |             unnest(toks[2:len(toks)]) AS w2 FROM t),
+           |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bigram FROM b GROUP BY 1, 2),
+           |m AS (SELECT w1, w2, n_bigram,
+           |             CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_w1,
+           |             CAST(SUM(n_bigram) OVER (PARTITION BY w2) AS BIGINT) AS n_w2,
+           |             CAST(SUM(n_bigram) OVER () AS BIGINT) AS n_total
+           |      FROM c)
+           |SELECT w1, w2, n_bigram, n_w1, n_w2,
+           |       round(ln((CAST(n_bigram AS DOUBLE) / n_w1)
+           |                * (CAST(n_total AS DOUBLE) / n_w2)), 6) AS pmi
+           |FROM m WHERE n_bigram >= 5""".stripMargin))
+
+  /** BPE tokenizer-training pair statistics: top-32 adjacent char pairs
+    * weighted by word frequency — the statistic the first BPE merge
+    * maximizes (see TextAnalysis.bpePairCounts: char-pair explode runs
+    * over DISTINCT terms only, bounded by vocabulary not corpus). */
+  val d20BpePairs = NamedQuery(
+    "d20_bpe_pairs",
+    (s, dir) => {
+      TextAnalysis.bpePairCounts(
+        Tables.documents(s, dir).where(col("text").isNotNull), "text", k = 32)
+    },
+    Some("""WITH w AS (
+           |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents
+           |        WHERE text IS NOT NULL)
+           |  GROUP BY 1 HAVING length(term) >= 2),
+           |p AS (SELECT unnest(list_transform(generate_series(1, length(term) - 1),
+           |                                   i -> substring(term, i, 2))) AS pair, c
+           |      FROM w),
+           |a AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occ FROM p GROUP BY 1)
+           |SELECT pair, n_occ,
+           |       CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS BIGINT) AS rank
+           |FROM a QUALIFY rank <= 32""".stripMargin))
+
+  /** Temperature-sampling mixture weights per source (α = 0.5, 1M-token
+    * budget) — the data-mixing step of corpus assembly (see
+    * Sampling.mixtureWeights for the integer-micros determinism
+    * contract). */
+  val d21MixtureWeights = NamedQuery(
+    "d21_mixture_weights",
+    (s, dir) => {
+      graft.ops.Sampling.mixtureWeights(
+        Tables.documents(s, dir).where(col("text").isNotNull),
+        stratumCol = "source", textCol = "text", budgetTokens = 1000000L)
+    },
+    Some("""WITH s AS (
+           |  SELECT source AS stratum, COUNT(*) AS n_docs,
+           |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+           |w AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+           |      FROM s),
+           |t AS (SELECT *, CAST(SUM(w_micro) OVER () AS BIGINT) AS total_micro FROM w)
+           |SELECT stratum, n_docs, n_tokens, w_micro,
+           |       CAST(w_micro AS DOUBLE) / total_micro AS share,
+           |       CAST(round((CAST(w_micro AS DOUBLE) / total_micro) * 1000000.0) AS BIGINT) AS sampled_tokens
+           |FROM t""".stripMargin))
+
+  /** Per-source KL divergence from the corpus unigram distribution over
+    * the top-256 vocab + <oov> — the domain-shift monitor of a corpus
+    * pipeline (see TextAnalysis.domainDivergence for the integer-nanos
+    * order-free summation contract). */
+  val d22DomainKl = NamedQuery(
+    "d22_domain_kl",
+    (s, dir) => {
+      TextAnalysis.domainDivergence(
+        Tables.documents(s, dir).where(col("text").isNotNull),
+        "text", "source", vocabSize = 256)
+        .select(col("stratum"), col("n_tokens"), col("n_terms"), col("kl"))
+    },
+    Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+           |             FROM documents WHERE text IS NOT NULL),
+           |vc AS (SELECT term FROM (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1)
+           |       QUALIFY row_number() OVER (ORDER BY c DESC, term) <= 256),
+           |m AS (SELECT tok.source,
+           |             CASE WHEN v.term IS NOT NULL THEN tok.term ELSE '<oov>' END AS mterm
+           |      FROM tok LEFT JOIN vc v USING (term)),
+           |c AS (SELECT source, mterm, CAST(COUNT(*) AS BIGINT) AS n_st FROM m GROUP BY 1, 2),
+           |g AS (SELECT *, CAST(SUM(n_st) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+           |             CAST(SUM(n_st) OVER (PARTITION BY mterm) AS BIGINT) AS n_ct,
+           |             CAST(SUM(n_st) OVER () AS BIGINT) AS n_c
+           |      FROM c),
+           |n AS (SELECT source, n_s,
+           |             CAST(round((CAST(n_st AS DOUBLE) / n_s)
+           |                  * ln((CAST(n_st AS DOUBLE) / n_s) / (CAST(n_ct AS DOUBLE) / n_c))
+           |                  * 1000000000.0) AS BIGINT) AS nano
+           |      FROM g)
+           |SELECT source AS stratum, MAX(n_s) AS n_tokens, COUNT(*) AS n_terms,
+           |       CAST(SUM(nano) AS DOUBLE) / 1000000000.0 AS kl
+           |FROM n GROUP BY 1""".stripMargin))
+
+  /** Multimodal training-record assembly: text features ⋈ embedding
+    * features ⋈ media metadata into one record per sample — the final
+    * manifest step of a multimodal pipeline. Equi-join on the sample id
+    * (sort-merge at scale, AQE broadcasts when a side is small); the
+    * embedding norm is exact integer arithmetic over quantized millis. */
+  val m05AssembleRecords = NamedQuery(
+    "m05_assemble_records",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+        .select(col("media_id").as("doc_id"),
+          col("meta.nBytes").as("n_bytes"), col("meta.sha").as("sha"))
+      val emb = Tables.embeddings(s, dir).select(
+        col("vec_id").as("doc_id"),
+        size(col("embedding")).cast("long").as("emb_dim"),
+        aggregate(
+          transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long")),
+          lit(0L), (acc, q) => acc + q * q).as("emb_sq_norm"))
+      docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(emb, Seq("doc_id"))
+        .join(media, Seq("doc_id"))
+    },
+    Some("""SELECT d.doc_id, d.lang,
+           |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           |       CAST(len(e.embedding) AS BIGINT) AS emb_dim,
+           |       CAST(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+           |              x -> CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT))) AS BIGINT) AS emb_sq_norm,
+           |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           |       lower(sha256(d.text)) AS sha
+           |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+           |WHERE d.text IS NOT NULL""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
     d13SequencePack, d14CapPerKey, d15JaccardVerify, d16ChunkSplit,
-    d17CorpusStats, d18ShuffleShard, d19VocabEncode,
+    d17CorpusStats, d18ShuffleShard, d19VocabEncode, d20BpePairs,
+    d21MixtureWeights, d22DomainKl,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
-    t06TopTerms, t07Repetition, t08Entropy, t09BigramLm,
-    m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames)
+    t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi,
+    m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,
+    m05AssembleRecords)
 }

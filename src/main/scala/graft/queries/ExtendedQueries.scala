@@ -400,9 +400,87 @@ object ExtendedQueries {
            |      FROM events)
            |WHERE rk = 1""".stripMargin))
 
+  /** Ordered conversion funnel view → click → purchase within a 72-hour
+    * window of funnel entry — see graft.ops.EventAnalytics.funnel (every
+    * stage keyed on user, single final 1-row aggregate unpivoted). */
+  val q53Funnel = NamedQuery(
+    "q53_funnel",
+    (s, dir) => {
+      graft.ops.EventAnalytics.funnel(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"), horizonHours = 72)
+    },
+    Some("""WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           |            WHERE event_type = 'view' GROUP BY 1),
+           |d0 AS (SELECT user_id, t0, t0 + INTERVAL 72 HOUR AS deadline FROM s0),
+           |s1 AS (SELECT e.user_id, MIN(e.ts) AS t1
+           |       FROM events e JOIN d0 ON e.user_id = d0.user_id
+           |       WHERE e.event_type = 'click' AND e.ts >= d0.t0 AND e.ts <= d0.deadline
+           |       GROUP BY 1),
+           |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+           |                     JOIN d0 ON e.user_id = d0.user_id
+           |       WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 AND e.ts <= d0.deadline
+           |       GROUP BY 1)
+           |SELECT CAST(0 AS BIGINT) AS stage, 'view' AS step,
+           |       (SELECT COUNT(*) FROM s0) AS n_users
+           |UNION ALL
+           |SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+           |UNION ALL
+           |SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)""".stripMargin))
+
+  /** Cohort retention matrix (first-active-day cohorts × day offset) —
+    * see graft.ops.EventAnalytics.retentionCohorts (distinct-first, so
+    * the log collapses before any window). */
+  val q54Retention = NamedQuery(
+    "q54_retention",
+    (s, dir) => {
+      graft.ops.EventAnalytics.retentionCohorts(Tables.events(s, dir), "user_id", "ts")
+    },
+    Some("""WITH d AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+           |c AS (SELECT u, day, MIN(day) OVER (PARTITION BY u) AS cohort_day FROM d)
+           |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           |       CAST(day - cohort_day AS BIGINT) AS day_offset,
+           |       COUNT(*) AS n_users
+           |FROM c GROUP BY 1, 2""".stripMargin))
+
+  /** Z-order (Morton) layout audit: interleave the low 8 bits of
+    * (l_partkey, l_suppkey), cut the 16-bit key space into 64 buckets,
+    * and report each bucket's row count and per-dimension min/max — the
+    * narrow ranges in BOTH dimensions are exactly what makes multi-column
+    * min/max file pruning work when data is written in z-key order (a
+    * plain (x, y) sort prunes only on x). Pure bit arithmetic, one
+    * hash-agg (see graft.ops.Bucketing.zOrderKey). */
+  val q55ZorderLayout = NamedQuery(
+    "q55_zorder_layout",
+    (s, dir) => {
+      val z = graft.ops.Bucketing.zOrderKey(col("l_partkey"), col("l_suppkey"), 8)
+      Tables.lineitem(s, dir)
+        .select(z.as("zkey"),
+          pmod(col("l_partkey"), lit(256L)).as("x"),
+          pmod(col("l_suppkey"), lit(256L)).as("y"))
+        .groupBy(shiftright(col("zkey"), 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+    },
+    Some {
+      val zTerms = (0 until 8).flatMap(i => Seq(
+        s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH z AS (SELECT CAST($zTerms AS BIGINT) AS zkey,
+         |                  CAST(l_partkey % 256 AS BIGINT) AS x,
+         |                  CAST(l_suppkey % 256 AS BIGINT) AS y
+         |           FROM lineitem)
+         |SELECT CAST(zkey >> 10 AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+         |       MIN(x) AS x_min, MAX(x) AS x_max,
+         |       MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM z GROUP BY 1""".stripMargin
+    })
+
   val all: Seq[NamedQuery] = Seq(
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
-    q52ArgMax)
+    q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout)
 }

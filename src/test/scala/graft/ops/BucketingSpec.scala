@@ -45,4 +45,31 @@ class BucketingSpec extends SparkSpec {
       assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
     } finally spark.sql("DROP TABLE IF EXISTS bkt_agg")
   }
+
+  test("zOrderKey interleaves bits: x on even positions, y on odd") {
+    val df = Seq((3L, 5L), (255L, 0L), (0L, 255L), (256L, 256L)).toDF("x", "y")
+    val got = df.select(Bucketing.zOrderKey(col("x"), col("y"), 8))
+      .collect().map(_.getLong(0)).toSeq
+    // x=3 (011), y=5 (101): evens 1+4, odds 2+32 → 39
+    assert(got(0) == 39L)
+    assert(got(1) == 0x5555L) // all-x pattern
+    assert(got(2) == 0xAAAAL) // all-y pattern
+    assert(got(3) == 0L)      // only the low 8 bits participate
+  }
+
+  test("zOrderKey clusters both dimensions: bucket ranges are narrow in x AND y") {
+    // On a 16×16 grid cut into 4 z-buckets, every bucket spans at most
+    // half of EACH dimension — the property that makes multi-column
+    // min/max pruning effective (a plain x-sort leaves y unconstrained).
+    val grid = (for { x <- 0 until 16; y <- 0 until 16 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val spans = grid
+      .select(shiftright(Bucketing.zOrderKey(col("x"), col("y"), 4), 6).as("bucket"),
+        col("x"), col("y"))
+      .groupBy("bucket")
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.length == 4)
+    assert(spans.forall { case (xs, ys) => xs <= 7 && ys <= 7 })
+  }
 }

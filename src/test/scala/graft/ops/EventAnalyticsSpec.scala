@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(hoursFromEpoch: Long): Timestamp =
+    new Timestamp(hoursFromEpoch * 3600 * 1000L)
+
+  test("funnel: ordered steps, conversion window, and monotone stage counts") {
+    val events = Seq(
+      // u1 converts fully in order within 72h
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      // u2 clicks outside the 72h window of funnel entry
+      (2L, "view", ts(0)), (2L, "click", ts(100)),
+      // u3's only click precedes the first view — order matters
+      (3L, "click", ts(0)), (3L, "view", ts(1)),
+      // u4 never enters the funnel (no view at all)
+      (4L, "click", ts(0)), (4L, "purchase", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), horizonHours = 72)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, "view", 3L), (1L, "click", 1L), (2L, "purchase", 1L)))
+  }
+
+  test("funnel: purchase must follow the qualifying click, not just the view") {
+    val events = Seq(
+      // purchase lands between view and first qualifying click → not counted
+      (1L, "view", ts(0)), (1L, "purchase", ts(1)), (1L, "click", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), horizonHours = 72)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 0L))
+  }
+
+  test("retentionCohorts: first-active-day cohorts with day offsets") {
+    val events = Seq(
+      // u1 active on day 0 and day 2 (two events on day 2 must not double-count)
+      (1L, ts(0)), (1L, ts(48)), (1L, ts(50)),
+      // u2 active on day 0 only; u3 cohorts on day 1
+      (2L, ts(1)), (3L, ts(25))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.retentionCohorts(events, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("1970-01-01", 0L) -> 2L,
+      ("1970-01-01", 2L) -> 1L,
+      ("1970-01-02", 0L) -> 1L))
+  }
+}

@@ -73,4 +73,18 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b && a == Set(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("mixtureWeights: sqrt temperature flattens shares; budget splits exactly") {
+    import spark.implicits._
+    // A: 9 tokens, B: 1 token → sqrt weights 3:1 → shares 0.75/0.25
+    // (proportional sampling would give 0.9/0.1 — the α=0.5 flattening)
+    val docs = Seq(
+      ("A", "t t t t t t t t t"),
+      ("B", "t")).toDF("source", "text")
+    val got = Sampling.mixtureWeights(docs, "source", "text", budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(got("A") == ((1L, 9L, 3000000L, 0.75, 750L)))
+    assert(got("B") == ((1L, 1L, 1000000L, 0.25, 250L)))
+  }
 }

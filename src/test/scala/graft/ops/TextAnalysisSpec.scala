@@ -184,4 +184,46 @@ class TextAnalysisSpec extends SparkSpec {
     // df column counts documents containing the term corpus-wide
     assert(got.find(t => t._2 == "banana").get._4 == 2L)
   }
+
+  test("pmiScores: margins and sign match the hand-computed contingency table") {
+    import spark.implicits._
+    // bigrams: (a,b)×2, (c,b)×1, (c,d)×1 → N=4; n_w1: a=2,c=2; n_w2: b=3,d=1
+    val docs = Seq("a b", "a b", "c b", "c d").toDF("text")
+    val got = TextAnalysis.pmiScores(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got(("a", "b")) == ((2L, 2L, 3L, math.rint(math.log(4.0 / 3) * 1e6) / 1e6)))
+    assert(got(("c", "d")) == ((1L, 2L, 1L, math.rint(math.log(2.0) * 1e6) / 1e6)))
+    // (c,b) is ANTI-collocated: observed below independence → negative pmi
+    assert(got(("c", "b"))._4 < 0)
+  }
+
+  test("bpePairCounts weights char pairs by word frequency, ranks count desc") {
+    import spark.implicits._
+    // terms: aab×2, ab×1 → pairs: aa←2, ab←2(from aab)+1(from ab)=3
+    val docs = Seq("aab aab ab").toDF("text")
+    val got = TextAnalysis.bpePairCounts(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("ab", 3L, 1L), ("aa", 2L, 2L)))
+    // single-char words carry no pairs
+    val single = Seq("a a a b").toDF("text")
+    assert(TextAnalysis.bpePairCounts(single, "text", k = 10).isEmpty)
+  }
+
+  test("domainDivergence: zero for identical distributions, ln 2 for disjoint halves") {
+    import spark.implicits._
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("src", "text")
+    val klSame = TextAnalysis.domainDivergence(same, "text", "src", vocabSize = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(klSame.values.forall(math.abs(_) < 1e-9))
+    // A = all x, B = all y, corpus 50/50 → KL = 1·ln(1/0.5) = ln 2 each side
+    val split = Seq(("A", "x x x x"), ("B", "y y y y")).toDF("src", "text")
+    val klSplit = TextAnalysis.domainDivergence(split, "text", "src", vocabSize = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(klSplit.values.forall(v => math.abs(v - math.log(2.0)) < 1e-6))
+    // n_tokens reports the stratum size
+    val rows = TextAnalysis.domainDivergence(split, "text", "src", vocabSize = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("A" -> 4L, "B" -> 4L))
+  }
 }
