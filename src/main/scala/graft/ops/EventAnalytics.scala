@@ -29,9 +29,14 @@ object EventAnalytics {
     * Plan: stage 0 is one hash-agg on user; each later stage is a join
     * of that step's (pre-filtered) events against the reached-so-far
     * frame — all shuffles keyed on user, work bounded by that step's
-    * event volume. Output: (stage, step, n_users), one row per step,
-    * computed in a single final 1-row aggregate unpivoted via explode
-    * (no per-stage jobs). */
+    * event volume. Stage frames nest by reference, so a k-step funnel
+    * replays earlier stages' subtrees O(k²/2) times (no exchange reuse
+    * across the aggregate branches); acceptable because k is a small
+    * constant (funnels are 3–5 steps) and every replayed subtree is a
+    * pushed-filter event slice + user-keyed agg — never the unfiltered
+    * log. Output: (stage, step, n_users), one row per step, computed in
+    * a single final 1-row aggregate unpivoted via explode (no per-stage
+    * jobs). */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String], horizonHours: Int): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")

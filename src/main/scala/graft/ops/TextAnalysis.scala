@@ -267,7 +267,13 @@ object TextAnalysis {
     * (n12/n1)·(N/n2) — two IEEE divisions of exact longs and one
     * product, never an integer product that could overflow at corpus
     * scale (N² ≫ 2^63 at 100 TB) — and the final round(·, 6) absorbs
-    * ln() ulp differences across engines (the t08 contract). */
+    * ln() ulp differences across engines (the t08 contract).
+    *
+    * The global total N is NOT an aggregate over the bigram counts —
+    * Spark does not reuse the exchange across that separate aggregate
+    * branch (the t06/t09 lesson: the whole explode+hash-agg subtree
+    * would run twice). Instead N = Σ_docs (n_tokens − 1), the identical
+    * value from a narrow 1-row scan with no explode and no shuffle. */
   def pmiScores(docs: org.apache.spark.sql.DataFrame, textCol: String,
       minCount: Long): org.apache.spark.sql.DataFrame = {
     val toks = split(col(textCol), " ")
@@ -280,7 +286,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigram"))
     val w1w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
     val w2w = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
-    val total = counts.agg(sum(col("n_bigram")).as("n_total"))
+    val total = docs.where(col(textCol).isNotNull)
+      .agg(sum((size(toks) - 1).cast("long")).as("n_total"))
     counts
       .withColumn("n_w1", sum(col("n_bigram")).over(w1w))
       .withColumn("n_w2", sum(col("n_bigram")).over(w2w))
@@ -345,7 +352,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_st"))
     val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
     val wT = org.apache.spark.sql.expressions.Window.partitionBy(col("mterm"))
-    val total = counts.agg(sum(col("n_st")).as("n_c"))
+    // n_c = total mapped tokens = total tokens: a narrow 1-row scan, not
+    // an aggregate over `counts` (which would re-execute the whole
+    // explode+join+agg subtree — no exchange reuse across aggregate
+    // branches, the same trap pmiScores documents)
+    val total = docs.where(col(textCol).isNotNull)
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("n_c"))
     val pS = col("n_st").cast("double") / col("n_s")
     val pC = col("n_ct").cast("double") / col("n_c")
     counts

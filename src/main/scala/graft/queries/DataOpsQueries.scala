@@ -798,7 +798,7 @@ object DataOpsQueries {
            |m AS (SELECT w1, w2, n_bigram,
            |             CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_w1,
            |             CAST(SUM(n_bigram) OVER (PARTITION BY w2) AS BIGINT) AS n_w2,
-           |             CAST(SUM(n_bigram) OVER () AS BIGINT) AS n_total
+           |             (SELECT CAST(SUM(len(toks) - 1) AS BIGINT) FROM t) AS n_total
            |      FROM c)
            |SELECT w1, w2, n_bigram, n_w1, n_w2,
            |       round(ln((CAST(n_bigram AS DOUBLE) / n_w1)
@@ -873,7 +873,7 @@ object DataOpsQueries {
            |c AS (SELECT source, mterm, CAST(COUNT(*) AS BIGINT) AS n_st FROM m GROUP BY 1, 2),
            |g AS (SELECT *, CAST(SUM(n_st) OVER (PARTITION BY source) AS BIGINT) AS n_s,
            |             CAST(SUM(n_st) OVER (PARTITION BY mterm) AS BIGINT) AS n_ct,
-           |             CAST(SUM(n_st) OVER () AS BIGINT) AS n_c
+           |             (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS n_c
            |      FROM c),
            |n AS (SELECT source, n_s,
            |             CAST(round((CAST(n_st AS DOUBLE) / n_s)
