@@ -115,4 +115,33 @@ object Multimodal {
       (0 until d.nFrames by everyK).map(i => (d.media_id, i, d.width, d.height))
     }.toDF("media_id", "frame_idx", "width", "height")
   }
+
+  /** ViT-style patch tiling plan: cut each decoded width×height frame
+    * into a ceil-grid of `patch`×`patch` tiles, row-major patch ids,
+    * edge tiles emitted with their true (smaller) extent. Like
+    * [[resizePlan]]/[[byteFrames]], the PLAN is pure integer arithmetic
+    * over the decoded dimensions — declarative, narrow (sequence +
+    * explode, no shuffle) and oracle-checkable; the pixel gather it
+    * parameterizes belongs in [[decode]]'s partition loop next to the
+    * codec. */
+  def patchGrid(decoded: Dataset[DecodedMedia], patch: Int): DataFrame = {
+    require(patch > 0, "patch must be positive")
+    // ceil-divisions via floor: Column `/` is fractional, so floor() the
+    // quotient explicitly (exact: correctly-rounded division of small
+    // ints is never within half-ulp of the wrong integer)
+    val nc = floor((col("width").cast("long") + (patch - 1)) / patch).cast("long")
+    val nr = floor((col("height").cast("long") + (patch - 1)) / patch).cast("long")
+    val pcol = pmod(col("patch_idx"), col("_nc"))
+    val prow = floor(col("patch_idx") / col("_nc")).cast("long")
+    decoded.toDF()
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), nc.as("_nc"), nr.as("_nr"))
+      .select(col("media_id"), col("width"), col("height"), col("_nc"),
+        explode(sequence(lit(0L), col("_nr") * col("_nc") - 1)).as("patch_idx"))
+      .select(col("media_id"), col("patch_idx"),
+        prow.as("prow"), pcol.as("pcol"),
+        (pcol * patch).as("x0"), (prow * patch).as("y0"),
+        least(lit(patch.toLong), col("width") - pcol * patch).as("p_width"),
+        least(lit(patch.toLong), col("height") - prow * patch).as("p_height"))
+  }
 }

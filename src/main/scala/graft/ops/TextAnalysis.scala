@@ -370,4 +370,71 @@ object TextAnalysis {
       .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("n_terms"),
         (sum(col("_nano")).cast("double") / 1e9).as("kl"))
   }
+
+  /** Composed Gopher-style curation gate: every signal is computed in
+    * ONE narrow pass (token count, longest word, duplicate-bigram
+    * fraction via the one-pass graft_shingles expression — no explode,
+    * no shuffle; a scan stays a scan), then a when-chain assigns the
+    * FIRST failing reason in severity order. This is the filter step a
+    * pretraining pipeline runs before dedup/packing; the per-reason
+    * rejection tally is one tiny aggregate away (callers group on
+    * fail_reason). All comparisons are on exact integer counts or exact
+    * integer ratios — deterministic on any engine. */
+  def qualityFilter(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minTokens: Long = 20, maxTokens: Long = 100000,
+      maxWordLen: Long = 30, maxBiDupFrac: Double = 0.06): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextHashExpressions.shingles
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        array_max(transform(col("_toks"), t => length(t))).cast("long").as("max_word_len"),
+        when(size(col("_toks")) > 1,
+          lit(1.0) - size(shingles(col("_toks"), 2)).cast("double") /
+            (size(col("_toks")) - 1))
+          .otherwise(lit(0.0)).as("bi_dup_frac"))
+      .withColumn("fail_reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("max_word_len") > maxWordLen, "word_too_long")
+          .when(col("bi_dup_frac") > maxBiDupFrac, "repetitive")
+          .otherwise("ok"))
+      .withColumn("passed", col("fail_reason") === "ok")
+  }
+
+  /** Zipf rank-frequency fit: least-squares slope/intercept of
+    * ln(count) against ln(rank) over the top-`topK` vocabulary — the
+    * dataset-card "does this corpus look like natural language" check
+    * (natural text slopes ≈ −1; machine-generated or truncated corpora
+    * drift off). Scale shape: one explode + term hash-agg (the same
+    * vocabulary pass as buildVocab), a TakeOrdered of topK rows, then a
+    * 1-row aggregate over those topK points.
+    *
+    * Float determinism: each point's (ln rank, ln count) is quantized
+    * to integer MILLIS, so the regression sums are exact integer sums
+    * (order-free; products bounded far inside long range for any corpus
+    * — x,y ≤ ~30·10³ millis, topK ≤ 10⁴ ⟹ Σxy ≤ ~10¹³), and
+    * slope/intercept are IEEE arithmetic over those exact longs —
+    * rounded to 6, the t08 ulp contract. The intercept reuses the
+    * ROUNDED slope so both engines feed identical inputs. */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("term"))
+    val pts = docs.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        round(log(col("rank").cast("double")) * 1000, 0).cast("long").as("x"),
+        round(log(col("c").cast("double")) * 1000, 0).cast("long").as("y"))
+    val slope = round(
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+    pts
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_terms"), slope.as("slope"),
+        round((col("sy").cast("double") / 1000 -
+          slope * (col("sx").cast("double") / 1000)) / col("n"), 6).as("intercept"))
+  }
 }

@@ -917,15 +917,100 @@ object DataOpsQueries {
            |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
            |WHERE d.text IS NOT NULL""".stripMargin))
 
+  /** Composed Gopher-style curation gate: pass/fail + first failing
+    * reason per doc, one narrow pass (see TextAnalysis.qualityFilter).
+    * Thresholds calibrated to split the synthetic corpus non-trivially
+    * (~8% too_short, ~10% repetitive at sf0.01); too_long /
+    * word_too_long are real-world guards this corpus never trips. */
+  val d23QualityFilter = NamedQuery(
+    "d23_quality_filter",
+    (s, dir) => {
+      TextAnalysis.qualityFilter(
+        Tables.documents(s, dir).where(col("text").isNotNull), "doc_id", "text")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |           WHERE text IS NOT NULL),
+           |m AS (SELECT doc_id,
+           |             CAST(len(toks) AS BIGINT) AS n_tokens,
+           |             CAST(list_max(list_transform(toks, tk -> length(tk))) AS BIGINT) AS max_word_len,
+           |             CASE WHEN len(toks) > 1
+           |                  THEN 1.0 - CAST(len(list_distinct(list_transform(
+           |                         generate_series(1, len(toks) - 1),
+           |                         i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+           |                       / (len(toks) - 1)
+           |                  ELSE 0.0 END AS bi_dup_frac
+           |      FROM t)
+           |SELECT doc_id, n_tokens, max_word_len, bi_dup_frac,
+           |       CASE WHEN n_tokens < 20 THEN 'too_short'
+           |            WHEN n_tokens > 100000 THEN 'too_long'
+           |            WHEN max_word_len > 30 THEN 'word_too_long'
+           |            WHEN bi_dup_frac > 0.06 THEN 'repetitive'
+           |            ELSE 'ok' END AS fail_reason,
+           |       CASE WHEN n_tokens >= 20 AND n_tokens <= 100000
+           |             AND max_word_len <= 30 AND bi_dup_frac <= 0.06
+           |            THEN TRUE ELSE FALSE END AS passed
+           |FROM m""".stripMargin))
+
+  /** Zipf rank-frequency fit over the top-256 vocabulary — see
+    * TextAnalysis.zipfFit for the integer-millis regression contract. */
+  val t11Zipf = NamedQuery(
+    "t11_zipf",
+    (s, dir) => {
+      TextAnalysis.zipfFit(
+        Tables.documents(s, dir).where(col("text").isNotNull), "text", topK = 256)
+    },
+    Some("""WITH tc AS (
+           |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents
+           |        WHERE text IS NOT NULL)
+           |  GROUP BY 1),
+           |pts AS (
+           |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+           |         CAST(round(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS y
+           |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank FROM tc)
+           |  WHERE rank <= 256),
+           |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           |             CAST(SUM(x * y) AS BIGINT) AS sxy,
+           |             CAST(SUM(x * x) AS BIGINT) AS sxx
+           |      FROM pts),
+           |sl AS (SELECT *, round(CAST(n * sxy - sx * sy AS DOUBLE)
+           |                       / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+           |       FROM s)
+           |SELECT n AS n_terms, slope,
+           |       round((CAST(sy AS DOUBLE) / 1000 - slope * (CAST(sx AS DOUBLE) / 1000)) / n, 6) AS intercept
+           |FROM sl""".stripMargin))
+
+  /** ViT-style patch tiling over decoded media (64-px ceil grid, true
+    * edge extents) — integer arithmetic over the stub decoder's
+    * dimensions, SQL-reproducible like m02/m03 (see
+    * Multimodal.patchGrid). */
+  val m06PatchGrid = NamedQuery(
+    "m06_patch_grid",
+    (s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.patchGrid(Multimodal.decode(s, media), patch = 64)
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
+           |d AS (SELECT media_id, CAST(64 + n % 512 AS BIGINT) AS width,
+           |             CAST(64 + (n // 7) % 512 AS BIGINT) AS height FROM m),
+           |g AS (SELECT *, (width + 63) // 64 AS nc, (height + 63) // 64 AS nr FROM d)
+           |SELECT media_id, CAST(i AS BIGINT) AS patch_idx,
+           |       CAST(i // nc AS BIGINT) AS prow, CAST(i % nc AS BIGINT) AS pcol,
+           |       CAST((i % nc) * 64 AS BIGINT) AS x0, CAST((i // nc) * 64 AS BIGINT) AS y0,
+           |       CAST(least(64, width - (i % nc) * 64) AS BIGINT) AS p_width,
+           |       CAST(least(64, height - (i // nc) * 64) AS BIGINT) AS p_height
+           |FROM g CROSS JOIN generate_series(0, 99) t(i) WHERE i < nr * nc""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
     d13SequencePack, d14CapPerKey, d15JaccardVerify, d16ChunkSplit,
     d17CorpusStats, d18ShuffleShard, d19VocabEncode, d20BpePairs,
-    d21MixtureWeights, d22DomainKl,
+    d21MixtureWeights, d22DomainKl, d23QualityFilter,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
-    t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi,
+    t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,
-    m05AssembleRecords)
+    m05AssembleRecords, m06PatchGrid)
 }

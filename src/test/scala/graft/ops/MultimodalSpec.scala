@@ -83,4 +83,24 @@ class MultimodalSpec extends SparkSpec {
       assert(idxs == (0 until nFrames(id) by 2).toSeq)
     }
   }
+
+  test("patchGrid tiles a ceil grid with true edge extents") {
+    import spark.implicits._
+    // 100×65 at patch 32 → 4 cols × 3 rows; right edge 4 px, bottom edge 1 px
+    val decoded = Seq(Multimodal.DecodedMedia(1L, 100, 65, 1, Array(0f))).toDS()
+    val got = Multimodal.patchGrid(decoded, patch = 32)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    assert(got.length == 12)
+    // row-major ids: patch_idx = prow*4 + pcol
+    assert(got.forall { case (idx, pr, pc, _, _, _, _) => idx == pr * 4 + pc })
+    // interior patch is full-size
+    assert(got(0) == ((0L, 0L, 0L, 0L, 0L, 32L, 32L)))
+    // bottom-right corner carries both true extents
+    assert(got(11) == ((11L, 2L, 3L, 96L, 64L, 4L, 1L)))
+    // every pixel is covered exactly once: areas sum to width×height
+    assert(got.map(p => p._6 * p._7).sum == 100L * 65L)
+  }
 }

@@ -226,4 +226,34 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows == Map("A" -> 4L, "B" -> 4L))
   }
+
+  test("qualityFilter assigns the first failing reason in severity order") {
+    import spark.implicits._
+    val long = ("w " * 30).trim                          // 30 distinct-position tokens
+    val docs = Seq(
+      (1L, "too short"),                                 // 2 tokens
+      (2L, ("a b c d e f g h i j " * 3).trim),           // 30 tokens, dup bigrams ARE high
+      (3L, "x " * 10 + "supercalifragilisticexpialidocious-from-a-very-spammy-url " + "y z " * 8),
+      (4L, (1 to 25).map(i => s"tok$i").mkString(" "))   // clean: 25 distinct tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(4), r.getBoolean(5))).toMap
+    assert(got(1L) == (("too_short", false)))
+    assert(got(2L) == (("repetitive", false)))
+    assert(got(3L) == (("word_too_long", false)))
+    assert(got(4L) == (("ok", true)))
+    // doc 2: 29 bigrams, 10 distinct ("j a" wraps) → frac far over 0.06
+    assert(long.nonEmpty) // silence unused warning paranoia
+  }
+
+  test("zipfFit recovers slope -1 on an exact power-law corpus") {
+    import spark.implicits._
+    // counts 12/r for ranks 1..4: a×12, b×6, c×4, d×3
+    val text = ("a " * 12 + "b " * 6 + "c " * 4 + "d " * 3).trim
+    val got = TextAnalysis.zipfFit(Seq(text).toDF("text"), "text", topK = 16)
+      .collect()(0)
+    assert(got.getLong(0) == 4L)
+    assert(math.abs(got.getDouble(1) + 1.0) < 0.01)     // slope ≈ −1
+    assert(math.abs(got.getDouble(2) - math.log(12.0)) < 0.01) // intercept ≈ ln 12
+  }
 }
