@@ -479,4 +479,32 @@ object Dedup {
         col("n_inter").cast("double") /
           (col("n_self") + col("n_query") - col("n_inter")))
   }
+
+  /** C4-style cross-document chunk dedup audit: split every doc into
+    * disjoint `chunkTokens`-token chunks, keep only the globally FIRST
+    * occurrence of each distinct chunk (ordered by (doc, chunk_idx) — a
+    * deterministic total order), and report per-doc kept/removed tallies.
+    * This is the "line-level dedup" step of C4/CCNet pipelines, expressed
+    * over token chunks because the corpus has no line structure.
+    *
+    * Scale shape: chunking is narrow (chunkByTokens — zero shuffles);
+    * chunk text is md5-keyed BEFORE the shuffle so 32-char hashes
+    * travel, not text; first-occurrence is one window on the hash and
+    * the tally one doc-keyed hash-agg. Skew caveat: a chunk duplicated
+    * across a huge fraction of the corpus lands its copies in one window
+    * partition — the same degenerate-bucket caveat as the LSH caps;
+    * boilerplate-heavy corpora should pre-filter known boilerplate or
+    * cap with an overflow audit like minhashBucketOverflow. */
+  def chunkDedupStats(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 8): DataFrame = {
+    val chunks = Packing
+      .chunkByTokens(df, idCol, textCol, chunkTokens, chunkTokens)
+      .select(col(idCol), col("chunk_idx"), md5(col("chunk_text")).as("_h"))
+    val w = Window.partitionBy(col("_h")).orderBy(col(idCol), col("chunk_idx"))
+    chunks.withColumn("_rk", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_rk") > 1, 1L).otherwise(0L)).as("n_removed"))
+  }
 }

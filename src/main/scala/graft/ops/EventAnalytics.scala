@@ -85,4 +85,28 @@ object EventAnalytics {
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Repeat-event debounce: flag events arriving within `windowSeconds`
+    * of the PREVIOUS same-(user, type) event — the batch form of
+    * duplicate-suppression every event pipeline runs before counting
+    * (double-clicks, retry storms, at-least-once delivery). Adjacent-gap
+    * semantics (each event is judged against its immediate predecessor,
+    * kept or not), NOT chained suppression — adjacent is expressible as
+    * one lag() window on both engines, while chained suppression is
+    * inherently iterative. Gap is exact integer microseconds; ties
+    * order on the event id, so the verdict is total-order deterministic.
+    * One shuffle, keyed on (user, type). */
+  def debounce(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(idCol), col(userCol), col(typeCol), col(tsCol),
+        unix_micros(col(tsCol)).as("_us"))
+      .withColumn("gap_us",
+        coalesce(col("_us") - lag(col("_us"), 1).over(w), lit(-1L)))
+      .select(col(idCol), col(userCol), col(typeCol), col("gap_us"),
+        (col("gap_us") === -1L ||
+          col("gap_us") >= windowSeconds * 1000000L).as("kept"))
+  }
 }

@@ -1002,13 +1002,40 @@ object DataOpsQueries {
            |       CAST(least(64, height - (i // nc) * 64) AS BIGINT) AS p_height
            |FROM g CROSS JOIN generate_series(0, 99) t(i) WHERE i < nr * nc""".stripMargin))
 
+  /** C4-style cross-document chunk dedup (8-token disjoint chunks,
+    * global first-occurrence wins): per-doc kept/removed tallies — see
+    * Dedup.chunkDedupStats (md5 keys travel, not text; ~5% of chunks
+    * are cross-doc dups on this corpus, so the op demonstrably fires). */
+  val d24ChunkDedup = NamedQuery(
+    "d24_chunk_dedup",
+    (s, dir) => {
+      Dedup.chunkDedupStats(
+        Tables.documents(s, dir).where(col("text").isNotNull),
+        "doc_id", "text", chunkTokens = 8)
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |           WHERE text IS NOT NULL),
+           |c AS (SELECT doc_id, unnest(generate_series(0, (len(toks) - 1) // 8)) AS chunk_idx,
+           |             toks
+           |      FROM t WHERE len(toks) > 0),
+           |x AS (SELECT doc_id, chunk_idx,
+           |             md5(array_to_string(toks[chunk_idx*8+1 : chunk_idx*8+8], ' ')) AS h
+           |      FROM c),
+           |r AS (SELECT doc_id, chunk_idx,
+           |             row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rk
+           |      FROM x)
+           |SELECT doc_id, COUNT(*) AS n_chunks,
+           |       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+           |FROM r GROUP BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
     d09DedupResolve, d10AnnIvf, d11Contamination, d12StratifiedSample,
     d13SequencePack, d14CapPerKey, d15JaccardVerify, d16ChunkSplit,
     d17CorpusStats, d18ShuffleShard, d19VocabEncode, d20BpePairs,
-    d21MixtureWeights, d22DomainKl, d23QualityFilter,
+    d21MixtureWeights, d22DomainKl, d23QualityFilter, d24ChunkDedup,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

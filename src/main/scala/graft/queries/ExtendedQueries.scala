@@ -478,9 +478,62 @@ object ExtendedQueries {
          |FROM z GROUP BY 1""".stripMargin
     })
 
+  /** TPC-H Q18 shape (large-volume customers): the HAVING-gated
+    * aggregate feeds the join directly — no second lineitem pass to
+    * re-aggregate (Q18's textbook SQL re-joins lineitem; reusing the
+    * aggregate halves the heavy side). sum(l_quantity) is exact: the
+    * quantities are integral doubles, and sums of integral doubles
+    * below 2^53 are order-independent. Top-100 plans as
+    * TakeOrderedAndProject; the orders/customer joins broadcast the
+    * aggregated (filtered-tiny) side. */
+  val q56Tpch18 = NamedQuery(
+    "q56_tpch18",
+    (s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .where(col("sum_qty") > 300)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_date"), col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""WITH big AS (
+           |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+           |  FROM lineitem GROUP BY 1 HAVING CAST(SUM(l_quantity) AS BIGINT) > 300)
+           |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+           |       o.o_totalprice, b.sum_qty
+           |FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+           |           JOIN customer c ON c.c_custkey = o.o_custkey
+           |ORDER BY o.o_totalprice DESC, o_date, o.o_orderkey LIMIT 100""".stripMargin))
+
+  /** Repeat-event debounce (24 h same-(user, type) suppression window) —
+    * see graft.ops.EventAnalytics.debounce for the adjacent-gap
+    * semantics and determinism contract. */
+  val q57EventDebounce = NamedQuery(
+    "q57_event_debounce",
+    (s, dir) => {
+      graft.ops.EventAnalytics.debounce(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id", windowSeconds = 86400L)
+    },
+    Some("""WITH g AS (
+           |  SELECT event_id, user_id, event_type,
+           |         CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           |           PARTITION BY user_id, event_type ORDER BY ts, event_id), -1) AS BIGINT) AS gap_us
+           |  FROM events)
+           |SELECT event_id, user_id, event_type, gap_us,
+           |       (gap_us = -1 OR gap_us >= 86400000000) AS kept
+           |FROM g""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
-    q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout)
+    q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
+    q57EventDebounce)
 }

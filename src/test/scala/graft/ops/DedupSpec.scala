@@ -191,4 +191,21 @@ class DedupSpec extends SparkSpec {
       .collect()(0).getSeq[Long](1)
     assert(sig.forall(_ == Long.MaxValue)) // empty-set sentinel, deterministic
   }
+
+  test("chunkDedupStats: global first occurrence wins, per-doc tallies") {
+    // doc 1: chunks [a b] [c d]; doc 2: chunks [c d] [e f]; doc 3: [a b]
+    // first occurrences: (1,0) (1,1) (2,1) — doc2 chunk0 and doc3 chunk0 removed
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "a b")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedupStats(docs, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 0L)),
+      2L -> ((2L, 1L, 1L)),
+      3L -> ((1L, 0L, 1L))))
+    // deterministic under repartitioning (window order is total)
+    val again = Dedup.chunkDedupStats(docs.repartition(5), "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == got)
+  }
 }

@@ -37,6 +37,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 0L))
   }
 
+  test("debounce: adjacent-gap suppression per (user, type), first kept") {
+    val events = Seq(
+      // u1 clicks at 0h, 1h, 30h: the 1h repeat is suppressed at a 24h
+      // window, the 30h one is kept (adjacent gap 29h > 24h)
+      (10L, 1L, "click", ts(0)), (11L, 1L, "click", ts(1)), (12L, 1L, "click", ts(30)),
+      // different type interleaved: independent stream, always first
+      (13L, 1L, "view", ts(0)),
+      // different user: independent stream
+      (14L, 2L, "click", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.debounce(events, "user_id", "event_type", "ts",
+        "event_id", windowSeconds = 24 * 3600L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(10L) == ((-1L, true)))
+    assert(got(11L) == ((3600L * 1000000, false)))
+    assert(got(12L) == ((29 * 3600L * 1000000, true)))
+    assert(got(13L) == ((-1L, true)))
+    assert(got(14L) == ((-1L, true)))
+  }
+
   test("retentionCohorts: first-active-day cohorts with day offsets") {
     val events = Seq(
       // u1 active on day 0 and day 2 (two events on day 2 must not double-count)
