@@ -70,4 +70,42 @@ class PlanPropertiesSpec extends SparkSpec {
       assert(rs.count(_ == ',') <= 2, s"scan reads more than 3 columns: $rs")
     }
   }
+
+  test("t10 (PMI): exactly one corpus explode — global N comes from the narrow scan") {
+    val plan = executedPlan("t10_pmi")
+    // a second Generate would mean the total branch re-runs the
+    // explode+agg subtree (the exchange-reuse trap this query fixed)
+    assert("Generate explode".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("d22 (domain KL): two corpus explodes only (vocab + counts), total from the narrow scan") {
+    val plan = executedPlan("d22_domain_kl")
+    assert("Generate explode".r.findAllIn(plan).length == 2, plan)
+  }
+
+  test("d23 (quality gate): zero shuffles — a scan stays a scan") {
+    val df = SparkEntry.queries("d23_quality_filter")(spark, dir)
+    assert(!graft.ops.Bucketing.hasShuffle(df),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("m06 (patch grid): no shuffle after the decode seam") {
+    val df = SparkEntry.queries("m06_patch_grid")(spark, dir)
+    assert(!graft.ops.Bucketing.hasShuffle(df),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("q56 (TPC-H Q18): single lineitem pass, top-100 as TakeOrderedAndProject") {
+    val plan = executedPlan("q56_tpch18")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the textbook formulation re-joins lineitem to re-aggregate; this
+    // plan must read lineitem exactly once
+    assert("lineitem\\.parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("q57 (debounce): one window over one exchange, keyed on (user, type)") {
+    val plan = executedPlan("q57_event_debounce")
+    assert("(?<!Broadcast)Exchange ".r.findAllIn(plan).length == 1, plan)
+    assert("\\bWindow\\b".r.findFirstIn(plan).isDefined, plan)
+  }
 }
