@@ -93,6 +93,49 @@ object StreamOps {
       }
   }
 
+  final case class TypedEvent(event_id: Long, user_id: Long,
+      event_type: String, ts_us: Long)
+  final case class DebounceVerdict(event_id: Long, user_id: Long,
+      event_type: String, gap_us: Long, kept: Boolean)
+
+  /** Streaming twin of EventAnalytics.debounce: per-(user, type)
+    * adjacent-gap repeat suppression with the last-seen timestamp as the
+    * only state (one long per live key; idle keys expire). Within a
+    * micro-batch, rows are walked in ts order (then id), so a single
+    * ordered replay emits exactly the batch verdicts — asserted
+    * stream==batch in StreamOpsSpec. Caveat shared with every
+    * non-watermarked stateful op: ACROSS micro-batches the walk follows
+    * arrival order; out-of-order arrivals need a watermark + reorder
+    * stage upstream. */
+  def debounceStream(spark: SparkSession, events: Dataset[TypedEvent],
+      windowSeconds: Long,
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[DebounceVerdict] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, DebounceVerdict](
+        OutputMode.Append, timeoutConf) {
+        (key: (Long, String), rows: Iterator[TypedEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var prev = state.getOption.getOrElse(Long.MinValue)
+            val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+              val gap = if (prev == Long.MinValue) -1L else e.ts_us - prev
+              prev = e.ts_us
+              DebounceVerdict(e.event_id, key._1, key._2, gap,
+                gap == -1L || gap >= windowSeconds * 1000000L)
+            }
+            state.update(prev)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-stream inner join with bounded state: both sides are
     * watermarked and the join condition carries a time range, so the
     * state store holds only rows inside the watermark horizon (an

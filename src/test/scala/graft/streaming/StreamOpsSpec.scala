@@ -135,4 +135,34 @@ class StreamOpsSpec extends SparkSpec {
     // user 1: one 2-event session + one 1-event session; user 2: one session
     assert(got.sorted.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
+
+  test("stateful debounce stream matches the batch adjacent-gap verdicts across batches") {
+    val h = 3600L * 1000000 // one hour in micros
+    val evs = Seq(
+      StreamOps.TypedEvent(10L, 1L, "click", 0L),
+      StreamOps.TypedEvent(11L, 1L, "click", 1 * h),
+      StreamOps.TypedEvent(13L, 1L, "view", 0L),
+      // second micro-batch: state must carry user 1's last click (1h)
+      StreamOps.TypedEvent(12L, 1L, "click", 30 * h),
+      StreamOps.TypedEvent(14L, 2L, "click", 0L))
+    val mem = MemoryStream[StreamOps.TypedEvent](spark, 1)
+    val out = StreamOps.debounceStream(spark, mem.toDS(),
+      windowSeconds = 24 * 3600L, idleTimeout = None)
+    val q = out.writeStream.format("memory").queryName("debounce_t")
+      .outputMode("append").start()
+    mem.addData(evs.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(evs.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("debounce_t").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSet
+    val batch = graft.ops.EventAnalytics.debounce(
+        evs.toDF().withColumn("ts", timestamp_micros(col("ts_us"))),
+        "user_id", "event_type", "ts", "event_id", windowSeconds = 24 * 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSet
+    assert(stream == batch)
+    // the 1h repeat was suppressed; the 29h-gap click was kept
+    assert(stream.contains((11L, 1 * h, false)) && stream.contains((12L, 29 * h, true)))
+  }
 }
