@@ -1029,6 +1029,80 @@ object DataOpsQueries {
            |       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
            |FROM r GROUP BY 1""".stripMargin))
 
+  /** The full curation pipeline — quality gate → exact dedup → balanced
+    * sample — composed as ONE declarative plan with per-stage survivor
+    * counts: every stage is a FLAG on the same frame (quality is narrow
+    * arithmetic; dedup-canonical is one window MIN over md5(text)
+    * restricted to quality survivors; the sample flag is content-keyed),
+    * so the whole funnel costs one narrow pass + ONE shuffle (the dedup
+    * window) + a 1-row aggregate, instead of four chained jobs each
+    * re-reading the corpus. The same flags select the surviving rows in
+    * production; emitting the stage tallies exercises the identical
+    * plan. */
+  val d25CurationPipeline = NamedQuery(
+    "d25_curation_pipeline",
+    (s, dir) => {
+      import graft.functions.TextHashExpressions.shingles
+      val toks = split(col("text"), " ")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      val staged = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(toks).cast("long").as("_nt"),
+          array_max(transform(toks, t => length(t))).cast("long").as("_mw"),
+          when(size(toks) > 1,
+            lit(1.0) - size(shingles(toks, 2)).cast("double") / (size(toks) - 1))
+            .otherwise(lit(0.0)).as("_bd"))
+        .withColumn("_q", col("_nt") >= 20 && col("_nt") <= 100000 &&
+          col("_mw") <= 30 && col("_bd") <= 0.06)
+        .withColumn("_minq", min(when(col("_q"), col("doc_id"))).over(w))
+        .withColumn("_d", col("_q") && col("doc_id") === col("_minq"))
+        .withColumn("_s", col("_d") && graft.ops.Sampling.hashUniform(col("text")) <
+          when(col("lang") === "en", 0.5).otherwise(1.0))
+      staged.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("_q"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("_d"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("_s"), 1L).otherwise(0L)).as("n3"))
+        .select(explode(array(
+          struct(lit(0L).as("stage"), lit("input").as("name"), col("n0").as("n_docs")),
+          struct(lit(1L).as("stage"), lit("quality").as("name"), col("n1").as("n_docs")),
+          struct(lit(2L).as("stage"), lit("dedup").as("name"), col("n2").as("n_docs")),
+          struct(lit(3L).as("stage"), lit("sample").as("name"), col("n3").as("n_docs"))))
+          .as("r"))
+        .select(col("r.stage").as("stage"), col("r.name").as("name"),
+          col("r.n_docs").as("n_docs"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+           |           FROM documents WHERE text IS NOT NULL),
+           |f AS (SELECT doc_id, lang, text,
+           |             CAST(len(toks) AS BIGINT) AS nt,
+           |             CAST(list_max(list_transform(toks, tk -> length(tk))) AS BIGINT) AS mw,
+           |             CASE WHEN len(toks) > 1
+           |                  THEN 1.0 - CAST(len(list_distinct(list_transform(
+           |                         generate_series(1, len(toks) - 1),
+           |                         i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+           |                       / (len(toks) - 1)
+           |                  ELSE 0.0 END AS bd
+           |      FROM t),
+           |q AS (SELECT *, (nt >= 20 AND nt <= 100000 AND mw <= 30 AND bd <= 0.06) AS qok
+           |      FROM f),
+           |d AS (SELECT *, qok AND doc_id = MIN(CASE WHEN qok THEN doc_id END)
+           |               OVER (PARTITION BY md5(text)) AS dok
+           |      FROM q),
+           |sc AS (SELECT *, dok AND
+           |              (CAST(md5_number_upper(text) >> 11 AS DOUBLE) / 9007199254740992.0)
+           |                < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END) AS sok
+           |       FROM d),
+           |a AS (SELECT COUNT(*) AS n0,
+           |             CAST(SUM(CASE WHEN qok THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |             CAST(SUM(CASE WHEN dok THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |             CAST(SUM(CASE WHEN sok THEN 1 ELSE 0 END) AS BIGINT) AS n3
+           |      FROM sc)
+           |SELECT CAST(0 AS BIGINT) AS stage, 'input' AS name, n0 AS n_docs FROM a
+           |UNION ALL SELECT 1, 'quality', n1 FROM a
+           |UNION ALL SELECT 2, 'dedup', n2 FROM a
+           |UNION ALL SELECT 3, 'sample', n3 FROM a""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1036,6 +1110,7 @@ object DataOpsQueries {
     d13SequencePack, d14CapPerKey, d15JaccardVerify, d16ChunkSplit,
     d17CorpusStats, d18ShuffleShard, d19VocabEncode, d20BpePairs,
     d21MixtureWeights, d22DomainKl, d23QualityFilter, d24ChunkDedup,
+    d25CurationPipeline,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

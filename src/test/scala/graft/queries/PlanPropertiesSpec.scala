@@ -108,4 +108,12 @@ class PlanPropertiesSpec extends SparkSpec {
     assert("(?<!Broadcast)Exchange ".r.findAllIn(plan).length == 1, plan)
     assert("\\bWindow\\b".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("d25 (curation pipeline): the whole quality→dedup→sample funnel costs one data shuffle") {
+    val plan = executedPlan("d25_curation_pipeline")
+    // one Exchange for the dedup window; the final 1-row agg adds only a
+    // SinglePartition exchange of already-aggregated partials
+    val exchanges = "(?<!Broadcast)Exchange [a-zA-Z]*[Hh]ash".r.findAllIn(plan).length
+    assert(exchanges == 1, plan)
+  }
 }
