@@ -152,4 +152,48 @@ class PropertySpec extends SparkSpec {
       assert(planted.exists(_.getDouble(2) == 1.0))
     }
   }
+
+  test("zOrderKey is a bijection on the bits×bits grid (no two cells collide)") {
+    val pts = (for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong))
+    val keys = pts.toDF("x", "y")
+      .select(graft.ops.Bucketing.zOrderKey(col("x"), col("y"), 5))
+      .collect().map(_.getLong(0))
+    assert(keys.distinct.length == 1024)
+    assert(keys.min == 0L && keys.max == 1023L) // exactly fills [0, 2^10)
+  }
+
+  test("funnel stage counts are monotone non-increasing on random event logs") {
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 6L)
+      t <- Gen.oneOf("view", "click", "purchase")
+      h <- Gen.chooseNum(0L, 200L)
+    } yield (u, t, h)
+    samples(Gen.listOfN(40, evGen), 4).foreach { evs =>
+      val df = evs.zipWithIndex.map { case ((u, t, h), i) =>
+        (i.toLong, u, t, new java.sql.Timestamp(h * 3600 * 1000L))
+      }.toDF("event_id", "user_id", "event_type", "ts")
+      val counts = graft.ops.EventAnalytics.funnel(df, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), horizonHours = 72)
+        .collect().sortBy(_.getLong(0)).map(_.getLong(2))
+      assert(counts.length == 3)
+      assert(counts(0) >= counts(1) && counts(1) >= counts(2))
+    }
+  }
+
+  test("mixtureWeights shares sum to 1 within a micro and allocations to the budget") {
+    val gen = Gen.listOfN(5, Gen.chooseNum(1, 400))
+    samples(gen, 6).foreach { sizes =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, i) =>
+        Seq((s"src$i", ("w " * n).trim))
+      }.toDF("source", "text")
+      val rows = graft.ops.Sampling.mixtureWeights(docs, "source", "text", 1000000L)
+        .collect()
+      val shares = rows.map(_.getDouble(4))
+      assert(math.abs(shares.sum - 1.0) < 1e-9)
+      // allocations track shares: off by at most 1 token from share×budget
+      rows.foreach { r =>
+        assert(math.abs(r.getLong(5) - r.getDouble(4) * 1000000L) <= 1.0)
+      }
+    }
+  }
 }
