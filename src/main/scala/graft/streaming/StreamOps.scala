@@ -136,6 +136,61 @@ object StreamOps {
       }
   }
 
+  final case class FunnelState(stage: Int, lastTs: Long, deadline: Long)
+  final case class FunnelProgress(user_id: Long, stage: Long, step: String,
+      ts_us: Long)
+
+  /** Streaming twin of EventAnalytics.funnel: a per-user state machine —
+    * state is (highest stage reached, its event time, the funnel
+    * deadline), three numbers per live user. An event advances the
+    * machine when it matches the NEXT step at-or-after the current stage
+    * time and inside the deadline; each advancement emits a
+    * FunnelProgress row, so counting distinct users per stage downstream
+    * reproduces the batch stage counts (asserted stream==batch in
+    * StreamOpsSpec — the ordered greedy walk takes the first qualifying
+    * event, which IS the batch min). Same ordering caveat as
+    * [[debounceStream]]: within a micro-batch rows are walked in
+    * (ts, id) order; cross-batch reordering needs an upstream
+    * watermark+sort stage. */
+  def funnelStream(spark: SparkSession, events: Dataset[TypedEvent],
+      steps: Seq[String], horizonHours: Int,
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[FunnelProgress] = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    import spark.implicits._
+    val horizonUs = horizonHours * 3600L * 1000000L
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append, timeoutConf) {
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[FunnelProgress]
+            rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              if (st == null) {
+                if (e.event_type == steps.head) {
+                  st = FunnelState(0, e.ts_us, e.ts_us + horizonUs)
+                  out += FunnelProgress(user, 0L, steps.head, e.ts_us)
+                }
+              } else if (st.stage < steps.size - 1 &&
+                  e.event_type == steps(st.stage + 1) &&
+                  e.ts_us >= st.lastTs && e.ts_us <= st.deadline) {
+                st = FunnelState(st.stage + 1, e.ts_us, st.deadline)
+                out += FunnelProgress(user, st.stage.toLong, e.event_type, e.ts_us)
+              }
+            }
+            if (st != null) state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream inner join with bounded state: both sides are
     * watermarked and the join condition carries a time range, so the
     * state store holds only rows inside the watermark horizon (an

@@ -165,4 +165,41 @@ class StreamOpsSpec extends SparkSpec {
     // the 1h repeat was suppressed; the 29h-gap click was kept
     assert(stream.contains((11L, 1 * h, false)) && stream.contains((12L, 29 * h, true)))
   }
+
+  test("stateful funnel stream reproduces the batch stage counts across batches") {
+    val h = 3600L * 1000000
+    val evs = Seq(
+      // u1 converts fully — purchase arrives in the SECOND micro-batch
+      StreamOps.TypedEvent(20L, 1L, "view", 0L),
+      StreamOps.TypedEvent(21L, 1L, "click", 1 * h),
+      // u2 clicks outside the 72h window
+      StreamOps.TypedEvent(22L, 2L, "view", 0L),
+      StreamOps.TypedEvent(23L, 2L, "click", 100 * h),
+      // u3's click precedes the view — order matters
+      StreamOps.TypedEvent(24L, 3L, "click", 0L),
+      StreamOps.TypedEvent(25L, 3L, "view", 1 * h),
+      // batch 2
+      StreamOps.TypedEvent(26L, 1L, "purchase", 2 * h))
+    val mem = MemoryStream[StreamOps.TypedEvent](spark, 1)
+    val out = StreamOps.funnelStream(spark, mem.toDS(),
+      Seq("view", "click", "purchase"), horizonHours = 72, idleTimeout = None)
+    val q = out.writeStream.format("memory").queryName("funnel_t")
+      .outputMode("append").start()
+    mem.addData(evs.take(6): _*)
+    q.processAllAvailable()
+    mem.addData(evs.drop(6): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamCounts = spark.table("funnel_t")
+      .groupBy("stage").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchCounts = graft.ops.EventAnalytics.funnel(
+        evs.toDF().withColumn("ts", timestamp_micros(col("ts_us"))),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        horizonHours = 72)
+      .where(col("n_users") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(streamCounts == batchCounts)
+    assert(streamCounts == Map(0L -> 3L, 1L -> 1L, 2L -> 1L))
+  }
 }
