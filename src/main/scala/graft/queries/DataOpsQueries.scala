@@ -1103,6 +1103,83 @@ object DataOpsQueries {
            |UNION ALL SELECT 2, 'dedup', n2 FROM a
            |UNION ALL SELECT 3, 'sample', n3 FROM a""".stripMargin))
 
+  /** k-anonymity audit over quasi-identifiers (nation × market segment,
+    * k = 10): every equivalence class with its size and compliance flag —
+    * the data-governance check run before releasing a dataset keyed on
+    * quasi-identifiers. One hash-aggregate; the violating classes are
+    * the `NOT k_ok` slice. */
+  val d26KAnonymity = NamedQuery(
+    "d26_k_anonymity",
+    (s, dir) => {
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_members"))
+        .withColumn("k_ok", col("n_members") >= 10)
+    },
+    Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS mktsegment,
+           |       COUNT(*) AS n_members, COUNT(*) >= 10 AS k_ok
+           |FROM customer GROUP BY 1, 2""".stripMargin))
+
+  /** Right-to-be-forgotten purge accounting: given a deletion-request
+    * list (subject ids ≡ 0 mod 17 as the deterministic stand-in), report
+    * purged/kept row counts per table, INCLUDING the two-hop cascade
+    * lineitem ← orders ← subject. The subject list joins as a table
+    * (broadcast — request lists are small); the lineitem cascade joins
+    * on the purged ORDER keys without a broadcast hint, because at real
+    * scale a heavy deleter's order set is not broadcast-sized (AQE
+    * promotes it when it is). Each table contributes one aggregate
+    * branch; the only re-derived subtree is the tiny subject scan. */
+  val d27ForgetPurge = NamedQuery(
+    "d27_forget_purge",
+    (s, dir) => {
+      val subjects = Tables.customer(s, dir)
+        .where(pmod(col("c_custkey"), lit(17L)) === 0)
+        .select(col("c_custkey").as("sid"))
+      def tally(df: org.apache.spark.sql.DataFrame, key: String, table: String,
+          hinted: Boolean = true) = {
+        val subj = if (hinted) broadcast(subjects) else subjects
+        df.join(subj, col(key) === col("sid"), "left")
+          .agg(sum(when(col("sid").isNotNull, 1L).otherwise(0L)).as("n_purged"),
+            sum(when(col("sid").isNull, 1L).otherwise(0L)).as("n_kept"))
+          .select(lit(table).as("table"), col("n_purged"), col("n_kept"))
+      }
+      val purgedOrders = Tables.orders(s, dir)
+        .join(broadcast(subjects), col("o_custkey") === col("sid"), "left_semi")
+        .select(col("o_orderkey").as("sid"))
+      tally(Tables.customer(s, dir), "c_custkey", "customer")
+        .unionByName(tally(Tables.orders(s, dir), "o_custkey", "orders"))
+        .unionByName(tally(Tables.events(s, dir), "user_id", "events"))
+        .unionByName(
+          Tables.lineitem(s, dir)
+            .join(purgedOrders, col("l_orderkey") === col("sid"), "left")
+            .agg(sum(when(col("sid").isNotNull, 1L).otherwise(0L)).as("n_purged"),
+              sum(when(col("sid").isNull, 1L).otherwise(0L)).as("n_kept"))
+            .select(lit("lineitem").as("table"), col("n_purged"), col("n_kept")))
+    },
+    Some("""WITH subj AS (SELECT c_custkey AS sid FROM customer WHERE c_custkey % 17 = 0),
+           |po AS (SELECT o_orderkey AS sid FROM orders
+           |       WHERE o_custkey IN (SELECT sid FROM subj))
+           |SELECT 'customer' AS "table",
+           |       CAST(SUM(CASE WHEN c_custkey IN (SELECT sid FROM subj) THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+           |       CAST(SUM(CASE WHEN c_custkey IN (SELECT sid FROM subj) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+           |FROM customer
+           |UNION ALL
+           |SELECT 'orders',
+           |       CAST(SUM(CASE WHEN o_custkey IN (SELECT sid FROM subj) THEN 1 ELSE 0 END) AS BIGINT),
+           |       CAST(SUM(CASE WHEN o_custkey IN (SELECT sid FROM subj) THEN 0 ELSE 1 END) AS BIGINT)
+           |FROM orders
+           |UNION ALL
+           |SELECT 'events',
+           |       CAST(SUM(CASE WHEN user_id IN (SELECT sid FROM subj) THEN 1 ELSE 0 END) AS BIGINT),
+           |       CAST(SUM(CASE WHEN user_id IN (SELECT sid FROM subj) THEN 0 ELSE 1 END) AS BIGINT)
+           |FROM events
+           |UNION ALL
+           |SELECT 'lineitem',
+           |       CAST(SUM(CASE WHEN l_orderkey IN (SELECT sid FROM po) THEN 1 ELSE 0 END) AS BIGINT),
+           |       CAST(SUM(CASE WHEN l_orderkey IN (SELECT sid FROM po) THEN 0 ELSE 1 END) AS BIGINT)
+           |FROM lineitem""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1110,7 +1187,7 @@ object DataOpsQueries {
     d13SequencePack, d14CapPerKey, d15JaccardVerify, d16ChunkSplit,
     d17CorpusStats, d18ShuffleShard, d19VocabEncode, d20BpePairs,
     d21MixtureWeights, d22DomainKl, d23QualityFilter, d24ChunkDedup,
-    d25CurationPipeline,
+    d25CurationPipeline, d26KAnonymity, d27ForgetPurge,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -530,10 +530,54 @@ object ExtendedQueries {
            |       (gap_us = -1 OR gap_us >= 86400000000) AS kept
            |FROM g""".stripMargin))
 
+  /** Pearson correlation per group, integer-exact: built-in corr() sums
+    * doubles in shuffle order (nondeterministic last bits), so the five
+    * regression sums are accumulated as exact longs over quantized
+    * integers (cents × integral quantities) and the coefficient is one
+    * IEEE expression over those longs, rounded 6 (the t08/t11 contract).
+    * Prices quantize to WHOLE currency units, not cents: Pearson is
+    * scale-invariant, and units keep Σy² ≤ n·(1.1e10) inside long range
+    * up to ~8×10⁸ rows per group (cents would overflow at this SF);
+    * beyond that the same formula runs on DECIMAL(38) sums with
+    * identical semantics. */
+  val q58Correlation = NamedQuery(
+    "q58_correlation",
+    (s, dir) => {
+      val x = col("l_quantity").cast("long")
+      val y = round(col("l_extendedprice"), 0).cast("long")
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), x.as("_x"), y.as("_y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("_x")).as("sx"), sum(col("_y")).as("sy"),
+          sum(col("_x") * col("_y")).as("sxy"),
+          sum(col("_x") * col("_x")).as("sxx"),
+          sum(col("_y") * col("_y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+            6).as("pearson_r"))
+    },
+    Some("""WITH q AS (
+           |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+           |         CAST(round(l_extendedprice) AS BIGINT) AS y
+           |  FROM lineitem),
+           |s AS (SELECT l_returnflag, COUNT(*) AS n,
+           |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           |             CAST(SUM(x * y) AS BIGINT) AS sxy,
+           |             CAST(SUM(x * x) AS BIGINT) AS sxx,
+           |             CAST(SUM(y * y) AS BIGINT) AS syy
+           |      FROM q GROUP BY 1)
+           |SELECT l_returnflag, n,
+           |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+           |             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+           |                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+           |FROM s""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
-    q57EventDebounce)
+    q57EventDebounce, q58Correlation)
 }
