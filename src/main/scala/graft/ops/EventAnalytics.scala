@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,6 +57,56 @@ object EventAnalytics {
     val stageCounts = steps.indices.map(i =>
       sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"_n$i"))
     perUser.agg(stageCounts.head, stageCounts.tail: _*)
+      .select(explode(array(steps.zipWithIndex.map { case (step, i) =>
+        struct(lit(i.toLong).as("stage"), lit(step).as("step"),
+          col(s"_n$i").as("n_users"))
+      }: _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.step").as("step"),
+        col("r.n_users").as("n_users"))
+  }
+
+  /** Single-shuffle funnel: the same greedy-min funnel semantics as
+    * [[funnel]], computed as a per-user state machine folded over the
+    * user's time-sorted events with Catalyst higher-order functions —
+    * ONE shuffle (the per-user collect) and one corpus pass, versus the
+    * join formulation's O(k²/2) replayed slices. This is the shape to
+    * prefer at 100 TB: per-user event counts are bounded in practice,
+    * and the fold is codegen-friendly array arithmetic.
+    *
+    * State = array of k stage times (-1 = unreached); an event advances
+    * at most one stage (entry, or the next step at-or-after the current
+    * stage time and inside the stage-0 deadline). Semantics match
+    * [[funnel]] exactly except when a stage-advancing event shares its
+    * exact timestamp with the entry event of a DIFFERENT type: the join
+    * form admits it unconditionally, the sorted walk admits it only in
+    * (ts, type) order — microsecond event streams make such ties
+    * measure-zero (equality on tie-free logs asserted in spec). */
+  def funnelOnePass(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], horizonHours: Int): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val k = steps.size
+    val horizonUs = horizonHours * 3600L * 1000000L
+    val folded = events
+      .groupBy(col(userCol).as("user"))
+      .agg(array_sort(collect_list(struct(
+        unix_micros(col(tsCol)).as("ts"), col(typeCol).as("tp")))).as("_evs"))
+      .select(aggregate(col("_evs"), array_repeat(lit(-1L), k), (acc, e) => {
+        val ts = e.getField("ts")
+        val tp = e.getField("tp")
+        var hit: Column = when(
+          element_at(acc, 1) === -1L && tp === steps.head, lit(0))
+        for (i <- 1 until k) {
+          hit = hit.when(
+            element_at(acc, i) =!= -1L && element_at(acc, i + 1) === -1L &&
+              tp === steps(i) && ts >= element_at(acc, i) &&
+              ts <= element_at(acc, 1) + horizonUs, lit(i))
+        }
+        val hitIdx = hit.otherwise(lit(-1))
+        transform(acc, (v, j) => when(j === hitIdx, ts).otherwise(v))
+      }).as("_st"))
+    val stageCounts = steps.indices.map(i =>
+      sum(when(element_at(col("_st"), i + 1) =!= -1L, 1L).otherwise(0L)).as(s"_n$i"))
+    folded.agg(stageCounts.head, stageCounts.tail: _*)
       .select(explode(array(steps.zipWithIndex.map { case (step, i) =>
         struct(lit(i.toLong).as("stage"), lit(step).as("step"),
           col(s"_n$i").as("n_users"))

@@ -401,12 +401,15 @@ object ExtendedQueries {
            |WHERE rk = 1""".stripMargin))
 
   /** Ordered conversion funnel view → click → purchase within a 72-hour
-    * window of funnel entry — see graft.ops.EventAnalytics.funnel (every
-    * stage keyed on user, single final 1-row aggregate unpivoted). */
+    * window of funnel entry — runs the SINGLE-SHUFFLE sorted-fold form
+    * (EventAnalytics.funnelOnePass, the 100 TB-preferred shape; the
+    * join-chain form funnel() is the semantic reference and proven equal
+    * on tie-free logs in EventAnalyticsSpec — this event stream has
+    * microsecond-distinct timestamps at every SF, checked 2026-08). */
   val q53Funnel = NamedQuery(
     "q53_funnel",
     (s, dir) => {
-      graft.ops.EventAnalytics.funnel(Tables.events(s, dir),
+      graft.ops.EventAnalytics.funnelOnePass(Tables.events(s, dir),
         "user_id", "event_type", "ts",
         steps = Seq("view", "click", "purchase"), horizonHours = 72)
     },

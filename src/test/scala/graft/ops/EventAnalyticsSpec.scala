@@ -57,6 +57,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(14L) == ((-1L, true)))
   }
 
+  test("funnelOnePass equals the join formulation on tie-free logs") {
+    // deterministic pseudo-random log with all-distinct timestamps
+    val rng = new scala.util.Random(7)
+    val types = Array("view", "click", "purchase", "error")
+    val evs = (0 until 300).map { i =>
+      (i.toLong, (rng.nextInt(12) + 1).toLong, types(rng.nextInt(4)), ts(i.toLong))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val steps = Seq("view", "click", "purchase")
+    val joined = EventAnalytics.funnel(evs, "user_id", "event_type", "ts", steps, 72)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val onePass = EventAnalytics.funnelOnePass(evs, "user_id", "event_type", "ts", steps, 72)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(onePass == joined)
+    // and the one-pass plan carries exactly one data shuffle
+    val df = EventAnalytics.funnelOnePass(evs, "user_id", "event_type", "ts", steps, 72)
+    val exchanges = "(?<!Broadcast)Exchange [a-zA-Z]*[Hh]ash".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(exchanges == 1, df.queryExecution.executedPlan.toString)
+  }
+
   test("retentionCohorts: first-active-day cohorts with day offsets") {
     val events = Seq(
       // u1 active on day 0 and day 2 (two events on day 2 must not double-count)
