@@ -51,7 +51,9 @@ object Bucketing {
     * dimensions, which is what makes multi-column min/max file pruning
     * effective at scale (sort on (x, y) prunes only on x). Pure integer
     * bit arithmetic (2·bits codegen'd terms, no shuffle, engine-portable
-    * — the identical expression is writable in DuckDB SQL). */
+    * — writable in DuckDB SQL, noting the masking here is pmod
+    * (non-negative for any sign), so the SQL twin must spell it
+    * ((v % m) + m) % m, not bare sign-preserving %). */
   def zOrderKey(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1, 16], got $bits")
     val xm = pmod(x.cast("long"), lit(1L << bits))

@@ -490,21 +490,42 @@ object Dedup {
     * Scale shape: chunking is narrow (chunkByTokens — zero shuffles);
     * chunk text is md5-keyed BEFORE the shuffle so 32-char hashes
     * travel, not text; first-occurrence is one window on the hash and
-    * the tally one doc-keyed hash-agg. Skew caveat: a chunk duplicated
-    * across a huge fraction of the corpus lands its copies in one window
-    * partition — the same degenerate-bucket caveat as the LSH caps;
-    * boilerplate-heavy corpora should pre-filter known boilerplate or
-    * cap with an overflow audit like minhashBucketOverflow. */
+    * the tally one doc-keyed hash-agg.
+    *
+    * `maxChunkDf` guards the skew failure mode: a chunk duplicated
+    * across a huge fraction of the corpus (corpus-wide boilerplate)
+    * lands ALL its copies in one window partition — the same degenerate
+    * bucket as the LSH caps. Chunks whose document frequency exceeds the
+    * cap are dropped from the tallies BEFORE the first-occurrence
+    * window (the guard count shuffles on the same `_h` key the window
+    * needs, so it adds no exchange), and the drop is not silent: audit
+    * it with [[chunkOverflow]]. A doc made entirely of over-cap
+    * boilerplate disappears from the output — by design, since every
+    * chunk it contributes is boilerplate the dedup could not adjudicate
+    * within the cap. */
   def chunkDedupStats(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int = 8): DataFrame = {
-    val chunks = Packing
-      .chunkByTokens(df, idCol, textCol, chunkTokens, chunkTokens)
-      .select(col(idCol), col("chunk_idx"), md5(col("chunk_text")).as("_h"))
+      chunkTokens: Int = 8, maxChunkDf: Int = 100000): DataFrame = {
+    val chunks = hashedChunks(df, idCol, textCol, chunkTokens)
+    val guarded = capBuckets(chunks, Seq("_h"), maxChunkDf)
     val w = Window.partitionBy(col("_h")).orderBy(col(idCol), col("chunk_idx"))
-    chunks.withColumn("_rk", row_number().over(w))
+    guarded.withColumn("_rk", row_number().over(w))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("_rk") === 1, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("_rk") > 1, 1L).otherwise(0L)).as("n_removed"))
   }
+
+  /** Chunk hashes chunkDedupStats would drop at this cap, with their
+    * document frequencies (empty when no chunk exceeds it). */
+  def chunkOverflow(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 8, maxChunkDf: Int = 100000): DataFrame =
+    bucketOverflowOf(hashedChunks(df, idCol, textCol, chunkTokens),
+      Seq("_h"), maxChunkDf)
+
+  /** (id, chunk_idx, _h): disjoint token chunks md5-keyed before any
+    * shuffle — shared by chunkDedupStats and its overflow audit. */
+  private def hashedChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame =
+    Packing.chunkByTokens(df, idCol, textCol, chunkTokens, chunkTokens)
+      .select(col(idCol), col("chunk_idx"), md5(col("chunk_text")).as("_h"))
 }

@@ -80,13 +80,34 @@ object EventAnalytics {
     * exact timestamp with the entry event of a DIFFERENT type: the join
     * form admits it unconditionally, the sorted walk admits it only in
     * (ts, type) order — microsecond event streams make such ties
-    * measure-zero (equality on tie-free logs asserted in spec). */
+    * measure-zero (equality on tie-free logs asserted in spec).
+    *
+    * Events whose type is not a funnel step are filtered out BEFORE the
+    * per-user collect: they can never advance the fold (every branch
+    * guards on `tp === steps(i)`), and on a real log where step events
+    * are a small fraction of traffic the filter shrinks the one
+    * unbounded per-user array by 10–1000×. Users with no step events
+    * contribute 0 to every stage count either way, so semantics are
+    * unchanged.
+    *
+    * `maxEventsPerUser` bounds that array against power-user skew: a
+    * user with more step events than the cap is EXCLUDED from all stage
+    * counts (same non-silent contract as the LSH bucket caps — audit
+    * the exclusions with [[funnelUserOverflow]]). The default
+    * Int.MaxValue disables the guard at zero plan cost; when set, the
+    * guard window shuffles on the same user key the collect needs, so
+    * it adds no exchange. */
   def funnelOnePass(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String], horizonHours: Int): DataFrame = {
+      tsCol: String, steps: Seq[String], horizonHours: Int,
+      maxEventsPerUser: Int = Int.MaxValue): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
     val k = steps.size
     val horizonUs = horizonHours * 3600L * 1000000L
-    val folded = events
+    val stepEvents = events.where(col(typeCol).isin(steps: _*))
+    val bounded =
+      if (maxEventsPerUser == Int.MaxValue) stepEvents
+      else Dedup.capBuckets(stepEvents, Seq(userCol), maxEventsPerUser)
+    val folded = bounded
       .groupBy(col(userCol).as("user"))
       .agg(array_sort(collect_list(struct(
         unix_micros(col(tsCol)).as("ts"), col(typeCol).as("tp")))).as("_evs"))
@@ -114,6 +135,19 @@ object EventAnalytics {
       .select(col("r.stage").as("stage"), col("r.step").as("step"),
         col("r.n_users").as("n_users"))
   }
+
+  /** Audit companion of funnelOnePass's `maxEventsPerUser` cap: the
+    * users the cap would exclude at this threshold, with their step-event
+    * counts (empty when nobody exceeds it). Same contract as
+    * [[Dedup.minhashBucketOverflow]] — run it alongside any capped
+    * funnel to log what the cap dropped. */
+  def funnelUserOverflow(events: DataFrame, userCol: String,
+      typeCol: String, steps: Seq[String],
+      maxEventsPerUser: Int): DataFrame =
+    Dedup.bucketOverflowOf(
+      events.where(col(typeCol).isin(steps: _*))
+        .select(col(userCol).as("user")),
+      Seq("user"), maxEventsPerUser)
 
   /** Cohort retention matrix: users are cohorted by their first active
     * day; cell (cohort_day, day_offset) counts the cohort's users active

@@ -411,13 +411,19 @@ object TextAnalysis {
     *
     * Float determinism: each point's (ln rank, ln count) is quantized
     * to integer MILLIS, so the regression sums are exact integer sums
-    * (order-free; products bounded far inside long range for any corpus
-    * — x,y ≤ ~30·10³ millis, topK ≤ 10⁴ ⟹ Σxy ≤ ~10¹³), and
-    * slope/intercept are IEEE arithmetic over those exact longs —
-    * rounded to 6, the t08 ulp contract. The intercept reuses the
-    * ROUNDED slope so both engines feed identical inputs. */
+    * (order-free), and slope/intercept are IEEE arithmetic over those
+    * exact longs — rounded to 6, the t08 ulp contract. The intercept
+    * reuses the ROUNDED slope so both engines feed identical inputs.
+    * The coefficient products n·Σxy etc. stay inside long range only
+    * while topK ≤ ~10⁵ (x,y ≤ ~30·10³ millis ⟹ n·Σxy ≤ ~4·10¹⁸ <
+    * 2⁶³), so that bound is ENFORCED rather than assumed — unlike
+    * q58, which runs the same formula over unbounded group sizes and
+    * therefore forms the products in double. */
   def zipfFit(docs: org.apache.spark.sql.DataFrame, textCol: String,
       topK: Int): org.apache.spark.sql.DataFrame = {
+    require(topK >= 2 && topK <= 100000,
+      s"topK must be in [2, 100000], got $topK — beyond ~10^5 points the " +
+        "integer-exact regression products overflow long (use double sums)")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("c").desc, col("term"))
     val pts = docs.select(explode(split(col(textCol), " ")).as("term"))

@@ -404,8 +404,11 @@ object ExtendedQueries {
     * window of funnel entry — runs the SINGLE-SHUFFLE sorted-fold form
     * (EventAnalytics.funnelOnePass, the 100 TB-preferred shape; the
     * join-chain form funnel() is the semantic reference and proven equal
-    * on tie-free logs in EventAnalyticsSpec — this event stream has
-    * microsecond-distinct timestamps at every SF, checked 2026-08). */
+    * on tie-free logs in EventAnalyticsSpec). The tie-free precondition
+    * is ASSERTED, not assumed: ExtendedQueriesSpec checks distinct
+    * (user_id, ts) == row count at every SF, so regenerated test data
+    * with tied timestamps fails the suite instead of silently breaking
+    * the oracle hash match. */
   val q53Funnel = NamedQuery(
     "q53_funnel",
     (s, dir) => {
@@ -468,12 +471,16 @@ object ExtendedQueries {
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
     },
     Some {
+      // ((v % m) + m) % m = Spark's pmod for any sign — SQL's bare % is
+      // sign-preserving, so the non-negative form keeps the oracle
+      // faithful even on signed inputs (harmless here, exact contract).
+      def pm(c: String) = s"((($c % 256) + 256) % 256)"
       val zTerms = (0 until 8).flatMap(i => Seq(
-        s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
-        s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+        s"(((${pm("l_partkey")} >> $i) & 1) << ${2 * i})",
+        s"(((${pm("l_suppkey")} >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
       s"""WITH z AS (SELECT CAST($zTerms AS BIGINT) AS zkey,
-         |                  CAST(l_partkey % 256 AS BIGINT) AS x,
-         |                  CAST(l_suppkey % 256 AS BIGINT) AS y
+         |                  CAST(${pm("l_partkey")} AS BIGINT) AS x,
+         |                  CAST(${pm("l_suppkey")} AS BIGINT) AS y
          |           FROM lineitem)
          |SELECT CAST(zkey >> 10 AS BIGINT) AS bucket, COUNT(*) AS n_rows,
          |       MIN(x) AS x_min, MAX(x) AS x_max,
@@ -540,9 +547,13 @@ object ExtendedQueries {
     * IEEE expression over those longs, rounded 6 (the t08/t11 contract).
     * Prices quantize to WHOLE currency units, not cents: Pearson is
     * scale-invariant, and units keep Σy² ≤ n·(1.1e10) inside long range
-    * up to ~8×10⁸ rows per group (cents would overflow at this SF);
-    * beyond that the same formula runs on DECIMAL(38) sums with
-    * identical semantics. */
+    * up to ~8×10⁸ rows per group (cents would overflow at this SF).
+    * The coefficient terms (n·Σxy − Σx·Σy etc.) are formed AFTER
+    * casting each exact long sum to double — as 64-bit integer products
+    * they would wrap around 10⁷ rows per group (n²·avg(xy) > 2⁶³),
+    * silently in Spark and as an error in DuckDB. The double products
+    * stay exact while below 2⁵³ and degrade to ≤1-ulp relative error
+    * beyond, identically on both engines. */
   val q58Correlation = NamedQuery(
     "q58_correlation",
     (s, dir) => {
@@ -556,9 +567,12 @@ object ExtendedQueries {
           sum(col("_x") * col("_x")).as("sxx"),
           sum(col("_y") * col("_y")).as("syy"))
         .select(col("l_returnflag"), col("n"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          round((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))),
             6).as("pearson_r"))
     },
     Some("""WITH q AS (
@@ -572,9 +586,12 @@ object ExtendedQueries {
            |             CAST(SUM(y * y) AS BIGINT) AS syy
            |      FROM q GROUP BY 1)
            |SELECT l_returnflag, n,
-           |       round(CAST(n * sxy - sx * sy AS DOUBLE)
-           |             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-           |                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+           |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           |                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           |                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS pearson_r
            |FROM s""".stripMargin))
 
   val all: Seq[NamedQuery] = Seq(

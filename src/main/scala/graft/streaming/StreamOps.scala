@@ -106,10 +106,24 @@ object StreamOps {
     * stream==batch in StreamOpsSpec. Caveat shared with every
     * non-watermarked stateful op: ACROSS micro-batches the walk follows
     * arrival order; out-of-order arrivals need a watermark + reorder
-    * stage upstream. */
+    * stage upstream.
+    *
+    * `idleTimeout` is a ProcessingTimeTimeout and MUST exceed the
+    * suppression window for batch-equivalent verdicts: if state expires
+    * between two events that are within `windowSeconds` of each other,
+    * the repeat is reported kept (gap −1) where batch suppresses it.
+    * The no-timeout-argument overload therefore derives it from the
+    * window (2×, floor 1 h); None = no timeout at all (state never
+    * expires — bounded key cardinality only). */
+  def debounceStream(spark: SparkSession, events: Dataset[TypedEvent],
+      windowSeconds: Long): Dataset[DebounceVerdict] =
+    debounceStream(spark, events, windowSeconds,
+      Some(s"${math.max(2 * windowSeconds, 3600L)} seconds"))
+
+  /** See the derived-timeout overload above for the idleTimeout contract. */
   def debounceStream(spark: SparkSession, events: Dataset[TypedEvent],
       windowSeconds: Long,
-      idleTimeout: Option[String] = Some("1 hour")): Dataset[DebounceVerdict] = {
+      idleTimeout: Option[String]): Dataset[DebounceVerdict] = {
     import spark.implicits._
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
@@ -151,10 +165,20 @@ object StreamOps {
     * event, which IS the batch min). Same ordering caveat as
     * [[debounceStream]]: within a micro-batch rows are walked in
     * (ts, id) order; cross-batch reordering needs an upstream
-    * watermark+sort stage. */
+    * watermark+sort stage. Timeout contract also as in
+    * [[debounceStream]] — state expiring inside the conversion horizon
+    * lets a user re-enter the funnel with a fresh deadline, so the
+    * no-timeout-argument overload derives idleTimeout from the horizon
+    * (2×, floor 1 h); None disables expiry entirely. */
+  def funnelStream(spark: SparkSession, events: Dataset[TypedEvent],
+      steps: Seq[String], horizonHours: Int): Dataset[FunnelProgress] =
+    funnelStream(spark, events, steps, horizonHours,
+      Some(s"${math.max(2L * horizonHours * 3600L, 3600L)} seconds"))
+
+  /** See the derived-timeout overload above for the idleTimeout contract. */
   def funnelStream(spark: SparkSession, events: Dataset[TypedEvent],
       steps: Seq[String], horizonHours: Int,
-      idleTimeout: Option[String] = Some("1 hour")): Dataset[FunnelProgress] = {
+      idleTimeout: Option[String]): Dataset[FunnelProgress] = {
     require(steps.size >= 2, "a funnel needs at least two steps")
     import spark.implicits._
     val horizonUs = horizonHours * 3600L * 1000000L

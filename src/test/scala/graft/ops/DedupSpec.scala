@@ -208,4 +208,24 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(again == got)
   }
+
+  test("chunkDedupStats: maxChunkDf caps boilerplate chunks, audited not silent") {
+    // "x y" is corpus-wide boilerplate (df 3); "a b"/"c d" are normal
+    val docs = Seq(
+      (1L, "x y a b"), (2L, "x y c d"), (3L, "x y")).toDF("doc_id", "text")
+    def tallies(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // at the default cap the guard is inert: same tallies as ever
+    assert(tallies(Dedup.chunkDedupStats(docs, "doc_id", "text", 2)) == Map(
+      1L -> ((2L, 2L, 0L)), 2L -> ((2L, 1L, 1L)), 3L -> ((1L, 0L, 1L))))
+    // cap 2 < df 3: every "x y" copy leaves the tallies; doc 3, which is
+    // nothing but boilerplate, drops out of the output entirely
+    assert(tallies(Dedup.chunkDedupStats(docs, "doc_id", "text", 2,
+      maxChunkDf = 2)) == Map(1L -> ((1L, 1L, 0L)), 2L -> ((1L, 1L, 0L))))
+    // and the drop is audited, not silent: one overflowing hash, df 3
+    val ovf = Dedup.chunkOverflow(docs, "doc_id", "text", 2, maxChunkDf = 2)
+      .collect()
+    assert(ovf.length == 1 && ovf(0).getAs[Long]("n_members") == 3L)
+    assert(Dedup.chunkOverflow(docs, "doc_id", "text", 2).isEmpty)
+  }
 }

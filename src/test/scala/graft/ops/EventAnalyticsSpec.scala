@@ -77,6 +77,53 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(exchanges == 1, df.queryExecution.executedPlan.toString)
   }
 
+  test("funnelOnePass: majority non-step traffic changes nothing (pre-filtered)") {
+    // 10 noise events per step event — the pre-filter keeps them out of
+    // the per-user array; semantics must match the join form exactly
+    val rng = new scala.util.Random(11)
+    val noise = Array("scroll", "hover", "heartbeat", "resize", "focus",
+      "blur", "error", "ping", "render", "idle")
+    val stepEvs = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "view", ts(0)), (3L, "view", ts(5)), (3L, "click", ts(6)))
+    val noiseEvs = (0 until 60).map { i =>
+      ((i % 4) + 1L, noise(rng.nextInt(noise.length)), ts(200 + i))
+    }
+    val evs = rng.shuffle(stepEvs ++ noiseEvs).toDF("user_id", "event_type", "ts")
+    val steps = Seq("view", "click", "purchase")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val onePass = rows(EventAnalytics.funnelOnePass(
+      evs, "user_id", "event_type", "ts", steps, 72))
+    assert(onePass == rows(EventAnalytics.funnel(
+      evs, "user_id", "event_type", "ts", steps, 72)))
+    assert(onePass == Set((0L, "view", 3L), (1L, "click", 2L), (2L, "purchase", 1L)))
+  }
+
+  test("funnelOnePass: maxEventsPerUser excludes power users, audited not silent") {
+    // u1 converts but fires 40 step events; u2 is a normal converter
+    val power = (0 until 40).map(i =>
+      (1L, Seq("view", "click", "purchase")(i % 3), ts(i.toLong)))
+    val evs = (power ++ Seq(
+      (2L, "view", ts(0)), (2L, "click", ts(1)), (2L, "purchase", ts(2))
+    )).toDF("user_id", "event_type", "ts")
+    val steps = Seq("view", "click", "purchase")
+    def counts(maxPerUser: Int) = EventAnalytics.funnelOnePass(
+        evs, "user_id", "event_type", "ts", steps, 72, maxPerUser)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // default (no cap): both users convert fully
+    assert(counts(Int.MaxValue) == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // cap 10 < u1's 40 step events: u1 leaves every stage count
+    assert(counts(10) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    // and the exclusion is audited, not silent
+    val ovf = EventAnalytics.funnelUserOverflow(
+      evs, "user_id", "event_type", steps, 10).collect()
+    assert(ovf.length == 1 && ovf(0).getAs[Long]("user") == 1L &&
+      ovf(0).getAs[Long]("n_members") == 40L)
+    assert(EventAnalytics.funnelUserOverflow(
+      evs, "user_id", "event_type", steps, 40).isEmpty)
+  }
+
   test("retentionCohorts: first-active-day cohorts with day offsets") {
     val events = Seq(
       // u1 active on day 0 and day 2 (two events on day 2 must not double-count)

@@ -29,6 +29,20 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(strings.exceptAll(typed).isEmpty)
   }
 
+  test("q53 oracle precondition: events are (user_id, ts) tie-free at every SF") {
+    // funnelOnePass (sorted walk) and the join-form oracle SQL agree on
+    // tie-free logs; a regenerated events table with tied same-user
+    // timestamps would silently break the q53 hash match — fail HERE
+    // instead, at every SF the driver or bench reads.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val ev = Tables.events(spark, s"/root/testdata/$sf")
+        .select("user_id", "ts")
+      val ties = ev.count() - ev.distinct().count()
+      assert(ties == 0L,
+        s"$sf: $ties tied (user_id, ts) pairs — q53 oracle equivalence broken")
+    }
+  }
+
   test("q49: merge actions partition the key space of both snapshots") {
     val ord = Tables.orders(spark, dir)
     val oldKeys = ord.where(col("o_orderdate") < "1996-01-01")

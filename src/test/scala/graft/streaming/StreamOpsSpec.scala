@@ -166,6 +166,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(stream.contains((11L, 1 * h, false)) && stream.contains((12L, 29 * h, true)))
   }
 
+  test("debounce stream recovers state from checkpoint across a restart") {
+    val h = 3600L * 1000000
+    val b1 = Seq(
+      StreamOps.TypedEvent(10L, 1L, "click", 0L),
+      StreamOps.TypedEvent(11L, 1L, "click", 1 * h))
+    val b2 = Seq(
+      // 19h after the pre-restart click: suppressed ONLY if the state
+      // store came back from the checkpoint (lost state → gap -1, kept)
+      StreamOps.TypedEvent(12L, 1L, "click", 20 * h),
+      StreamOps.TypedEvent(13L, 1L, "click", 50 * h))
+    val mem = MemoryStream[StreamOps.TypedEvent](spark, 1)
+    val out = StreamOps.debounceStream(spark, mem.toDS(),
+      windowSeconds = 24 * 3600L, idleTimeout = None)
+    // the memory sink refuses checkpoint recovery; the file sink is the
+    // fault-tolerant one (exactly-once via its _spark_metadata log)
+    val ckpt = java.nio.file.Files.createTempDirectory("debounce-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("debounce-out").toString
+    def startQuery() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = startQuery()
+    mem.addData(b1: _*)
+    q1.processAllAvailable()
+    q1.stop() // kill mid-input: b2 arrives while no query is running
+    mem.addData(b2: _*)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("gap_us"),
+        r.getAs[Boolean]("kept"))).toSet
+    val batch = graft.ops.EventAnalytics.debounce(
+        (b1 ++ b2).toDF().withColumn("ts", timestamp_micros(col("ts_us"))),
+        "user_id", "event_type", "ts", "event_id", windowSeconds = 24 * 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == batch)
+    // the restart-crossing verdict: gap measured against pre-restart state
+    assert(got.contains((12L, 19 * h, false)))
+  }
+
   test("stateful funnel stream reproduces the batch stage counts across batches") {
     val h = 3600L * 1000000
     val evs = Seq(
