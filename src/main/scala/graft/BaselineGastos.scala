@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.etl.Pipeline
+
+/** Apples-to-apples baseline twin of tools/baseline_ref_timing.py: runs
+  * the repo's silver+gold medallion stages over the REFERENCE'S committed
+  * bronze layer (477k rows, hive ano/mes) and prints one JSON line with
+  * per-stage wall seconds — the number BASELINE.md ratios against the
+  * reference's measured pandas time on identical input and identical
+  * stage semantics (clean → quality gate → EDA-free write → group-sum).
+  * JVM/session startup is excluded on both sides (the python tool times
+  * the stage functions only), and stages run twice reporting the min so
+  * the number measures the plan, not first-call codegen.
+  */
+object BaselineGastos {
+  def main(args: Array[String]): Unit = {
+    val bronze =
+      if (args.nonEmpty) args(0)
+      else "/root/reference/proj-eng-dados/dataset/bronze"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timeStages(): (Double, Double, Long) = {
+      val out = java.nio.file.Files.createTempDirectory("graft-baseline").toString
+      val silverPath = s"$out/silver"
+      val goldPath = s"$out/gold"
+      // medallion stage 0 is raw→bronze; the measured surface starts at
+      // the committed bronze, exactly like the reference timing.
+      val stages = Pipeline.medallion("unused-raw-glob", bronze,
+        silverPath, goldPath).drop(1)
+      val times = stages.map { st =>
+        val t0 = System.nanoTime()
+        Pipeline.run(spark, Seq(st), failFast = true)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val goldRows = spark.read.parquet(goldPath).count()
+      require(goldRows > 0, "gold produced no rows — run failed")
+      (times(0), times(1), goldRows)
+    }
+    val runs = Seq.fill(2)(timeStages())
+    val (silverS, goldS, goldRows) = runs.minBy(r => r._1 + r._2)
+    println(
+      f"""{"graft_silver_s": $silverS%.2f, "graft_gold_s": $goldS%.2f, """ +
+        f""""graft_total_s": ${silverS + goldS}%.2f, "gold_rows": $goldRows}""")
+    spark.stop()
+  }
+}
