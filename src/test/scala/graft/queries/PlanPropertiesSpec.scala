@@ -109,6 +109,29 @@ class PlanPropertiesSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("q53 (funnel): step-type pre-filter is pushed to the parquet scan, 3-col read") {
+    val plan = executedPlan("q53_funnel")
+    // the one unbounded per-user state (collect_list) must only ever see
+    // step events — the In filter has to reach the scan, not sit above
+    // the aggregate, and the scan must not read the other event columns
+    assert("PushedFilters: \\[In\\(event_type".r.findFirstIn(plan).isDefined, plan)
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty, plan)
+    readSchemas.foreach { rs =>
+      assert(rs.count(_ == ',') <= 2, s"scan reads more than 3 columns: $rs")
+    }
+  }
+
+  test("d24 (chunk dedup): cap window and first-occurrence window share one exchange") {
+    val plan = executedPlan("d24_chunk_dedup")
+    // the maxChunkDf guard partitions on the same _h key the dedup
+    // window needs — the plan must show both Window nodes over ONE hash
+    // exchange plus the final doc-keyed tally exchange, nothing more
+    assert("\\bWindow\\b".r.findAllIn(plan).length == 2, plan)
+    val exchanges = "(?<!Broadcast)Exchange [a-zA-Z]*[Hh]ash".r.findAllIn(plan).length
+    assert(exchanges == 2, plan)
+  }
+
   test("d25 (curation pipeline): the whole quality→dedup→sample funnel costs one data shuffle") {
     val plan = executedPlan("d25_curation_pipeline")
     // one Exchange for the dedup window; the final 1-row agg adds only a
