@@ -15,14 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  final case class StageResult(name: String, ok: Boolean, error: Option[String])
+  /** `metrics` carries what the stage observed while running — e.g.
+    * `rows_written`, measured inside the write job via the Observation
+    * API (Sinks.writePartitionedCounted), never by a second action: the
+    * reference prints its per-stage row counts from the in-memory frame
+    * (main.py:242-247, 287, 309); a distributed engine that re-counted
+    * would re-execute the stage. */
+  final case class StageResult(name: String, ok: Boolean, error: Option[String],
+      metrics: Map[String, Long] = Map.empty)
 
-  final case class Stage(name: String, run: SparkSession => Unit)
+  final case class Stage(name: String, run: SparkSession => Map[String, Long])
 
   def run(spark: SparkSession, stages: Seq[Stage], failFast: Boolean = false): Seq[StageResult] =
     stages.map { st =>
-      try { st.run(spark); StageResult(st.name, ok = true, None) }
-      catch {
+      try {
+        val metrics = st.run(spark)
+        StageResult(st.name, ok = true, None, metrics)
+      } catch {
         case e: Throwable if !failFast =>
           StageResult(st.name, ok = false, Some(e.toString))
         case e: Throwable => throw e
@@ -47,7 +56,8 @@ object Pipeline {
       // main.py:142-146) is satisfied at parse time — malformed values
       // become null under PERMISSIVE and the silver gate catches them.
       // strictCastOrKeep stays available for string-typed inputs.
-      Sinks.writePartitioned(Sources.readRawPages(spark, rawGlob), bronzePath, mode)
+      Map("rows_written" -> Sinks.writePartitionedCounted(
+        Sources.readRawPages(spark, rawGlob), bronzePath, mode))
     }),
     Stage("bronze_to_silver", { spark =>
       val bronze = Sources.readParquetLayer(spark, bronzePath)
@@ -55,14 +65,14 @@ object Pipeline {
       Quality.requireColumns(cleaned, Seq("ano", "mes", "nome_orgao", "nome_favorecido"))
       Quality.runGate(cleaned, Quality.silverChecks)
       val dated = Cleaning.parseDate(cleaned, "data_pagamento")
-      Sinks.writePartitioned(dated, silverPath, mode)
+      Map("rows_written" -> Sinks.writePartitionedCounted(dated, silverPath, mode))
     }),
     Stage("silver_to_gold", { spark =>
       val silver = Sources.readParquetLayer(spark, silverPath)
       Quality.requireColumns(silver, Seq("ano", "mes", "nome_orgao", "valor"))
       val gold = Aggregates.goldAggregate(silver)
         .select(col("ano"), col("mes"), col("nome_orgao"), col("total_gasto"))
-      Sinks.writePartitioned(gold, goldPath, mode)
+      Map("rows_written" -> Sinks.writePartitionedCounted(gold, goldPath, mode))
     }))
 
   /** Partition-scoped incremental recompute (SURVEY §4.1): rebuild
@@ -96,14 +106,15 @@ object Pipeline {
         val cleaned = Cleaning.silverClean(bronze)
         Quality.requireColumns(cleaned, Seq("ano", "mes", "nome_orgao", "nome_favorecido"))
         Quality.runGate(cleaned, Quality.silverChecks)
-        Sinks.overwritePartitionsOf(Cleaning.parseDate(cleaned, "data_pagamento"), silverPath)
+        Map("rows_written" -> Sinks.overwritePartitionsOfCounted(
+          Cleaning.parseDate(cleaned, "data_pagamento"), silverPath))
       }),
       Stage("silver_to_gold_incremental", { spark =>
         val silver = Sources.readParquetLayer(spark, silverPath).where(partitionFilter)
         Quality.requireColumns(silver, Seq("ano", "mes", "nome_orgao", "valor"))
         val gold = Aggregates.goldAggregate(silver)
           .select(col("ano"), col("mes"), col("nome_orgao"), col("total_gasto"))
-        Sinks.overwritePartitionsOf(gold, goldPath)
+        Map("rows_written" -> Sinks.overwritePartitionsOfCounted(gold, goldPath))
       }))
   }
 }

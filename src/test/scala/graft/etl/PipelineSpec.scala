@@ -44,6 +44,10 @@ class PipelineSpec extends SparkSpec {
     val results = Pipeline.run(spark, Pipeline.medallion(
       s"$root/raw/*.json", s"$root/bronze", s"$root/silver", s"$root/gold"))
     assert(results.forall(_.ok), results.mkString("; "))
+    // observed per-stage row counts (measured inside the write job, no
+    // second action) — the reference's informational prints, as data
+    assert(results.map(r => r.name -> r.metrics("rows_written")).toMap == Map(
+      "raw_to_bronze" -> 4L, "bronze_to_silver" -> 4L, "silver_to_gold" -> 3L))
 
     val bronze = spark.read.parquet(s"$root/bronze")
     assert(bronze.count() == 4)
