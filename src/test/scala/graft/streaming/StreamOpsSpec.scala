@@ -206,6 +206,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.contains((12L, 19 * h, false)))
   }
 
+  test("funnel stream recovers its case-class state from checkpoint across a restart") {
+    val h = 3600L * 1000000
+    // u1's purchase arrives AFTER the restart: counted at stage 2 only if
+    // the FunnelState (stage, lastTs, deadline) survived the checkpoint
+    val b1 = Seq(
+      StreamOps.TypedEvent(20L, 1L, "view", 0L),
+      StreamOps.TypedEvent(21L, 1L, "click", 1 * h))
+    val b2 = Seq(StreamOps.TypedEvent(22L, 1L, "purchase", 2 * h))
+    val mem = MemoryStream[StreamOps.TypedEvent](spark, 1)
+    val out = StreamOps.funnelStream(spark, mem.toDS(),
+      Seq("view", "click", "purchase"), horizonHours = 72, idleTimeout = None)
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("funnel-out").toString
+    def startQuery() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = startQuery()
+    mem.addData(b1: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    mem.addData(b2: _*)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("stage"), r.getAs[String]("step"))).toSet
+    assert(got == Set((0L, "view"), (1L, "click"), (2L, "purchase")))
+  }
+
   test("stateful funnel stream reproduces the batch stage counts across batches") {
     val h = 3600L * 1000000
     val evs = Seq(
