@@ -44,7 +44,13 @@ object Pipeline {
     *           (keep-original on failure), partitioned snappy write;
     *   silver  (main.py:189-267): coerce valor (null→0), normalize 6
     *           nome_* cols, nullable ano/mes, QUALITY GATE (abort before
-    *           write on violation), then date parse, write;
+    *           any data becomes visible), then date parse, write — in
+    *           overwrite mode the gate runs as write-audit-publish
+    *           (metrics observed during ONE staging-write pass, publish
+    *           by atomic move; Sinks.publishAudited) instead of a
+    *           separate gate scan + write pass; append mode keeps the
+    *           two-pass gate since an append publish would need a
+    *           table-format merge commit;
     *   gold    (main.py:270-323): require {ano,mes,nome_orgao,valor},
     *           group-sum to total_gasto, write.
     */
@@ -63,9 +69,17 @@ object Pipeline {
       val bronze = Sources.readParquetLayer(spark, bronzePath)
       val cleaned = Cleaning.silverClean(bronze)
       Quality.requireColumns(cleaned, Seq("ano", "mes", "nome_orgao", "nome_favorecido"))
-      Quality.runGate(cleaned, Quality.silverChecks)
+      // the gate columns (ano/mes/nome_*/valor) are untouched by the
+      // date parse, so auditing the dated frame == gating the cleaned one
       val dated = Cleaning.parseDate(cleaned, "data_pagamento")
-      Map("rows_written" -> Sinks.writePartitionedCounted(dated, silverPath, mode))
+      if (mode == "overwrite") {
+        val (observed, gate) = Quality.observedChecks(dated, Quality.silverChecks)
+        Map("rows_written" -> Sinks.publishAudited(observed, silverPath,
+          () => Quality.assertObserved(gate, Quality.silverChecks)))
+      } else {
+        Quality.runGate(cleaned, Quality.silverChecks)
+        Map("rows_written" -> Sinks.writePartitionedCounted(dated, silverPath, mode))
+      }
     }),
     Stage("silver_to_gold", { spark =>
       val silver = Sources.readParquetLayer(spark, silverPath)

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** V0–V4: the reference's assertion-style data-quality gate
@@ -53,12 +53,16 @@ object Quality {
       throw QualityException(missing.map(c => s"column_exists($c)" -> 1L).toMap)
   }
 
-  /** Violation counts for every check in a single aggregate pass. */
-  def measure(df: DataFrame, checks: Seq[Check]): Map[String, Long] = {
+  private def validate(checks: Seq[Check]): Unit = {
     require(checks.nonEmpty, "no checks given")
     val dup = checks.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
     require(dup.isEmpty,
       s"duplicate check names would shadow each other in the result map: ${dup.mkString(", ")}")
+  }
+
+  /** Violation counts for every check in a single aggregate pass. */
+  def measure(df: DataFrame, checks: Seq[Check]): Map[String, Long] = {
+    validate(checks)
     val row = df.agg(
       sum(checks.head.violation).as("c0"),
       checks.tail.zipWithIndex.map { case (c, i) => sum(c.violation).as(s"c${i + 1}") }: _*
@@ -72,6 +76,30 @@ object Quality {
     * violations, so the caller aborts before its sink. */
   def runGate(df: DataFrame, checks: Seq[Check]): Unit = {
     val failed = measure(df, checks).filter(_._2 > 0)
+    if (failed.nonEmpty) throw QualityException(failed)
+  }
+
+  /** Gate checks attached as Observation metrics: the violation counts
+    * are measured DURING the caller's own action (a staging write), not
+    * by a separate gate scan — the one-pass half of write-audit-publish
+    * (see Sinks.publishAudited). Pair with [[assertObserved]] after the
+    * action completes. */
+  def observedChecks(df: DataFrame, checks: Seq[Check]): (DataFrame, Observation) = {
+    validate(checks)
+    val obs = Observation()
+    val metrics = checks.map(c => sum(c.violation).as(c.name))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
+  /** The audit half of write-audit-publish: read the violation counts
+    * [[observedChecks]] collected during the action; throw
+    * QualityException (same contract as [[runGate]]) on any violation.
+    * Null metrics (zero-row frame) count as clean, matching measure(). */
+  def assertObserved(obs: Observation, checks: Seq[Check]): Unit = {
+    val row = obs.get
+    val failed = checks.flatMap { c =>
+      Option(row(c.name)).map(v => c.name -> v.asInstanceOf[Long])
+    }.filter(_._2 > 0).toMap
     if (failed.nonEmpty) throw QualityException(failed)
   }
 

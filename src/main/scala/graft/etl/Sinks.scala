@@ -59,6 +59,41 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Write-audit-publish: the ONE-PASS form of the quality-gated
+    * overwrite sink. The frame is written to `<path>.staging` with the
+    * gate's violation counts observed during that same write job
+    * (Quality.observedChecks); `audit()` then reads the observed metrics
+    * and throws on violation — staging is deleted and nothing becomes
+    * visible at `path`; on a clean audit the staging dir is atomically
+    * moved into place. Same externally-visible contract as the two-pass
+    * gate (bad data never lands at `path`), but the corpus is scanned
+    * once, not twice — at 100 TB that halves the stage. Local/HDFS
+    * rename is atomic; object stores need a table format's metadata
+    * commit for the publish step (Iceberg/Delta do exactly this
+    * pattern). Overwrite-mode only: an append publish would need a
+    * merge, which is a table-format commit, not a dir move. */
+  def publishAudited(
+      df: DataFrame,
+      path: String,
+      audit: () => Unit,
+      partitionBy: Seq[String] = GastosSchema.partitionColumns,
+      compression: String = "snappy"): Long = {
+    val staging = new java.io.File(path + ".staging")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(staging)
+    try {
+      val rows = writePartitionedCounted(
+        df, staging.getPath, "overwrite", partitionBy, compression)
+      audit()
+      val target = new java.io.File(path)
+      rm(target)
+      java.nio.file.Files.move(staging.toPath, target.toPath)
+      rows
+    } catch { case e: Throwable => rm(staging); throw e }
+  }
+
   /** [[overwritePartitionsOf]] with the observed row count — see
     * [[writePartitionedCounted]] for the zero-extra-pass contract. */
   def overwritePartitionsOfCounted(

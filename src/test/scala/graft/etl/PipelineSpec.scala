@@ -68,6 +68,8 @@ class PipelineSpec extends SparkSpec {
       (2011L, 1L, "FUNDO NACIONAL DE SAÚDE", 101.0),
       (2011L, 2L, "AGENCIA BETA", 0.0),   // coerced valor → 0.0 still aggregates
       (2012L, 3L, "AGENCIA BETA", 7.0)))
+    // write-audit-publish leaves no staging residue on the success path
+    assert(!Files.exists(Paths.get(s"$root/silver.staging")))
   }
 
   test("quality gate aborts silver before the write (fail-soft reports, no output)") {
@@ -84,7 +86,9 @@ class PipelineSpec extends SparkSpec {
     assert(results.find(_.name == "raw_to_bronze").exists(_.ok))
     val silverRes = results.find(_.name == "bronze_to_silver").get
     assert(!silverRes.ok && silverRes.error.get.contains("in_range(mes"))
-    assert(!Files.exists(Paths.get(s"$root/silver"))) // abort-before-write
+    assert(!Files.exists(Paths.get(s"$root/silver"))) // abort-before-publish
+    // write-audit-publish: the failed staging write must be cleaned up too
+    assert(!Files.exists(Paths.get(s"$root/silver.staging")))
     assert(results.find(_.name == "silver_to_gold").exists(!_.ok)) // fail-soft: ran, failed on missing input
   }
 
