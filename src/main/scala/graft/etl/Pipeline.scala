@@ -119,9 +119,12 @@ object Pipeline {
             "overwrite cannot clear them — delete the dead partitions explicitly")
         val cleaned = Cleaning.silverClean(bronze)
         Quality.requireColumns(cleaned, Seq("ano", "mes", "nome_orgao", "nome_favorecido"))
-        Quality.runGate(cleaned, Quality.silverChecks)
-        Map("rows_written" -> Sinks.overwritePartitionsOfCounted(
-          Cleaning.parseDate(cleaned, "data_pagamento"), silverPath))
+        // one-pass gate, partition-scoped publish: metrics observed
+        // during the staging write, only the recomputed partitions move
+        val dated = Cleaning.parseDate(cleaned, "data_pagamento")
+        val (observed, gate) = Quality.observedChecks(dated, Quality.silverChecks)
+        Map("rows_written" -> Sinks.publishAuditedPartitions(observed, silverPath,
+          () => Quality.assertObserved(gate, Quality.silverChecks)))
       }),
       Stage("silver_to_gold_incremental", { spark =>
         val silver = Sources.readParquetLayer(spark, silverPath).where(partitionFilter)

@@ -94,6 +94,47 @@ object Sinks {
     } catch { case e: Throwable => rm(staging); throw e }
   }
 
+  /** Write-audit-publish for PARTITION-SCOPED overwrites (the
+    * incremental-recompute twin of [[publishAudited]]): the frame is
+    * staged as a plain overwrite (the staging dir is fresh, so the
+    * partitions present there are exactly the partitions dynamic
+    * overwrite would replace), audited via the metrics observed during
+    * that write, and published by moving each staged leaf partition dir
+    * over its target — untouched partitions are never read, rewritten,
+    * or moved. Per-partition moves are each atomic on local/HDFS; a
+    * cross-partition atomic commit needs a table format. */
+  def publishAuditedPartitions(
+      df: DataFrame,
+      path: String,
+      audit: () => Unit,
+      partitionBy: Seq[String] = GastosSchema.partitionColumns,
+      compression: String = "snappy"): Long = {
+    val staging = new java.io.File(path + ".staging")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(staging)
+    try {
+      val rows = writePartitionedCounted(
+        df, staging.getPath, "overwrite", partitionBy, compression)
+      audit()
+      def leafDirs(dir: java.io.File, depth: Int): Seq[java.io.File] =
+        if (depth == 0) Seq(dir)
+        else Option(dir.listFiles).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.contains("="))
+          .flatMap(leafDirs(_, depth - 1))
+      leafDirs(staging, partitionBy.size).foreach { leaf =>
+        val rel = staging.toPath.relativize(leaf.toPath)
+        val target = new java.io.File(path).toPath.resolve(rel).toFile
+        rm(target)
+        java.nio.file.Files.createDirectories(target.toPath.getParent)
+        java.nio.file.Files.move(leaf.toPath, target.toPath)
+      }
+      rm(staging) // remaining _SUCCESS marker + empty partition skeleton
+      rows
+    } catch { case e: Throwable => rm(staging); throw e }
+  }
+
   /** [[overwritePartitionsOf]] with the observed row count — see
     * [[writePartitionedCounted]] for the zero-extra-pass contract. */
   def overwritePartitionsOfCounted(

@@ -134,6 +134,41 @@ class PipelineSpec extends SparkSpec {
     assert(gold == Set((2011L, 1L, 10.0), (2011L, 2L, 20.0), (2012L, 1L, 30.0)))
   }
 
+  test("incremental gate failure discards staging and leaves existing silver untouched") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmpDir("pipeline-incr-gate")
+    val rawDir = Paths.get(root, "raw"); Files.createDirectories(rawDir)
+    val page = s"""{"count": 2, "next": null, "previous": null, "results": [
+      ${record(2011, 1, "orgao a", "fav", "10.00")},
+      ${record(2011, 2, "orgao a", "fav", "20.00")}]}"""
+    Files.write(rawDir.resolve("gastos-diretos_gastos_page_1.json"),
+      page.getBytes(StandardCharsets.UTF_8))
+    val full = Pipeline.run(spark, Pipeline.medallion(
+      s"$root/raw/*.json", s"$root/bronze", s"$root/silver", s"$root/gold"))
+    assert(full.forall(_.ok), full.mkString("; "))
+
+    // poison ONLY partition (2011, 1) in bronze: a negative valor that
+    // the silver gate must reject during the incremental recompute
+    val bad = spark.read.parquet(s"$root/bronze")
+      .where(col("ano") === 2011 && col("mes") === 1)
+      .withColumn("valor", lit("-5.00"))
+    Sinks.writePartitioned(bad, s"$root/bronze", mode = "append")
+
+    val silverBefore = spark.read.parquet(s"$root/silver")
+      .selectExpr("CAST(ano AS BIGINT)", "CAST(mes AS BIGINT)", "valor")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incr = Pipeline.run(spark, Pipeline.incrementalSilverGold(
+      s"$root/bronze", s"$root/silver", s"$root/gold", Seq((2011, 1))))
+    val silverRes = incr.find(_.name == "bronze_to_silver_incremental").get
+    assert(!silverRes.ok && silverRes.error.get.contains("non_negative(valor"))
+    // audited staging discarded; the published silver is bit-identical
+    assert(!Files.exists(Paths.get(s"$root/silver.staging")))
+    val silverAfter = spark.read.parquet(s"$root/silver")
+      .selectExpr("CAST(ano AS BIGINT)", "CAST(mes AS BIGINT)", "valor")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(silverAfter == silverBefore)
+  }
+
   test("failFast rethrows instead of recording") {
     val boom = Pipeline.Stage("boom", _ => throw new RuntimeException("x"))
     intercept[RuntimeException] { Pipeline.run(spark, Seq(boom), failFast = true) }
