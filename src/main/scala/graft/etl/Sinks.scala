@@ -89,6 +89,8 @@ object Sinks {
       audit()
       val target = new java.io.File(path)
       rm(target)
+      Option(target.toPath.getParent)
+        .foreach(p => java.nio.file.Files.createDirectories(p))
       java.nio.file.Files.move(staging.toPath, target.toPath)
       rows
     } catch { case e: Throwable => rm(staging); throw e }
