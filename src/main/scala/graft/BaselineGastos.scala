@@ -30,21 +30,28 @@ object BaselineGastos {
     spark.sparkContext.setLogLevel("WARN")
 
     def timeStages(): (Double, Double, Long) = {
-      val out = java.nio.file.Files.createTempDirectory("graft-baseline").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-baseline")
       val silverPath = s"$out/silver"
       val goldPath = s"$out/gold"
-      // medallion stage 0 is raw→bronze; the measured surface starts at
-      // the committed bronze, exactly like the reference timing.
-      val stages = Pipeline.medallion("unused-raw-glob", bronze,
-        silverPath, goldPath).drop(1)
-      val times = stages.map { st =>
-        val t0 = System.nanoTime()
-        Pipeline.run(spark, Seq(st), failFast = true)
-        (System.nanoTime() - t0) / 1e9
+      try {
+        // medallion stage 0 is raw→bronze; the measured surface starts at
+        // the committed bronze, exactly like the reference timing.
+        val stages = Pipeline.medallion("unused-raw-glob", bronze,
+          silverPath, goldPath).drop(1)
+        val times = stages.map { st =>
+          val t0 = System.nanoTime()
+          Pipeline.run(spark, Seq(st), failFast = true)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val goldRows = spark.read.parquet(goldPath).count()
+        require(goldRows > 0, "gold produced no rows — run failed")
+        (times(0), times(1), goldRows)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(out.toFile)
       }
-      val goldRows = spark.read.parquet(goldPath).count()
-      require(goldRows > 0, "gold produced no rows — run failed")
-      (times(0), times(1), goldRows)
     }
     val runs = Seq.fill(2)(timeStages())
     val (silverS, goldS, goldRows) = runs.minBy(r => r._1 + r._2)

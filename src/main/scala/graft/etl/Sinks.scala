@@ -59,83 +59,120 @@ object Sinks {
       .parquet(path)
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively)); f.delete(); ()
+  }
+
+  /** Replace `target` with `replacement` without a window where neither
+    * copy exists durably: target is first swapped aside to `old` (a
+    * location OUTSIDE any table root, so hive discovery never sees it),
+    * the replacement moved in, and the old copy deleted last. If the
+    * move-in fails, the old copy is restored and the replacement left
+    * untouched for the caller's recovery policy. */
+  private def swapInto(replacement: java.nio.file.Path, target: java.io.File,
+      old: java.io.File): Unit = {
+    deleteRecursively(old)
+    Option(target.toPath.getParent)
+      .foreach(p => java.nio.file.Files.createDirectories(p))
+    Option(old.toPath.getParent)
+      .foreach(p => java.nio.file.Files.createDirectories(p))
+    val hadTarget = target.exists
+    if (hadTarget) java.nio.file.Files.move(target.toPath, old.toPath)
+    try java.nio.file.Files.move(replacement, target.toPath)
+    catch {
+      case e: Throwable =>
+        if (hadTarget && !target.exists)
+          java.nio.file.Files.move(old.toPath, target.toPath)
+        throw e
+    }
+    deleteRecursively(old)
+  }
+
+  /** Shared write-audit-publish scaffold. Failure BEFORE or DURING the
+    * audit deletes staging (nothing publishable existed); a failure
+    * inside `publish` leaves the staged, audit-passed data in place —
+    * after a clean audit the staged copy is the valuable one, and the
+    * rerun's own staging overwrite supersedes it. */
+  private def stagedPublish(df: DataFrame, path: String, audit: () => Unit,
+      partitionBy: Seq[String], compression: String)(
+      publish: java.io.File => Unit): Long = {
+    val staging = new java.io.File(path + ".staging")
+    deleteRecursively(staging)
+    val rows =
+      try {
+        val r = writePartitionedCounted(
+          df, staging.getPath, "overwrite", partitionBy, compression)
+        audit()
+        r
+      } catch { case e: Throwable => deleteRecursively(staging); throw e }
+    publish(staging)
+    rows
+  }
+
   /** Write-audit-publish: the ONE-PASS form of the quality-gated
     * overwrite sink. The frame is written to `<path>.staging` with the
     * gate's violation counts observed during that same write job
     * (Quality.observedChecks); `audit()` then reads the observed metrics
     * and throws on violation — staging is deleted and nothing becomes
-    * visible at `path`; on a clean audit the staging dir is atomically
-    * moved into place. Same externally-visible contract as the two-pass
-    * gate (bad data never lands at `path`), but the corpus is scanned
-    * once, not twice — at 100 TB that halves the stage. Local/HDFS
-    * rename is atomic; object stores need a table format's metadata
-    * commit for the publish step (Iceberg/Delta do exactly this
-    * pattern). Overwrite-mode only: an append publish would need a
-    * merge, which is a table-format commit, not a dir move. */
+    * visible at `path`; on a clean audit the staging dir is swapped into
+    * place (previous data set aside at `<path>.old`, restored if the
+    * swap fails, deleted last — at no point is the published path's data
+    * deleted before its replacement is in place). Same externally-
+    * visible contract as the two-pass gate (bad data never lands at
+    * `path`), but the corpus is scanned once, not twice — at 100 TB that
+    * halves the stage. Dir renames are atomic on local/HDFS; object
+    * stores need a table format's metadata commit for the publish step
+    * (Iceberg/Delta do exactly this pattern). Overwrite-mode only: an
+    * append publish would need a merge, which is a table-format commit,
+    * not a dir move. Hard-crash recovery = rerun the stage: leftover
+    * `.staging`/`.old` dirs are superseded and cleaned by the rerun. */
   def publishAudited(
       df: DataFrame,
       path: String,
       audit: () => Unit,
       partitionBy: Seq[String] = GastosSchema.partitionColumns,
-      compression: String = "snappy"): Long = {
-    val staging = new java.io.File(path + ".staging")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      compression: String = "snappy"): Long =
+    stagedPublish(df, path, audit, partitionBy, compression) { staging =>
+      swapInto(staging.toPath, new java.io.File(path),
+        new java.io.File(path + ".old"))
     }
-    rm(staging)
-    try {
-      val rows = writePartitionedCounted(
-        df, staging.getPath, "overwrite", partitionBy, compression)
-      audit()
-      val target = new java.io.File(path)
-      rm(target)
-      Option(target.toPath.getParent)
-        .foreach(p => java.nio.file.Files.createDirectories(p))
-      java.nio.file.Files.move(staging.toPath, target.toPath)
-      rows
-    } catch { case e: Throwable => rm(staging); throw e }
-  }
 
   /** Write-audit-publish for PARTITION-SCOPED overwrites (the
     * incremental-recompute twin of [[publishAudited]]): the frame is
     * staged as a plain overwrite (the staging dir is fresh, so the
     * partitions present there are exactly the partitions dynamic
     * overwrite would replace), audited via the metrics observed during
-    * that write, and published by moving each staged leaf partition dir
-    * over its target — untouched partitions are never read, rewritten,
-    * or moved. Per-partition moves are each atomic on local/HDFS; a
-    * cross-partition atomic commit needs a table format. */
+    * that write, and published by swapping each staged leaf partition
+    * dir over its target — untouched partitions are never read,
+    * rewritten, or moved, and each leaf's previous data is set aside
+    * under `<path>.old` (outside the table root, invisible to hive
+    * discovery) and restored if that leaf's swap fails. Per-partition
+    * swaps are each atomic on local/HDFS; a cross-partition atomic
+    * commit needs a table format. A failure mid-loop keeps
+    * already-published leaves and the remaining staged leaves (rerun
+    * supersedes both). */
   def publishAuditedPartitions(
       df: DataFrame,
       path: String,
       audit: () => Unit,
       partitionBy: Seq[String] = GastosSchema.partitionColumns,
-      compression: String = "snappy"): Long = {
-    val staging = new java.io.File(path + ".staging")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(staging)
-    try {
-      val rows = writePartitionedCounted(
-        df, staging.getPath, "overwrite", partitionBy, compression)
-      audit()
+      compression: String = "snappy"): Long =
+    stagedPublish(df, path, audit, partitionBy, compression) { staging =>
       def leafDirs(dir: java.io.File, depth: Int): Seq[java.io.File] =
         if (depth == 0) Seq(dir)
         else Option(dir.listFiles).toSeq.flatten
           .filter(f => f.isDirectory && f.getName.contains("="))
           .flatMap(leafDirs(_, depth - 1))
+      val oldRoot = new java.io.File(path + ".old")
       leafDirs(staging, partitionBy.size).foreach { leaf =>
         val rel = staging.toPath.relativize(leaf.toPath)
-        val target = new java.io.File(path).toPath.resolve(rel).toFile
-        rm(target)
-        java.nio.file.Files.createDirectories(target.toPath.getParent)
-        java.nio.file.Files.move(leaf.toPath, target.toPath)
+        swapInto(leaf.toPath,
+          new java.io.File(path).toPath.resolve(rel).toFile,
+          oldRoot.toPath.resolve(rel).toFile)
       }
-      rm(staging) // remaining _SUCCESS marker + empty partition skeleton
-      rows
-    } catch { case e: Throwable => rm(staging); throw e }
-  }
+      deleteRecursively(staging) // _SUCCESS marker + empty skeleton
+      deleteRecursively(oldRoot) // empty graveyard skeleton
+    }
 
   /** [[overwritePartitionsOf]] with the observed row count — see
     * [[writePartitionedCounted]] for the zero-extra-pass contract. */

@@ -108,13 +108,19 @@ object StreamOps {
     * arrival order; out-of-order arrivals need a watermark + reorder
     * stage upstream.
     *
-    * `idleTimeout` is a ProcessingTimeTimeout and MUST exceed the
-    * suppression window for batch-equivalent verdicts: if state expires
-    * between two events that are within `windowSeconds` of each other,
-    * the repeat is reported kept (gap −1) where batch suppresses it.
-    * The no-timeout-argument overload therefore derives it from the
-    * window (2×, floor 1 h); None = no timeout at all (state never
-    * expires — bounded key cardinality only). */
+    * `idleTimeout` is a ProcessingTimeTimeout — WALL-CLOCK time, while
+    * `windowSeconds` is EVENT time, so no timeout value can strictly
+    * bound an event-time gap: a key whose arrivals lag far behind event
+    * time can expire between two events that are within the window, and
+    * the repeat is then reported kept (gap −1) where batch suppresses
+    * it. Batch-equivalent verdicts therefore require BOTH an idle
+    * timeout that exceeds the window AND arrival keeping pace with
+    * event time (the near-real-time case the operator targets). The
+    * no-timeout-argument overload derives the timeout from the window
+    * (2×, floor 1 h) — that removes the obvious misconfiguration
+    * (timeout ≪ window), not the time-domain caveat; pass None for no
+    * expiry at all when key cardinality is bounded and strict
+    * equivalence matters more than state size. */
   def debounceStream(spark: SparkSession, events: Dataset[TypedEvent],
       windowSeconds: Long): Dataset[DebounceVerdict] =
     debounceStream(spark, events, windowSeconds,
@@ -166,10 +172,12 @@ object StreamOps {
     * [[debounceStream]]: within a micro-batch rows are walked in
     * (ts, id) order; cross-batch reordering needs an upstream
     * watermark+sort stage. Timeout contract also as in
-    * [[debounceStream]] — state expiring inside the conversion horizon
-    * lets a user re-enter the funnel with a fresh deadline, so the
-    * no-timeout-argument overload derives idleTimeout from the horizon
-    * (2×, floor 1 h); None disables expiry entirely. */
+    * [[debounceStream]], including the time-domain caveat (the timeout
+    * is wall-clock, the horizon event-time): state expiring inside the
+    * conversion horizon lets a user re-enter the funnel with a fresh
+    * deadline, so the no-timeout-argument overload derives idleTimeout
+    * from the horizon (2×, floor 1 h); None disables expiry
+    * entirely. */
   def funnelStream(spark: SparkSession, events: Dataset[TypedEvent],
       steps: Seq[String], horizonHours: Int): Dataset[FunnelProgress] =
     funnelStream(spark, events, steps, horizonHours,

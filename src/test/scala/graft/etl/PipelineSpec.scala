@@ -68,8 +68,9 @@ class PipelineSpec extends SparkSpec {
       (2011L, 1L, "FUNDO NACIONAL DE SAÚDE", 101.0),
       (2011L, 2L, "AGENCIA BETA", 0.0),   // coerced valor → 0.0 still aggregates
       (2012L, 3L, "AGENCIA BETA", 7.0)))
-    // write-audit-publish leaves no staging residue on the success path
+    // write-audit-publish leaves no staging or swap residue on success
     assert(!Files.exists(Paths.get(s"$root/silver.staging")))
+    assert(!Files.exists(Paths.get(s"$root/silver.old")))
   }
 
   test("quality gate aborts silver before the write (fail-soft reports, no output)") {
@@ -123,6 +124,10 @@ class PipelineSpec extends SparkSpec {
     // untouched partitions keep their files byte-for-byte (same path, same mtime)
     val untouchedBefore = before.filterNot(_._1.contains("ano=2011/mes=1"))
     assert(untouchedBefore.forall { case (p, t) => after.get(p).contains(t) })
+    // partition-scoped publish leaves no staging or swap residue
+    assert(!Files.exists(Paths.get(s"$root/silver.staging")))
+    assert(!Files.exists(Paths.get(s"$root/silver.old")))
+    assert(!Files.exists(Paths.get(s"$root/gold.staging")))
     // the recomputed partition has fresh files
     assert(after.keys.exists(_.contains("ano=2011/mes=1")))
     assert(!before.filter(_._1.contains("ano=2011/mes=1")).keySet
@@ -163,6 +168,7 @@ class PipelineSpec extends SparkSpec {
     assert(!silverRes.ok && silverRes.error.get.contains("non_negative(valor"))
     // audited staging discarded; the published silver is bit-identical
     assert(!Files.exists(Paths.get(s"$root/silver.staging")))
+    assert(!Files.exists(Paths.get(s"$root/silver.old")))
     val silverAfter = spark.read.parquet(s"$root/silver")
       .selectExpr("CAST(ano AS BIGINT)", "CAST(mes AS BIGINT)", "valor")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
