@@ -27,15 +27,15 @@ object SparkEntry {
     * the same parquet tables. The minhash/simhash family (d02, d03, d04,
     * d09) is oracle-checked via the portable md5 hash chain (see
     * graft.functions.Md5Mix); the SRP-LSH ANN family (d07, d08) via the
-    * md5-derived Rademacher plane matrix (Similarity.planeMatrix); and
-    * m02/m03's stub decode is byte-length-deterministic, so even the
-    * mapPartitions plumbing is oracle-checked.
-    * Exactly two queries are rows-only, each engine-specific by
-    * construction, with the property a SQL oracle can't state asserted
-    * in unit tests instead:
+    * md5-derived Rademacher plane matrix (Similarity.planeMatrix); d10
+    * via a fully deterministic integer k-means whose three iterations the
+    * oracle unrolls as CTEs (Similarity.ivfTopKPortable); and m02/m03's
+    * stub decode is byte-length-deterministic, so even the mapPartitions
+    * plumbing is oracle-checked.
+    * Exactly one query is rows-only, engine-specific by construction,
+    * with the property a SQL oracle can't state asserted in unit tests
+    * instead:
     *   - q37: approx sketches (HLL / approx-percentile) — estimates are
-    *     engine-defined; error bound asserted in spec.
-    *   - d10: IVF cells are k-means-model-defined; exact-recovery at
-    *     full probe asserted in SimilaritySpec. */
+    *     engine-defined; error bound asserted in spec. */
   def oracleSql: Map[String, String] = NamedQuery.oracles(inventory)
 }

@@ -295,6 +295,117 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** ENGINE-PORTABLE IVF ANN: the same probe/re-rank shape as
+    * [[ivfTopK]], but the cells come from a fully deterministic integer
+    * k-means instead of spark.ml — which upgrades the query from
+    * rows-only to a hash-exact DuckDB oracle:
+    *   - init: the `nLists` training vectors with the smallest
+    *     md5(vec_id) (portable ORDER BY md5 LIMIT k);
+    *   - training set: the `trainCap` smallest-md5 vectors (TakeOrdered
+    *     in the plan — bounded, never a full sort, and content-addressed
+    *     so every engine picks the identical sample);
+    *   - distance: exact integer arithmetic on the quantized vectors;
+    *     assignment ties break on the cell id;
+    *   - update: per-dimension floor(sum/count) — sums of integer-valued
+    *     doubles are exact, the division and floor are identical IEEE
+    *     ops on both engines; empty cells keep their previous centroid;
+    *   - fixed `iters` iterations (k-means as a deterministic recurrence,
+    *     not a convergence loop).
+    * Scale shape: the training sample is fetched with ONE distributed
+    * TakeOrdered (never a full sort) and, being driver-sized by
+    * definition of trainCap (10k × 64 dims ≈ 5 MB), the iterations run
+    * as plain Scala arithmetic on the driver — zero cluster jobs, and
+    * bit-identical to the SQL recurrence because every step is exact
+    * integer sums plus one IEEE divide+floor. The full table is then
+    * touched exactly once (final assignment, broadcast centroids). The
+    * centroid state is nLists×dim numbers — the same "tiny model"
+    * contract as ivfTopK. Cell quality is a few percent below a
+    * converged spark.ml fit (greedy floor-mean updates), which only
+    * gates candidate recall — the exact cosine re-rank is unchanged. */
+  def ivfTopKPortable(embeddings: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, iters: Int = 3,
+      trainCap: Int = 10000): DataFrame = {
+    val session = embeddings.sparkSession
+    val data = embeddings.select(
+      col(idCol).as("data_id"), quantize(col(embCol)).as("_e"))
+    // ONE bounded TakeOrdered + collect; re-sorted driver-side so the
+    // init order never depends on a plan's output-ordering guarantee
+    val train: Array[Array[Double]] = data
+      .withColumn("_m", md5(col("data_id").cast("string")))
+      .orderBy(col("_m")).limit(trainCap)
+      .select(col("_m"), col("_e")).collect()
+      .sortBy(_.getString(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(train.length >= nLists,
+      s"need at least nLists=$nLists training vectors, got ${train.length}")
+    var centroids: Array[Array[Double]] = train.take(nLists).map(_.clone())
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }
+      s // exact: integer-valued terms, sums far below 2^53
+    }
+    for (_ <- 0 until iters) {
+      // argmin cell per training vector; ties break on the cell id
+      // because the scan takes the FIRST strictly-smaller distance
+      val sums = Array.fill(nLists)(new Array[Double](
+        if (train.isEmpty) 0 else train(0).length))
+      val counts = new Array[Long](nLists)
+      train.foreach { v =>
+        var best = 0; var bestD = sqDist(v, centroids(0)); var i = 1
+        while (i < nLists) {
+          val d = sqDist(v, centroids(i))
+          if (d < bestD) { best = i; bestD = d }
+          i += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < v.length) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (c, i) =>
+        if (counts(i) == 0) c // empty cell keeps its previous centroid
+        else sums(i).map(s => math.floor(s / counts(i)))
+      }
+    }
+    val finalCentroids = {
+      import session.implicits._
+      broadcast(centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("_list", "_c"))
+    }
+    val d2 = aggregate(
+      zip_with(col("_e"), col("_c"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val assignW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("data_id")).orderBy(col("_d2"), col("_list"))
+    val assigned = data.crossJoin(finalCentroids)
+      .withColumn("_d2", d2)
+      .withColumn("_rk", row_number().over(assignW))
+      .where(col("_rk") === 1)
+      .select(col("data_id"), col("_e"), norm(col("_e")).as("_n"), col("_list"))
+    val qs = queries.select(
+      col(queryIdCol).as("query_id"), quantize(col(embCol)).as("_qe"))
+      .select(col("query_id"), col("_qe"), norm(col("_qe")).as("_qn"))
+    val qd2 = aggregate(
+      zip_with(col("_qe"), col("_c"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_d2"), col("_list"))
+    val probes = qs.crossJoin(finalCentroids)
+      .withColumn("_d2", qd2)
+      .withColumn("_pr", row_number().over(probeW))
+      .where(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_qe"), col("_qn"), col("_list"))
+    val scored = assigned.join(probes, Seq("_list"))
+      .where(col("data_id") =!= col("query_id"))
+      .select(col("query_id"), col("data_id"),
+        (dot(col("_e"), col("_qe")) / (col("_n") * col("_qn"))).as("cos_sim"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("data_id"))
+    scored.withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: shuffle both sides once on the (table, bucket)
     * key, rank candidates by exact cosine. Recall < 1 by design; the
     * recall/cost dial is (nPlanes, nTables, multiProbeBits) exactly as in

@@ -358,16 +358,75 @@ object DataOpsQueries {
            |FROM documents""".stripMargin))
 
   /** IVF ANN (k-means cells + nProbe probing) — the second classical
-    * ANN scale path next to d07's SRP-LSH; rows-only (cell assignment is
-    * model-defined; exact-recovery is asserted in SimilaritySpec). */
+    * ANN scale path next to d07's SRP-LSH. Oracle-checked since round 5:
+    * Similarity.ivfTopKPortable replaces the spark.ml fit with a
+    * deterministic integer k-means (md5-ranked init + training sample,
+    * exact integer distances, floor-of-mean updates, fixed 3 iterations)
+    * whose every step is reproducible in DuckDB SQL — the oracle below
+    * unrolls the three k-means iterations as CTEs. The spark.ml variant
+    * (ivfTopK) remains in the library for converged-cell quality. */
   val d10AnnIvf = NamedQuery(
     "d10_ann_ivf",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, "vec_id", "embedding",
-        emb.where(col("vec_id") < 5), "vec_id", k = 5, nLists = 8, nProbe = 2)
+      Similarity.ivfTopKPortable(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", k = 5,
+        nLists = 8, nProbe = 2, iters = 3)
     },
-    None)
+    Some {
+      // squared euclidean distance between quantized vector `e` and
+      // centroid `c` — exact integer-valued-double arithmetic
+      def d2(e: String, c: String) =
+        s"list_sum(list_transform(generate_series(1, len($e)), " +
+          s"d -> ($e[d]-$c[d])*($e[d]-$c[d])))"
+      def assign(name: String, src: String, prev: String) =
+        s"""$name AS (
+           |  SELECT vec_id, e, list FROM (
+           |    SELECT t.vec_id, t.e, c.list,
+           |           row_number() OVER (PARTITION BY t.vec_id
+           |             ORDER BY ${d2("t.e", "c.c")}, c.list) AS rk
+           |    FROM $src t CROSS JOIN $prev c) WHERE rk = 1)""".stripMargin
+      // per-dim floor-of-mean update; cells with no members keep their
+      // previous centroid (COALESCE). dim = 64 (driver testdata).
+      def update(i: Int) =
+        s"""m$i AS (
+           |  SELECT list, d, CAST(floor(SUM(e[d]) / COUNT(*)) AS DOUBLE) AS cv
+           |  FROM a$i CROSS JOIN generate_series(1, 64) AS g(d)
+           |  GROUP BY list, d),
+           |c$i AS (
+           |  SELECT p.list, COALESCE(mm.c, p.c) AS c
+           |  FROM c${i - 1} p LEFT JOIN
+           |    (SELECT list, list(cv ORDER BY d) AS c FROM m$i GROUP BY list) mm
+           |    USING (list))""".stripMargin
+      val iterations = (1 to 3)
+        .map(i => assign(s"a$i", "tr", s"c${i - 1}") + ",\n" + update(i))
+        .mkString(",\n")
+      val cos = "list_dot_product(a.e, p.qe) / (sqrt(list_dot_product(a.e, a.e))" +
+        " * sqrt(list_dot_product(p.qe, p.qe)))"
+      s"""WITH quant AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS e
+         |  FROM embeddings),
+         |tr AS (SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS m
+         |       FROM quant ORDER BY m LIMIT 10000),
+         |c0 AS (SELECT (row_number() OVER (ORDER BY m)) - 1 AS list, e AS c
+         |       FROM (SELECT * FROM tr ORDER BY m LIMIT 8)),
+         |$iterations,
+         |${assign("af", "quant", "c3")},
+         |qs AS (SELECT vec_id AS query_id, e AS qe FROM quant WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT query_id, qe, list FROM (
+         |    SELECT s.query_id, s.qe, c.list,
+         |           row_number() OVER (PARTITION BY s.query_id
+         |             ORDER BY ${d2("s.qe", "c.c")}, c.list) AS rk
+         |    FROM qs s CROSS JOIN c3 c) WHERE rk <= 2)
+         |SELECT query_id, data_id, cos_sim, CAST(rk AS BIGINT) AS rank FROM (
+         |  SELECT p.query_id, a.vec_id AS data_id, $cos AS cos_sim,
+         |         row_number() OVER (PARTITION BY p.query_id
+         |           ORDER BY $cos DESC, a.vec_id) AS rk
+         |  FROM af a JOIN probes p USING (list) WHERE a.vec_id <> p.query_id)
+         |WHERE rk <= 5""".stripMargin
+    })
 
   /** Full dedup resolution: minhash candidates → connected components →
     * canonical doc per cluster. Oracle-checked because at

@@ -70,6 +70,28 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.forall(id => id >= 1 && id <= 9))
   }
 
+  test("portable IVF: full probe recovers brute force; output is partition-invariant") {
+    val data = ((0 until 10).map(i => (i.toLong, Array(1.0f, 0.01f * i, 0.0f))) ++
+      (10 until 20).map(i => (i.toLong, Array(0.0f, 1.0f, 0.01f * i))))
+      .toDF("vec_id", "embedding")
+    val q = data.where(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(data, "vec_id", "embedding", q, "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // nProbe == nLists → every cell probed → must equal brute force
+    val all = Similarity.ivfTopKPortable(data, "vec_id", "embedding", q, "vec_id",
+        k = 5, nLists = 4, nProbe = 4)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(all.toSeq == exact.toSeq)
+    // deterministic k-means: the full result (cells included) is
+    // bit-identical under a different input partitioning
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKPortable(df, "vec_id", "embedding",
+          df.where(col("vec_id") === 0), "vec_id", k = 5, nLists = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(run(data) == run(data.repartition(7)))
+  }
+
   // deterministic pseudo-random corpus: 60 distinct 16-dim originals plus
   // 30 planted near-dup clones (one coordinate nudged → cos ≈ 0.95)
   private val plantedDim = 16
