@@ -150,6 +150,95 @@ object ExtendedQueries {
     },
     None)
 
+  /** Engine-PORTABLE approximate sketches — the oracle-checkable twin
+    * of q37: the same estimator class (HLL count-distinct, quantile
+    * from a bounded sample) built on content-addressed md5 derivations
+    * instead of engine-private hashes, so a second engine reproduces
+    * the estimates bit for bit.
+    *
+    * HLL: p=9 (512 registers); row hash = the lower 52 bits of the
+    * first little-endian md5 half (DuckDB md5_number_upper — the same
+    * primitive as the minhash chain); register = low 9 bits, rho =
+    * leading-rank of the remaining 43 bits via length(bin(w)) (identical
+    * on both engines). The Σ2^−M register sum is computed as the EXACT
+    * integer SUM(2^(44−M)) — order-free, ≤ 2^53 — and the single IEEE
+    * division happens once at the end; standard small-range correction
+    * (m·ln(m/V)) when the raw estimate ≤ 2.5m with empty registers.
+    * Median: exact percentile over the 1001 smallest-md5 rows — a
+    * deterministic content-keyed reservoir (TakeOrdered, never a global
+    * sort). Scale: one 512-row hash-agg + one bounded TakeOrdered, both
+    * one-pass — the same cost class as the engine-native sketches. */
+  val q59PortableSketch = NamedQuery(
+    "q59_portable_sketch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+      val hp = graft.functions.TextHashExpressions
+        .md5Upper(col("l_orderkey").cast("string"))
+        .bitwiseAND(lit((1L << 52) - 1))
+      val rho = when(col("_w") === 0L, lit(44))
+        .otherwise(lit(44) - length(bin(col("_w"))))
+      val regs = li.select(hp.as("_hp"))
+        .select(col("_hp").bitwiseAND(lit(511L)).as("_reg"),
+          shiftright(col("_hp"), 9).as("_w"))
+        .select(col("_reg"), rho.as("_rho"))
+        .groupBy(col("_reg")).agg(max(col("_rho")).as("_M"))
+      val spine = s.range(0, 512).select(col("id").as("_reg"))
+      val raw = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0))) *
+        lit(512.0) * lit(512.0) * lit(17592186044416.0) / col("_s")
+      val est = spine.join(regs, Seq("_reg"), "left")
+        .select(coalesce(col("_M"), lit(0)).as("_M"))
+        .agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - _M AS INT))")).as("_s"),
+          sum(when(col("_M") === 0, 1L).otherwise(0L)).as("_zeros"))
+        .select(round(
+          when(raw <= lit(1280.0) && col("_zeros") > 0,
+            lit(512.0) * log(lit(512.0) / col("_zeros")))
+            .otherwise(raw), 6).as("hll_orders"))
+      val samp = li.select(
+          round(col("l_extendedprice") * 100, 0).cast("long").as("_c"),
+          md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("_k"))
+        .orderBy(col("_k")).limit(1001)
+      val med = samp
+        .withColumn("_rn", row_number().over(Window.orderBy(col("_c"), col("_k"))))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+        .where(col("_rn") === expr("(_n + 1) DIV 2"))
+        .select(col("_c").as("sample_median_cents"))
+      val ex = li.agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        count(lit(1)).as("n"))
+      est.crossJoin(med).crossJoin(ex)
+        .select(col("hll_orders"), col("exact_orders"),
+          col("sample_median_cents"), col("n"))
+    },
+    Some("""WITH h AS (
+           |  SELECT md5_number_upper(CAST(l_orderkey AS VARCHAR)) & ((1::BIGINT << 52) - 1) AS hp
+           |  FROM lineitem),
+           |b AS (SELECT hp & 511 AS reg, hp >> 9 AS w FROM h),
+           |r AS (SELECT reg, MAX(CASE WHEN w = 0 THEN 44 ELSE 44 - length(bin(w)) END) AS M
+           |      FROM b GROUP BY reg),
+           |spine AS (SELECT g.g AS reg FROM generate_series(0, 511) g(g)),
+           |regs AS (SELECT spine.reg, COALESCE(r.M, 0) AS M FROM spine LEFT JOIN r USING (reg)),
+           |agg AS (SELECT CAST(SUM(1::BIGINT << CAST(44 - M AS INT)) AS BIGINT) AS s,
+           |               CAST(SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+           |        FROM regs),
+           |est AS (SELECT round(CASE WHEN (0.7213 / (1 + 1.079 / 512.0)) * 512 * 512 * 17592186044416.0 / s <= 1280.0
+           |                          AND zeros > 0
+           |                     THEN 512 * ln(512.0 / zeros)
+           |                     ELSE (0.7213 / (1 + 1.079 / 512.0)) * 512 * 512 * 17592186044416.0 / s END, 6) AS hll_orders
+           |        FROM agg),
+           |samp AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+           |                md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS k2
+           |         FROM lineitem ORDER BY k2 LIMIT 1001),
+           |med AS (SELECT c AS sample_median_cents FROM (
+           |          SELECT c, row_number() OVER (ORDER BY c, k2) AS rn,
+           |                 COUNT(*) OVER () AS n FROM samp)
+           |        WHERE rn = (n + 1) // 2),
+           |ex AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           |              COUNT(*) AS n FROM lineitem)
+           |SELECT est.hll_orders, ex.exact_orders, med.sample_median_cents, ex.n
+           |FROM est, med, ex""".stripMargin))
+
   /** TPC-H Q3 shape: 3-way join, date filters on both fact sides,
     * grouped revenue, top-10. The canonical "does the optimizer behave"
     * query: both filters must reach the scans, customer must broadcast,
@@ -599,5 +688,5 @@ object ExtendedQueries {
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
-    q57EventDebounce, q58Correlation)
+    q57EventDebounce, q58Correlation, q59PortableSketch)
 }

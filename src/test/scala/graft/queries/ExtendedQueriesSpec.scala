@@ -49,6 +49,16 @@ class ExtendedQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q59: portable HLL lands within 10% of the exact distinct count") {
+    val row = ExtendedQueries.q59PortableSketch.run(spark, dir).collect()(0)
+    val est = row.getAs[Double]("hll_orders")
+    val exact = row.getAs[Long]("exact_orders").toDouble
+    // m=512 registers → ~4.6% standard error; 10% is a >2-sigma bound
+    assert(math.abs(est - exact) / exact < 0.10, s"est=$est exact=$exact")
+    // the sampled median is a real lineitem price (positive cents)
+    assert(row.getAs[Long]("sample_median_cents") > 0L)
+  }
+
   test("q49: merge actions partition the key space of both snapshots") {
     val ord = Tables.orders(spark, dir)
     val oldKeys = ord.where(col("o_orderdate") < "1996-01-01")
