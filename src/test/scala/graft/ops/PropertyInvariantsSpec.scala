@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Property-style invariants over ScalaCheck-generated corpora — the
+  * algebraic laws the DuckDB oracle can't express because they hold for
+  * EVERY input, not one fixture: conservation laws of the dedup tallies,
+  * monotonicity of funnel stages, the debounce verdict definition, and
+  * chunking as a partition of the token sequence. Generators are driven
+  * directly (no scalatest bridge in the offline cache) with fixed seeds,
+  * so failures are reproducible; each law is checked over several
+  * independently drawn datasets.
+  */
+class PropertyInvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(sys.error("generator exhausted"))
+
+  private val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+  private val doc = Gen.chooseNum(1, 9)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+  private val corpus = Gen.chooseNum(10, 40)
+    .flatMap(n => Gen.listOfN(n, doc))
+
+  test("chunkDedupStats conservation: kept+removed==chunks, global kept==distinct hashes") {
+    for (seed <- 1L to 5L) {
+      val docs = sample(corpus, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val stats = Dedup.chunkDedupStats(docs, "doc_id", "text", chunkTokens = 2)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      // per-doc conservation
+      assert(stats.forall { case (n, k, r) => k + r == n }, s"seed=$seed")
+      // globally, exactly one copy of every distinct chunk is kept
+      val chunks = Packing.chunkByTokens(docs, "doc_id", "text", 2, 2)
+      val nChunks = chunks.count()
+      val nDistinct = chunks.select(md5(col("chunk_text"))).distinct().count()
+      assert(stats.map(_._1).sum == nChunks, s"seed=$seed")
+      assert(stats.map(_._2).sum == nDistinct, s"seed=$seed")
+    }
+  }
+
+  test("chunkByTokens partitions the token sequence: concatenation rebuilds the doc") {
+    for (seed <- 6L to 10L) {
+      val docs = sample(corpus, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val rebuilt = Packing.chunkByTokens(docs, "doc_id", "text", 3, 3)
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", array_sort(collect_list(
+          struct(col("chunk_idx"), col("chunk_text"))))
+          .getField("chunk_text")).as("r"))
+      val diff = rebuilt.join(docs, Seq("doc_id"))
+        .where(col("r") =!= col("text")).count()
+      assert(diff == 0, s"seed=$seed")
+    }
+  }
+
+  private def eventsGen(steps: Seq[String]) = {
+    val types = steps ++ Seq("noise1", "noise2", "noise3")
+    Gen.chooseNum(20, 80).flatMap(n =>
+      Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1, 6)
+        t <- Gen.oneOf(types)
+      } yield (u.toLong, t)))
+  }
+
+  test("funnel: stage counts are monotonically non-increasing; one-pass == join form") {
+    val steps = Seq("view", "click", "purchase")
+    for (seed <- 11L to 15L) {
+      // index-derived timestamps → tie-free by construction
+      val evs = sample(eventsGen(steps), seed).zipWithIndex.map { case ((u, t), i) =>
+        (u, t, new Timestamp(i * 60000L))
+      }.toDF("user_id", "event_type", "ts")
+      def stages(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).sortBy(_._1).map(_._2).toSeq
+      val joinForm = stages(EventAnalytics.funnel(
+        evs, "user_id", "event_type", "ts", steps, 72))
+      val onePass = stages(EventAnalytics.funnelOnePass(
+        evs, "user_id", "event_type", "ts", steps, 72))
+      assert(onePass == joinForm, s"seed=$seed")
+      assert(joinForm.zip(joinForm.tail).forall { case (a, b) => a >= b },
+        s"seed=$seed: stages must shrink, got $joinForm")
+    }
+  }
+
+  test("debounce: verdict is exactly the gap definition; first per key always kept") {
+    for (seed <- 16L to 20L) {
+      val evs = sample(eventsGen(Seq("click", "view")), seed).zipWithIndex
+        .map { case ((u, t), i) =>
+          (i.toLong, u, t, new Timestamp(i * 1000L * (1 + (i % 5))))
+        }.toDF("event_id", "user_id", "event_type", "ts")
+      val windowSeconds = 600L
+      val got = EventAnalytics.debounce(
+          evs, "user_id", "event_type", "ts", "event_id", windowSeconds)
+        .collect().map(r => (r.getLong(3), r.getBoolean(4)))
+      assert(got.forall { case (gap, kept) =>
+        kept == (gap == -1L || gap >= windowSeconds * 1000000L)
+      }, s"seed=$seed")
+      // exactly one gap==-1 row (the first) per observed (user, type)
+      val nFirst = got.count(_._1 == -1L)
+      val nKeys = evs.select("user_id", "event_type").distinct().count()
+      assert(nFirst == nKeys, s"seed=$seed")
+    }
+  }
+
+  test("capPerKey: never more than cap rows per key, and a subset of the input") {
+    for (seed <- 21L to 25L) {
+      val rows = sample(Gen.listOfN(60, Gen.chooseNum(1, 5)), seed).zipWithIndex
+        .map { case (k, i) => (i.toLong, s"k$k", s"sk$i") }
+        .toDF("id", "key", "sk")
+      val capped = Sampling.capPerKey(rows, "key", "sk", "id", n = 4)
+      val byKey = capped.groupBy("key").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byKey.values.forall(_ <= 4), s"seed=$seed")
+      val inputIds = rows.select("id").as[Long].collect().toSet
+      val outIds = capped.select("id").as[Long].collect().toSet
+      assert(outIds.subsetOf(inputIds), s"seed=$seed")
+    }
+  }
+}
