@@ -239,6 +239,73 @@ object ExtendedQueries {
            |SELECT est.hll_orders, ex.exact_orders, med.sample_median_cents, ex.n
            |FROM est, med, ex""".stripMargin))
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): hierarchy walk over a
+    * derived binary tree — orders are dense-ranked and node id's parent
+    * is id DIV 2, so the recursion accumulates (depth, root-path price
+    * sum) level by level from the root. The canonical workload shape
+    * recursion exists for (BOM explosion, org charts, graph
+    * reachability), previously inexpressible without driver loops.
+    * Scale: each recursion step is one self-join of the frontier
+    * against the ranked table — O(depth)=O(log n) jobs, frontier-sized
+    * state, no driver iteration. Integer cents keep the path sums
+    * exact. */
+  val q60RecursiveCte = NamedQuery(
+    "q60_recursive_cte",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_q60")
+      s.sql("""WITH RECURSIVE ranked AS (
+              |  SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS id,
+              |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              |  FROM orders_q60),
+              |walk(id, depth, path_cents) AS (
+              |  SELECT id, CAST(1 AS BIGINT) AS depth, cents AS path_cents
+              |  FROM ranked WHERE id = 1
+              |  UNION ALL
+              |  SELECT r.id, w.depth + 1, w.path_cents + r.cents
+              |  FROM ranked r JOIN walk w ON r.id DIV 2 = w.id)
+              |SELECT id, depth, path_cents FROM walk""".stripMargin)
+    },
+    Some("""WITH RECURSIVE ranked AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS id,
+           |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders),
+           |walk(id, depth, path_cents) AS (
+           |  SELECT id, CAST(1 AS BIGINT) AS depth, cents AS path_cents
+           |  FROM ranked WHERE id = 1
+           |  UNION ALL
+           |  SELECT r.id, w.depth + 1, w.path_cents + r.cents
+           |  FROM ranked r JOIN walk w ON r.id // 2 = w.id)
+           |SELECT id, depth, path_cents FROM walk""".stripMargin))
+
+  /** VARIANT (Spark 4 native semi-structured type): props parses ONCE
+    * to a binary variant and typed paths are extracted with
+    * variant_get — the schema-on-read path that replaces per-access
+    * string re-parsing (get_json_object re-tokenizes the JSON text on
+    * every call; a variant column tokenizes once per row). Missing
+    * paths are NULL, counted per group. Oracle: DuckDB's JSON
+    * extraction yields the same typed values. */
+  val q61VariantJson = NamedQuery(
+    "q61_variant_json",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("parse_json(props)").as("_v"))
+        .select(col("event_type"),
+          expr("variant_get(_v, '$.k', 'long')").as("_k"),
+          expr("variant_get(_v, '$.missing', 'long')").as("_miss"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("_k")).as("k_sum"), max(col("_k")).as("k_max"),
+          count(col("_k")).as("n_k"),
+          sum(when(col("_miss").isNull, 1L).otherwise(0L)).as("n_missing"))
+    },
+    Some("""SELECT event_type,
+           |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+           |       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+           |FROM events GROUP BY event_type""".stripMargin))
+
   /** TPC-H Q3 shape: 3-way join, date filters on both fact sides,
     * grouped revenue, top-10. The canonical "does the optimizer behave"
     * query: both filters must reach the scans, customer must broadcast,
@@ -688,5 +755,6 @@ object ExtendedQueries {
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
-    q57EventDebounce, q58Correlation, q59PortableSketch)
+    q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte,
+    q61VariantJson)
 }
