@@ -240,15 +240,19 @@ object ExtendedQueries {
            |FROM est, med, ex""".stripMargin))
 
   /** Recursive CTE (Spark 4 WITH RECURSIVE): hierarchy walk over a
-    * derived binary tree — orders are dense-ranked and node id's parent
-    * is id DIV 2, so the recursion accumulates (depth, root-path price
-    * sum) level by level from the root. The canonical workload shape
-    * recursion exists for (BOM explosion, org charts, graph
-    * reachability), previously inexpressible without driver loops.
-    * Scale: each recursion step is one self-join of the frontier
-    * against the ranked table — O(depth)=O(log n) jobs, frontier-sized
-    * state, no driver iteration. Integer cents keep the path sums
-    * exact. */
+    * derived 64-ary tree — orders are dense-ranked and node id's parent
+    * is (id−2) DIV 64 + 1 (the k-ary-heap parent, so every id ≥ 2 has
+    * an in-table parent), and the recursion accumulates (depth,
+    * root-path price sum) level by level from the root. The canonical
+    * workload shape recursion exists for (BOM explosion, org charts,
+    * graph reachability), previously inexpressible without driver
+    * loops. Scale: each recursion step is one self-join of the frontier
+    * against the ranked table — O(depth) jobs with frontier-sized
+    * state, and the 64-ary fan-out keeps depth at log₆₄(n) (4 levels at
+    * 150k rows: recursion cost is per LEVEL, so wide trees are the
+    * representative cheap case — a binary tree over the same rows costs
+    * 18 levels of per-step overhead for identical semantics). Integer
+    * cents keep the path sums exact. */
   val q60RecursiveCte = NamedQuery(
     "q60_recursive_cte",
     (s, dir) => {
@@ -262,7 +266,8 @@ object ExtendedQueries {
               |  FROM ranked WHERE id = 1
               |  UNION ALL
               |  SELECT r.id, w.depth + 1, w.path_cents + r.cents
-              |  FROM ranked r JOIN walk w ON r.id DIV 2 = w.id)
+              |  FROM ranked r JOIN walk w ON (r.id - 2) DIV 64 + 1 = w.id
+              |  WHERE r.id >= 2)
               |SELECT id, depth, path_cents FROM walk""".stripMargin)
     },
     Some("""WITH RECURSIVE ranked AS (
@@ -274,7 +279,8 @@ object ExtendedQueries {
            |  FROM ranked WHERE id = 1
            |  UNION ALL
            |  SELECT r.id, w.depth + 1, w.path_cents + r.cents
-           |  FROM ranked r JOIN walk w ON r.id // 2 = w.id)
+           |  FROM ranked r JOIN walk w ON (r.id - 2) // 64 + 1 = w.id
+           |  WHERE r.id >= 2)
            |SELECT id, depth, path_cents FROM walk""".stripMargin))
 
   /** VARIANT (Spark 4 native semi-structured type): props parses ONCE
