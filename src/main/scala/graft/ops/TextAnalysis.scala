@@ -191,6 +191,53 @@ object TextAnalysis {
         (col("n_bigram").cast("double") / col("n_w1")).as("cond_p"))
   }
 
+  /** Per-document cross-entropy under the corpus's OWN add-one-smoothed
+    * bigram LM — the CCNet/Gopher-style "LM quality filter" signal:
+    * documents whose token transitions are improbable under the corpus
+    * model (boilerplate, garbled text, wrong language) score high.
+    * H(doc) = avg over its bigrams of −ln P(w2|w1) with
+    * P = (c(w1,w2)+1) / (c(w1)+V); V is the bigram model's vocabulary
+    * (distinct contexts ∪ continuations — computed from the aggregated
+    * count table, never a second corpus pass). Docs with < 2 tokens
+    * have no bigrams and are absent from the output.
+    *
+    * Determinism: every doc bigram exists in the corpus counts (the doc
+    * is part of the corpus), so the join is inner and total; each
+    * bigram's −ln P is quantized to integer NANOS before the per-doc
+    * sum (exact longs, order-free — the d22 contract) and the average
+    * is one IEEE division rounded 6.
+    *
+    * Scale shape: ONE corpus explode feeds the bigram hash-agg (history
+    * totals as a window over the aggregate — the t06 lesson); the
+    * per-doc pass re-explodes with the doc id and joins the
+    * (vocab²-bounded, in practice vastly smaller) count table on the
+    * bigram key; V rides in as a broadcast 1-row frame. */
+  def docCrossEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val pairs = arrays_zip(
+      slice(toks, lit(1), size(toks) - 1).as("w1"),
+      slice(toks, lit(2), size(toks) - 1).as("w2"))
+    val bg = bigramCounts(docs, textCol, minCount = 1)
+      .select(col("w1"), col("w2"), col("n_bigram"), col("n_w1"))
+    val v = broadcast(
+      bg.select(col("w1").as("t")).union(bg.select(col("w2").as("t")))
+        .agg(countDistinct(col("t")).as("v")))
+    val docPairs = docs
+      .select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val nanos = round(
+      -log((col("n_bigram") + lit(1L)).cast("double") /
+        (col("n_w1") + col("v")).cast("double")) * 1e9, 0).cast("long")
+    docPairs.join(bg, Seq("w1", "w2")).crossJoin(v)
+      .select(col(idCol), nanos.as("_nanos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nanos")).as("_s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("_s").cast("double") /
+          (col("n_bigrams").cast("double") * 1e9), 6).as("xent"))
+  }
+
   /** Corpus vocabulary of the `size` most frequent terms, ids assigned
     * 1..size by (count desc, term asc) — deterministic under ties, so
     * the id map is reproducible across runs and engines. Scale shape:

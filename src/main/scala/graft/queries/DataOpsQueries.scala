@@ -1239,6 +1239,36 @@ object DataOpsQueries {
            |       CAST(SUM(CASE WHEN l_orderkey IN (SELECT sid FROM po) THEN 0 ELSE 1 END) AS BIGINT)
            |FROM lineitem""".stripMargin))
 
+  /** CCNet/Gopher-style LM quality filter: per-doc cross-entropy under
+    * the corpus's own add-one-smoothed bigram LM — see
+    * TextAnalysis.docCrossEntropy for the integer-nanos order-free sum
+    * and the one-explode corpus pass. High xent = improbable token
+    * transitions (boilerplate, garbled text, wrong language). */
+  val d28LmQuality = NamedQuery(
+    "d28_lm_quality",
+    (s, dir) => {
+      TextAnalysis.docCrossEntropy(
+        Tables.documents(s, dir).where(col("text").isNotNull),
+        "doc_id", "text")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |           WHERE text IS NOT NULL),
+           |b AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+           |             unnest(toks[2:len(toks)]) AS w2 FROM t),
+           |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bigram FROM b GROUP BY 1, 2),
+           |bg AS (SELECT w1, w2, n_bigram,
+           |              CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
+           |       FROM c),
+           |v AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
+           |        SELECT w1 AS tk FROM bg UNION SELECT w2 FROM bg)),
+           |n AS (SELECT b.doc_id,
+           |             CAST(round(-ln((bg.n_bigram + 1)
+           |                            / CAST(bg.n_w1 + v.v AS DOUBLE)) * 1e9) AS BIGINT) AS nanos
+           |      FROM b JOIN bg USING (w1, w2) CROSS JOIN v)
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |       round(CAST(SUM(nanos) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e9), 6) AS xent
+           |FROM n GROUP BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1246,7 +1276,7 @@ object DataOpsQueries {
     d13SequencePack, d14CapPerKey, d15JaccardVerify, d16ChunkSplit,
     d17CorpusStats, d18ShuffleShard, d19VocabEncode, d20BpePairs,
     d21MixtureWeights, d22DomainKl, d23QualityFilter, d24ChunkDedup,
-    d25CurationPipeline, d26KAnonymity, d27ForgetPurge,
+    d25CurationPipeline, d26KAnonymity, d27ForgetPurge, d28LmQuality,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -246,6 +246,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(long.nonEmpty) // silence unused warning paranoia
   }
 
+  test("docCrossEntropy: repeated transitions score lower; sub-bigram docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b a b"),   // one high-probability transition, repeated
+      (2L, "c d e f g h i j"),   // every transition unique in the corpus
+      (3L, "solo")               // no bigrams -> no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.docCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 7L && got(2L)._1 == 7L)
+    assert(got(1L)._2 < got(2L)._2,
+      s"predictable doc must score lower: $got")
+  }
+
   test("zipfFit recovers slope -1 on an exact power-law corpus") {
     import spark.implicits._
     // counts 12/r for ranks 1..4: a×12, b×6, c×4, d×3
