@@ -317,7 +317,9 @@ object Similarity {
     * as plain Scala arithmetic on the driver — zero cluster jobs, and
     * bit-identical to the SQL recurrence because every step is exact
     * integer sums plus one IEEE divide+floor. The full table is then
-    * touched exactly once (final assignment, broadcast centroids). The
+    * touched exactly once: cell assignment is a NARROW projection
+    * against the centroid literals (array_min over (d2, list) structs —
+    * no crossJoin, no window, zero shuffles on the data side). The
     * centroid state is nLists×dim numbers — the same "tiny model"
     * contract as ivfTopK. Cell quality is a few percent below a
     * converged spark.ml fit (greedy floor-mean updates), which only
@@ -326,7 +328,6 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, k: Int,
       nLists: Int = 8, nProbe: Int = 2, iters: Int = 3,
       trainCap: Int = 10000): DataFrame = {
-    val session = embeddings.sparkSession
     val data = embeddings.select(
       col(idCol).as("data_id"), quantize(col(embCol)).as("_e"))
     // ONE bounded TakeOrdered + collect; re-sorted driver-side so the
@@ -367,34 +368,34 @@ object Similarity {
         else sums(i).map(s => math.floor(s / counts(i)))
       }
     }
-    val finalCentroids = {
-      import session.implicits._
-      broadcast(centroids.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toDF("_list", "_c"))
-    }
-    val d2 = aggregate(
-      zip_with(col("_e"), col("_c"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, x) => acc + x)
-    val assignW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("data_id")).orderBy(col("_d2"), col("_list"))
-    val assigned = data.crossJoin(finalCentroids)
-      .withColumn("_d2", d2)
-      .withColumn("_rk", row_number().over(assignW))
-      .where(col("_rk") === 1)
-      .select(col("data_id"), col("_e"), norm(col("_e")).as("_n"), col("_list"))
+    // Per-row distance ORDER against the DRIVER-LITERAL centroids — a
+    // narrow projection, no broadcast table, no crossJoin, no window.
+    // |e−c|² = |e|² − 2e·c + |c|², and |e|² is row-constant, so ranking
+    // on (|c|² − 2e·c) gives the identical order AND identical ties as
+    // the oracle's full d2 (a monotone shift of exact integer-valued
+    // doubles); e·c is the native codegen graft_dot against a literal
+    // array — no interpreted lambda in the per-row hot path. Struct
+    // ordering (score, list) IS the tie-break, so cell assignment is
+    // array_min and the nProbe list is a slice of the sorted array.
+    // Zero shuffles on the data side.
+    def distStructs(vec: Column): Column = array(
+      centroids.toSeq.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum // exact: integer-valued doubles
+        struct(
+          (lit(c2) - lit(2.0) * dot(vec, array(c.toSeq.map(lit): _*))).as("score"),
+          lit(i).as("list"))
+      }: _*)
+    val assigned = data
+      .select(col("data_id"), col("_e"), norm(col("_e")).as("_n"),
+        array_min(distStructs(col("_e"))).getField("list").as("_list"))
     val qs = queries.select(
       col(queryIdCol).as("query_id"), quantize(col(embCol)).as("_qe"))
       .select(col("query_id"), col("_qe"), norm(col("_qe")).as("_qn"))
-    val qd2 = aggregate(
-      zip_with(col("_qe"), col("_c"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, x) => acc + x)
-    val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("_d2"), col("_list"))
-    val probes = qs.crossJoin(finalCentroids)
-      .withColumn("_d2", qd2)
-      .withColumn("_pr", row_number().over(probeW))
-      .where(col("_pr") <= nProbe)
-      .select(col("query_id"), col("_qe"), col("_qn"), col("_list"))
+    val probes = qs
+      .select(col("query_id"), col("_qe"), col("_qn"),
+        explode(slice(array_sort(distStructs(col("_qe"))), 1, nProbe)).as("_p"))
+      .select(col("query_id"), col("_qe"), col("_qn"),
+        col("_p.list").as("_list"))
     val scored = assigned.join(probes, Seq("_list"))
       .where(col("data_id") =!= col("query_id"))
       .select(col("query_id"), col("data_id"),

@@ -176,19 +176,28 @@ object TextAnalysis {
     * docs shorter than 2 tokens — no row, no sequence() edge case). */
   def bigramCounts(docs: org.apache.spark.sql.DataFrame, textCol: String,
       minCount: Long): org.apache.spark.sql.DataFrame = {
-    val toks = split(col(textCol), " ")
-    val pairs = arrays_zip(
-      slice(toks, lit(1), size(toks) - 1).as("w1"),
-      slice(toks, lit(2), size(toks) - 1).as("w2"))
     val wHist = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
-    docs.select(explode(pairs).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n_bigram"))
+    bigramAgg(docs, textCol)
       .withColumn("n_w1", sum(col("n_bigram")).over(wHist))
       .where(col("n_bigram") >= minCount)
       .select(col("w1"), col("w2"), col("n_bigram"), col("n_w1"),
         (col("n_bigram").cast("double") / col("n_w1")).as("cond_p"))
+  }
+
+  /** (w1, w2, n_bigram): the corpus bigram aggregate BEFORE the history
+    * window — shared by bigramCounts and docCrossEntropy so derived
+    * quantities (the smoothing vocabulary) hang off the grouped counts
+    * structurally, not via optimizer pruning of the windowed frame. */
+  private def bigramAgg(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val pairs = arrays_zip(
+      slice(toks, lit(1), size(toks) - 1).as("w1"),
+      slice(toks, lit(2), size(toks) - 1).as("w2"))
+    docs.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
   }
 
   /** Per-document cross-entropy under the corpus's OWN add-one-smoothed
@@ -218,10 +227,11 @@ object TextAnalysis {
     val pairs = arrays_zip(
       slice(toks, lit(1), size(toks) - 1).as("w1"),
       slice(toks, lit(2), size(toks) - 1).as("w2"))
-    val bg = bigramCounts(docs, textCol, minCount = 1)
-      .select(col("w1"), col("w2"), col("n_bigram"), col("n_w1"))
+    val counts = bigramAgg(docs, textCol)
+    val wHist = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val bg = counts.withColumn("n_w1", sum(col("n_bigram")).over(wHist))
     val v = broadcast(
-      bg.select(col("w1").as("t")).union(bg.select(col("w2").as("t")))
+      counts.select(col("w1").as("t")).union(counts.select(col("w2").as("t")))
         .agg(countDistinct(col("t")).as("v")))
     val docPairs = docs
       .select(col(idCol), explode(pairs).as("p"))

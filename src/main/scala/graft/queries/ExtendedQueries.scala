@@ -256,17 +256,22 @@ object ExtendedQueries {
   val q60RecursiveCte = NamedQuery(
     "q60_recursive_cte",
     (s, dir) => {
-      Tables.orders(s, dir).createOrReplaceTempView("orders_q60")
-      s.sql("""WITH RECURSIVE ranked AS (
-              |  SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS id,
-              |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-              |  FROM orders_q60),
-              |walk(id, depth, path_cents) AS (
+      // CTEs (and temp views) are inlined into every recursion step, so
+      // the global rank's single-partition sort would otherwise re-run
+      // depth+1 times; localCheckpoint materializes the ranked frame
+      // once and the recursion self-joins the materialized partitions.
+      Tables.orders(s, dir)
+        .selectExpr(
+          "CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS id",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        .localCheckpoint()
+        .createOrReplaceTempView("ranked_q60")
+      s.sql("""WITH RECURSIVE walk(id, depth, path_cents) AS (
               |  SELECT id, CAST(1 AS BIGINT) AS depth, cents AS path_cents
-              |  FROM ranked WHERE id = 1
+              |  FROM ranked_q60 WHERE id = 1
               |  UNION ALL
               |  SELECT r.id, w.depth + 1, w.path_cents + r.cents
-              |  FROM ranked r JOIN walk w ON (r.id - 2) DIV 64 + 1 = w.id
+              |  FROM ranked_q60 r JOIN walk w ON (r.id - 2) DIV 64 + 1 = w.id
               |  WHERE r.id >= 2)
               |SELECT id, depth, path_cents FROM walk""".stripMargin)
     },
