@@ -317,6 +317,74 @@ object ExtendedQueries {
            |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
            |FROM events GROUP BY event_type""".stripMargin))
 
+  /** Count-min sketch (the third classic sketch next to q59's HLL and
+    * sampled quantile), engine-portable and therefore oracle-checked:
+    * depth 4 × width 1024 counters; rows use the Kirsch–Mitzenmacher
+    * construction cell_r = (a + r·b) & (w−1) with a, b the two 26-bit
+    * halves of ONE md5 per key, so the hot path hashes once, not depth
+    * times, and the sums stay < 2²⁸ — no overflow divergence between
+    * Spark's wrapping longs and DuckDB's checked BIGINT. The frequency
+    * estimate for a key is the MIN over its four counters, with the
+    * count-min guarantee est ≥ true (one-sided error, asserted in
+    * spec). Everything is integer arithmetic — no floats anywhere.
+    *
+    * Scale shape: the sketch build is one explode(×4)+hash-agg pass —
+    * the counter table is bounded at depth×width rows regardless of
+    * input size (THE point of the sketch: frequency state that fits in
+    * memory when distinct keys don't); the demo then estimates the top
+    * 20 true heavy hitters (TakeOrdered) by joining their hash cells
+    * against the counters. */
+  val q62CountMin = NamedQuery(
+    "q62_countmin",
+    (s, dir) => {
+      val mask26 = (1L << 26) - 1
+      val li = Tables.lineitem(s, dir)
+      def halves(key: org.apache.spark.sql.Column) = {
+        val h = graft.functions.TextHashExpressions.md5Upper(key.cast("string"))
+        (h.bitwiseAND(lit(mask26)).as("_a"),
+          shiftright(h, 26).bitwiseAND(lit(mask26)).as("_b0"))
+      }
+      val cell = (col("_a") + col("_r") * col("_b0")).bitwiseAND(lit(1023L))
+      val (a, b0) = halves(col("l_partkey"))
+      val counters = li
+        .select(a, b0)
+        .select(col("_a"), col("_b0"), explode(sequence(lit(0), lit(3))).as("_r"))
+        .select(col("_r"), cell.as("_b"))
+        .groupBy(col("_r"), col("_b"))
+        .agg(count(lit(1)).as("_n"))
+      val top = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("l_partkey"))
+        .limit(20)
+      top
+        .select(col("l_partkey"), col("true_n"), a, b0)
+        .select(col("l_partkey"), col("true_n"), col("_a"), col("_b0"),
+          explode(sequence(lit(0), lit(3))).as("_r"))
+        .withColumn("_b", cell)
+        .join(counters, Seq("_r", "_b"))
+        .groupBy(col("l_partkey"), col("true_n"))
+        .agg(min(col("_n")).as("est_n"))
+        .select(col("l_partkey"), col("true_n"), col("est_n"))
+    },
+    Some("""WITH h AS (
+           |  SELECT l_partkey,
+           |         md5_number_upper(CAST(l_partkey AS VARCHAR)) & 67108863 AS a,
+           |         (md5_number_upper(CAST(l_partkey AS VARCHAR)) >> 26) & 67108863 AS b0
+           |  FROM lineitem),
+           |cells AS (SELECT r.r, (a + r.r * b0) & 1023 AS b
+           |          FROM h CROSS JOIN generate_series(0, 3) r(r)),
+           |counters AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY r, b),
+           |top AS (SELECT l_partkey, COUNT(*) AS true_n FROM lineitem
+           |        GROUP BY l_partkey ORDER BY true_n DESC, l_partkey LIMIT 20),
+           |probe AS (
+           |  SELECT t.l_partkey, t.true_n, r.r,
+           |         ((md5_number_upper(CAST(t.l_partkey AS VARCHAR)) & 67108863)
+           |          + r.r * ((md5_number_upper(CAST(t.l_partkey AS VARCHAR)) >> 26) & 67108863)) & 1023 AS b
+           |  FROM top t CROSS JOIN generate_series(0, 3) r(r))
+           |SELECT p.l_partkey, p.true_n, CAST(MIN(c.n) AS BIGINT) AS est_n
+           |FROM probe p JOIN counters c USING (r, b)
+           |GROUP BY p.l_partkey, p.true_n""".stripMargin))
+
   /** TPC-H Q3 shape: 3-way join, date filters on both fact sides,
     * grouped revenue, top-10. The canonical "does the optimizer behave"
     * query: both filters must reach the scans, customer must broadcast,
@@ -767,5 +835,5 @@ object ExtendedQueries {
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
     q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte,
-    q61VariantJson)
+    q61VariantJson, q62CountMin)
 }

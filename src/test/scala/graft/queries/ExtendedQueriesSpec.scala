@@ -59,6 +59,14 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("sample_median_cents") > 0L)
   }
 
+  test("q62: count-min estimates are one-sided — est >= true for every key") {
+    val rows = ExtendedQueries.q62CountMin.run(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    assert(rows.forall { case (t, e) => e >= t },
+      s"count-min guarantee violated: ${rows.mkString(",")}")
+  }
+
   test("q49: merge actions partition the key space of both snapshots") {
     val ord = Tables.orders(spark, dir)
     val oldKeys = ord.where(col("o_orderdate") < "1996-01-01")
