@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine-portable probabilistic sketches — the approximate operators a
+  * 100 TB pipeline substitutes for exact forms, built on the repo's md5
+  * hash chain so a second engine (the DuckDB oracle) reproduces every
+  * estimate bit for bit, unlike the engine-private hashes inside
+  * approx_count_distinct / approx_percentile (q37). Shared design rules:
+  * all register/counter arithmetic is exact integers (order-free sums),
+  * floats appear only in the final one-or-two IEEE ops, and results are
+  * rounded 6 (the repo-wide ulp contract).
+  */
+object Sketches {
+
+  /** HyperLogLog distinct-count estimate of `keyCol` as ONE row
+    * (`as`: double, round 6). m = 2^p registers; the row hash is the
+    * lower 52 bits of the first little-endian md5 half (DuckDB
+    * md5_number_upper — the minhash-chain primitive), register = low p
+    * bits, rho = leading-rank of the remaining 52−p bits via
+    * length(bin(w)), which is identical across engines. The Σ2^−M
+    * register sum is computed as the EXACT integer SUM(2^(rhoMax−M)) —
+    * bounded by m·2^(53−p) = 2^53, order-free — with the single IEEE
+    * division at the end and the standard small-range correction
+    * (m·ln(m/V) when raw ≤ 2.5m with empty registers). Scale: one
+    * narrow hash projection + an m-row hash-agg — register state is
+    * constant-size regardless of input. */
+  def hllDistinct(df: DataFrame, keyCol: String, p: Int = 9,
+      as: String = "hll_est"): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val rhoMax = 53 - p
+    val scale = math.pow(2.0, rhoMax) // exact power of two
+    val hp = graft.functions.TextHashExpressions
+      .md5Upper(col(keyCol).cast("string"))
+      .bitwiseAND(lit((1L << 52) - 1))
+    val rho = when(col("_w") === 0L, lit(rhoMax))
+      .otherwise(lit(rhoMax) - length(bin(col("_w"))))
+    val regs = df.select(hp.as("_hp"))
+      .select(col("_hp").bitwiseAND(lit((m - 1).toLong)).as("_reg"),
+        shiftright(col("_hp"), p).as("_w"))
+      .select(col("_reg"), rho.as("_rho"))
+      .groupBy(col("_reg")).agg(max(col("_rho")).as("_M"))
+    val spine = df.sparkSession.range(0, m).select(col("id").as("_reg"))
+    val raw = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
+      lit(m.toDouble) * lit(m.toDouble) * lit(scale) / col("_s")
+    spine.join(regs, Seq("_reg"), "left")
+      .select(coalesce(col("_M"), lit(0)).as("_M"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rhoMax - _M AS INT))")).as("_s"),
+        sum(when(col("_M") === 0, 1L).otherwise(0L)).as("_zeros"))
+      .select(round(
+        when(raw <= lit(2.5 * m) && col("_zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")))
+          .otherwise(raw), 6).as(as))
+  }
+
+  /** Count-min cell for hash row `r`: the Kirsch–Mitzenmacher
+    * construction (a + r·b) & (width−1) with a, b the two 26-bit halves
+    * of ONE md5 per key — one hash per row regardless of depth, and the
+    * sums stay < 2^28 (no overflow divergence between Spark's wrapping
+    * longs and a checked-arithmetic oracle engine). */
+  private def kmHalves(key: Column): (Column, Column) = {
+    val mask26 = (1L << 26) - 1
+    val h = graft.functions.TextHashExpressions.md5Upper(key.cast("string"))
+    (h.bitwiseAND(lit(mask26)), shiftright(h, 26).bitwiseAND(lit(mask26)))
+  }
+
+  private def cmCell(width: Int): Column =
+    (col("_a") + col("_r") * col("_b0")).bitwiseAND(lit((width - 1).toLong))
+
+  /** Count-min counter table (_r, _b, _n) for `keyCol`: depth×width
+    * rows REGARDLESS of input size or key cardinality — frequency state
+    * that fits in memory when distinct keys don't. One explode(×depth)
+    * + hash-agg pass. `width` must be a power of two. */
+  def countMinCounters(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    val (a, b0) = kmHalves(col(keyCol))
+    df.select(a.as("_a"), b0.as("_b0"))
+      .select(col("_a"), col("_b0"),
+        explode(sequence(lit(0), lit(depth - 1))).as("_r"))
+      .select(col("_r"), cmCell(width).as("_b"))
+      .groupBy(col("_r"), col("_b"))
+      .agg(count(lit(1)).as("_n"))
+  }
+
+  /** Frequency estimates for the keys of `keys` (all its columns are
+    * carried through) against a [[countMinCounters]] table built with
+    * the SAME depth/width: est_n = MIN over the key's depth counters —
+    * the count-min guarantee is est_n ≥ true count (one-sided error).
+    * Keys whose cells all went untouched don't join (frequency 0 keys
+    * of the sketch's own input never do). */
+  def countMinEstimate(keys: DataFrame, counters: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val carried = keys.columns.map(col)
+    val (a, b0) = kmHalves(col(keyCol))
+    keys
+      .select(carried :+ a.as("_a") :+ b0.as("_b0"): _*)
+      .select(carried :+ col("_a") :+ col("_b0") :+
+        explode(sequence(lit(0), lit(depth - 1))).as("_r"): _*)
+      .withColumn("_b", cmCell(width))
+      .join(counters, Seq("_r", "_b"))
+      .groupBy(carried: _*)
+      .agg(min(col("_n")).as("est_n"))
+  }
+
+  /** Exact percentile-disc over a DETERMINISTIC content-keyed reservoir:
+    * the `cap` rows with the smallest md5 of `tieKey` (TakeOrdered —
+    * never a global sort of the value column), value at sorted position
+    * (n+1) DIV 2 — a median estimate whose "randomness" is content-
+    * addressed, so re-runs, shards, and a second engine draw the
+    * identical sample. ONE row out, named `as`. */
+  def sampledMedian(df: DataFrame, value: Column, tieKey: Column,
+      cap: Int, as: String): DataFrame = {
+    val samp = df.select(value.as("_c"), md5(tieKey).as("_k"))
+      .orderBy(col("_k")).limit(cap)
+    samp
+      .withColumn("_rn", row_number().over(Window.orderBy(col("_c"), col("_k"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .where(col("_rn") === expr("(_n + 1) DIV 2"))
+      .select(col("_c").as(as))
+  }
+}

@@ -171,39 +171,13 @@ object ExtendedQueries {
   val q59PortableSketch = NamedQuery(
     "q59_portable_sketch",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val li = Tables.lineitem(s, dir)
-      val hp = graft.functions.TextHashExpressions
-        .md5Upper(col("l_orderkey").cast("string"))
-        .bitwiseAND(lit((1L << 52) - 1))
-      val rho = when(col("_w") === 0L, lit(44))
-        .otherwise(lit(44) - length(bin(col("_w"))))
-      val regs = li.select(hp.as("_hp"))
-        .select(col("_hp").bitwiseAND(lit(511L)).as("_reg"),
-          shiftright(col("_hp"), 9).as("_w"))
-        .select(col("_reg"), rho.as("_rho"))
-        .groupBy(col("_reg")).agg(max(col("_rho")).as("_M"))
-      val spine = s.range(0, 512).select(col("id").as("_reg"))
-      val raw = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0))) *
-        lit(512.0) * lit(512.0) * lit(17592186044416.0) / col("_s")
-      val est = spine.join(regs, Seq("_reg"), "left")
-        .select(coalesce(col("_M"), lit(0)).as("_M"))
-        .agg(
-          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - _M AS INT))")).as("_s"),
-          sum(when(col("_M") === 0, 1L).otherwise(0L)).as("_zeros"))
-        .select(round(
-          when(raw <= lit(1280.0) && col("_zeros") > 0,
-            lit(512.0) * log(lit(512.0) / col("_zeros")))
-            .otherwise(raw), 6).as("hll_orders"))
-      val samp = li.select(
-          round(col("l_extendedprice") * 100, 0).cast("long").as("_c"),
-          md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("_k"))
-        .orderBy(col("_k")).limit(1001)
-      val med = samp
-        .withColumn("_rn", row_number().over(Window.orderBy(col("_c"), col("_k"))))
-        .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
-        .where(col("_rn") === expr("(_n + 1) DIV 2"))
-        .select(col("_c").as("sample_median_cents"))
+      val est = graft.ops.Sketches.hllDistinct(
+        li, "l_orderkey", p = 9, as = "hll_orders")
+      val med = graft.ops.Sketches.sampledMedian(li,
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+        cap = 1001, as = "sample_median_cents")
       val ex = li.agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n"))
@@ -337,33 +311,15 @@ object ExtendedQueries {
   val q62CountMin = NamedQuery(
     "q62_countmin",
     (s, dir) => {
-      val mask26 = (1L << 26) - 1
       val li = Tables.lineitem(s, dir)
-      def halves(key: org.apache.spark.sql.Column) = {
-        val h = graft.functions.TextHashExpressions.md5Upper(key.cast("string"))
-        (h.bitwiseAND(lit(mask26)).as("_a"),
-          shiftright(h, 26).bitwiseAND(lit(mask26)).as("_b0"))
-      }
-      val cell = (col("_a") + col("_r") * col("_b0")).bitwiseAND(lit(1023L))
-      val (a, b0) = halves(col("l_partkey"))
-      val counters = li
-        .select(a, b0)
-        .select(col("_a"), col("_b0"), explode(sequence(lit(0), lit(3))).as("_r"))
-        .select(col("_r"), cell.as("_b"))
-        .groupBy(col("_r"), col("_b"))
-        .agg(count(lit(1)).as("_n"))
+      val counters = graft.ops.Sketches.countMinCounters(
+        li, "l_partkey", depth = 4, width = 1024)
       val top = li.groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("true_n"))
         .orderBy(col("true_n").desc, col("l_partkey"))
         .limit(20)
-      top
-        .select(col("l_partkey"), col("true_n"), a, b0)
-        .select(col("l_partkey"), col("true_n"), col("_a"), col("_b0"),
-          explode(sequence(lit(0), lit(3))).as("_r"))
-        .withColumn("_b", cell)
-        .join(counters, Seq("_r", "_b"))
-        .groupBy(col("l_partkey"), col("true_n"))
-        .agg(min(col("_n")).as("est_n"))
+      graft.ops.Sketches.countMinEstimate(
+          top, counters, "l_partkey", depth = 4, width = 1024)
         .select(col("l_partkey"), col("true_n"), col("est_n"))
     },
     Some("""WITH h AS (

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Operator-level laws of the portable sketches — the q59/q62 oracles
+  * prove cross-engine exactness on the fixture; these prove the
+  * ESTIMATOR properties on controlled inputs. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hllDistinct: within the m=512 error envelope across cardinalities") {
+    for (n <- Seq(100, 1000, 5000)) {
+      val df = (1 to n).map(i => s"key-$i").toDF("k")
+      val est = Sketches.hllDistinct(df, "k").collect()(0).getDouble(0)
+      // standard error 1.04/sqrt(512) ~ 4.6%; 15% is a >3-sigma bound
+      assert(math.abs(est - n) / n < 0.15, s"n=$n est=$est")
+    }
+  }
+
+  test("hllDistinct: depends only on the distinct key set (duplicates are free)") {
+    val base = (1 to 800).map(i => s"key-$i")
+    val once = Sketches.hllDistinct(base.toDF("k"), "k").collect()(0).getDouble(0)
+    val tripled = Sketches.hllDistinct(
+      (base ++ base ++ base).toDF("k"), "k").collect()(0).getDouble(0)
+    assert(once == tripled)
+  }
+
+  test("countMin: est >= true for every key; counter state is depth x width bounded") {
+    // skewed frequencies: key i appears i times
+    val rows = (1 to 200).flatMap(i => Seq.fill(i)(s"k$i")).toDF("k")
+    val counters = Sketches.countMinCounters(rows, "k", depth = 4, width = 256)
+    assert(counters.count() <= 4L * 256)
+    val truth = rows.groupBy("k").agg(count(lit(1)).as("true_n"))
+    val est = Sketches.countMinEstimate(truth, counters, "k", depth = 4, width = 256)
+      .collect().map(r => (r.getAs[Long]("true_n"), r.getAs[Long]("est_n")))
+    assert(est.length == 200)
+    assert(est.forall { case (t, e) => e >= t },
+      s"one-sided guarantee violated: ${est.filter { case (t, e) => e < t }.mkString(",")}")
+  }
+
+  test("sampledMedian: equals the exact percentile-disc when input fits the cap") {
+    val vals = Seq(9L, 1L, 7L, 3L, 5L, 11L, 2L).zipWithIndex
+      .map { case (v, i) => (v, s"id$i") }
+    val df = vals.toDF("v", "id")
+    val got = Sketches.sampledMedian(df, col("v"), col("id"), cap = 100,
+      as = "med").collect()(0).getLong(0)
+    // 7 values sorted: 1 2 3 5 7 9 11 -> position (7+1) DIV 2 = 4 -> 5
+    assert(got == 5L)
+  }
+}
