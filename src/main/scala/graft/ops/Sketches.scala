@@ -60,8 +60,9 @@ object Sketches {
   /** Count-min cell for hash row `r`: the Kirsch–Mitzenmacher
     * construction (a + r·b) & (width−1) with a, b the two 26-bit halves
     * of ONE md5 per key — one hash per row regardless of depth, and the
-    * sums stay < 2^28 (no overflow divergence between Spark's wrapping
-    * longs and a checked-arithmetic oracle engine). */
+    * sums stay ≤ 2²⁶ + depth·2²⁶ < 2³⁰ for the allowed depth range (no
+    * overflow divergence between Spark's wrapping longs and a
+    * checked-arithmetic oracle engine). */
   private def kmHalves(key: Column): (Column, Column) = {
     val mask26 = (1L << 26) - 1
     val h = graft.functions.TextHashExpressions.md5Upper(key.cast("string"))
@@ -71,42 +72,51 @@ object Sketches {
   private def cmCell(width: Int): Column =
     (col("_a") + col("_r") * col("_b0")).bitwiseAND(lit((width - 1).toLong))
 
-  /** Count-min counter table (_r, _b, _n) for `keyCol`: depth×width
-    * rows REGARDLESS of input size or key cardinality — frequency state
-    * that fits in memory when distinct keys don't. One explode(×depth)
-    * + hash-agg pass. `width` must be a power of two. */
+  /** A built count-min sketch: the bounded counter table plus the
+    * parameters it was built with — estimation reuses them from here,
+    * so a build/probe depth-or-width mismatch (which would silently
+    * void the one-sided guarantee) cannot be expressed. */
+  final case class CountMinSketch(counters: DataFrame, depth: Int, width: Int)
+
+  /** Count-min counter table for `keyCol`: depth×width rows REGARDLESS
+    * of input size or key cardinality — frequency state that fits in
+    * memory when distinct keys don't. One explode(×depth) + hash-agg
+    * pass. `width` must be a power of two, at most 2²⁶ (the cell hash
+    * is built from 26-bit md5 halves — wider tables would leave cells
+    * the hash cannot reach). */
   def countMinCounters(df: DataFrame, keyCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+      depth: Int = 4, width: Int = 1024): CountMinSketch = {
     require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
-    require(width >= 2 && (width & (width - 1)) == 0,
-      s"width must be a power of two, got $width")
+    require(width >= 2 && width <= (1 << 26) && (width & (width - 1)) == 0,
+      s"width must be a power of two in [2, 2^26], got $width")
     val (a, b0) = kmHalves(col(keyCol))
-    df.select(a.as("_a"), b0.as("_b0"))
+    val counters = df.select(a.as("_a"), b0.as("_b0"))
       .select(col("_a"), col("_b0"),
         explode(sequence(lit(0), lit(depth - 1))).as("_r"))
       .select(col("_r"), cmCell(width).as("_b"))
       .groupBy(col("_r"), col("_b"))
       .agg(count(lit(1)).as("_n"))
+    CountMinSketch(counters, depth, width)
   }
 
   /** Frequency estimates for the keys of `keys` (all its columns are
-    * carried through) against a [[countMinCounters]] table built with
-    * the SAME depth/width: est_n = MIN over the key's depth counters —
-    * the count-min guarantee is est_n ≥ true count (one-sided error).
-    * Keys whose cells all went untouched don't join (frequency 0 keys
-    * of the sketch's own input never do). */
-  def countMinEstimate(keys: DataFrame, counters: DataFrame, keyCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+    * carried through): est_n = MIN over the key's depth counters, with
+    * untouched counters counting as ZERO — the exact count-min
+    * estimator, so every probe key survives (keys absent from the
+    * sketch input estimate 0 unless every cell collided) and the
+    * one-sided guarantee est_n ≥ true count holds unconditionally. */
+  def countMinEstimate(keys: DataFrame, sketch: CountMinSketch,
+      keyCol: String): DataFrame = {
     val carried = keys.columns.map(col)
     val (a, b0) = kmHalves(col(keyCol))
     keys
       .select(carried :+ a.as("_a") :+ b0.as("_b0"): _*)
       .select(carried :+ col("_a") :+ col("_b0") :+
-        explode(sequence(lit(0), lit(depth - 1))).as("_r"): _*)
-      .withColumn("_b", cmCell(width))
-      .join(counters, Seq("_r", "_b"))
+        explode(sequence(lit(0), lit(sketch.depth - 1))).as("_r"): _*)
+      .withColumn("_b", cmCell(sketch.width))
+      .join(sketch.counters, Seq("_r", "_b"), "left")
       .groupBy(carried: _*)
-      .agg(min(col("_n")).as("est_n"))
+      .agg(min(coalesce(col("_n"), lit(0L))).as("est_n"))
   }
 
   /** Exact percentile-disc over a DETERMINISTIC content-keyed reservoir:
@@ -114,7 +124,12 @@ object Sketches {
     * never a global sort of the value column), value at sorted position
     * (n+1) DIV 2 — a median estimate whose "randomness" is content-
     * addressed, so re-runs, shards, and a second engine draw the
-    * identical sample. ONE row out, named `as`. */
+    * identical sample. PRECONDITION: `tieKey` must be unique per row
+    * (same contract as Sampling's idCol) — duplicate key content at the
+    * cap boundary would make the kept row, and thus the sample,
+    * engine-dependent. One row out, named `as`; empty input yields an
+    * empty frame (no sample → no median), unlike hllDistinct whose
+    * empty-input estimate is a defined 0-row. */
   def sampledMedian(df: DataFrame, value: Column, tieKey: Column,
       cap: Int, as: String): DataFrame = {
     val samp = df.select(value.as("_c"), md5(tieKey).as("_k"))

@@ -312,14 +312,13 @@ object ExtendedQueries {
     "q62_countmin",
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val counters = graft.ops.Sketches.countMinCounters(
+      val sketch = graft.ops.Sketches.countMinCounters(
         li, "l_partkey", depth = 4, width = 1024)
       val top = li.groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("true_n"))
         .orderBy(col("true_n").desc, col("l_partkey"))
         .limit(20)
-      graft.ops.Sketches.countMinEstimate(
-          top, counters, "l_partkey", depth = 4, width = 1024)
+      graft.ops.Sketches.countMinEstimate(top, sketch, "l_partkey")
         .select(col("l_partkey"), col("true_n"), col("est_n"))
     },
     Some("""WITH h AS (

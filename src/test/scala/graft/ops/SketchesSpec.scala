@@ -30,14 +30,21 @@ class SketchesSpec extends SparkSpec {
   test("countMin: est >= true for every key; counter state is depth x width bounded") {
     // skewed frequencies: key i appears i times
     val rows = (1 to 200).flatMap(i => Seq.fill(i)(s"k$i")).toDF("k")
-    val counters = Sketches.countMinCounters(rows, "k", depth = 4, width = 256)
-    assert(counters.count() <= 4L * 256)
+    val sketch = Sketches.countMinCounters(rows, "k", depth = 4, width = 256)
+    assert(sketch.counters.count() <= 4L * 256)
     val truth = rows.groupBy("k").agg(count(lit(1)).as("true_n"))
-    val est = Sketches.countMinEstimate(truth, counters, "k", depth = 4, width = 256)
+    val est = Sketches.countMinEstimate(truth, sketch, "k")
       .collect().map(r => (r.getAs[Long]("true_n"), r.getAs[Long]("est_n")))
     assert(est.length == 200)
     assert(est.forall { case (t, e) => e >= t },
       s"one-sided guarantee violated: ${est.filter { case (t, e) => e < t }.mkString(",")}")
+    // probing keys ABSENT from the sketch input: every probe key
+    // survives, and untouched cells count as zero (exact estimator)
+    val foreign = Seq("zz1", "zz2", "zz3").toDF("k")
+    val fest = Sketches.countMinEstimate(foreign, sketch, "k")
+      .collect().map(r => r.getAs[Long]("est_n"))
+    assert(fest.length == 3)
+    assert(fest.forall(_ >= 0L))
   }
 
   test("sampledMedian: equals the exact percentile-disc when input fits the cap") {
