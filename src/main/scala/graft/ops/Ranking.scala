@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global ranking.
+  *
+  * `row_number() OVER (ORDER BY ...)` with no PARTITION BY is the
+  * classic single-task trap: Spark plans it as Exchange SinglePartition
+  * + Window, so ONE task sorts and numbers every row — a dead job at
+  * 100 TB. The distributed equivalent is the two-phase rank:
+  *
+  *   1. range-repartition on the order key and sort within partitions —
+  *      a parallel global sort (each of N tasks sorts 1/N of the data,
+  *      partition i's keys all precede partition i+1's);
+  *   2. one tiny job counts rows per partition (N rows to the driver —
+  *      constant driver state, like an AQE stats exchange);
+  *   3. a driver-side exclusive prefix sum of those counts gives each
+  *      partition's rank offset, folded back in as a literal map;
+  *   4. the final rank is a ZERO-shuffle narrow projection: the local
+  *      index comes from `monotonically_increasing_id()`, whose public
+  *      contract is (partitionId << 33) + within-partition counter, so
+  *      `mid − (pid << 33)` is the 0-based position in iterator order —
+  *      which IS the sorted order after step 1.
+  *
+  * The frame is localCheckpoint'ed between steps so the count job and
+  * the rank projection see the SAME partitioning and row order (the
+  * checkpoint also means downstream consumers that re-evaluate the
+  * frame — e.g. a recursive CTE inlining it per step — re-read
+  * materialized partitions instead of re-sorting).
+  *
+  * Determinism: ranks are deterministic iff `orderCols` is a total
+  * order (e.g. includes a unique key). With ties, tied rows receive
+  * distinct but arbitrary consecutive ranks — same contract as
+  * `row_number`, whose tie order is equally arbitrary.
+  */
+object Ranking {
+
+  /** Bits `monotonically_increasing_id` reserves for the per-partition
+    * counter (documented in its Spark scaladoc: "the lower 33 bits").
+    */
+  private val MidCounterBits = 33
+
+  /** `df` plus a 1-based dense global row number `rankCol`, ordered by
+    * `orderCols` — the scale-safe replacement for an unpartitioned
+    * `row_number()` window. One range exchange (parallel sort), one
+    * N-row count job, zero further shuffles. See object doc.
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+      rankCol: String = "rank", numPartitions: Option[Int] = None): DataFrame = {
+    require(orderCols.nonEmpty, "globalRowNumber needs at least one order column")
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val sorted = df
+      .repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .localCheckpoint()
+    // Phase 1: per-partition counts. groupBy(pid) is a map-side count
+    // plus an N-row shuffle — the only data that ever reaches the
+    // driver is one (pid, count) row per partition.
+    val counts = sorted
+      .groupBy(spark_partition_id().as("_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val numParts = sorted.rdd.getNumPartitions
+    // Exclusive prefix sum; range partitions that received no rows are
+    // legitimate (sparse key ranges) and contribute 0.
+    val offsets = new Array[Long](numParts)
+    var acc = 0L
+    var p = 0
+    while (p < numParts) {
+      offsets(p) = acc
+      acc += counts.getOrElse(p, 0L)
+      p += 1
+    }
+    // Phase 2: narrow projection over the checkpointed partitions. The
+    // offset table rides along as a map literal (N entries — the same
+    // constant-size driver state as the counts).
+    val offsetMap = map(offsets.zipWithIndex.flatMap {
+      case (off, pid) => Seq(lit(pid), lit(off))
+    }.toIndexedSeq: _*)
+    val pid = spark_partition_id()
+    val localIdx = monotonically_increasing_id() -
+      shiftleft(pid.cast("long"), MidCounterBits)
+    sorted.select(col("*"),
+      (element_at(offsetMap, pid) + localIdx + lit(1L)).as(rankCol))
+  }
+}

@@ -230,14 +230,18 @@ object ExtendedQueries {
   val q60RecursiveCte = NamedQuery(
     "q60_recursive_cte",
     (s, dir) => {
-      // CTEs (and temp views) are inlined into every recursion step, so
-      // the global rank's single-partition sort would otherwise re-run
-      // depth+1 times; localCheckpoint materializes the ranked frame
-      // once and the recursion self-joins the materialized partitions.
-      Tables.orders(s, dir)
-        .selectExpr(
-          "CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS id",
-          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      // The global rank is ops/Ranking.globalRowNumber — the two-phase
+      // partition-offset rank — NOT an unpartitioned row_number window,
+      // which would sort the whole table in ONE task. CTEs (and temp
+      // views) are inlined into every recursion step, so the ranked
+      // frame is localCheckpoint'ed (once more, above the narrow rank
+      // projection Ranking already checkpoints under) and the recursion
+      // self-joins the materialized partitions.
+      graft.ops.Ranking.globalRowNumber(
+          Tables.orders(s, dir)
+            .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents"),
+          Seq(col("o_orderkey")), rankCol = "id")
+        .select(col("id"), col("cents"))
         .localCheckpoint()
         .createOrReplaceTempView("ranked_q60")
       s.sql("""WITH RECURSIVE walk(id, depth, path_cents) AS (

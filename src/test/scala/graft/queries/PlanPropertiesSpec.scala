@@ -139,4 +139,15 @@ class PlanPropertiesSpec extends SparkSpec {
     val exchanges = "(?<!Broadcast)Exchange [a-zA-Z]*[Hh]ash".r.findAllIn(plan).length
     assert(exchanges == 1, plan)
   }
+
+  test("q60 (recursive CTE): no single-partition Sort/Window on the data path") {
+    // the ranked base is ops/Ranking.globalRowNumber (two-phase
+    // partition-offset rank) materialized by localCheckpoint — the
+    // recursion's executed plan must contain no Window node and no
+    // SinglePartition exchange of table data (the unpartitioned
+    // row_number trap this round removed)
+    val plan = executedPlan("q60_recursive_cte")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
 }
