@@ -55,9 +55,13 @@ object BaselineGastos {
     }
     val runs = Seq.fill(2)(timeStages())
     val (silverS, goldS, goldRows) = runs.minBy(r => r._1 + r._2)
+    // Locale.ROOT: the f interpolator is locale-sensitive, and a comma
+    // decimal separator would make this line invalid JSON
+    def s2(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
     println(
-      f"""{"graft_silver_s": $silverS%.2f, "graft_gold_s": $goldS%.2f, """ +
-        f""""graft_total_s": ${silverS + goldS}%.2f, "gold_rows": $goldRows}""")
+      s"""{"graft_silver_s": ${s2(silverS)}, "graft_gold_s": ${s2(goldS)}, """ +
+        s""""graft_total_s": ${s2(silverS + goldS)}, "gold_rows": $goldRows}""")
     spark.stop()
   }
 }

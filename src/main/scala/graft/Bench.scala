@@ -40,8 +40,12 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries (reported as -1): ${failed.mkString(", ")}")
+    // Locale.ROOT: the f interpolator is locale-sensitive — a comma
+    // decimal separator would make the parseable line invalid JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // The harness captures only a short TAIL of stdout (2000 chars observed:
     // BENCH_r01/r02 both had "parsed":null because the full 70-query line is

@@ -1,5 +1,6 @@
 package graft.etl
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions.{count, lit}
 
@@ -59,33 +60,33 @@ object Sinks {
       .parquet(path)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRecursively)); f.delete(); ()
-  }
+  private def delete(fs: FileSystem, p: HPath): Unit = { fs.delete(p, true); () }
 
   /** Replace `target` with `replacement` without a window where neither
     * copy exists durably: target is first swapped aside to `old` (a
     * location OUTSIDE any table root, so hive discovery never sees it),
     * the replacement moved in, and the old copy deleted last. If the
     * move-in fails, the old copy is restored and the replacement left
-    * untouched for the caller's recovery policy. */
-  private def swapInto(replacement: java.nio.file.Path, target: java.io.File,
-      old: java.io.File): Unit = {
-    deleteRecursively(old)
-    Option(target.toPath.getParent)
-      .foreach(p => java.nio.file.Files.createDirectories(p))
-    Option(old.toPath.getParent)
-      .foreach(p => java.nio.file.Files.createDirectories(p))
-    val hadTarget = target.exists
-    if (hadTarget) java.nio.file.Files.move(target.toPath, old.toPath)
-    try java.nio.file.Files.move(replacement, target.toPath)
+    * untouched for the caller's recovery policy. Routed through the
+    * Hadoop FileSystem resolved from the path, so the swap runs against
+    * whatever filesystem the staging write went to (local, hdfs://, …)
+    * rather than silently assuming the driver's local disk. */
+  private def swapInto(fs: FileSystem, replacement: HPath, target: HPath,
+      old: HPath): Unit = {
+    delete(fs, old)
+    Option(target.getParent).foreach(fs.mkdirs)
+    Option(old.getParent).foreach(fs.mkdirs)
+    val hadTarget = fs.exists(target)
+    if (hadTarget) require(fs.rename(target, old),
+      s"could not set aside $target -> $old")
+    try require(fs.rename(replacement, target),
+      s"could not publish $replacement -> $target")
     catch {
       case e: Throwable =>
-        if (hadTarget && !target.exists)
-          java.nio.file.Files.move(old.toPath, target.toPath)
+        if (hadTarget && !fs.exists(target)) fs.rename(old, target)
         throw e
     }
-    deleteRecursively(old)
+    delete(fs, old)
   }
 
   /** Shared write-audit-publish scaffold. Failure BEFORE or DURING the
@@ -95,17 +96,19 @@ object Sinks {
     * rerun's own staging overwrite supersedes it. */
   private def stagedPublish(df: DataFrame, path: String, audit: () => Unit,
       partitionBy: Seq[String], compression: String)(
-      publish: java.io.File => Unit): Long = {
-    val staging = new java.io.File(path + ".staging")
-    deleteRecursively(staging)
+      publish: (FileSystem, HPath) => Unit): Long = {
+    val fs = new HPath(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val staging = fs.makeQualified(new HPath(path + ".staging"))
+    delete(fs, staging)
     val rows =
       try {
         val r = writePartitionedCounted(
-          df, staging.getPath, "overwrite", partitionBy, compression)
+          df, staging.toString, "overwrite", partitionBy, compression)
         audit()
         r
-      } catch { case e: Throwable => deleteRecursively(staging); throw e }
-    publish(staging)
+      } catch { case e: Throwable => delete(fs, staging); throw e }
+    publish(fs, staging)
     rows
   }
 
@@ -120,21 +123,25 @@ object Sinks {
     * deleted before its replacement is in place). Same externally-
     * visible contract as the two-pass gate (bad data never lands at
     * `path`), but the corpus is scanned once, not twice — at 100 TB that
-    * halves the stage. Dir renames are atomic on local/HDFS; object
-    * stores need a table format's metadata commit for the publish step
-    * (Iceberg/Delta do exactly this pattern). Overwrite-mode only: an
-    * append publish would need a merge, which is a table-format commit,
-    * not a dir move. Hard-crash recovery = rerun the stage: leftover
-    * `.staging`/`.old` dirs are superseded and cleaned by the rerun. */
+    * halves the stage. The publish renames go through the Hadoop
+    * FileSystem resolved from `path`, so any Hadoop-visible filesystem
+    * works; the no-partial-visibility guarantee additionally needs
+    * ATOMIC dir rename, which local and HDFS provide — on an object
+    * store (s3a:// rename = copy) use a table format's metadata commit
+    * instead (Iceberg/Delta do exactly this pattern). Overwrite-mode
+    * only: an append publish would need a merge, which is a table-format
+    * commit, not a dir move. Hard-crash recovery = rerun the stage:
+    * leftover `.staging`/`.old` dirs are superseded and cleaned by the
+    * rerun. */
   def publishAudited(
       df: DataFrame,
       path: String,
       audit: () => Unit,
       partitionBy: Seq[String] = GastosSchema.partitionColumns,
       compression: String = "snappy"): Long =
-    stagedPublish(df, path, audit, partitionBy, compression) { staging =>
-      swapInto(staging.toPath, new java.io.File(path),
-        new java.io.File(path + ".old"))
+    stagedPublish(df, path, audit, partitionBy, compression) { (fs, staging) =>
+      swapInto(fs, staging, fs.makeQualified(new HPath(path)),
+        fs.makeQualified(new HPath(path + ".old")))
     }
 
   /** Write-audit-publish for PARTITION-SCOPED overwrites (the
@@ -146,32 +153,33 @@ object Sinks {
     * dir over its target — untouched partitions are never read,
     * rewritten, or moved, and each leaf's previous data is set aside
     * under `<path>.old` (outside the table root, invisible to hive
-    * discovery) and restored if that leaf's swap fails. Per-partition
-    * swaps are each atomic on local/HDFS; a cross-partition atomic
-    * commit needs a table format. A failure mid-loop keeps
-    * already-published leaves and the remaining staged leaves (rerun
-    * supersedes both). */
+    * discovery) and restored if that leaf's swap fails. Renames go
+    * through the Hadoop FileSystem resolved from `path` (local/hdfs://
+    * rename atomically; object stores need a table format, see
+    * [[publishAudited]]). A cross-partition atomic commit needs a table
+    * format regardless. A failure mid-loop keeps already-published
+    * leaves and the remaining staged leaves (rerun supersedes both). */
   def publishAuditedPartitions(
       df: DataFrame,
       path: String,
       audit: () => Unit,
       partitionBy: Seq[String] = GastosSchema.partitionColumns,
       compression: String = "snappy"): Long =
-    stagedPublish(df, path, audit, partitionBy, compression) { staging =>
-      def leafDirs(dir: java.io.File, depth: Int): Seq[java.io.File] =
+    stagedPublish(df, path, audit, partitionBy, compression) { (fs, staging) =>
+      def leafDirs(dir: HPath, depth: Int): Seq[HPath] =
         if (depth == 0) Seq(dir)
-        else Option(dir.listFiles).toSeq.flatten
-          .filter(f => f.isDirectory && f.getName.contains("="))
-          .flatMap(leafDirs(_, depth - 1))
-      val oldRoot = new java.io.File(path + ".old")
+        else fs.listStatus(dir).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .flatMap(st => leafDirs(st.getPath, depth - 1))
+      val target = fs.makeQualified(new HPath(path))
+      val oldRoot = fs.makeQualified(new HPath(path + ".old"))
+      val stagingPrefix = staging.toString + "/"
       leafDirs(staging, partitionBy.size).foreach { leaf =>
-        val rel = staging.toPath.relativize(leaf.toPath)
-        swapInto(leaf.toPath,
-          new java.io.File(path).toPath.resolve(rel).toFile,
-          oldRoot.toPath.resolve(rel).toFile)
+        val rel = fs.makeQualified(leaf).toString.stripPrefix(stagingPrefix)
+        swapInto(fs, leaf, new HPath(target, rel), new HPath(oldRoot, rel))
       }
-      deleteRecursively(staging) // _SUCCESS marker + empty skeleton
-      deleteRecursively(oldRoot) // empty graveyard skeleton
+      delete(fs, staging) // _SUCCESS marker + empty skeleton
+      delete(fs, oldRoot) // empty graveyard skeleton
     }
 
   /** [[overwritePartitionsOf]] with the observed row count — see

@@ -49,6 +49,25 @@ class ExtendedQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d24 oracle precondition: no 8-token chunk reaches the default df cap at any SF") {
+    // chunkDedupStats drops chunks whose document frequency exceeds
+    // maxChunkDf (skew guard); the d24 oracle SQL has no such filter, so
+    // the hash match silently depends on the corpus never hitting the
+    // cap — assert that precondition HERE, at every SF the driver reads
+    // (the q53 tie-free pattern).
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .filter(sf => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"/root/testdata/$sf")))
+    assert(sfs.nonEmpty, "no testdata SF dirs found")
+    for (sf <- sfs) {
+      val docs = Tables.documents(spark, s"/root/testdata/$sf")
+        .where(col("text").isNotNull)
+      val over = graft.ops.Dedup.chunkOverflow(docs, "doc_id", "text").count()
+      assert(over == 0L,
+        s"$sf: $over chunk hashes at/over the d24 df cap — oracle equivalence broken")
+    }
+  }
+
   test("q59: portable HLL lands within 10% of the exact distinct count") {
     val row = ExtendedQueries.q59PortableSketch.run(spark, dir).collect()(0)
     val est = row.getAs[Double]("hll_orders")
