@@ -15,24 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** HyperLogLog distinct-count estimate of `keyCol` as ONE row
-    * (`as`: double, round 6). m = 2^p registers; the row hash is the
-    * lower 52 bits of the first little-endian md5 half (DuckDB
-    * md5_number_upper — the minhash-chain primitive), register = low p
-    * bits, rho = leading-rank of the remaining 52−p bits via
-    * length(bin(w)), which is identical across engines. The Σ2^−M
-    * register sum is computed as the EXACT integer SUM(2^(rhoMax−M)) —
-    * bounded by m·2^(53−p) = 2^53, order-free — with the single IEEE
-    * division at the end and the standard small-range correction
-    * (m·ln(m/V) when raw ≤ 2.5m with empty registers). Scale: one
-    * narrow hash projection + an m-row hash-agg — register state is
-    * constant-size regardless of input. */
-  def hllDistinct(df: DataFrame, keyCol: String, p: Int = 9,
-      as: String = "hll_est"): DataFrame = {
+  /** A built HyperLogLog sketch: the SPARSE register table (`_reg`
+    * long, `_M` int — one row per non-empty register, so ≤ m = 2^p rows
+    * regardless of input size) plus the precision it was built with.
+    * This is the MERGEABLE form a 100 TB pipeline actually stores:
+    * partial sketches built per partition/day/source union via
+    * [[hllMerge]] (register-wise MAX — associative, commutative,
+    * idempotent), so distinct counts compose incrementally without ever
+    * re-reading history (the q51 partial-merge pattern applied to
+    * sketch state). `p` travels in the handle so merging sketches of
+    * different precisions is inexpressible. */
+  final case class HllSketch(registers: DataFrame, p: Int)
+
+  /** Build the sparse HLL register table for `keyCol` — one narrow hash
+    * projection + one ≤m-row hash-agg. The row hash is the lower 52
+    * bits of the first little-endian md5 half (DuckDB md5_number_upper
+    * — the minhash-chain primitive), register = low p bits, rho =
+    * leading-rank of the remaining 52−p bits via length(bin(w)) —
+    * identical across engines. Present registers always carry _M ≥ 1
+    * (w = 0 maps to rhoMax, any other w to ≥ 1), so "empty" is exactly
+    * "absent from the table". */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 9): HllSketch = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
     val rhoMax = 53 - p
-    val scale = math.pow(2.0, rhoMax) // exact power of two
     val hp = graft.functions.TextHashExpressions
       .md5Upper(col(keyCol).cast("string"))
       .bitwiseAND(lit((1L << 52) - 1))
@@ -43,19 +49,67 @@ object Sketches {
         shiftright(col("_hp"), p).as("_w"))
       .select(col("_reg"), rho.as("_rho"))
       .groupBy(col("_reg")).agg(max(col("_rho")).as("_M"))
-    val spine = df.sparkSession.range(0, m).select(col("id").as("_reg"))
-    val raw = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
-      lit(m.toDouble) * lit(m.toDouble) * lit(scale) / col("_s")
-    spine.join(regs, Seq("_reg"), "left")
-      .select(coalesce(col("_M"), lit(0)).as("_M"))
+    HllSketch(regs, p)
+  }
+
+  /** Union of sketches: register-wise MAX. The HLL merge law —
+    * merge(sketch(A), sketch(B)) has BIT-IDENTICAL registers to
+    * sketch(A ∪ B), because max is associative/commutative/idempotent —
+    * so estimates over merged partials equal the monolithic build
+    * exactly (asserted in SketchesSpec, oracle-checked by q63). Cost:
+    * one ≤(k·m)-row union + m-bounded hash-agg, input-size-free. */
+  def hllMerge(sketches: Seq[HllSketch]): HllSketch = {
+    require(sketches.nonEmpty, "hllMerge needs at least one sketch")
+    val ps = sketches.map(_.p).distinct
+    require(ps.size == 1,
+      s"cannot merge sketches of different precisions: p ∈ ${ps.mkString("{", ",", "}")}")
+    HllSketch(
+      sketches.map(_.registers).reduce(_ unionByName _)
+        .groupBy(col("_reg")).agg(max(col("_M")).as("_M")),
+      ps.head)
+  }
+
+  /** Distinct-count estimate from a register table, as ONE row (`as`:
+    * double, round 6). The Σ2^−M register sum is the EXACT integer
+    * SUM(2^(rhoMax−M)) over present registers plus (m − V)·2^rhoMax for
+    * the absent ones — bounded by m·2^(53−p) = 2^53, order-free — with
+    * the single IEEE division at the end and the standard small-range
+    * correction (m·ln(m/V) when raw ≤ 2.5m with empty registers).
+    * Bit-identical to materializing the dense m-row table first. */
+  def hllEstimate(sketch: HllSketch, as: String = "hll_est"): DataFrame = {
+    val m = 1 << sketch.p
+    val rhoMax = 53 - sketch.p
+    val scale = math.pow(2.0, rhoMax) // exact power of two
+    // Flajolet et al. give the asymptotic alpha only for m >= 128
+    // (p >= 7); the small register counts have tabulated constants
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(scale) / col("_s")
+    sketch.registers
       .agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rhoMax - _M AS INT))")).as("_s"),
-        sum(when(col("_M") === 0, 1L).otherwise(0L)).as("_zeros"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rhoMax - _M AS INT))")).as("_sp"),
+        count(lit(1)).as("_v"))
+      .select(
+        (coalesce(col("_sp"), lit(0L)) +
+          (lit(m.toLong) - col("_v")) * lit(1L << rhoMax)).as("_s"),
+        (lit(m.toLong) - col("_v")).as("_zeros"))
       .select(round(
         when(raw <= lit(2.5 * m) && col("_zeros") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")))
           .otherwise(raw), 6).as(as))
   }
+
+  /** HyperLogLog distinct-count estimate of `keyCol` as ONE row — the
+    * one-shot composition of [[hllRegisters]] + [[hllEstimate]]. Scale:
+    * one narrow hash projection + an m-row hash-agg — register state is
+    * constant-size regardless of input. */
+  def hllDistinct(df: DataFrame, keyCol: String, p: Int = 9,
+      as: String = "hll_est"): DataFrame =
+    hllEstimate(hllRegisters(df, keyCol, p), as)
 
   /** Count-min cell for hash row `r`: the Kirsch–Mitzenmacher
     * construction (a + r·b) & (width−1) with a, b the two 26-bit halves

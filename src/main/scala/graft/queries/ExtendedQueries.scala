@@ -344,6 +344,63 @@ object ExtendedQueries {
            |FROM probe p JOIN counters c USING (r, b)
            |GROUP BY p.l_partkey, p.true_n""".stripMargin))
 
+  /** Mergeable sketch state (the incremental/partitioned form a 100 TB
+    * pipeline actually stores): HLL register tables are built as
+    * PARTIALS over disjoint slices of lineitem, unioned with the
+    * register-wise-MAX merge (associative/commutative/idempotent — see
+    * ops/Sketches.hllMerge), and the merged estimate is checked against
+    * the monolithic single-pass build: bit-identical by the merge law.
+    * This is q51's partial-merge pattern applied to sketches — daily
+    * partial registers (≤ m rows each) compose into any window's
+    * distinct count without re-reading history. Oracle: DuckDB builds
+    * the same per-half register CTEs, max-merges them, and estimates
+    * with the identical integer arithmetic. */
+  val q63SketchMerge = NamedQuery(
+    "q63_sketch_merge",
+    (s, dir) => {
+      import graft.ops.Sketches
+      val li = Tables.lineitem(s, dir)
+      val halves = Seq(0, 1).map(h =>
+        Sketches.hllRegisters(li.where(col("l_orderkey") % 2 === h), "l_orderkey"))
+      val merged = Sketches.hllEstimate(Sketches.hllMerge(halves), "hll_merged")
+      val direct = Sketches.hllDistinct(li, "l_orderkey", as = "hll_direct")
+      val ex = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      merged.crossJoin(direct).crossJoin(ex)
+    },
+    Some("""WITH h AS (
+           |  SELECT l_orderkey,
+           |         md5_number_upper(CAST(l_orderkey AS VARCHAR)) & ((1::BIGINT << 52) - 1) AS hp
+           |  FROM lineitem),
+           |b AS (SELECT l_orderkey % 2 AS half, hp & 511 AS reg, hp >> 9 AS w FROM h),
+           |pr AS (SELECT half, reg,
+           |              MAX(CASE WHEN w = 0 THEN 44 ELSE 44 - length(bin(w)) END) AS M
+           |       FROM b GROUP BY half, reg),
+           |mr AS (SELECT reg, MAX(M) AS M FROM pr GROUP BY reg),
+           |dr AS (SELECT reg,
+           |              MAX(CASE WHEN w = 0 THEN 44 ELSE 44 - length(bin(w)) END) AS M
+           |       FROM b GROUP BY reg),
+           |magg AS (SELECT CAST(SUM(1::BIGINT << CAST(44 - M AS INT)) AS BIGINT)
+           |                  + (512 - COUNT(*)) * 17592186044416 AS s,
+           |                512 - COUNT(*) AS zeros
+           |         FROM mr),
+           |dagg AS (SELECT CAST(SUM(1::BIGINT << CAST(44 - M AS INT)) AS BIGINT)
+           |                  + (512 - COUNT(*)) * 17592186044416 AS s,
+           |                512 - COUNT(*) AS zeros
+           |         FROM dr),
+           |mest AS (SELECT round(CASE WHEN (0.7213 / (1 + 1.079 / 512.0)) * 512 * 512 * 17592186044416.0 / s <= 1280.0
+           |                           AND zeros > 0
+           |                      THEN 512 * ln(512.0 / zeros)
+           |                      ELSE (0.7213 / (1 + 1.079 / 512.0)) * 512 * 512 * 17592186044416.0 / s END, 6) AS hll_merged
+           |         FROM magg),
+           |dest AS (SELECT round(CASE WHEN (0.7213 / (1 + 1.079 / 512.0)) * 512 * 512 * 17592186044416.0 / s <= 1280.0
+           |                           AND zeros > 0
+           |                      THEN 512 * ln(512.0 / zeros)
+           |                      ELSE (0.7213 / (1 + 1.079 / 512.0)) * 512 * 512 * 17592186044416.0 / s END, 6) AS hll_direct
+           |         FROM dagg),
+           |ex AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders FROM lineitem)
+           |SELECT mest.hll_merged, dest.hll_direct, ex.exact_orders
+           |FROM mest, dest, ex""".stripMargin))
+
   /** TPC-H Q3 shape: 3-way join, date filters on both fact sides,
     * grouped revenue, top-10. The canonical "does the optimizer behave"
     * query: both filters must reach the scans, customer must broadcast,
@@ -794,5 +851,5 @@ object ExtendedQueries {
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
     q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte,
-    q61VariantJson, q62CountMin)
+    q61VariantJson, q62CountMin, q63SketchMerge)
 }

@@ -47,6 +47,45 @@ class SketchesSpec extends SparkSpec {
     assert(fest.forall(_ >= 0L))
   }
 
+  test("hllMerge law: merge of partials has bit-identical registers and estimate to the monolithic build") {
+    val a = (1 to 600).map(i => s"key-$i").toDF("k")
+    val b = (400 to 1000).map(i => s"key-$i").toDF("k") // overlaps a
+    val union = (1 to 1000).map(i => s"key-$i").toDF("k")
+    val merged = Sketches.hllMerge(Seq(
+      Sketches.hllRegisters(a, "k"), Sketches.hllRegisters(b, "k")))
+    val mono = Sketches.hllRegisters(union, "k")
+    // register-wise: same sparse table, row for row
+    assert(merged.registers.exceptAll(mono.registers).isEmpty)
+    assert(mono.registers.exceptAll(merged.registers).isEmpty)
+    // and therefore the same estimate, bit for bit
+    val em = Sketches.hllEstimate(merged).collect()(0).getDouble(0)
+    val eo = Sketches.hllEstimate(mono).collect()(0).getDouble(0)
+    assert(em == eo)
+  }
+
+  test("hllMerge: idempotent (self-merge is a no-op) and rejects mixed precisions") {
+    val df = (1 to 300).map(i => s"key-$i").toDF("k")
+    val sk = Sketches.hllRegisters(df, "k")
+    val self = Sketches.hllMerge(Seq(sk, sk))
+    assert(self.registers.exceptAll(sk.registers).isEmpty)
+    assert(sk.registers.exceptAll(self.registers).isEmpty)
+    val other = Sketches.hllRegisters(df, "k", p = 10)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.hllMerge(Seq(sk, other))
+    }
+    assert(e.getMessage.contains("precision"))
+  }
+
+  test("hllDistinct: small-p tabulated alphas keep low-precision estimates in envelope") {
+    // p in [4,6] uses the Flajolet per-m constants, not the asymptotic
+    // formula; standard error at m=16 is ~26%, so bound loosely
+    val df = (1 to 2000).map(i => s"key-$i").toDF("k")
+    for ((p, bound) <- Seq(4 -> 0.8, 5 -> 0.6, 6 -> 0.5)) {
+      val est = Sketches.hllDistinct(df, "k", p = p).collect()(0).getDouble(0)
+      assert(math.abs(est - 2000) / 2000 < bound, s"p=$p est=$est")
+    }
+  }
+
   test("sampledMedian: equals the exact percentile-disc when input fits the cap") {
     val vals = Seq(9L, 1L, 7L, 3L, 5L, 11L, 2L).zipWithIndex
       .map { case (v, i) => (v, s"id$i") }
