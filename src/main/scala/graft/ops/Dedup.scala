@@ -218,24 +218,48 @@ object Dedup {
     * deduped pair set (the materialize-once barrier below). cache() is
     * keyed by canonicalized plan, so repeated calls over the SAME pairs
     * share one entry, but each DISTINCT pair set pins its own until the
-    * session ends — callers looping over many pair sets own the cleanup
-    * (`spark.catalog.clearCache()` or unpersist via the catalog) once
-    * the result is consumed. */
+    * session ends — callers looping over many pair sets either own the
+    * cleanup (`spark.catalog.clearCache()` or unpersist via the catalog)
+    * once the result is consumed, or use [[verifyJaccardManaged]], which
+    * releases the entry itself. */
   def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      shingleN: Int = 3): DataFrame =
+    verifyAgainst(df, idCol, textCol,
+      cachedPairs(pairs, aCol, bCol), shingleN)
+
+  /** [[verifyJaccard]] with MANAGED cache lifetime — the variant for
+    * sessions looping over many distinct candidate sets: the result
+    * (pair-set-sized — the small end of the funnel) is materialized via
+    * eager localCheckpoint while the pair cache is live, then the cache
+    * entry is released before returning. The checkpoint blocks are owned
+    * by the returned frame itself and reclaimed by the ContextCleaner
+    * when the caller drops it, so nothing accumulates in the session's
+    * plan-keyed cache registry. */
+  def verifyJaccardManaged(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       shingleN: Int = 3): DataFrame = {
-    // The pair list feeds four plan branches (id restriction ×2, the
-    // shared-gram join, the final assembly); without a barrier Spark
-    // re-derives the WHOLE candidate-generation subtree per branch (no
-    // exchange reuse — each branch prunes different columns). Candidate
-    // pairs are the small output of LSH by construction, so the
-    // scale-correct move is the classic pipeline one: materialize them
-    // once. cache() is keyed by canonicalized plan, so repeated calls on
-    // the same pairs reuse one entry instead of piling up. The dedupe is
-    // load-bearing, not just hygiene: a repeated input pair would join
-    // the gram stream once PER COPY and double-count n_shared.
-    val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
+    val p = cachedPairs(pairs, aCol, bCol)
+    try verifyAgainst(df, idCol, textCol, p, shingleN).localCheckpoint()
+    finally { p.unpersist(); () }
+  }
+
+  /** The deduped, cached candidate list both verify entry points share.
+    * The pair list feeds four plan branches (id restriction ×2, the
+    * shared-gram join, the final assembly); without a barrier Spark
+    * re-derives the WHOLE candidate-generation subtree per branch (no
+    * exchange reuse — each branch prunes different columns). Candidate
+    * pairs are the small output of LSH by construction, so the
+    * scale-correct move is the classic pipeline one: materialize them
+    * once. The dedupe is load-bearing, not just hygiene: a repeated
+    * input pair would join the gram stream once PER COPY and
+    * double-count n_shared. */
+  private def cachedPairs(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b").cache()
+
+  private def verifyAgainst(df: DataFrame, idCol: String, textCol: String,
+      p: DataFrame, shingleN: Int): DataFrame = {
     val ids = p.select(col("doc_a").as("_gid"))
       .unionByName(p.select(col("doc_b").as("_gid"))).distinct()
     val grams = withShingles(df, idCol, textCol, shingleN)
@@ -294,23 +318,29 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
-  /** (doc, fp, band, bucket) — 16-bit band buckets of the fingerprint. */
-  private def simhashBanded(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashes(df, idCol, textCol).select(col("doc"), col("fp"),
+  /** (doc, fp, band, bucket) — 16-bit band buckets of a (doc, fp)
+    * fingerprint table. */
+  private def bandedFp(fps: DataFrame): DataFrame =
+    fps.select(col("doc"), col("fp"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
           call_function("shiftright", col("fp"), (b * 16).cast("int"))
             .bitwiseAND(0xFFFFL).as("bucket")))).as("b"))
       .select(col("doc"), col("fp"), col("b.band"), col("b.bucket"))
 
-  /** SimHash near-dup candidates: bucket by 16-bit bands of the
-    * fingerprint (one shuffle), verify with exact Hamming distance.
-    * `maxBucketSize` caps the in-bucket join (see capBuckets); audit the
-    * drops with [[simhashBucketOverflow]]. */
-  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandedFp(simhashes(df, idCol, textCol))
+
+  /** Banded Hamming near-dup candidates over ANY 64-bit fingerprint
+    * table (doc, fp) — the shared engine under text simhash (d04) and
+    * media perceptual-hash (m07) dedup: bucket by 16-bit bands (one
+    * shuffle, never all-pairs — a pair within Hamming ≤ 16 of a 4-band
+    * split shares at least one intact band by pigeonhole), verify with
+    * exact Hamming distance. `maxBucketSize` caps the in-bucket join
+    * (see capBuckets); callers audit drops via their overflow twin. */
+  def fingerprintCandidates(fps: DataFrame,
       maxHamming: Int = 16, maxBucketSize: Int = 10000): DataFrame = {
-    val banded = capBuckets(simhashBanded(df, idCol, textCol),
-      Seq("band", "bucket"), maxBucketSize)
+    val banded = capBuckets(bandedFp(fps), Seq("band", "bucket"), maxBucketSize)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -321,6 +351,13 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** SimHash near-dup candidates — [[fingerprintCandidates]] over the
+    * text fingerprints of [[simhashes]]. Audit the cap drops with
+    * [[simhashBucketOverflow]]. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 16, maxBucketSize: Int = 10000): DataFrame =
+    fingerprintCandidates(simhashes(df, idCol, textCol), maxHamming, maxBucketSize)
 
   /** Buckets simhashCandidates would drop at this cap, with sizes. */
   def simhashBucketOverflow(df: DataFrame, idCol: String, textCol: String,

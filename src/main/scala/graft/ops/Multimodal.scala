@@ -116,6 +116,46 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "width", "height")
   }
 
+  /** Perceptual 64-bit fingerprint of the decoded payload — the pHash
+    * step of media near-dup: the payload is cut into non-overlapping
+    * `block`-char patches (the stub stand-in for the 8×8 pixel blocks a
+    * real pHash DCTs — the stub decoder's "pixels" ARE the bytes, so the
+    * block stream is the decoded representation) and the fingerprint is
+    * the one-pass md5 simhash over the patch multiset: bit i = sign of
+    * Σ_patches (±1 by bit i of the patch's md5 half). Properties a
+    * perceptual hash needs: identical payloads → identical fp; a local
+    * edit disturbs only the blocks it touches → small Hamming motion;
+    * and the md5 chain keeps it engine-portable (oracle-checked, like
+    * m02/m03's byte-deterministic decode). Narrow + codegen: no
+    * explode, no shuffle — a scan stays a scan. Empty payloads are
+    * excluded (no blocks → no signal, and a shared all-zero fp would
+    * glue every empty media into one giant near-dup bucket). */
+  def perceptualHashes(media: DataFrame, block: Int = 16): DataFrame = {
+    require(block > 0, "block must be positive")
+    // qualified: this object's decode(spark, media) shadows the SQL fn
+    val payload = org.apache.spark.sql.functions.decode(col("content"), "UTF-8")
+    val nBlocks = floor((length(col("_s")) + lit(block - 1)) / lit(block)).cast("int")
+    val patches = transform(sequence(lit(1), nBlocks),
+      i => col("_s").substr((i - 1) * block + 1, lit(block)))
+    media
+      .select(col("media_id"), payload.as("_s"))
+      .where(length(col("_s")) > 0)
+      .select(col("media_id"),
+        graft.functions.TextHashExpressions.simhashMd5(patches).as("fp"))
+  }
+
+  /** Media near-dup candidate pairs: [[perceptualHashes]] banded through
+    * the shared fingerprint machinery (Dedup.fingerprintCandidates —
+    * 16-bit band buckets, one shuffle, capped in-bucket join, exact
+    * Hamming verify). Same cap/audit contract as the text family. */
+  def perceptualCandidates(media: DataFrame, block: Int = 16,
+      maxHamming: Int = 8, maxBucketSize: Int = 10000): DataFrame =
+    Dedup.fingerprintCandidates(
+        perceptualHashes(media, block).withColumnRenamed("media_id", "doc"),
+        maxHamming, maxBucketSize)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
   /** ViT-style patch tiling plan: cut each decoded width×height frame
     * into a ceil-grid of `patch`×`patch` tiles, row-major patch ids,
     * edge tiles emitted with their true (smaller) extent. Like

@@ -381,6 +381,74 @@ object TextAnalysis {
       .select(col("pair"), col("n_occ"), col("rank"))
   }
 
+  /** BPE tokenizer TRAINING — the iterative merge loop [[bpePairCounts]]
+    * is one step of: k rounds of (argmax pair → merge everywhere →
+    * recount). Output: the learned merge table (rank, l, r, merged,
+    * n_occ) with n_occ the pair's weighted count at selection time —
+    * ranks are the tokenizer's merge priorities.
+    *
+    * Representation is the load-bearing trick: each vocabulary word is
+    * rendered as a STRING of double-space-delimited symbols with
+    * flanking spaces (" h  e  l  l  o "), so applying a merge is one
+    * codegen'd `replace(syms, ' l  r ', ' lr ')` — and because both
+    * Spark's and DuckDB's replace scan left-to-right non-overlapping,
+    * that replace IS the greedy BPE merge application, bit-identical
+    * across engines ("a a a" + (a,a) → "aa a", exactly re.sub in the
+    * original BPE paper). No interpreted lambda in the loop; symbols
+    * can't contain spaces (they come from whitespace-split terms), so a
+    * pattern match can't straddle a symbol boundary. This is the
+    * no-end-of-word-marker variant (merges never cross word boundaries
+    * either way; append a marker symbol upstream if word-final tokens
+    * must stay distinct).
+    *
+    * Scale shape: corpus-sized work is ONE explode + term hash-agg (the
+    * vocabulary build); every round then runs over DISTINCT terms only —
+    * explode(adjacent pairs)+hash-agg, a 1-row TakeOrdered argmax
+    * (n desc, then pair — deterministic), and a narrow replace. The
+    * vocab is localCheckpoint'ed per round (bounded rows), so round r
+    * doesn't re-run rounds 1..r−1 — the dupClusters bounded-iteration
+    * pattern. Ties and counts are exact integers; rounds stop early if
+    * no pair remains (all words fully merged). */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int): org.apache.spark.sql.DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"merges must be in [1,64], got $merges — each round is a Spark job")
+    val s = docs.sparkSession
+    import s.implicits._
+    val chars = transform(sequence(lit(1), length(col("term"))),
+      i => col("term").substr(i, lit(1)))
+    var vocab = docs.select(explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) >= 2) // 1-char words never form a pair
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), concat_ws("  ", chars), lit(" ")).as("syms"),
+        col("freq"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to merges if !exhausted) {
+      val top = vocab
+        .select(split(trim(col("syms")), "  ").as("s"), col("freq"))
+        .where(size(col("s")) >= 2) // Spark's sequence(1,0) counts DOWN
+        .select(col("s"), col("freq"),
+          explode(sequence(lit(1), size(col("s")) - 1)).as("i"))
+        .select(element_at(col("s"), col("i")).as("l"),
+          element_at(col("s"), col("i") + 1).as("r"), col("freq"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((round.toLong, l, r, l + r, n))
+        vocab = vocab
+          .withColumn("syms",
+            replace(col("syms"), lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+      }
+    }
+    learned.toSeq.toDF("rank", "l", "r", "merged", "n_occ")
+  }
+
   /** Per-stratum domain-shift signal: KL divergence of each stratum's
     * unigram distribution from the corpus distribution, over the corpus
     * top-`vocabSize` vocabulary with all remaining tokens folded into

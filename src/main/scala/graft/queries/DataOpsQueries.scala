@@ -600,7 +600,9 @@ object DataOpsQueries {
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, minEstJaccard = 0.0)
-      Dedup.verifyJaccard(docs, "doc_id", "text", pairs)
+      // managed variant: the harness runs many queries in one session —
+      // the pair-set cache entry must not outlive this query
+      Dedup.verifyJaccardManaged(docs, "doc_id", "text", pairs)
     },
     Some(s"""WITH $minhashSigCte,
             |bands AS (
@@ -1061,6 +1063,46 @@ object DataOpsQueries {
            |       CAST(least(64, height - (i // nc) * 64) AS BIGINT) AS p_height
            |FROM g CROSS JOIN generate_series(0, 99) t(i) WHERE i < nr * nc""".stripMargin))
 
+  /** Perceptual near-dup for media: pHash over the stub-decoded payload
+    * (16-char blocks as the patch stream — see
+    * Multimodal.perceptualHashes) banded through the shared fingerprint
+    * candidate machinery (Dedup.fingerprintCandidates). Oracle-checked
+    * end to end because the stub decode is byte-deterministic and the
+    * fingerprint is the portable md5 simhash chain (the d04 SQL, over
+    * blocks instead of tokens). Cap assumption as d03/d04: the oracle's
+    * band join is uncapped — valid while no (band, bucket) exceeds
+    * maxBucketSize at the verification SF. */
+  val m07PerceptualNeardup = NamedQuery(
+    "m07_perceptual_neardup",
+    (s, dir) => {
+      val media = Multimodal.asMediaTable(
+        Tables.documents(s, dir).where(col("text").isNotNull), "doc_id", "text")
+      Multimodal.perceptualCandidates(media, block = 16, maxHamming = 8)
+    },
+    Some("""WITH src AS (
+           |  SELECT doc_id AS media_id, text AS s FROM documents
+           |  WHERE text IS NOT NULL AND length(text) > 0),
+           |pt AS (SELECT media_id,
+           |              unnest(list_transform(generate_series(1, (length(s) + 15) // 16),
+           |                                    i -> substring(s, (i - 1) * 16 + 1, 16))) AS patch
+           |       FROM src),
+           |ph AS (SELECT media_id, md5_number_upper(patch) AS h FROM pt),
+           |bits AS (SELECT media_id, i,
+           |                CASE WHEN SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+           |         FROM ph CROSS JOIN generate_series(0, 63) g(i) GROUP BY media_id, i),
+           |fp0 AS (SELECT media_id, SUM(CASE WHEN bit = 1 THEN CAST(1 AS HUGEINT) << i ELSE 0 END) AS m
+           |        FROM bits GROUP BY media_id),
+           |fp AS (SELECT media_id,
+           |              CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS fp
+           |       FROM fp0),
+           |bands AS (SELECT media_id, fp, b, (fp >> (b * 16)) & 65535 AS bucket
+           |          FROM fp CROSS JOIN generate_series(0, 3) bb(b))
+           |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+           |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+           |FROM bands a JOIN bands b
+           |  ON a.b = b.b AND a.bucket = b.bucket AND a.media_id < b.media_id
+           |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin))
+
   /** C4-style cross-document chunk dedup (8-token disjoint chunks,
     * global first-occurrence wins): per-doc kept/removed tallies — see
     * Dedup.chunkDedupStats (md5 keys travel, not text; ~5% of chunks
@@ -1269,6 +1311,65 @@ object DataOpsQueries {
            |       round(CAST(SUM(nanos) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e9), 6) AS xent
            |FROM n GROUP BY doc_id""".stripMargin))
 
+  /** The k-round BPE TRAINING loop (d20 is one round's statistic; this
+    * is the tokenizer build): argmax pair → greedy merge everywhere →
+    * recount, 6 rounds over the documents vocabulary. Oracle: DuckDB
+    * replays every round with the SAME argmax-as-scalar-subquery and
+    * the SAME string `replace` merge (identical left-to-right
+    * non-overlapping scan in both engines) — the d10 unroll-the-
+    * iterations trick, generated per round by [[bpeOracleSql]]. See
+    * TextAnalysis.bpeTrain for the representation and scale notes. */
+  val d29BpeTrain = NamedQuery(
+    "d29_bpe_train",
+    (s, dir) => {
+      TextAnalysis.bpeTrain(
+        Tables.documents(s, dir).where(col("text").isNotNull),
+        "text", merges = 6)
+    },
+    Some(bpeOracleSql(6)))
+
+  /** DuckDB replay of [[TextAnalysis.bpeTrain]], `k` rounds unrolled as
+    * CTE pairs (v_r = vocabulary after r merges, p_r = round r's argmax
+    * pair): the merge pair is injected into round r+1's replace via
+    * scalar subqueries, so the oracle LEARNS the merges itself rather
+    * than trusting Spark's. AS MATERIALIZED is load-bearing: each CTE
+    * is referenced several times downstream, and without it DuckDB
+    * re-inlines the whole v0→p_r chain per reference — exponential in
+    * k (measured: >3 min inlined vs 0.1 s materialized at sf0.001). */
+  private def bpeOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents
+             |        WHERE text IS NOT NULL)
+             |  GROUP BY 1 HAVING length(term) >= 2),
+             |v0 AS MATERIALIZED (
+             |  SELECT ' ' || array_to_string(list_transform(generate_series(1, length(term)),
+             |                                               i -> term[i:i]), '  ') || ' ' AS syms,
+             |         c AS freq
+             |  FROM w)""".stripMargin
+    for (r <- 1 to k) {
+      sb ++= s""",
+               |p$r AS MATERIALIZED (
+               |  SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS n_occ
+               |  FROM (SELECT string_split(trim(syms), '  ') AS s, freq FROM v${r - 1}),
+               |       unnest(generate_series(1, len(s) - 1)) t(i)
+               |  GROUP BY 1, 2 ORDER BY n_occ DESC, l, r LIMIT 1)""".stripMargin
+      if (r < k) sb ++= s""",
+               |v$r AS MATERIALIZED (
+               |  SELECT replace(syms,
+               |                 ' ' || (SELECT l FROM p$r) || '  ' || (SELECT r FROM p$r) || ' ',
+               |                 ' ' || (SELECT l FROM p$r) || (SELECT r FROM p$r) || ' ') AS syms,
+               |         freq
+               |  FROM v${r - 1})""".stripMargin
+    }
+    sb ++= (1 to k).map(r =>
+      s"""
+         |SELECT CAST($r AS BIGINT) AS rank, l, r, l || r AS merged, n_occ FROM p$r"""
+        .stripMargin).mkString("\nUNION ALL")
+    sb.toString
+  }
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1277,8 +1378,9 @@ object DataOpsQueries {
     d17CorpusStats, d18ShuffleShard, d19VocabEncode, d20BpePairs,
     d21MixtureWeights, d22DomainKl, d23QualityFilter, d24ChunkDedup,
     d25CurationPipeline, d26KAnonymity, d27ForgetPurge, d28LmQuality,
+    d29BpeTrain,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,
-    m05AssembleRecords, m06PatchGrid)
+    m05AssembleRecords, m06PatchGrid, m07PerceptualNeardup)
 }

@@ -55,6 +55,22 @@ class DedupSpec extends SparkSpec {
     assert(viaDup.length == 1 && viaDup(0).getAs[Long]("n_shared") == 5L)
   }
 
+  test("verifyJaccardManaged matches verifyJaccard and releases the pair cache entry") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard")))).toMap
+    spark.catalog.clearCache() // forked suites run sequentially — safe
+    val want = asMap(Dedup.verifyJaccard(docs, "doc_id", "text", pairs).collect())
+    spark.catalog.clearCache()
+    val managed = Dedup.verifyJaccardManaged(docs, "doc_id", "text", pairs)
+    // the cache registry is back to empty BEFORE the caller consumes the
+    // result — only the checkpoint blocks (owned by `managed`) remain
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "managed verify left a cache entry behind")
+    assert(asMap(managed.collect()) == want)
+  }
+
   test("simhash: identical docs → hamming 0; unrelated docs → large hamming") {
     val fps = Dedup.simhashes(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

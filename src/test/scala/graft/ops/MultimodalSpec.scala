@@ -103,4 +103,27 @@ class MultimodalSpec extends SparkSpec {
     // every pixel is covered exactly once: areas sum to width×height
     assert(got.map(p => p._6 * p._7).sum == 100L * 65L)
   }
+
+  test("perceptualHashes: identical payloads collide, local edits move few bits, empties drop") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val payloads = Seq(
+      (1L, base),
+      (2L, base),                          // exact dup → identical fp
+      (3L, base.replace("lazy", "hazy")),  // one-block edit → small hamming
+      (4L, ""),                            // empty → excluded
+      (5L, "completely different content with nothing shared at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(payloads, "doc_id", "text")
+    val fps = Multimodal.perceptualHashes(media, block = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L, 5L)) // 4 dropped
+    assert(fps(1L) == fps(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(3L)) < ham(fps(1L), fps(5L)),
+      s"local edit (${ham(fps(1L), fps(3L))}) should move fewer bits than " +
+        s"unrelated content (${ham(fps(1L), fps(5L))})")
+    val cands = Multimodal.perceptualCandidates(media, block = 16, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cands.contains((1L, 2L, 0L)), cands.mkString(","))
+  }
 }

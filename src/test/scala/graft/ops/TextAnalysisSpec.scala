@@ -210,6 +210,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bpePairCounts(single, "text", k = 10).isEmpty)
   }
 
+  /** Reference BPE trainer (Sennrich get_stats/merge_vocab, imperative):
+    * the ground truth bpeTrain must reproduce. Greedy left-to-right
+    * merge, ties broken by (count desc, left, right). */
+  private def referenceBpe(corpus: Seq[String], k: Int): Seq[(Long, String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = corpus.flatMap(_.split(" "))
+      .filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, c) => w.map(_.toString).toVector -> c }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (round <- 1 to k if vocab.exists(_._1.size >= 2)) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      out += ((round.toLong, l, r, l + r, n))
+      vocab = vocab.map { case (syms, c) =>
+        val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+            merged += (l + r); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        merged.toVector -> c
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap // merge collisions
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain reproduces the imperative reference trainer, round for round") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest newest newest newest newest",
+      "widest widest widest",
+      "a banana banana bandana")
+    val want = referenceBpe(corpus, 8)
+    val got = TextAnalysis.bpeTrain(corpus.toDF("text"), "text", merges = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // overlap greediness: aaaa + (a,a) must yield [aa, aa], and then
+    // (aa,aa) → aaaa — the left-to-right non-overlapping scan contract
+    val chain = TextAnalysis.bpeTrain(Seq("aaaa aaaa aaaa").toDF("text"), "text", merges = 2)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    // round 1: (a,a) at 3 positions × freq 3 = 9; greedy merge → [aa, aa]
+    // round 2: (aa,aa) once per word × freq 3 = 3
+    assert(chain == Seq(("a", "a", 9L), ("aa", "aa", 3L)), chain.toString)
+  }
+
   test("domainDivergence: zero for identical distributions, ln 2 for disjoint halves") {
     import spark.implicits._
     val same = Seq(("A", "x y"), ("B", "x y")).toDF("src", "text")
