@@ -449,6 +449,45 @@ object TextAnalysis {
     learned.toSeq.toDF("rank", "l", "r", "merged", "n_occ")
   }
 
+  /** BPE ENCODING — the other half of the tokenizer loop: apply a
+    * learned merge table (the [[bpeTrain]] output) to a corpus and
+    * return the resulting token frequency table (token, n_occ) — the
+    * post-BPE vocabulary a pretraining pipeline ships alongside the
+    * merges. Same representation trick as training: each DISTINCT term
+    * is rendered once as a double-space-delimited symbol string and the
+    * merges are applied as a chain of codegen'd `replace`s in rank
+    * order (left-to-right non-overlapping — identical greedy semantics
+    * in Spark and DuckDB), then tokens explode weighted by term
+    * frequency. Unlike training, 1-char terms participate (they encode
+    * to themselves — no merge can touch them, but they are tokens).
+    *
+    * The merge table is collected to the driver — bounded driver state
+    * by bpeTrain's `merges <= 64` contract, the same class as d10's
+    * centroid literals — and folded in as replace literals, so the
+    * whole encode is: one corpus explode + term hash-agg, a NARROW
+    * k-replace projection over distinct terms only, one explode over
+    * per-term token arrays (≤ term length), and a vocab-bounded final
+    * hash-agg. Zero joins, zero windows, corpus read once.
+    */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ranked = merges.select(col("rank"), col("l"), col("r"))
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    require(ranked.length <= 64,
+      s"merge table has ${ranked.length} rows — bpeTrain's contract is <= 64")
+    val chars = transform(sequence(lit(1), length(col("term"))),
+      i => col("term").substr(i, lit(1)))
+    val syms0 = concat(lit(" "), concat_ws("  ", chars), lit(" "))
+    val encoded = ranked.foldLeft(syms0) { case (syms, (l, r)) =>
+      replace(syms, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    docs.select(explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) >= 1) // split artifacts ("") have no symbols
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .select(explode(split(trim(encoded), "  ")).as("token"), col("freq"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("n_occ"))
+  }
+
   /** Per-stratum domain-shift signal: KL divergence of each stratum's
     * unigram distribution from the corpus distribution, over the corpus
     * top-`vocabSize` vocabulary with all remaining tokens folded into

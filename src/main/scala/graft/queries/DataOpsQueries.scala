@@ -1328,15 +1328,17 @@ object DataOpsQueries {
     },
     Some(bpeOracleSql(6)))
 
-  /** DuckDB replay of [[TextAnalysis.bpeTrain]], `k` rounds unrolled as
-    * CTE pairs (v_r = vocabulary after r merges, p_r = round r's argmax
-    * pair): the merge pair is injected into round r+1's replace via
-    * scalar subqueries, so the oracle LEARNS the merges itself rather
-    * than trusting Spark's. AS MATERIALIZED is load-bearing: each CTE
-    * is referenced several times downstream, and without it DuckDB
-    * re-inlines the whole v0→p_r chain per reference — exponential in
-    * k (measured: >3 min inlined vs 0.1 s materialized at sf0.001). */
-  private def bpeOracleSql(k: Int): String = {
+  /** DuckDB replay of [[TextAnalysis.bpeTrain]]'s learning loop, `k`
+    * rounds unrolled as CTE pairs (v_r = vocabulary after r merges,
+    * p_r = round r's argmax pair): the merge pair is injected into
+    * round r+1's replace via scalar subqueries, so the oracle LEARNS
+    * the merges itself rather than trusting Spark's. AS MATERIALIZED is
+    * load-bearing: each CTE is referenced several times downstream, and
+    * without it DuckDB re-inlines the whole v0→p_r chain per reference
+    * — exponential in k (measured: >3 min inlined vs 0.1 s materialized
+    * at sf0.001). Returns the WITH body through p_k — shared training
+    * prefix for the d29 (merge table) and d30 (encode) oracles. */
+  private def bpeTrainCtes(k: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w AS (
              |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
@@ -1363,12 +1365,69 @@ object DataOpsQueries {
                |         freq
                |  FROM v${r - 1})""".stripMargin
     }
-    sb ++= (1 to k).map(r =>
+    sb.toString
+  }
+
+  private def bpeOracleSql(k: Int): String =
+    bpeTrainCtes(k) + (1 to k).map(r =>
       s"""
          |SELECT CAST($r AS BIGINT) AS rank, l, r, l || r AS merged, n_occ FROM p$r"""
         .stripMargin).mkString("\nUNION ALL")
+
+  /** DuckDB replay of [[TextAnalysis.bpeEncode]]: relearn the merges
+    * (shared [[bpeTrainCtes]] prefix), then re-render EVERY term —
+    * including the 1-char terms training excludes — and apply the k
+    * replaces in rank order before exploding tokens weighted by term
+    * frequency. The replace chain uses the same scalar-subquery
+    * injection as training, so the oracle derives the whole tokenizer
+    * end to end. */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeTrainCtes(k)
+    sb ++= """,
+             |wall AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents
+             |        WHERE text IS NOT NULL)
+             |  GROUP BY 1 HAVING length(term) >= 1),
+             |e0 AS MATERIALIZED (
+             |  SELECT ' ' || array_to_string(list_transform(generate_series(1, length(term)),
+             |                                               i -> term[i:i]), '  ') || ' ' AS syms,
+             |         c AS freq
+             |  FROM wall)""".stripMargin
+    for (r <- 1 to k) {
+      sb ++= s""",
+               |e$r AS MATERIALIZED (
+               |  SELECT replace(syms,
+               |                 ' ' || (SELECT l FROM p$r) || '  ' || (SELECT r FROM p$r) || ' ',
+               |                 ' ' || (SELECT l FROM p$r) || (SELECT r FROM p$r) || ' ') AS syms,
+               |         freq
+               |  FROM e${r - 1})""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occ
+              |FROM (SELECT unnest(string_split(trim(syms), '  ')) AS token, freq FROM e$k)
+              |GROUP BY token""".stripMargin
     sb.toString
   }
+
+  /** The tokenizer loop CLOSED: train 6 merges on the corpus
+    * (d29's loop), then ENCODE the same corpus with them —
+    * output is the post-BPE token frequency table (the vocabulary a
+    * pretraining pipeline ships alongside the merge list). Training
+    * cost is d29's; encoding adds only a narrow k-replace over
+    * distinct terms and a vocab-bounded agg — see
+    * TextAnalysis.bpeEncode. The oracle relearns the merges AND
+    * re-derives the encoding, so the whole tokenizer round-trips
+    * through a second engine. */
+  val d30BpeEncode = NamedQuery(
+    "d30_bpe_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      TextAnalysis.bpeEncode(docs, "text",
+        TextAnalysis.bpeTrain(docs, "text", merges = 6))
+    },
+    Some(bpeEncodeOracleSql(6)))
 
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
@@ -1378,7 +1437,7 @@ object DataOpsQueries {
     d17CorpusStats, d18ShuffleShard, d19VocabEncode, d20BpePairs,
     d21MixtureWeights, d22DomainKl, d23QualityFilter, d24ChunkDedup,
     d25CurationPipeline, d26KAnonymity, d27ForgetPurge, d28LmQuality,
-    d29BpeTrain,
+    d29BpeTrain, d30BpeEncode,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

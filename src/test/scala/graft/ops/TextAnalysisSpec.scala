@@ -261,6 +261,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(chain == Seq(("a", "a", 9L), ("aa", "aa", 3L)), chain.toString)
   }
 
+  /** Imperative reference BPE ENCODER: greedy left-to-right application
+    * of the learned merges in rank order — the ground truth bpeEncode
+    * must reproduce, including 1-char words training never saw. */
+  private def referenceEncode(corpus: Seq[String],
+      merges: Seq[(String, String)]): Map[String, Long] = {
+    val words = corpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+    val tokens = words.flatMap { w =>
+      var syms = w.map(_.toString).toVector
+      for ((l, r) <- merges) {
+        val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+            merged += (l + r); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        syms = merged.toVector
+      }
+      syms
+    }
+    tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("bpeEncode applies the learned merges like the reference encoder") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest newest newest newest newest",
+      "widest widest widest",
+      "a banana banana bandana")
+    val docs = corpus.toDF("text")
+    val mergeDf = TextAnalysis.bpeTrain(docs, "text", merges = 8)
+    val ranked = mergeDf.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val want = referenceEncode(corpus, ranked)
+    val got = TextAnalysis.bpeEncode(docs, "text", mergeDf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"\ngot:  ${got.toSeq.sorted}\nwant: ${want.toSeq.sorted}")
+    // 1-char words (excluded from training) still encode: the word "a"
+    // plus the trailing a's the (a,n) merge leaves in banana/bandana
+    assert(got.contains("a") && got("a") == 4L)
+    // token mass is conserved: Σ n_occ · 1 tokens reassemble the corpus
+    val totalChars = corpus.flatMap(_.split(" ")).map(_.length.toLong).sum
+    val gotChars = got.map { case (t, n) => t.length * n }.sum
+    assert(gotChars == totalChars, s"char mass $gotChars != $totalChars")
+  }
+
   test("domainDivergence: zero for identical distributions, ln 2 for disjoint halves") {
     import spark.implicits._
     val same = Seq(("A", "x y"), ("B", "x y")).toDF("src", "text")
