@@ -173,6 +173,88 @@ object Sketches {
       .agg(min(coalesce(col("_n"), lit(0L))).as("est_n"))
   }
 
+  /** A built Bloom filter: the sparse SET-BIT table (`_bit` long — one
+    * row per set bit, ≤ numBits rows regardless of input size) plus the
+    * parameters it was built with, so probing with mismatched hash
+    * count or width (which would silently void the no-false-negative
+    * guarantee) cannot be expressed. Like [[HllSketch]], this is the
+    * MERGEABLE form: partial filters built per partition/day/source
+    * union via [[bloomMerge]] (set union of bits — associative,
+    * commutative, idempotent), bit-identical to the monolithic build. */
+  final case class BloomFilter(bits: DataFrame, numHashes: Int, numBits: Int)
+
+  /** Build the sparse set-bit table for `keyCol`: bit positions use the
+    * same Kirsch–Mitzenmacher construction as count-min — position_r =
+    * (a + r·b) & (numBits−1) with a, b the two 26-bit md5 halves of ONE
+    * hash per key — so the build is one narrow hash projection, one
+    * explode(×numHashes), and a ≤numBits-row distinct. `numBits` must
+    * be a power of two ≤ 2²² — small enough that the probe side can
+    * densify it into a ≤512 KB bitmap LITERAL (see
+    * [[bloomMightContain]]), which is the point of the operator:
+    * membership pruning of a 100 TB probe side with zero shuffle of
+    * the probe data. */
+  def bloomBits(df: DataFrame, keyCol: String,
+      numHashes: Int = 4, numBits: Int = 1 << 16): BloomFilter = {
+    require(numHashes >= 1 && numHashes <= 8,
+      s"numHashes must be in [1,8], got $numHashes")
+    require(numBits >= 2 && numBits <= (1 << 22) && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two in [2, 2^22], got $numBits")
+    val (a, b0) = kmHalves(col(keyCol))
+    val bits = df.select(a.as("_a"), b0.as("_b0"))
+      .select(col("_a"), col("_b0"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("_r"))
+      .select(cmCell(numBits).as("_bit"))
+      .distinct()
+    BloomFilter(bits, numHashes, numBits)
+  }
+
+  /** Union of Bloom filters: set union of their bit tables. Merge law:
+    * bits(A) ∪ bits(B) is BIT-IDENTICAL to bits(A ∪ B) — union of sets
+    * is associative/commutative/idempotent — so partial filters over
+    * disjoint slices compose into the exact monolithic filter
+    * (asserted in SketchesSpec). */
+  def bloomMerge(filters: Seq[BloomFilter]): BloomFilter = {
+    require(filters.nonEmpty, "bloomMerge needs at least one filter")
+    val params = filters.map(f => (f.numHashes, f.numBits)).distinct
+    require(params.size == 1,
+      s"cannot merge filters of different shapes: ${params.mkString("{", ",", "}")}")
+    BloomFilter(
+      filters.map(_.bits).reduce(_ unionByName _).distinct(),
+      params.head._1, params.head._2)
+  }
+
+  /** Membership probe: `keys` plus a boolean `might_contain` — true iff
+    * ALL numHashes positions are set. The Bloom guarantee: never false
+    * for a key the filter was built on (no false negatives); true for
+    * an absent key only on full collision (false-positive rate ≈
+    * (1−e^{−kn/m})^k).
+    *
+    * The probe is a PURE NARROW projection — zero shuffle, zero join:
+    * the bit table (≤ numBits/64 longs ≈ 64 KB by the build bound) is
+    * collected once into a dense bitmap array literal — the d10
+    * centroid-literal pattern, constant driver state — and each of the
+    * k positions is tested with element_at + bitwise AND inside
+    * whole-stage codegen. That is the operator's point at 100 TB:
+    * membership pruning of an arbitrarily large probe side at scan
+    * speed, no movement of probe data at all. */
+  def bloomMightContain(keys: DataFrame, filter: BloomFilter,
+      keyCol: String, as: String = "might_contain"): DataFrame = {
+    val words = new Array[Long](math.max(filter.numBits / 64, 1))
+    filter.bits.collect().foreach { r =>
+      val b = r.getLong(0)
+      words((b >> 6).toInt) |= (1L << (b & 63)) // & 63 == mod 64 for the in-word bit
+    }
+    val bitmap = typedlit(words.toSeq)
+    val (a, b0) = kmHalves(col(keyCol))
+    val checks = (0 until filter.numHashes).map { r =>
+      val pos = (a + lit(r.toLong) * b0).bitwiseAND(lit((filter.numBits - 1).toLong))
+      element_at(bitmap, shiftright(pos, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pos.bitwiseAND(lit(63L)).cast("int"))) =!= 0L
+    }
+    keys.withColumn(as, checks.reduce(_ && _))
+  }
+
   /** Exact percentile-disc over a DETERMINISTIC content-keyed reservoir:
     * the `cap` rows with the smallest md5 of `tieKey` (TakeOrdered —
     * never a global sort of the value column), value at sorted position

@@ -845,11 +845,68 @@ object ExtendedQueries {
            |                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS pearson_r
            |FROM s""".stripMargin))
 
+  /** Bloom-filter join pruning (the fourth portable sketch, next to
+    * q59's HLL, q62's count-min, and q63's merge law): a filter built
+    * on the BUILDING-segment customer keys prunes the orders probe side
+    * BEFORE any join — the pattern a 100 TB pipeline uses to skip
+    * shuffling fact rows that cannot match (runtime row-group skipping,
+    * semi-join pushdown). The probe is a pure narrow projection against
+    * a ≤512 KB bitmap literal (see ops/Sketches.bloomMightContain —
+    * zero shuffle, zero join of probe data), and the query
+    * cross-checks it against the exact semi-join: n_false_neg MUST be 0
+    * (the Bloom law — asserted by the oracle match, since DuckDB
+    * derives the same bitmap), n_false_pos is the measured collision
+    * rate at depth 4 × 2^16 bits. */
+  val q64BloomPrune = NamedQuery(
+    "q64_bloom_prune",
+    (s, dir) => {
+      import graft.ops.Sketches
+      val seg = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING")
+      val f = Sketches.bloomBits(seg, "c_custkey", numHashes = 4, numBits = 1 << 16)
+      val exact = seg.select(col("c_custkey")).distinct()
+        .withColumn("_in_seg", lit(1L))
+      Sketches.bloomMightContain(Tables.orders(s, dir), f, "o_custkey")
+        .join(broadcast(exact), col("o_custkey") === col("c_custkey"), "left")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_bloom_pass"),
+          sum(when(col("_in_seg").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("might_contain") && col("_in_seg").isNull, 1L)
+            .otherwise(0L)).as("n_false_pos"),
+          sum(when(!col("might_contain") && col("_in_seg").isNotNull, 1L)
+            .otherwise(0L)).as("n_false_neg"))
+    },
+    Some("""WITH seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+           |sh AS (SELECT md5_number_upper(CAST(c_custkey AS VARCHAR)) & 67108863 AS a,
+           |              (md5_number_upper(CAST(c_custkey AS VARCHAR)) >> 26) & 67108863 AS b0
+           |       FROM seg),
+           |bits AS (SELECT DISTINCT (a + r.r * b0) & 65535 AS bit
+           |         FROM sh CROSS JOIN generate_series(0, 3) r(r)),
+           |probe AS (
+           |  SELECT o_orderkey, o_custkey,
+           |         ((md5_number_upper(CAST(o_custkey AS VARCHAR)) & 67108863)
+           |          + r.r * ((md5_number_upper(CAST(o_custkey AS VARCHAR)) >> 26) & 67108863)) & 65535 AS bit
+           |  FROM orders CROSS JOIN generate_series(0, 3) r(r)),
+           |pm AS (SELECT o_orderkey, o_custkey,
+           |              MIN(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS pass
+           |       FROM probe LEFT JOIN bits ON probe.bit = bits.bit
+           |       GROUP BY 1, 2),
+           |lab AS (SELECT pm.pass,
+           |               CASE WHEN seg.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |        FROM pm LEFT JOIN seg ON pm.o_custkey = seg.c_custkey)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |       CAST(SUM(pass) AS BIGINT) AS n_bloom_pass,
+           |       CAST(SUM(hit) AS BIGINT) AS n_exact,
+           |       CAST(SUM(CASE WHEN pass = 1 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           |       CAST(SUM(CASE WHEN pass = 0 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+           |FROM lab""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
     q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte,
-    q61VariantJson, q62CountMin, q63SketchMerge)
+    q61VariantJson, q62CountMin, q63SketchMerge, q64BloomPrune)
 }

@@ -95,4 +95,45 @@ class SketchesSpec extends SparkSpec {
     // 7 values sorted: 1 2 3 5 7 9 11 -> position (7+1) DIV 2 = 4 -> 5
     assert(got == 5L)
   }
+
+  test("bloom: no false negatives ever; false-positive rate within the analytic bound") {
+    val members = (1 to 500).map(i => s"m$i")
+    val f = Sketches.bloomBits(members.toDF("k"), "k",
+      numHashes = 4, numBits = 1 << 14)
+    assert(f.bits.count() <= (1L << 14))
+    // every member passes — the Bloom law, unconditionally
+    val memberPass = Sketches.bloomMightContain(members.toDF("k"), f, "k")
+      .where(!col("might_contain")).count()
+    assert(memberPass == 0L, s"$memberPass false negatives")
+    // absent keys: fp rate ~ (1 - e^{-kn/m})^k = (1-e^{-4*500/16384})^4 ~ 1.7e-4
+    val absent = (1 to 2000).map(i => s"zz$i")
+    val fp = Sketches.bloomMightContain(absent.toDF("k"), f, "k")
+      .where(col("might_contain")).count()
+    assert(fp <= 20L, s"$fp false positives out of 2000 (expected ~0.3)")
+  }
+
+  test("bloomMerge law: union of partials is bit-identical to the monolithic filter") {
+    val all = (1 to 600).map(i => s"key-$i")
+    val (a, b) = all.splitAt(300)
+    val merged = Sketches.bloomMerge(Seq(
+      Sketches.bloomBits(a.toDF("k"), "k", 4, 1 << 12),
+      Sketches.bloomBits(b.toDF("k"), "k", 4, 1 << 12)))
+    val mono = Sketches.bloomBits(all.toDF("k"), "k", 4, 1 << 12)
+    assert(merged.bits.except(mono.bits).isEmpty && mono.bits.except(merged.bits).isEmpty)
+    // self-merge is a no-op; mixed shapes are inexpressible
+    val selfm = Sketches.bloomMerge(Seq(mono, mono))
+    assert(selfm.bits.count() == mono.bits.count())
+    intercept[IllegalArgumentException] {
+      Sketches.bloomMerge(Seq(mono, Sketches.bloomBits(a.toDF("k"), "k", 4, 1 << 13)))
+    }
+  }
+
+  test("bloomMightContain plans as a narrow projection: no join, no shuffle") {
+    val f = Sketches.bloomBits((1 to 100).map(i => s"m$i").toDF("k"), "k", 4, 1 << 12)
+    val probe = Sketches.bloomMightContain(
+      (1 to 100).map(i => s"p$i").toDF("k"), f, "k")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"probe shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"probe joins:\n$plan")
+  }
 }
