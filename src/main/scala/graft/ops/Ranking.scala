@@ -41,6 +41,25 @@ object Ranking {
     */
   private val MidCounterBits = 33
 
+  /** Top-`k` rows by `orderCols` with a 1-based `rankCol` — the
+    * WINDOWLESS form of the `orderBy().limit(k)` + unpartitioned
+    * `row_number` idiom. The TakeOrdered result is ≤ k rows by
+    * construction, so it is collapsed to one partition, re-sorted
+    * locally (free at that size, and robust if the upstream plan stops
+    * guaranteeing output order), and numbered in iterator order via
+    * `monotonically_increasing_id` — partition 0's counter is the
+    * 0-based position. Same determinism contract as `row_number`: ranks
+    * are stable iff `orderCols` is a total order. Exists because every
+    * unpartitioned-window plan fires a WindowExec warning that drowns
+    * bench/verify log tails even when the input is provably bounded. */
+  def rankTop(df: DataFrame, orderCols: Seq[Column], k: Int,
+      rankCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "rankTop needs at least one order column")
+    df.orderBy(orderCols: _*).limit(k)
+      .coalesce(1).sortWithinPartitions(orderCols: _*)
+      .withColumn(rankCol, (monotonically_increasing_id() + 1).cast("long"))
+  }
+
   /** `df` plus a 1-based dense global row number `rankCol`, ordered by
     * `orderCols` — the scale-safe replacement for an unpartitioned
     * `row_number()` window. One range exchange (parallel sort), one

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Engine-portable probabilistic sketches — the approximate operators a
@@ -270,10 +269,14 @@ object Sketches {
       cap: Int, as: String): DataFrame = {
     val samp = df.select(value.as("_c"), md5(tieKey).as("_k"))
       .orderBy(col("_k")).limit(cap)
+    // One windowless agg over the ≤cap-row sample: sort_array orders by
+    // (_c, _k) exactly like the ORDER BY the previous row_number form
+    // used, and element_at picks position (n+1) DIV 2 — same value,
+    // no unpartitioned-window warning in every bench/verify tail.
     samp
-      .withColumn("_rn", row_number().over(Window.orderBy(col("_c"), col("_k"))))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
-      .where(col("_rn") === expr("(_n + 1) DIV 2"))
-      .select(col("_c").as(as))
+      .agg(sort_array(collect_list(struct(col("_c"), col("_k")))).as("_arr"))
+      .where(size(col("_arr")) > 0) // empty input stays an empty frame
+      .select(element_at(col("_arr"),
+        ((size(col("_arr")) + 1) / lit(2)).cast("int")).getField("_c").as(as))
   }
 }

@@ -251,19 +251,16 @@ object TextAnalysis {
   /** Corpus vocabulary of the `size` most frequent terms, ids assigned
     * 1..size by (count desc, term asc) — deterministic under ties, so
     * the id map is reproducible across runs and engines. Scale shape:
-    * one explode + term hash-agg, then a TakeOrdered of `size` rows; the
-    * final id window runs on those `size` rows only (vocab is small by
-    * construction — id 0 is reserved for OOV in [[encodeTokens]]). */
+    * one explode + term hash-agg, then a windowless TakeOrdered rank
+    * over those `size` rows only (vocab is small by construction — id 0
+    * is reserved for OOV in [[encodeTokens]]). */
   def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
-      size: Int): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("c").desc, col("term"))
-    docs.select(explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("term")).limit(size)
-      .withColumn("id", row_number().over(w).cast("long"))
+      size: Int): org.apache.spark.sql.DataFrame =
+    Ranking.rankTop(
+      docs.select(explode(split(col(textCol), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c")),
+      Seq(col("c").desc, col("term")), size, "id")
       .select(col("term"), col("id"), col("c"))
-  }
 
   /** Encode each document as its token-id sequence under `vocab`
     * (OOV → 0) — the text → training-sample step. The vocab side is
@@ -374,10 +371,8 @@ object TextAnalysis {
         explode(sequence(lit(1), length(col("term")) - 1)).as("i"))
       .select(col("term").substr(col("i"), lit(2)).as("pair"), col("c"))
       .groupBy(col("pair")).agg(sum(col("c")).as("n_occ"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_occ").desc, col("pair"))
-    pairCounts.orderBy(col("n_occ").desc, col("pair")).limit(k)
-      .withColumn("rank", row_number().over(w).cast("long"))
+    Ranking.rankTop(pairCounts,
+      Seq(col("n_occ").desc, col("pair")), k, "rank")
       .select(col("pair"), col("n_occ"), col("rank"))
   }
 
@@ -588,12 +583,10 @@ object TextAnalysis {
     require(topK >= 2 && topK <= 100000,
       s"topK must be in [2, 100000], got $topK — beyond ~10^5 points the " +
         "integer-exact regression products overflow long (use double sums)")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("c").desc, col("term"))
-    val pts = docs.select(explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("term")).limit(topK)
-      .withColumn("rank", row_number().over(w).cast("long"))
+    val pts = Ranking.rankTop(
+      docs.select(explode(split(col(textCol), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c")),
+      Seq(col("c").desc, col("term")), topK, "rank")
       .select(
         round(log(col("rank").cast("double")) * 1000, 0).cast("long").as("x"),
         round(log(col("c").cast("double")) * 1000, 0).cast("long").as("y"))
