@@ -26,6 +26,11 @@ object BaselineGastos {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the bronze/silver layers are ~84 hive dirs of tiny files: above
+      // the default 32-dir threshold Spark launches a DISTRIBUTED
+      // listing job per read, which costs more than driver-side listing
+      // on a local filesystem at this size
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
