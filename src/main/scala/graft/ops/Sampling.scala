@@ -95,6 +95,65 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, probability
+    * proportional to an integer weight — the quality/importance-weighted
+    * corpus draw (sample high-quality documents more often) made
+    * engine-portable. This is Efraimidis–Spirakis A-ES with the
+    * float-free key: instead of u^(1/w) (whose pow/ln is
+    * engine-specific), each row's priority is the MAX of `w` independent
+    * content-keyed draws — identically distributed (P(max of w uniforms
+    * ≤ t) = t^w), but every draw is an exact 53-bit integer
+    * (md5(id:i) >>> 11), so priorities, and therefore the top-k sample,
+    * are bit-identical on any engine. Cost is one NARROW projection
+    * (sequence + transform + array_max inside codegen — no explode, no
+    * join) and a TakeOrdered: no shuffle of the corpus at all.
+    *
+    * Weights are clamped to [0, `maxWeight`] (draw count is work — the
+    * cap is the contract, loud in the signature, not silent); w = 0 or
+    * NULL means "never sampled" and the row is filtered out. `idCol`
+    * must be unique (it keys the draws; duplicate ids would draw
+    * identical priorities — dedup first, as with every content-keyed
+    * op here). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      maxWeight: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(maxWeight >= 1 && maxWeight <= 256,
+      s"maxWeight must be in [1,256], got $maxWeight")
+    val w = least(weight.cast("long"), lit(maxWeight.toLong))
+    val draw = (i: Column) => call_function("shiftrightunsigned",
+      graft.functions.TextHashExpressions.md5Upper(
+        concat(col(idCol).cast("string"), lit(":"), i.cast("string"))),
+      lit(11))
+    val pri = array_max(transform(sequence(lit(1L), w), draw))
+    Ranking.rankTop(
+      df.where(w >= 1L).withColumn("_pri", pri),
+      Seq(col("_pri").desc, col(idCol)), k, "_rk")
+      .drop("_rk")
+  }
+
+  /** Deterministic train/val/test split assignment: cumulative cuts of
+    * the content-keyed uniform, so a document's split NEVER changes as
+    * the corpus grows (the property that keeps eval sets uncontaminated
+    * across dataset versions — a seeded random split reshuffles
+    * everything on every rebuild). `fractions` are (name, fraction)
+    * in declared order and must sum to 1 within 1e-9; the final bucket
+    * absorbs u up to 1.0 exactly. Pure narrow when-chain — zero
+    * shuffle, composable under every other op here. */
+  def assignSplit(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)], as: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val u = hashUniform(col(keyCol).cast("string")) // long keys hash as their decimal string
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr = fractions.init.zip(cuts.init).foldRight(
+      lit(fractions.last._1): Column) {
+      case (((name, _), cut), acc) => when(u < lit(cut), lit(name)).otherwise(acc)
+    }
+    df.withColumn(as, expr)
+  }
+
   /** Temperature-based mixture weights across corpus strata (sources):
     * weight_i ∝ n_tokens_i^0.5, the α = 0.5 temperature-sampling rule
     * that upweights small sources relative to proportional sampling —

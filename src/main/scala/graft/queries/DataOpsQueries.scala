@@ -1429,6 +1429,87 @@ object DataOpsQueries {
     },
     Some(bpeEncodeOracleSql(6)))
 
+  /** Quality/importance-weighted corpus draw: sample 100 documents
+    * without replacement with probability ∝ an integer weight (token
+    * count DIV 16, clamped to [1,32]) — Efraimidis–Spirakis A-ES with
+    * the float-free max-of-w-draws key (see Sampling.weightedSample:
+    * P(max of w uniforms ≤ t) = t^w, every draw an exact 53-bit
+    * integer). One narrow projection + TakeOrdered; the oracle
+    * recomputes the identical priorities in DuckDB. */
+  val d31WeightedSample = NamedQuery(
+    "d31_weighted_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("w", greatest(expr("n_tokens DIV 16"), lit(1L)))
+      graft.ops.Sampling.weightedSample(docs, "doc_id", col("w"),
+          k = 100, maxWeight = 32)
+        .select(col("doc_id"), col("n_tokens"),
+          least(col("w"), lit(32L)).as("w"), col("_pri").as("pri"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents WHERE text IS NOT NULL),
+           |w AS (SELECT doc_id, n_tokens,
+           |             LEAST(GREATEST(n_tokens // 16, 1), 32) AS w FROM d),
+           |p AS (SELECT doc_id, n_tokens, CAST(w AS BIGINT) AS w,
+           |             CAST(list_max(list_transform(generate_series(1, CAST(w AS INT)),
+           |               i -> md5_number_upper(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) >> 11))
+           |               AS BIGINT) AS pri
+           |      FROM w)
+           |SELECT doc_id, n_tokens, w, pri FROM p
+           |ORDER BY pri DESC, doc_id LIMIT 100""".stripMargin))
+
+  /** Deterministic train/val/test assignment (80/10/10 cumulative cuts
+    * of the content-keyed uniform): a document's split never changes as
+    * the corpus grows — the property that keeps held-out sets
+    * uncontaminated across dataset versions. Narrow when-chain + one
+    * (split, lang) hash-agg. */
+  val d32SplitAssign = NamedQuery(
+    "d32_split_assign",
+    (s, dir) => {
+      graft.ops.Sampling.assignSplit(
+          Tables.documents(s, dir).where(col("text").isNotNull),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    },
+    Some("""WITH u AS (
+           |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           |         CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 11 AS DOUBLE)
+           |           / 9007199254740992.0 AS u
+           |  FROM documents WHERE text IS NOT NULL)
+           |SELECT CASE WHEN u < 0.8 THEN 'train'
+           |            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+           |       lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+           |FROM u GROUP BY 1, 2""".stripMargin))
+
+  /** Curriculum-ordered training export: rank the corpus by a
+    * difficulty proxy (token count, doc_id tie-break — a total order)
+    * with the SCALE-SAFE two-phase global rank (ops/Ranking
+    * .globalRowNumber — one range exchange, never a single-partition
+    * window), then assign fixed-size curriculum shards. The q60
+    * primitive doing the training-data job it was built for. */
+  val d33Curriculum = NamedQuery(
+    "d33_curriculum",
+    (s, dir) => {
+      graft.ops.Ranking.globalRowNumber(
+          Tables.documents(s, dir).where(col("text").isNotNull)
+            .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          Seq(col("n_tokens"), col("doc_id")), rankCol = "rank")
+        .select(col("doc_id"), col("n_tokens"), col("rank"),
+          expr("(rank - 1) DIV 100").as("shard"))
+    },
+    Some("""SELECT doc_id, n_tokens,
+           |       CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rank,
+           |       (CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) - 1) // 100 AS shard
+           |FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |      FROM documents WHERE text IS NOT NULL)""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1437,7 +1518,8 @@ object DataOpsQueries {
     d17CorpusStats, d18ShuffleShard, d19VocabEncode, d20BpePairs,
     d21MixtureWeights, d22DomainKl, d23QualityFilter, d24ChunkDedup,
     d25CurationPipeline, d26KAnonymity, d27ForgetPurge, d28LmQuality,
-    d29BpeTrain, d30BpeEncode,
+    d29BpeTrain, d30BpeEncode, d31WeightedSample, d32SplitAssign,
+    d33Curriculum,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -87,4 +87,57 @@ class SamplingSpec extends SparkSpec {
     assert(got("A") == ((1L, 9L, 3000000L, 0.75, 750L)))
     assert(got("B") == ((1L, 1L, 1000000L, 0.25, 250L)))
   }
+
+  test("weightedSample: deterministic, weight-monotone in expectation, zero-weight excluded") {
+    val weighted = docs.withColumn("w",
+      when(col("doc_id") < 200, lit(8L)).otherwise(lit(1L)))
+    val s1 = Sampling.weightedSample(weighted, "doc_id", col("w"), k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.weightedSample(weighted, "doc_id", col("w"), k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "re-run changed the sample")
+    assert(s1.size == 100)
+    // ids 0..199 have weight 8 vs 1: P(high-weight row beats low) per
+    // pair is 8/9 — the 100-draw sample must be dominated by them (the
+    // exact count is deterministic given the hash; bound it loosely)
+    val nHigh = s1.count(_ < 200)
+    assert(nHigh > 75, s"high-weight rows under-sampled: $nHigh/100")
+    // w = 0 rows can never be drawn
+    val withZero = docs.withColumn("w",
+      when(col("doc_id") < 390, lit(0L)).otherwise(lit(4L)))
+    val z = Sampling.weightedSample(withZero, "doc_id", col("w"), k = 100)
+      .select("doc_id").as[Long].collect()
+    assert(z.length == 10 && z.forall(_ >= 390))
+  }
+
+  test("weightedSample: equal weights reduce to the unweighted content-keyed top-k") {
+    val w1 = Sampling.weightedSample(docs.withColumn("w", lit(1L)),
+      "doc_id", col("w"), k = 50).select("doc_id").as[Long].collect().toSet
+    // weight 1 = single draw = md5(id:1) ranking — independent of any
+    // other column, so a projection change can't alter the sample
+    val w1b = Sampling.weightedSample(
+      docs.select("doc_id").withColumn("w", lit(1L)),
+      "doc_id", col("w"), k = 50).select("doc_id").as[Long].collect().toSet
+    assert(w1 == w1b)
+  }
+
+  test("assignSplit: exhaustive cover, growth-stable, fractions near target") {
+    val split = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val bySplit = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == 400)
+    assert(bySplit("train") > 280 && bySplit("train") < 360, bySplit.toString)
+    // growth stability: the assignment of the first 100 docs is the
+    // same whether or not the other 300 exist
+    val small = Sampling.assignSplit(docs.where(col("doc_id") < 100),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val fromFull = split.where(col("doc_id") < 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(small == fromFull)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
