@@ -150,4 +150,28 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
+
+  test("d31 (weighted sample): priorities are a narrow projection + TakeOrdered — no shuffle, no window") {
+    // the max-of-w-draws key must stay inside codegen: no explode-join
+    // of draws, no exchange of the corpus, no window operator
+    val plan = executedPlan("d31_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("d33 (curriculum): global rank is the two-phase range exchange, never a single-partition window") {
+    val plan = executedPlan("d33_curriculum")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("q64 (bloom prune): the probe side is scan+project — membership never joins or shuffles probe rows") {
+    // one broadcast join IS expected (the exact-semi-join cross-check in
+    // the query); the bloom probe itself must add no exchange beyond the
+    // final 1-row aggregate and no shuffle join anywhere
+    val plan = executedPlan("q64_bloom_prune")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+  }
 }
