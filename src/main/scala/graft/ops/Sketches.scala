@@ -110,6 +110,54 @@ object Sketches {
       as: String = "hll_est"): DataFrame =
     hllEstimate(hllRegisters(df, keyCol, p), as)
 
+  /** PER-GROUP HyperLogLog distinct counts — the form a 100 TB
+    * dashboard query actually runs (distinct users per event type /
+    * day / source) where exact count-distinct would shuffle every
+    * (group, key) pair: this shuffles at most groups × m register rows.
+    * Two bounded hash-aggs: (group, register) MAX-of-rho, then a
+    * per-group estimate with the identical exact-integer register sum,
+    * alpha, and small-range correction as [[hllEstimate]] (documented
+    * there) — so a group's estimate equals what a dedicated
+    * [[hllDistinct]] over that group's rows would produce, and partial
+    * register tables remain mergeable per group by register-wise MAX. */
+  def hllDistinctByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      p: Int = 9, as: String = "hll_est"): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val rhoMax = 53 - p
+    val scale = math.pow(2.0, rhoMax)
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val hp = graft.functions.TextHashExpressions
+      .md5Upper(col(keyCol).cast("string"))
+      .bitwiseAND(lit((1L << 52) - 1))
+    val rho = when(col("_w") === 0L, lit(rhoMax))
+      .otherwise(lit(rhoMax) - length(bin(col("_w"))))
+    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(scale) / col("_s")
+    df.select(col(groupCol), hp.as("_hp"))
+      .select(col(groupCol),
+        col("_hp").bitwiseAND(lit((m - 1).toLong)).as("_reg"),
+        shiftright(col("_hp"), p).as("_w"))
+      .select(col(groupCol), col("_reg"), rho.as("_rho"))
+      .groupBy(col(groupCol), col("_reg")).agg(max(col("_rho")).as("_M"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rhoMax - _M AS INT))")).as("_sp"),
+        count(lit(1)).as("_v"))
+      .select(col(groupCol),
+        (coalesce(col("_sp"), lit(0L)) +
+          (lit(m.toLong) - col("_v")) * lit(1L << rhoMax)).as("_s"),
+        (lit(m.toLong) - col("_v")).as("_zeros"))
+      .select(col(groupCol), round(
+        when(raw <= lit(2.5 * m) && col("_zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")))
+          .otherwise(raw), 6).as(as))
+  }
+
   /** Count-min cell for hash row `r`: the Kirsch–Mitzenmacher
     * construction (a + r·b) & (width−1) with a, b the two 26-bit halves
     * of ONE md5 per key — one hash per row regardless of depth, and the

@@ -902,11 +902,79 @@ object ExtendedQueries {
            |       CAST(SUM(CASE WHEN pass = 0 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
            |FROM lab""".stripMargin))
 
+  /** Per-group approximate distinct (distinct users per event type) —
+    * the production form of q59's global sketch: exact count-distinct
+    * shuffles every (group, key) pair; the grouped HLL shuffles at most
+    * groups × 512 register rows (ops/Sketches.hllDistinctByGroup, two
+    * bounded hash-aggs). The exact count rides along per group so the
+    * estimate's error is visible in the output; the oracle rebuilds
+    * the per-group registers with the identical integer arithmetic. */
+  val q65HllByGroup = NamedQuery(
+    "q65_hll_by_group",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ops.Sketches.hllDistinctByGroup(ev, "event_type", "user_id",
+          p = 9, as = "hll_users")
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users")), Seq("event_type"))
+    },
+    Some("""WITH h AS (
+           |  SELECT event_type,
+           |         md5_number_upper(CAST(user_id AS VARCHAR)) & ((1::BIGINT << 52) - 1) AS hp
+           |  FROM events),
+           |b AS (SELECT event_type, hp & 511 AS reg, hp >> 9 AS w FROM h),
+           |r AS (SELECT event_type, reg,
+           |             MAX(CASE WHEN w = 0 THEN 44 ELSE 44 - length(bin(w)) END) AS M
+           |      FROM b GROUP BY 1, 2),
+           |agg AS (SELECT event_type,
+           |               CAST(SUM(1::BIGINT << CAST(44 - M AS INT)) AS BIGINT)
+           |                 + (512 - COUNT(*)) * 17592186044416 AS s,
+           |               512 - COUNT(*) AS zeros
+           |        FROM r GROUP BY 1),
+           |est AS (SELECT event_type,
+           |               round(CASE WHEN (0.7213 / (1 + 1.079 / 512.0)) * 512 * 512 * 17592186044416.0 / s <= 1280.0
+           |                               AND zeros > 0
+           |                          THEN 512 * ln(512.0 / zeros)
+           |                          ELSE (0.7213 / (1 + 1.079 / 512.0)) * 512 * 512 * 17592186044416.0 / s END, 6) AS hll_users
+           |        FROM agg),
+           |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+           |       FROM events GROUP BY 1)
+           |SELECT est.event_type, est.hll_users, ex.exact_users
+           |FROM est JOIN ex USING (event_type)""".stripMargin))
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders
+    * per customer) — the "for each row, run this parameterized query"
+    * surface (Spark 4 / SQL:2016 LATERAL). Catalyst decorrelates it
+    * into a per-customer row_number window — distributed and correct —
+    * but the rewrite preserves the subquery's ORDER BY with an EXTRA
+    * global range exchange before the window, so at scale the
+    * hand-written window top-k (q15) is the better plan for these
+    * semantics; this query exists to cover the lateral surface and to
+    * document that plan cost honestly. Total order (price desc, key)
+    * makes the top-2 deterministic. */
+  val q66Lateral = NamedQuery(
+    "q66_lateral",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_q66")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_q66")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.cents
+              |FROM customer_q66 c JOIN LATERAL (
+              |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              |  FROM orders_q66 WHERE o_custkey = c.c_custkey
+              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin)
+    },
+    Some("""SELECT c.c_custkey, o.o_orderkey, o.cents
+           |FROM customer c JOIN LATERAL (
+           |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders WHERE o_custkey = c.c_custkey
+           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON TRUE""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
     q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte,
-    q61VariantJson, q62CountMin, q63SketchMerge, q64BloomPrune)
+    q61VariantJson, q62CountMin, q63SketchMerge, q64BloomPrune,
+    q65HllByGroup, q66Lateral)
 }

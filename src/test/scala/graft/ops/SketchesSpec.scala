@@ -96,6 +96,23 @@ class SketchesSpec extends SparkSpec {
     assert(got == 5L)
   }
 
+  test("hllDistinctByGroup: each group's estimate equals a dedicated global sketch over its rows") {
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", s"key-${i % 700}")).toDF("g", "k")
+    val grouped = Sketches.hllDistinctByGroup(rows, "g", "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(grouped.keySet == Set("g0", "g1", "g2"))
+    for (g <- grouped.keys) {
+      val solo = Sketches.hllDistinct(rows.where(col("g") === g), "k")
+        .collect()(0).getDouble(0)
+      assert(grouped(g) == solo, s"group $g: grouped=${grouped(g)} solo=$solo")
+    }
+    // and the envelope holds per group (distinct keys per group < 700)
+    val truth = rows.groupBy("g").agg(countDistinct(col("k")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((g, est) <- grouped)
+      assert(math.abs(est - truth(g)) / truth(g) < 0.15, s"$g est=$est true=${truth(g)}")
+  }
+
   test("bloom: no false negatives ever; false-positive rate within the analytic bound") {
     val members = (1 to 500).map(i => s"m$i")
     val f = Sketches.bloomBits(members.toDF("k"), "k",
