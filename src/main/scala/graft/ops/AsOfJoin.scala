@@ -28,7 +28,34 @@ object AsOfJoin {
       key: String,
       ts: String,
       rightPayload: Map[String, String],
-      tiebreak: String): DataFrame = {
+      tiebreak: String): DataFrame =
+    join(left, right, key, ts, rightPayload, tiebreak, forwardDir = false)
+
+  /** As-of FORWARD join: for each left row, the single EARLIEST right
+    * row with `right.ts >= left.ts` sharing the key — the "next event
+    * after" direction (next restock after an order, next heartbeat
+    * after a failure). Same one-shuffle union-scan as [[backward]],
+    * with the partition scan running in DESCENDING ts order so the
+    * carried-forward payload is the nearest following right row; equal
+    * timestamps still resolve right-matches-left (inclusive `>=`),
+    * mirroring DuckDB's `ASOF JOIN ... ON l.ts <= r.ts`. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightPayload: Map[String, String],
+      tiebreak: String): DataFrame =
+    join(left, right, key, ts, rightPayload, tiebreak, forwardDir = true)
+
+  private def join(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightPayload: Map[String, String],
+      tiebreak: String,
+      forwardDir: Boolean): DataFrame = {
 
     val payloadStruct = struct(
       rightPayload.toSeq.sortBy(_._1).map { case (src, dst) => col(src).as(dst) }: _*)
@@ -56,9 +83,13 @@ object AsOfJoin {
       .withColumn("_row", lit(null).cast(leftSide.schema("_row").dataType))
       .unionByName(leftSide)
 
-    // side=0 (right) sorts before side=1 (left) at equal ts => inclusive.
+    // side=0 (right) sorts before side=1 (left) at equal ts => inclusive
+    // in BOTH directions (the _side tiebreak is direction-independent).
+    // Forward scans ts descending, so "last right seen" is the nearest
+    // FOLLOWING right row instead of the nearest preceding one.
+    val tsOrder = if (forwardDir) col("_ts").desc else col("_ts").asc
     val w = Window.partitionBy("_k")
-      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .orderBy(tsOrder, col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     unioned

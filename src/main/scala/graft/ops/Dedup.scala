@@ -571,4 +571,32 @@ object Dedup {
       chunkTokens: Int): DataFrame =
     Packing.chunkByTokens(df, idCol, textCol, chunkTokens, chunkTokens)
       .select(col(idCol), col("chunk_idx"), md5(col("chunk_text")).as("_h"))
+
+  /** Dataset-version diff — the audit between two corpus snapshots a
+    * versioned training pipeline publishes with every release: per-doc
+    * status (`added` / `removed` / `changed` / `unchanged`, by id
+    * presence and content fingerprint) plus the token delta each doc
+    * contributes. Both sides reduce to (id, fingerprint, token count)
+    * BEFORE the full-outer join, so the shuffle carries 32-char hashes
+    * and two longs per doc — never document text — and the join key is
+    * the id (no skew: ids are unique). NULL text is fingerprinted as a
+    * distinct marker, so null→text and text→null transitions count as
+    * `changed`, not added/removed. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame = df.select(
+      col(idCol).as("_id"),
+      coalesce(graft.ops.TextAnalysis.fingerprint(col(textCol)), lit("-"))
+        .as(s"_fp_$tag"),
+      coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))
+        .as(s"_tok_$tag"))
+    side(v1, "a").join(side(v2, "b"), Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("_fp_a").isNull, "added")
+          .when(col("_fp_b").isNull, "removed")
+          .when(col("_fp_a") === col("_fp_b"), "unchanged")
+          .otherwise("changed").as("status"),
+        (coalesce(col("_tok_b"), lit(0L)) - coalesce(col("_tok_a"), lit(0L)))
+          .as("token_delta"))
+  }
 }

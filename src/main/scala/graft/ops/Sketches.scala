@@ -313,6 +313,29 @@ object Sketches {
     * engine-dependent. One row out, named `as`; empty input yields an
     * empty frame (no sample → no median), unlike hllDistinct whose
     * empty-input estimate is a defined 0-row. */
+  /** PER-GROUP [[sampledMedian]]: each group gets its own deterministic
+    * content-keyed reservoir (the `cap` rows with smallest md5(tieKey)
+    * WITHIN the group) and its exact percentile-disc over that sample.
+    * The per-group rank ≤ cap filter plans as WindowGroupLimit on both
+    * sides of the exchange (the d14 capPerKey property), so each map
+    * task ships at most `cap` rows per group — a dominant group costs
+    * cap·partitions shuffled rows, not its population; the median
+    * itself is the windowless sort_array/element_at aggregation over
+    * ≤cap rows per group. Same tieKey-uniqueness precondition as
+    * [[sampledMedian]]. */
+  def sampledMedianByGroup(df: DataFrame, groupCol: String, value: Column,
+      tieKey: Column, cap: Int, as: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCap = Window.partitionBy(col("_g")).orderBy(col("_k"))
+    df.select(col(groupCol).as("_g"), value.as("_c"), md5(tieKey).as("_k"))
+      .withColumn("_rk", row_number().over(wCap))
+      .where(col("_rk") <= cap)
+      .groupBy(col("_g"))
+      .agg(sort_array(collect_list(struct(col("_c"), col("_k")))).as("_arr"))
+      .select(col("_g").as(groupCol), element_at(col("_arr"),
+        ((size(col("_arr")) + 1) / lit(2)).cast("int")).getField("_c").as(as))
+  }
+
   def sampledMedian(df: DataFrame, value: Column, tieKey: Column,
       cap: Int, as: String): DataFrame = {
     val samp = df.select(value.as("_c"), md5(tieKey).as("_k"))

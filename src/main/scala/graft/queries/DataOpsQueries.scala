@@ -1510,6 +1510,52 @@ object DataOpsQueries {
            |FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
            |      FROM documents WHERE text IS NOT NULL)""".stripMargin))
 
+  /** Dataset-version diff audit (ops/Dedup.corpusDiff): documents vs a
+    * deterministically derived v2 (every 13th doc removed, every 7th
+    * doc's text amended, every 17th doc cloned under a new id) —
+    * per-status doc counts and net token delta, the release note a
+    * versioned corpus pipeline publishes. The diff shuffles (id,
+    * fingerprint, token count) only — never text. */
+  val d34CorpusDiff = NamedQuery(
+    "d34_corpus_diff",
+    (s, dir) => {
+      val v1 = Tables.documents(s, dir)
+      val v2 = v1.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0 && col("text").isNotNull,
+            concat(col("text"), lit(" v2changed"))).otherwise(col("text")))
+        .unionByName(v1.where(col("doc_id") % 17 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.corpusDiff(v1, v2, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("token_delta")).as("token_delta"))
+    },
+    Some("""WITH v2 AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 7 = 0 AND text IS NOT NULL
+           |              THEN text || ' v2changed' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 13 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
+           |a AS (SELECT doc_id AS id,
+           |             COALESCE(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '-') AS fp,
+           |             COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS tok
+           |      FROM documents),
+           |b AS (SELECT doc_id AS id,
+           |             COALESCE(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '-') AS fp,
+           |             COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS tok
+           |      FROM v2),
+           |d AS (SELECT CASE WHEN a.fp IS NULL THEN 'added'
+           |                  WHEN b.fp IS NULL THEN 'removed'
+           |                  WHEN a.fp = b.fp THEN 'unchanged'
+           |                  ELSE 'changed' END AS status,
+           |             COALESCE(b.tok, 0) - COALESCE(a.tok, 0) AS delta
+           |      FROM a FULL OUTER JOIN b ON a.id = b.id)
+           |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(SUM(delta) AS BIGINT) AS token_delta
+           |FROM d GROUP BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1519,7 +1565,7 @@ object DataOpsQueries {
     d21MixtureWeights, d22DomainKl, d23QualityFilter, d24ChunkDedup,
     d25CurationPipeline, d26KAnonymity, d27ForgetPurge, d28LmQuality,
     d29BpeTrain, d30BpeEncode, d31WeightedSample, d32SplitAssign,
-    d33Curriculum,
+    d33Curriculum, d34CorpusDiff,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -969,6 +969,33 @@ object ExtendedQueries {
            |  FROM orders WHERE o_custkey = c.c_custkey
            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON TRUE""".stripMargin))
 
+  /** Per-group median estimate over per-group deterministic reservoirs
+    * (ops/Sketches.sampledMedianByGroup): the grouped form of q59's
+    * sampled quantile — each order priority's median price from its own
+    * content-keyed ≤501-row sample, shipped map-side-bounded by
+    * WindowGroupLimit (cap·partitions rows per group max, not the
+    * group's population). Oracle replays the same reservoir and
+    * percentile-disc per group. */
+  val q68GroupedMedian = NamedQuery(
+    "q68_grouped_median",
+    (s, dir) => {
+      graft.ops.Sketches.sampledMedianByGroup(
+        Tables.orders(s, dir), "o_orderpriority",
+        round(col("o_totalprice") * 100, 0).cast("long"),
+        col("o_orderkey").cast("string"),
+        cap = 501, as = "median_cents")
+    },
+    Some("""WITH s AS (
+           |  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+           |         md5(CAST(o_orderkey AS VARCHAR)) AS k
+           |  FROM orders
+           |  QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY k) <= 501),
+           |r AS (SELECT o_orderpriority, c,
+           |             row_number() OVER (PARTITION BY o_orderpriority ORDER BY c, k) AS rn,
+           |             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+           |      FROM s)
+           |SELECT o_orderpriority, c AS median_cents FROM r WHERE rn = (n + 1) // 2""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
@@ -976,5 +1003,5 @@ object ExtendedQueries {
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
     q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte,
     q61VariantJson, q62CountMin, q63SketchMerge, q64BloomPrune,
-    q65HllByGroup, q66Lateral)
+    q65HllByGroup, q66Lateral, q68GroupedMedian)
 }

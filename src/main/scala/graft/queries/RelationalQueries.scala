@@ -305,6 +305,28 @@ object RelationalQueries {
            |SELECT p.event_id, p.user_id, o.event_id AS prior_event_id, o.event_type AS prior_type
            |FROM p ASOF LEFT JOIN o ON p.user_id = o.user_id AND p.ts >= o.ts""".stripMargin))
 
+  /** As-of join, FORWARD direction (inclusive): each purchase event
+    * picks up the EARLIEST following non-purchase event of the same
+    * user — the "next event after" question (next page view after a
+    * purchase, next heartbeat after a failure). Same one-shuffle
+    * union+window merge scan as q27, partition scan reversed — see
+    * graft.ops.AsOfJoin.forward. */
+  val q67AsofForward = NamedQuery(
+    "q67_asof_forward",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+      val others = ev.where(col("event_type") =!= "purchase")
+      AsOfJoin.forward(purchases, others, key = "user_id", ts = "ts",
+          rightPayload = Map("event_id" -> "next_event_id", "event_type" -> "next_type"),
+          tiebreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("next_event_id"), col("next_type"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           |     o AS (SELECT event_id, user_id, ts, event_type FROM events WHERE event_type <> 'purchase')
+           |SELECT p.event_id, p.user_id, o.event_id AS next_event_id, o.event_type AS next_type
+           |FROM p ASOF LEFT JOIN o ON p.user_id = o.user_id AND p.ts <= o.ts""".stripMargin))
+
   /** Tumbling time window (batch analogue of the streaming agg). */
   val q28Tumbling = NamedQuery(
     "q28_tumbling_window",
@@ -524,5 +546,5 @@ object RelationalQueries {
     q20GroupingSets, q21SetOps, q22Distinct, q23StringFuncs, q24DateFuncs,
     q25CaseMath, q26CorrelatedSubq, q27AsofJoin, q28Tumbling, q29Sessionize,
     q40WindowNav, q41ArrayAgg, q42MultiDistinct, q43NullGroup, q46RangeFrame,
-    q47DateSpine, q48NullAwareAnti)
+    q47DateSpine, q48NullAwareAnti, q67AsofForward)
 }

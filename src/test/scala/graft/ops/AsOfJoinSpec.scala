@@ -45,4 +45,30 @@ class AsOfJoinSpec extends SparkSpec {
       .select("prior_id").collect()(0).getLong(0)
     assert(got == 51L) // highest tiebreak wins (last in carry-forward order)
   }
+
+  test("forward as-of: earliest right row at or after each left ts, per key") {
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 12:00:00")), // equal ts: inclusive
+      (102L, 1L, ts("2024-01-01 13:00:00")), // after every right row for key 1
+      (103L, 2L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (200L, 1L, ts("2024-01-01 09:30:00"), "view"),
+      (201L, 1L, ts("2024-01-01 11:00:00"), "click"),
+      (202L, 1L, ts("2024-01-01 12:00:00"), "scroll"),
+      (203L, 2L, ts("2024-01-01 09:30:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+
+    val got = AsOfJoin.forward(left, right, key = "user_id", ts = "ts",
+        rightPayload = Map("event_id" -> "next_id", "event_type" -> "next_type"),
+        tiebreak = "event_id")
+      .select("event_id", "next_id", "next_type")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+
+    assert(got(100L) == ((Some(201L), Some("click")))) // nearest FOLLOWING, not 202
+    assert(got(101L) == ((Some(202L), Some("scroll")))) // ts equality matches
+    assert(got(102L) == ((None, None)))                 // nothing at or after
+    assert(got(103L) == ((Some(203L), Some("view"))))
+  }
 }

@@ -244,4 +244,23 @@ class DedupSpec extends SparkSpec {
     assert(ovf.length == 1 && ovf(0).getAs[Long]("n_members") == 3L)
     assert(Dedup.chunkOverflow(docs, "doc_id", "text", 2).isEmpty)
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged with token deltas; null text is a changed-state, not a hole") {
+    val v1 = Seq(
+      (1L, "alpha beta"), (2L, "gamma"), (3L, "delta eps"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "alpha beta"),          // unchanged
+      (2L, "gamma extended here"), // changed, +2 tokens
+      (4L, "now has text"),        // null -> text: changed, +3 tokens
+      (5L, "brand new doc")        // added, +3 tokens
+    ).toDF("doc_id", "text")       // 3 removed (-2 tokens)
+    val got = Dedup.corpusDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("unchanged", 0L)))
+    assert(got(2L) == (("changed", 2L)))
+    assert(got(3L) == (("removed", -2L)))
+    assert(got(4L) == (("changed", 3L)))
+    assert(got(5L) == (("added", 3L)))
+  }
 }

@@ -113,6 +113,20 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(est - truth(g)) / truth(g) < 0.15, s"$g est=$est true=${truth(g)}")
   }
 
+  test("sampledMedianByGroup: each group's median equals a dedicated global reservoir over its rows") {
+    val rows = (1 to 900).map(i => (s"g${i % 3}", (i * 37 % 1000).toLong, s"id$i"))
+      .toDF("g", "v", "id")
+    val grouped = Sketches.sampledMedianByGroup(rows, "g", col("v"), col("id"),
+      cap = 100, as = "med")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped.keySet == Set("g0", "g1", "g2"))
+    for (g <- grouped.keys) {
+      val solo = Sketches.sampledMedian(rows.where(col("g") === g),
+        col("v"), col("id"), cap = 100, as = "med").collect()(0).getLong(0)
+      assert(grouped(g) == solo, s"group $g: grouped=${grouped(g)} solo=$solo")
+    }
+  }
+
   test("bloom: no false negatives ever; false-positive rate within the analytic bound") {
     val members = (1 to 500).map(i => s"m$i")
     val f = Sketches.bloomBits(members.toDF("k"), "k",
