@@ -251,6 +251,96 @@ object StreamOps {
       joinType: String = "left"): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol), joinType)
 
+  // --- streaming approximate distinct: incremental HLL register state ---
+
+  final case class KeyedItem(group: String, item: String)
+  final case class HllState(n: Long, regs: Array[Byte])
+  final case class HllGroupEstimate(group: String, n_items: Long, hll_est: Double)
+
+  /** Streaming per-group approximate distinct — the incremental form of
+    * ops/Sketches.hllRegisters: each group keeps a DENSE m-byte register
+    * array in state (constant size regardless of stream length — the
+    * reason sketches exist) and folds every arriving item's
+    * (register, rho) in with max(). Because the fold IS the register
+    * merge law (max is associative/commutative/idempotent), the
+    * estimate emitted after ANY prefix of batches is bit-identical to
+    * the batch [[graft.ops.Sketches.hllDistinct]] over the same rows —
+    * asserted in StreamOpsSpec, which is what pins this JVM-side
+    * replication of the hash/estimate arithmetic to the Catalyst one.
+    * Emits the updated (group, n_items, estimate) each batch; idle
+    * groups drop state after `idleTimeout` (this file's unbounded-keys
+    * rule). */
+  def hllDistinctStream(spark: SparkSession, items: Dataset[KeyedItem],
+      p: Int = 9,
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[HllGroupEstimate] = {
+    import spark.implicits._
+    val m = 1 << p
+    val rhoMax = 53 - p
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    items.groupByKey(_.group)
+      .flatMapGroupsWithState[HllState, HllGroupEstimate](
+        OutputMode.Append, timeoutConf) {
+        (group: String, rows: Iterator[KeyedItem], state: GroupState[HllState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(HllState(0L, new Array[Byte](m)))
+            val regs = prior.regs.clone()
+            var n = prior.n
+            rows.foreach { it =>
+              // identical arithmetic to hllRegisters: hp = low 52 bits of
+              // the first little-endian md5 half; register = low p bits;
+              // rho = rhoMax - bitlength of the remaining 52-p bits
+              val hp = graft.functions.Md5Mix.halves(
+                org.apache.spark.unsafe.types.UTF8String.fromString(it.item))(0) &
+                ((1L << 52) - 1)
+              val reg = (hp & (m - 1)).toInt
+              val w = hp >>> p
+              val rho =
+                if (w == 0L) rhoMax
+                else rhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
+              if (rho > regs(reg)) regs(reg) = rho.toByte
+              n += 1
+            }
+            state.update(HllState(n, regs))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator(HllGroupEstimate(group, n, estimateFromRegs(regs, p)))
+          }
+      }
+  }
+
+  /** hllEstimate's exact-integer arithmetic on a dense register array —
+    * register value 0 means "never touched" (present registers always
+    * carry rho >= 1, the hllRegisters invariant), the Σ2^−M sum is an
+    * exact long, one IEEE division at the end, same small-range
+    * correction and round-6 as the Catalyst form. */
+  private def estimateFromRegs(regs: Array[Byte], p: Int): Double = {
+    val m = 1 << p
+    val rhoMax = 53 - p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var s = 0L
+    var zeros = 0L
+    var i = 0
+    while (i < m) {
+      if (regs(i) == 0) { zeros += 1; s += 1L << rhoMax }
+      else s += 1L << (rhoMax - regs(i))
+      i += 1
+    }
+    val raw = alpha * m * m * math.pow(2.0, rhoMax) / s
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/e2e harness). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

@@ -271,4 +271,43 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamCounts == batchCounts)
     assert(streamCounts == Map(0L -> 3L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("streaming HLL: estimate after any batch prefix equals the batch sketch over the same rows") {
+    import spark.implicits._
+    val mem = MemoryStream[StreamOps.KeyedItem](spark, 1)
+    val out = StreamOps.hllDistinctStream(spark, mem.toDS(), p = 9,
+      idleTimeout = None)
+    val q = out.writeStream.format("memory").queryName("hll_t")
+      .outputMode("append").start()
+    val batch1 = (1 to 400).map(i => StreamOps.KeyedItem("g0", s"k${i % 150}")) ++
+      (1 to 100).map(i => StreamOps.KeyedItem("g1", s"k$i"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    val batch2 = (1 to 300).map(i => StreamOps.KeyedItem("g0", s"k${i % 500}"))
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // most recent emission per group = state after all batches
+    val streamed = spark.table("hll_t")
+      .groupBy("group").agg(max(struct(col("n_items"), col("hll_est"))).as("s"))
+      .select(col("group"), col("s.n_items"), col("s.hll_est"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val all = (batch1 ++ batch2).toDF("group", "item")
+    for (g <- Seq("g0", "g1")) {
+      val rows = all.where(col("group") === g)
+      val batchEst = graft.ops.Sketches.hllDistinct(rows, "item")
+        .collect()(0).getDouble(0)
+      assert(streamed(g)._2 == batchEst,
+        s"group $g: stream=${streamed(g)._2} batch=$batchEst")
+      assert(streamed(g)._1 == rows.count())
+    }
+    // and the mid-stream emission was the sketch of batch 1 alone
+    val firstG0 = spark.table("hll_t")
+      .where(col("group") === "g0").orderBy(col("n_items")).limit(1)
+      .collect()(0).getDouble(2)
+    val batch1G0 = graft.ops.Sketches.hllDistinct(
+      batch1.filter(_.group == "g0").toDF("group", "item"), "item")
+      .collect()(0).getDouble(0)
+    assert(firstG0 == batch1G0)
+  }
 }
