@@ -80,6 +80,20 @@ object Packing {
   def packByOffset(df: DataFrame, idCol: String, textCol: String,
       stratumCol: String, budgetTokens: Long, buckets: Int = 256): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    layoutOffsets(df, idCol, textCol, stratumCol, buckets)
+      .select(col(idCol), col(stratumCol), col("n_tokens"),
+        floor(col("start_offset") / budgetTokens).cast("long").as("bin_id"))
+  }
+
+  /** (id, stratum, n_tokens, start_offset): each doc's exclusive running
+    * token offset within its stratum's deterministic (u(text), id)
+    * layout order — the DISTRIBUTED prefix sum under [[packByOffset]]
+    * (balanced salt-range windows + a broadcast base-offset table; see
+    * the scale/balance notes there), exposed because budgeted corpus
+    * assembly ([[Sampling.budgetedAssembly]]) needs the raw offsets
+    * rather than the bin ids. */
+  def layoutOffsets(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, buckets: Int = 256): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val base = df.select(col(idCol), col(stratumCol),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"),
@@ -106,7 +120,6 @@ object Packing {
     local.join(broadcast(off),
         col(stratumCol) <=> col("_off_stratum") && col("_bkt") === col("_off_bkt"))
       .select(col(idCol), col(stratumCol), col("n_tokens"),
-        floor((col("_base") + col("_cum_local") - col("n_tokens")) / budgetTokens)
-          .cast("long").as("bin_id"))
+        (col("_base") + col("_cum_local") - col("n_tokens")).as("start_offset"))
   }
 }

@@ -154,6 +154,31 @@ object Sampling {
     df.withColumn(as, expr)
   }
 
+  /** Budgeted corpus assembly — [[mixtureWeights]] actually ENFORCED:
+    * each stratum contributes the prefix of its deterministic
+    * (u(text), id) layout order whose docs START inside the stratum's
+    * token allocation (the first doc crossing the boundary is kept, so
+    * a stratum with enough data always covers its allocation). This is
+    * the "build the actual α=0.5 mixture under a token budget" step a
+    * pretraining pipeline runs after weighing sources.
+    *
+    * Scale shape: the start offsets come from [[Packing.layoutOffsets]]
+    * (distributed prefix sum — no stratum-sized single task), and the
+    * per-stratum allocations are a broadcast of the #strata-row weights
+    * frame. Deterministic end to end: same corpus → same mixture, any
+    * partitioning, any engine. */
+  def budgetedAssembly(df: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, budgetTokens: Long): DataFrame = {
+    val alloc = mixtureWeights(df, stratumCol, textCol, budgetTokens)
+      .select(col("stratum").as("_alloc_stratum"),
+        col("sampled_tokens").as("alloc_tokens"))
+    Packing.layoutOffsets(df, idCol, textCol, stratumCol)
+      .join(broadcast(alloc), col(stratumCol) <=> col("_alloc_stratum"))
+      .where(col("start_offset") < col("alloc_tokens"))
+      .select(col(idCol), col(stratumCol), col("n_tokens"),
+        col("start_offset"), col("alloc_tokens"))
+  }
+
   /** Temperature-based mixture weights across corpus strata (sources):
     * weight_i ∝ n_tokens_i^0.5, the α = 0.5 temperature-sampling rule
     * that upweights small sources relative to proportional sampling —

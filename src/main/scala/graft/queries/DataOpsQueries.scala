@@ -1556,6 +1556,49 @@ object DataOpsQueries {
            |       CAST(SUM(delta) AS BIGINT) AS token_delta
            |FROM d GROUP BY 1""".stripMargin))
 
+  /** The α=0.5 mixture ENFORCED under a 20k-token budget
+    * (ops/Sampling.budgetedAssembly): every source contributes the
+    * prefix of its deterministic layout order that starts inside its
+    * allocation — d21 computes the weights, this builds the corpus.
+    * Start offsets via the distributed prefix sum (no stratum-sized
+    * single task); allocations broadcast. Oracle replays weights,
+    * layout, and cut. */
+  val d35BudgetAssembly = NamedQuery(
+    "d35_budget_assembly",
+    (s, dir) => {
+      graft.ops.Sampling.budgetedAssembly(
+          Tables.documents(s, dir).where(col("text").isNotNull),
+          "doc_id", "source", "text", budgetTokens = 20000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tokens")).as("tokens_kept"),
+          max(col("alloc_tokens")).as("alloc_tokens"))
+    },
+    Some("""WITH s AS (
+           |  SELECT source AS stratum, COUNT(*) AS n_docs,
+           |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+           |w AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+           |      FROM s),
+           |t AS (SELECT *, CAST(SUM(w_micro) OVER () AS BIGINT) AS total_micro FROM w),
+           |a AS (SELECT stratum,
+           |             CAST(round((CAST(w_micro AS DOUBLE) / total_micro) * 20000.0) AS BIGINT) AS alloc
+           |      FROM t),
+           |d AS (SELECT source, doc_id,
+           |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |             CAST(md5_number_upper(text) >> 11 AS DOUBLE) / 9007199254740992.0 AS u
+           |      FROM documents WHERE text IS NOT NULL),
+           |c AS (SELECT source, doc_id, n_tokens,
+           |             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |               - n_tokens AS start
+           |      FROM d)
+           |SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           |       CAST(SUM(c.n_tokens) AS BIGINT) AS tokens_kept,
+           |       CAST(MAX(a.alloc) AS BIGINT) AS alloc_tokens
+           |FROM c JOIN a ON c.source = a.stratum
+           |WHERE c.start < a.alloc GROUP BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1565,7 +1608,7 @@ object DataOpsQueries {
     d21MixtureWeights, d22DomainKl, d23QualityFilter, d24ChunkDedup,
     d25CurationPipeline, d26KAnonymity, d27ForgetPurge, d28LmQuality,
     d29BpeTrain, d30BpeEncode, d31WeightedSample, d32SplitAssign,
-    d33Curriculum, d34CorpusDiff,
+    d33Curriculum, d34CorpusDiff, d35BudgetAssembly,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

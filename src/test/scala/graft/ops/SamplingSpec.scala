@@ -140,4 +140,26 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("budgetedAssembly: each stratum covers its allocation, boundary doc kept, deterministic") {
+    // 4-token docs in two equal strata: total 800 tokens per stratum;
+    // sqrt weights equal → each stratum allocated budget/2
+    val corpus = docs.withColumn("source",
+      when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+    val got = Sampling.budgetedAssembly(corpus, "doc_id", "source", "text",
+      budgetTokens = 400L)
+    val perStratum = got.groupBy("source")
+      .agg(sum("n_tokens").as("kept"), max("alloc_tokens").as("alloc"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((s, (kept, alloc)) <- perStratum) {
+      assert(alloc == 200L, s"$s alloc=$alloc")
+      // allocation covered, never exceeded by more than the boundary doc
+      assert(kept >= alloc && kept < alloc + 7, s"$s kept=$kept alloc=$alloc")
+    }
+    // deterministic: re-run yields the identical doc set
+    val ids1 = got.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.budgetedAssembly(corpus, "doc_id", "source", "text", 400L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
 }
