@@ -166,20 +166,28 @@ object Sinks {
       partitionBy: Seq[String] = GastosSchema.partitionColumns,
       compression: String = "snappy"): Long =
     stagedPublish(df, path, audit, partitionBy, compression) { (fs, staging) =>
-      def leafDirs(dir: HPath, depth: Int): Seq[HPath] =
-        if (depth == 0) Seq(dir)
-        else fs.listStatus(dir).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-          .flatMap(st => leafDirs(st.getPath, depth - 1))
       val target = fs.makeQualified(new HPath(path))
       val oldRoot = fs.makeQualified(new HPath(path + ".old"))
-      val stagingPrefix = staging.toString + "/"
-      leafDirs(staging, partitionBy.size).foreach { leaf =>
-        val rel = fs.makeQualified(leaf).toString.stripPrefix(stagingPrefix)
-        swapInto(fs, leaf, new HPath(target, rel), new HPath(oldRoot, rel))
+      if (partitionBy.isEmpty) {
+        // depth 0: the "leaf" IS the table root — swap it whole, exactly
+        // like publishAudited (the relative-path arithmetic below would
+        // otherwise resolve the absolute staging URI against `target`
+        // and try to swap staging onto itself)
+        swapInto(fs, staging, target, oldRoot)
+      } else {
+        def leafDirs(dir: HPath, depth: Int): Seq[HPath] =
+          if (depth == 0) Seq(dir)
+          else fs.listStatus(dir).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+            .flatMap(st => leafDirs(st.getPath, depth - 1))
+        val stagingPrefix = staging.toString + "/"
+        leafDirs(staging, partitionBy.size).foreach { leaf =>
+          val rel = fs.makeQualified(leaf).toString.stripPrefix(stagingPrefix)
+          swapInto(fs, leaf, new HPath(target, rel), new HPath(oldRoot, rel))
+        }
+        delete(fs, staging) // _SUCCESS marker + empty skeleton
+        delete(fs, oldRoot) // empty graveyard skeleton
       }
-      delete(fs, staging) // _SUCCESS marker + empty skeleton
-      delete(fs, oldRoot) // empty graveyard skeleton
     }
 
   /** [[overwritePartitionsOf]] with the observed row count — see

@@ -87,7 +87,11 @@ object AsOfJoin {
     // in BOTH directions (the _side tiebreak is direction-independent).
     // Forward scans ts descending, so "last right seen" is the nearest
     // FOLLOWING right row instead of the nearest preceding one.
-    val tsOrder = if (forwardDir) col("_ts").desc else col("_ts").asc
+    // desc_nulls_first is load-bearing: a left row with NULL ts must
+    // match nothing (SQL comparison-with-NULL semantics, same as DuckDB
+    // ASOF). asc puts nulls first already; desc defaults to NULLS LAST,
+    // which would hand null-ts left rows the key's earliest right row.
+    val tsOrder = if (forwardDir) col("_ts").desc_nulls_first else col("_ts").asc
     val w = Window.partitionBy("_k")
       .orderBy(tsOrder, col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

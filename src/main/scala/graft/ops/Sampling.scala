@@ -119,7 +119,10 @@ object Sampling {
     require(k >= 1, s"k must be positive, got $k")
     require(maxWeight >= 1 && maxWeight <= 256,
       s"maxWeight must be in [1,256], got $maxWeight")
-    val w = least(weight.cast("long"), lit(maxWeight.toLong))
+    // coalesce BEFORE least: Spark's least() SKIPS null arguments, so
+    // least(NULL, cap) would be the cap — giving a null-weight row the
+    // maximum draw count instead of excluding it
+    val w = least(coalesce(weight.cast("long"), lit(0L)), lit(maxWeight.toLong))
     val draw = (i: Column) => call_function("shiftrightunsigned",
       graft.functions.TextHashExpressions.md5Upper(
         concat(col(idCol).cast("string"), lit(":"), i.cast("string"))),

@@ -43,7 +43,10 @@ object Sketches {
       .bitwiseAND(lit((1L << 52) - 1))
     val rho = when(col("_w") === 0L, lit(rhoMax))
       .otherwise(lit(rhoMax) - length(bin(col("_w"))))
-    val regs = df.select(hp.as("_hp"))
+    // COUNT DISTINCT semantics: NULL keys are not values — without the
+    // filter md5Upper(NULL) yields a (null, null) register row that
+    // hllEstimate's register count would treat as one present register
+    val regs = df.where(col(keyCol).isNotNull).select(hp.as("_hp"))
       .select(col("_hp").bitwiseAND(lit((m - 1).toLong)).as("_reg"),
         shiftright(col("_hp"), p).as("_w"))
       .select(col("_reg"), rho.as("_rho"))
@@ -75,31 +78,44 @@ object Sketches {
     * the single IEEE division at the end and the standard small-range
     * correction (m·ln(m/V) when raw ≤ 2.5m with empty registers).
     * Bit-identical to materializing the dense m-row table first. */
-  def hllEstimate(sketch: HllSketch, as: String = "hll_est"): DataFrame = {
-    val m = 1 << sketch.p
-    val rhoMax = 53 - sketch.p
+  def hllEstimate(sketch: HllSketch, as: String = "hll_est"): DataFrame =
+    estimateOver(sketch.registers, Nil, sketch.p, as)
+
+  /** Flajolet et al. give the asymptotic alpha only for m >= 128
+    * (p >= 7); the small register counts have tabulated constants. */
+  private def alphaFor(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The ONE implementation of the estimate arithmetic (see
+    * [[hllEstimate]]'s contract doc), generalized over grouping: a
+    * (groupCols..., _reg, _M) table estimates per group; empty
+    * groupCols is the global one-row form. (StreamOps.estimateFromRegs
+    * deliberately replicates this in JVM code for the streaming state
+    * fold — the stream==batch spec equality is what pins the replica.) */
+  private def estimateOver(regs: DataFrame, groupCols: Seq[String], p: Int,
+      as: String): DataFrame = {
+    val m = 1 << p
+    val rhoMax = 53 - p
     val scale = math.pow(2.0, rhoMax) // exact power of two
-    // Flajolet et al. give the asymptotic alpha only for m >= 128
-    // (p >= 7); the small register counts have tabulated constants
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / m)
-    }
-    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(scale) / col("_s")
-    sketch.registers
+    val raw = lit(alphaFor(m)) * lit(m.toDouble) * lit(m.toDouble) * lit(scale) / col("_s")
+    val g = groupCols.map(col)
+    regs
+      .groupBy(g: _*)
       .agg(
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rhoMax - _M AS INT))")).as("_sp"),
         count(lit(1)).as("_v"))
-      .select(
+      .select(g ++ Seq(
         (coalesce(col("_sp"), lit(0L)) +
           (lit(m.toLong) - col("_v")) * lit(1L << rhoMax)).as("_s"),
-        (lit(m.toLong) - col("_v")).as("_zeros"))
-      .select(round(
+        (lit(m.toLong) - col("_v")).as("_zeros")): _*)
+      .select(g :+ round(
         when(raw <= lit(2.5 * m) && col("_zeros") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")))
-          .otherwise(raw), 6).as(as))
+          .otherwise(raw), 6).as(as): _*)
   }
 
   /** HyperLogLog distinct-count estimate of `keyCol` as ONE row — the
@@ -125,37 +141,22 @@ object Sketches {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
     val rhoMax = 53 - p
-    val scale = math.pow(2.0, rhoMax)
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / m)
-    }
     val hp = graft.functions.TextHashExpressions
       .md5Upper(col(keyCol).cast("string"))
       .bitwiseAND(lit((1L << 52) - 1))
     val rho = when(col("_w") === 0L, lit(rhoMax))
       .otherwise(lit(rhoMax) - length(bin(col("_w"))))
-    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) * lit(scale) / col("_s")
-    df.select(col(groupCol), hp.as("_hp"))
+    // NULL keys are not values (the hllRegisters rule); a group whose
+    // keys are ALL null keeps no register rows and thus no output row —
+    // the same "no data, no group" semantics as COUNT(DISTINCT)
+    val regs = df.where(col(keyCol).isNotNull)
+      .select(col(groupCol), hp.as("_hp"))
       .select(col(groupCol),
         col("_hp").bitwiseAND(lit((m - 1).toLong)).as("_reg"),
         shiftright(col("_hp"), p).as("_w"))
       .select(col(groupCol), col("_reg"), rho.as("_rho"))
       .groupBy(col(groupCol), col("_reg")).agg(max(col("_rho")).as("_M"))
-      .groupBy(col(groupCol))
-      .agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rhoMax - _M AS INT))")).as("_sp"),
-        count(lit(1)).as("_v"))
-      .select(col(groupCol),
-        (coalesce(col("_sp"), lit(0L)) +
-          (lit(m.toLong) - col("_v")) * lit(1L << rhoMax)).as("_s"),
-        (lit(m.toLong) - col("_v")).as("_zeros"))
-      .select(col(groupCol), round(
-        when(raw <= lit(2.5 * m) && col("_zeros") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")))
-          .otherwise(raw), 6).as(as))
+    estimateOver(regs, Seq(groupCol), p, as)
   }
 
   /** Count-min cell for hash row `r`: the Kirsch–Mitzenmacher
@@ -247,7 +248,10 @@ object Sketches {
     require(numBits >= 2 && numBits <= (1 << 22) && (numBits & (numBits - 1)) == 0,
       s"numBits must be a power of two in [2, 2^22], got $numBits")
     val (a, b0) = kmHalves(col(keyCol))
-    val bits = df.select(a.as("_a"), b0.as("_b0"))
+    // NULL keys are not members (a NULL bit row would NPE the probe's
+    // driver-side densify loop, and NULL matches nothing in SQL anyway)
+    val bits = df.where(col(keyCol).isNotNull)
+      .select(a.as("_a"), b0.as("_b0"))
       .select(col("_a"), col("_b0"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("_r"))
       .select(cmCell(numBits).as("_bit"))

@@ -47,4 +47,19 @@ class SourcesSinksSpec extends SparkSpec {
     Sinks.writePartitioned(df, path, mode = "overwrite")
     assert(Sources.readParquetLayer(spark, path).count() == 2)
   }
+
+  test("publishAuditedPartitions with EMPTY partitionBy swaps the whole table root") {
+    import spark.implicits._
+    val path = tmpDir("sink-depth0") + "/flat"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val n1 = Sinks.publishAuditedPartitions(v1, path, () => (), partitionBy = Seq.empty)
+    assert(n1 == 2L)
+    assert(spark.read.parquet(path).count() == 2)
+    // second publish replaces, leaves no .staging/.old residue
+    val v2 = Seq((3L, "c")).toDF("id", "k")
+    assert(Sinks.publishAuditedPartitions(v2, path, () => (), partitionBy = Seq.empty) == 1L)
+    assert(spark.read.parquet(path).as[(Long, String)].collect().toSet == Set((3L, "c")))
+    assert(!Files.exists(Paths.get(path + ".staging")))
+    assert(!Files.exists(Paths.get(path + ".old")))
+  }
 }

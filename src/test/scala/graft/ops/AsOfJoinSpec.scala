@@ -71,4 +71,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(102L) == ((None, None)))                 // nothing at or after
     assert(got(103L) == ((Some(203L), Some("view"))))
   }
+
+  test("NULL left ts matches nothing in either direction (SQL comparison semantics)") {
+    val left = Seq((1L, 1L, null.asInstanceOf[Timestamp]))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((50L, 1L, ts("2024-01-01 10:00:00"), "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    for (dir <- Seq("backward", "forward")) {
+      val join = if (dir == "backward") AsOfJoin.backward _ else AsOfJoin.forward _
+      val r = join(left, right, "user_id", "ts",
+        Map("event_id" -> "match_id"), "event_id").select("match_id").collect()
+      assert(r.length == 1 && r(0).isNullAt(0),
+        s"$dir matched a NULL-ts left row: ${r.mkString}")
+    }
+  }
 }

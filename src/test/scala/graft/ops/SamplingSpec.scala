@@ -108,6 +108,13 @@ class SamplingSpec extends SparkSpec {
     val z = Sampling.weightedSample(withZero, "doc_id", col("w"), k = 100)
       .select("doc_id").as[Long].collect()
     assert(z.length == 10 && z.forall(_ >= 390))
+    // NULL weight = excluded too (least() skips nulls — a raw
+    // least(NULL, cap) would hand null rows the MAXIMUM weight)
+    val withNull = docs.withColumn("w",
+      when(col("doc_id") < 390, lit(null).cast("long")).otherwise(lit(4L)))
+    val nz = Sampling.weightedSample(withNull, "doc_id", col("w"), k = 100)
+      .select("doc_id").as[Long].collect()
+    assert(nz.length == 10 && nz.forall(_ >= 390))
   }
 
   test("weightedSample: equal weights reduce to the unweighted content-keyed top-k") {

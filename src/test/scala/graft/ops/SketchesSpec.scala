@@ -96,6 +96,29 @@ class SketchesSpec extends SparkSpec {
     assert(got == 5L)
   }
 
+  test("NULL keys are not values: hll estimates ignore them, bloom never contains them") {
+    val mixed = (1 to 300).map(i => s"key-$i") ++ Seq.fill(50)(null.asInstanceOf[String])
+    val clean = (1 to 300).map(i => s"key-$i")
+    assert(
+      Sketches.hllDistinct(mixed.toDF("k"), "k").collect()(0).getDouble(0) ==
+        Sketches.hllDistinct(clean.toDF("k"), "k").collect()(0).getDouble(0))
+    // all-null input: zero distinct values, estimate 0 (was ~1.0 when the
+    // (null,null) register row counted as present)
+    val allNull = Seq.fill(10)(null.asInstanceOf[String]).toDF("k")
+    assert(Sketches.hllDistinct(allNull, "k").collect()(0).getDouble(0) == 0.0)
+    // grouped: an all-null-key group has no row (COUNT DISTINCT semantics)
+    val g = Seq(("a", "x"), ("a", null), ("b", null)).toDF("g", "k")
+    val byG = Sketches.hllDistinctByGroup(g, "g", "k")
+      .collect().map(r => r.getString(0)).toSet
+    assert(byG == Set("a"))
+    // bloom: a null key neither crashes the probe densify nor matches
+    val f = Sketches.bloomBits(Seq("m1", null, "m2").toDF("k"), "k", 4, 1 << 12)
+    val probe = Sketches.bloomMightContain(
+      Seq("m1", "m2", "zz").toDF("k"), f, "k")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(probe("m1") && probe("m2") && !probe("zz"))
+  }
+
   test("hllDistinctByGroup: each group's estimate equals a dedicated global sketch over its rows") {
     val rows = (1 to 3000).map(i => (s"g${i % 3}", s"key-${i % 700}")).toDF("g", "k")
     val grouped = Sketches.hllDistinctByGroup(rows, "g", "k")
