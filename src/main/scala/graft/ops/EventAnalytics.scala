@@ -193,4 +193,23 @@ object EventAnalytics {
         (col("gap_us") === -1L ||
           col("gap_us") >= windowSeconds * 1000000L).as("kept"))
   }
+
+  /** Forward fill (LOCF — last observation carried forward): repair
+    * missing values in a per-key time series with the latest preceding
+    * non-null observation — the sensor-dropout / sparse-telemetry
+    * repair step. One window over one exchange keyed on the partition
+    * columns; a key's leading nulls stay null (nothing to carry).
+    * `orderCols` must be a total order per key for deterministic
+    * results (include a unique id alongside the timestamp — same
+    * contract as debounce). */
+  def forwardFill(df: DataFrame, partitionCols: Seq[Column],
+      orderCols: Seq[Column], value: Column, as: String): DataFrame = {
+    require(partitionCols.nonEmpty,
+      "forwardFill needs partition columns — an unpartitioned fill would " +
+        "move the whole table through one task (use globalRowNumber-style " +
+        "two-phase plans for truly global series)")
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, last(value, ignoreNulls = true).over(w))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Exact, Tables}
-import graft.ops.AsOfJoin
+import graft.ops.{AsOfJoin, EventAnalytics}
 
 /** The general relational surface (SURVEY.md §2.7): joins (broadcast /
   * shuffled / semi / anti / outer / as-of), window functions, sort+limit
@@ -327,6 +327,36 @@ object RelationalQueries {
            |SELECT p.event_id, p.user_id, o.event_id AS next_event_id, o.event_type AS next_type
            |FROM p ASOF LEFT JOIN o ON p.user_id = o.user_id AND p.ts <= o.ts""".stripMargin))
 
+  /** Forward fill / LOCF (ops/EventAnalytics.forwardFill): a
+    * deterministic third of event values is blanked, then repaired with
+    * the latest preceding observation per user — the sensor-dropout
+    * repair every telemetry pipeline runs. One window over one
+    * exchange on user_id; leading nulls stay null. Oracle: DuckDB's
+    * last_value IGNORE NULLS over the identical frame. */
+  val q69ForwardFill = NamedQuery(
+    "q69_forward_fill",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_id") % 3 =!= 0,
+            round(col("value") * 100, 0).cast("long")).as("cents_sparse"))
+      EventAnalytics.forwardFill(ev,
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          col("cents_sparse"), as = "cents_filled")
+        .select(col("event_id"), col("user_id"),
+          col("cents_sparse"), col("cents_filled"))
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, ts,
+           |         CASE WHEN event_id % 3 <> 0
+           |              THEN CAST(round(value * 100) AS BIGINT) END AS cents_sparse
+           |  FROM events)
+           |SELECT event_id, user_id, cents_sparse,
+           |       last_value(cents_sparse IGNORE NULLS) OVER (
+           |         PARTITION BY user_id ORDER BY ts, event_id
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled
+           |FROM e""".stripMargin))
+
   /** Tumbling time window (batch analogue of the streaming agg). */
   val q28Tumbling = NamedQuery(
     "q28_tumbling_window",
@@ -546,5 +576,5 @@ object RelationalQueries {
     q20GroupingSets, q21SetOps, q22Distinct, q23StringFuncs, q24DateFuncs,
     q25CaseMath, q26CorrelatedSubq, q27AsofJoin, q28Tumbling, q29Sessionize,
     q40WindowNav, q41ArrayAgg, q42MultiDistinct, q43NullGroup, q46RangeFrame,
-    q47DateSpine, q48NullAwareAnti, q67AsofForward)
+    q47DateSpine, q48NullAwareAnti, q67AsofForward, q69ForwardFill)
 }

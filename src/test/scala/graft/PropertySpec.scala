@@ -196,4 +196,40 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bloom filter never false-negatives on generated member sets; merge == monolithic") {
+    import graft.ops.Sketches
+    val gen = Gen.listOfN(60, Gen.chooseNum(0L, 1L << 40))
+      .map(_.distinct.map(x => s"k$x"))
+    samples(gen, 6).foreach { keys =>
+      val f = Sketches.bloomBits(keys.toDF("k"), "k", 4, 1 << 12)
+      val falseNeg = Sketches.bloomMightContain(keys.toDF("k"), f, "k")
+        .where(!col("might_contain")).count()
+      assert(falseNeg == 0L, s"false negatives on ${keys.size} members")
+      val (h1, h2) = keys.splitAt(keys.size / 2)
+      if (h1.nonEmpty && h2.nonEmpty) {
+        val merged = Sketches.bloomMerge(Seq(
+          Sketches.bloomBits(h1.toDF("k"), "k", 4, 1 << 12),
+          Sketches.bloomBits(h2.toDF("k"), "k", 4, 1 << 12)))
+        assert(merged.bits.except(f.bits).isEmpty && f.bits.except(merged.bits).isEmpty)
+      }
+    }
+  }
+
+  test("weightedSample is layout-invariant and draws only positive-weight rows") {
+    import graft.ops.Sampling
+    val gen = Gen.listOfN(80, Gen.chooseNum(0L, 5L))
+    samples(gen, 6).foreach { ws =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+      val k = 20
+      val s1 = Sampling.weightedSample(df, "id", col("w"), k)
+        .select("id").as[Long].collect().toSet
+      val s2 = Sampling.weightedSample(df.repartition(7), "id", col("w"), k)
+        .select("id").as[Long].collect().toSet
+      assert(s1 == s2, "sample changed under repartitioning")
+      val positive = ws.zipWithIndex.filter(_._1 >= 1).map(_._2.toLong).toSet
+      assert(s1.subsetOf(positive))
+      assert(s1.size == math.min(k, positive.size))
+    }
+  }
 }

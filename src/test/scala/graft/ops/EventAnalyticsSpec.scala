@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 
 class EventAnalyticsSpec extends SparkSpec {
   import spark.implicits._
@@ -137,5 +138,24 @@ class EventAnalyticsSpec extends SparkSpec {
       ("1970-01-01", 0L) -> 2L,
       ("1970-01-01", 2L) -> 1L,
       ("1970-01-02", 0L) -> 1L))
+  }
+
+  test("forwardFill carries the last non-null per key; leading nulls stay null") {
+    import spark.implicits._
+    val series = Seq(
+      (1L, 1L, Some(10L)), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Some(40L)),
+      (2L, 1L, None), (2L, 2L, Some(7L)), (2L, 3L, None)
+    ).toDF("key", "seq", "v")
+    val got = EventAnalytics.forwardFill(series,
+        Seq(col("key")), Seq(col("seq")), col("v"), as = "filled")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == Map(
+      (1L, 1L) -> Some(10L), (1L, 2L) -> Some(10L), (1L, 3L) -> Some(10L),
+      (1L, 4L) -> Some(40L),
+      (2L, 1L) -> None, (2L, 2L) -> Some(7L), (2L, 3L) -> Some(7L)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.forwardFill(series, Nil, Seq(col("seq")), col("v"), "f")
+    }
   }
 }
