@@ -310,4 +310,36 @@ class StreamOpsSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(firstG0 == batch1G0)
   }
+
+  test("streaming HLL recovers its register-array state from checkpoint across a restart") {
+    import spark.implicits._
+    val b1 = (1 to 300).map(i => StreamOps.KeyedItem("g", s"k${i % 200}"))
+    val b2 = (1 to 300).map(i => StreamOps.KeyedItem("g", s"k${i % 450}"))
+    val mem = MemoryStream[StreamOps.KeyedItem](spark, 1)
+    val out = StreamOps.hllDistinctStream(spark, mem.toDS(), p = 9,
+      idleTimeout = None)
+    val ckpt = java.nio.file.Files.createTempDirectory("hll-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("hll-out").toString
+    def startQuery() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = startQuery()
+    mem.addData(b1: _*)
+    q1.processAllAvailable()
+    q1.stop() // restart with b2 pending — registers must come back
+    mem.addData(b2: _*)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val last = spark.read.parquet(outDir).orderBy(col("n_items").desc)
+      .limit(1).collect()(0)
+    val batchEst = graft.ops.Sketches.hllDistinct(
+      (b1 ++ b2).toDF("group", "item"), "item").collect()(0).getDouble(0)
+    // recovered registers fold b2 on top of b1's state: estimate equals
+    // the batch sketch over BOTH batches (lost state would estimate
+    // only b2's keys)
+    assert(last.getLong(1) == 600L)
+    assert(last.getDouble(2) == batchEst,
+      s"stream=${last.getDouble(2)} batch=$batchEst")
+  }
 }
