@@ -105,9 +105,12 @@ object Sketches {
     val g = groupCols.map(col)
     regs
       .groupBy(g: _*)
+      // count(_M), not count(*): a null-register presence row (all-null
+      // group, hllDistinctByGroup) keeps its group alive without
+      // counting as a present register; the shiftleft sum skips it too
       .agg(
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rhoMax - _M AS INT))")).as("_sp"),
-        count(lit(1)).as("_v"))
+        count(col("_M")).as("_v"))
       .select(g ++ Seq(
         (coalesce(col("_sp"), lit(0L)) +
           (lit(m.toLong) - col("_v")) * lit(1L << rhoMax)).as("_s"),
@@ -146,11 +149,15 @@ object Sketches {
       .bitwiseAND(lit((1L << 52) - 1))
     val rho = when(col("_w") === 0L, lit(rhoMax))
       .otherwise(lit(rhoMax) - length(bin(col("_w"))))
-    // NULL keys are not values (the hllRegisters rule); a group whose
-    // keys are ALL null keeps no register rows and thus no output row —
-    // the same "no data, no group" semantics as COUNT(DISTINCT)
-    val regs = df.where(col(keyCol).isNotNull)
-      .select(col(groupCol), hp.as("_hp"))
+    // NULL keys are not values (the hllRegisters rule), but a group
+    // whose keys are ALL null must still appear with estimate 0 — the
+    // GROUP BY g + COUNT(DISTINCT k) contract (the group has rows, its
+    // distinct count is 0). Null keys therefore survive as a
+    // (group, null-register) presence row that estimateOver's
+    // count(_M) excludes from the register count.
+    val regs = df
+      .select(col(groupCol),
+        when(col(keyCol).isNotNull, hp).as("_hp"))
       .select(col(groupCol),
         col("_hp").bitwiseAND(lit((m - 1).toLong)).as("_reg"),
         shiftright(col("_hp"), p).as("_w"))
@@ -192,7 +199,10 @@ object Sketches {
     require(width >= 2 && width <= (1 << 26) && (width & (width - 1)) == 0,
       s"width must be a power of two in [2, 2^26], got $width")
     val (a, b0) = kmHalves(col(keyCol))
-    val counters = df.select(a.as("_a"), b0.as("_b0"))
+    // NULL keys are not values (the sketch-family rule): they would
+    // materialize depth (r, NULL) cells no probe can ever equi-join
+    val counters = df.where(col(keyCol).isNotNull)
+      .select(a.as("_a"), b0.as("_b0"))
       .select(col("_a"), col("_b0"),
         explode(sequence(lit(0), lit(depth - 1))).as("_r"))
       .select(col("_r"), cmCell(width).as("_b"))
@@ -303,7 +313,11 @@ object Sketches {
         .bitwiseAND(call_function("shiftleft", lit(1L),
           pos.bitwiseAND(lit(63L)).cast("int"))) =!= 0L
     }
-    keys.withColumn(as, checks.reduce(_ && _))
+    // coalesce: a NULL probe key hashes to NULL checks; NULL is never a
+    // member (the build-side rule), so the answer is a definite false —
+    // not SQL three-valued NULL, which would make NOT(might_contain)
+    // silently drop those rows
+    keys.withColumn(as, coalesce(checks.reduce(_ && _), lit(false)))
   }
 
   /** Exact percentile-disc over a DETERMINISTIC content-keyed reservoir:

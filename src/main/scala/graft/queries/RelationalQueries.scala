@@ -339,7 +339,7 @@ object RelationalQueries {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"),
           when(col("event_id") % 3 =!= 0,
-            round(col("value") * 100, 0).cast("long")).as("cents_sparse"))
+            Exact.cents(col("value"))).as("cents_sparse"))
       EventAnalytics.forwardFill(ev,
           Seq(col("user_id")), Seq(col("ts"), col("event_id")),
           col("cents_sparse"), as = "cents_filled")

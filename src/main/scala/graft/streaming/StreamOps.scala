@@ -290,7 +290,9 @@ object StreamOps {
             val prior = state.getOption.getOrElse(HllState(0L, new Array[Byte](m)))
             val regs = prior.regs.clone()
             var n = prior.n
-            rows.foreach { it =>
+            // null items are not values — the batch hllRegisters filter,
+            // replicated (they would NPE the hash and skew n_items)
+            rows.filter(_.item != null).foreach { it =>
               // identical arithmetic to hllRegisters: hp = low 52 bits of
               // the first little-endian md5 half; register = low p bits;
               // rho = rhoMax - bitlength of the remaining 52-p bits

@@ -106,17 +106,28 @@ class SketchesSpec extends SparkSpec {
     // (null,null) register row counted as present)
     val allNull = Seq.fill(10)(null.asInstanceOf[String]).toDF("k")
     assert(Sketches.hllDistinct(allNull, "k").collect()(0).getDouble(0) == 0.0)
-    // grouped: an all-null-key group has no row (COUNT DISTINCT semantics)
+    // grouped: an all-null-key group still APPEARS, with estimate 0 —
+    // the GROUP BY g + COUNT(DISTINCT k) contract (group has rows,
+    // distinct count is 0); mixed groups ignore their nulls
     val g = Seq(("a", "x"), ("a", null), ("b", null)).toDF("g", "k")
     val byG = Sketches.hllDistinctByGroup(g, "g", "k")
-      .collect().map(r => r.getString(0)).toSet
-    assert(byG == Set("a"))
-    // bloom: a null key neither crashes the probe densify nor matches
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byG.keySet == Set("a", "b"))
+    assert(byG("b") == 0.0)
+    assert(byG("a") == Sketches.hllDistinct(Seq("x").toDF("k"), "k")
+      .collect()(0).getDouble(0))
+    // bloom: a null key neither crashes the probe densify nor matches;
+    // a NULL probe key answers a definite false, never SQL NULL
     val f = Sketches.bloomBits(Seq("m1", null, "m2").toDF("k"), "k", 4, 1 << 12)
     val probe = Sketches.bloomMightContain(
-      Seq("m1", "m2", "zz").toDF("k"), f, "k")
-      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    assert(probe("m1") && probe("m2") && !probe("zz"))
+      Seq("m1", "m2", "zz", null).toDF("k"), f, "k")
+      .collect().map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    assert(probe(Some("m1")) && probe(Some("m2")) && !probe(Some("zz")))
+    assert(!probe(None), "null probe key must be definite false")
+    // count-min: null build keys materialize no unreachable cells
+    val cm = Sketches.countMinCounters(
+      Seq("a", null, "a").toDF("k"), "k", depth = 4, width = 256)
+    assert(cm.counters.where(col("_b").isNull).count() == 0L)
   }
 
   test("hllDistinctByGroup: each group's estimate equals a dedicated global sketch over its rows") {
