@@ -184,4 +184,54 @@ object Multimodal {
         least(lit(patch.toLong), col("width") - pcol * patch).as("p_width"),
         least(lit(patch.toLong), col("height") - prow * patch).as("p_height"))
   }
+
+  case class TarShard(shard: Long, n_samples: Long, payload_bytes: Long,
+      tar: Array[Byte])
+
+  /** WebDataset-style training shard export: samples are assigned to
+    * shards by the content-keyed deterministic shuffle
+    * ([[Sampling.shuffleShard]] — re-runs and engines agree on the
+    * layout) and each shard is assembled into ONE ustar archive blob
+    * with entries `<media_id>.bin` in shard order. Tar bytes are fully
+    * deterministic: fixed epoch mtime, default mode/uid, 512-byte
+    * block size (so the archive is exactly
+    * Σ(512 + ceil(size/512)·512) + 1024 bytes — an arithmetic fact the
+    * m08 oracle checks against the REAL archive's length without
+    * needing tar in SQL). The per-shard assembly runs in `mapGroups` —
+    * the opaque-codec seam, same rule as [[decode]] — and a shard's
+    * samples are buffered in memory to build its blob, so callers size
+    * `nShards` to the usual WebDataset contract (shards of ~100 MB–1 GB
+    * that fit an executor). */
+  def tarShards(spark: SparkSession, media: DataFrame,
+      nShards: Int): Dataset[TarShard] = {
+    import spark.implicits._
+    require(nShards > 0, "nShards must be positive")
+    val assigned = Sampling.shuffleShard(
+        media.select(col("media_id"), col("content"),
+          col("media_id").cast("string").as("_skey")),
+        idCol = "media_id", keyCol = "_skey", nShards = nShards)
+      .select(col("shard"), col("pos"), col("media_id"), col("content"))
+      .as[(Long, Long, Long, Array[Byte])]
+    assigned.groupByKey(_._1).mapGroups { (shard, it) =>
+      val entries = it.map { case (_, pos, id, bytes) => (pos, id, bytes) }
+        .toArray.sortBy(_._1) // mapGroups guarantees no intra-group order
+      val bos = new java.io.ByteArrayOutputStream()
+      val tar = new org.apache.commons.compress.archivers.tar
+        .TarArchiveOutputStream(bos, 512)
+      var payload = 0L
+      entries.foreach { case (_, id, bytes) =>
+        val e = new org.apache.commons.compress.archivers.tar
+          .TarArchiveEntry(s"$id.bin")
+        e.setSize(bytes.length.toLong)
+        e.setModTime(0L) // fixed epoch: bytes must not depend on wall clock
+        tar.putArchiveEntry(e)
+        tar.write(bytes)
+        tar.closeArchiveEntry()
+        payload += bytes.length
+      }
+      tar.finish()
+      tar.close()
+      TarShard(shard, entries.length.toLong, payload, bos.toByteArray)
+    }
+  }
 }

@@ -1599,6 +1599,40 @@ object DataOpsQueries {
            |FROM c JOIN a ON c.source = a.stratum
            |WHERE c.start < a.alloc GROUP BY 1""".stripMargin))
 
+  /** WebDataset-style shard export (ops/Multimodal.tarShards): the
+    * media table is cut into 8 deterministic shards and each becomes a
+    * REAL ustar blob. The oracle cannot build tar in SQL — instead it
+    * exploits that ustar is arithmetic: with 512-byte blocks the
+    * archive length is exactly Σ(512 + ceil(size/512)·512) + 1024, so
+    * DuckDB derives every shard's expected byte length from sample
+    * sizes alone and the hash match proves the real archives have
+    * exactly those lengths (round-trip content equality is spec'd in
+    * MultimodalSpec). */
+  val m08TarShards = NamedQuery(
+    "m08_tar_shards",
+    (s, dir) => {
+      Multimodal.tarShards(s,
+          Multimodal.asMediaTable(
+            Tables.documents(s, dir).where(col("text").isNotNull),
+            "doc_id", "text"),
+          nShards = 8)
+        .toDF()
+        .select(col("shard"), col("n_samples"), col("payload_bytes"),
+          octet_length(col("tar")).cast("long").as("tar_len"))
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST(octet_length(encode(text)) AS BIGINT) AS sz
+           |  FROM documents WHERE text IS NOT NULL),
+           |s AS (SELECT media_id, sz,
+           |             CAST(floor(CAST(md5_number_upper(CAST(media_id AS VARCHAR)) >> 11 AS DOUBLE)
+           |                        / 9007199254740992.0 * 8) AS BIGINT) AS shard
+           |      FROM m)
+           |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_samples,
+           |       CAST(SUM(sz) AS BIGINT) AS payload_bytes,
+           |       CAST(SUM(512 + (sz + 511) // 512 * 512) + 1024 AS BIGINT) AS tar_len
+           |FROM s GROUP BY shard""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1612,5 +1646,5 @@ object DataOpsQueries {
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,
-    m05AssembleRecords, m06PatchGrid, m07PerceptualNeardup)
+    m05AssembleRecords, m06PatchGrid, m07PerceptualNeardup, m08TarShards)
 }

@@ -126,4 +126,55 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(cands.contains((1L, 2L, 0L)), cands.mkString(","))
   }
+
+  test("tarShards: real ustar blobs round-trip every sample; bytes deterministic; length matches the block formula") {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val corpus = (1L to 40L).map(i => (i, "payload " * (i % 7).toInt + s"doc$i"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(corpus, "doc_id", "text")
+    val shards = Multimodal.tarShards(spark, media, nShards = 4).collect()
+    assert(shards.map(_.n_samples).sum == 40L)
+    // round-trip: every sample comes back byte-identical under its key
+    val recovered = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+    shards.foreach { sh =>
+      val in = new TarArchiveInputStream(
+        new java.io.ByteArrayInputStream(sh.tar))
+      var e = in.getNextEntry
+      var n = 0L
+      while (e != null) {
+        val id = e.getName.stripSuffix(".bin").toLong
+        recovered(id) = in.readAllBytes()
+        n += 1
+        e = in.getNextEntry
+      }
+      assert(n == sh.n_samples)
+      // ustar arithmetic: 512-byte header + ceil-padded data per entry,
+      // two zero blocks at the end (blockSize 512 — no extra padding)
+      val expectedLen = {
+        val sizes = {
+          val in2 = new TarArchiveInputStream(
+            new java.io.ByteArrayInputStream(sh.tar))
+          Iterator.continually(in2.getNextEntry).takeWhile(_ != null)
+            .map(_.getSize).toSeq
+        }
+        sizes.map(s => 512L + (s + 511) / 512 * 512).sum + 1024L
+      }
+      assert(sh.tar.length.toLong == expectedLen,
+        s"shard ${sh.shard}: ${sh.tar.length} != $expectedLen")
+    }
+    val original = corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    assert(recovered.size == 40)
+    recovered.foreach { case (id, bytes) =>
+      assert(java.util.Arrays.equals(bytes, original(id)), s"doc $id differs")
+    }
+    // determinism: identical input → identical archive bytes
+    val again = Multimodal.tarShards(spark, media, nShards = 4).collect()
+      .map(s => s.shard -> java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.tar).toSeq).toMap
+    shards.foreach { sh =>
+      assert(again(sh.shard) == java.security.MessageDigest
+        .getInstance("SHA-256").digest(sh.tar).toSeq)
+    }
+  }
 }
