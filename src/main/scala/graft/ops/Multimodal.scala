@@ -234,4 +234,26 @@ object Multimodal {
       TarShard(shard, entries.length.toLong, payload, bos.toByteArray)
     }
   }
+
+  case class TarSample(shard: Long, media_id: Long, content: Array[Byte])
+
+  /** The ingest side of [[tarShards]]: explode shard blobs back into
+    * (shard, media_id, content) samples — reading WebDataset-style
+    * archives INTO the pipeline. One narrow flatMap at the codec seam
+    * (a tar entry walk is sequential by format); entry keys recover the
+    * media ids. Together with [[tarShards]] this is the full round
+    * trip, and m09 proves it against SQL: samples extracted from the
+    * REAL archive bytes hash-match the table they were packed from. */
+  def untarSamples(spark: SparkSession,
+      shards: Dataset[TarShard]): Dataset[TarSample] = {
+    import spark.implicits._
+    shards.flatMap { sh =>
+      val in = new org.apache.commons.compress.archivers.tar
+        .TarArchiveInputStream(new java.io.ByteArrayInputStream(sh.tar))
+      Iterator.continually(in.getNextEntry).takeWhile(_ != null).map { e =>
+        TarSample(sh.shard, e.getName.stripSuffix(".bin").toLong,
+          in.readAllBytes())
+      }.toVector // the stream is consumed per entry; materialize before it closes
+    }
+  }
 }

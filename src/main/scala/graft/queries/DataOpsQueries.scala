@@ -1633,6 +1633,30 @@ object DataOpsQueries {
            |       CAST(SUM(512 + (sz + 511) // 512 * 512) + 1024 AS BIGINT) AS tar_len
            |FROM s GROUP BY shard""".stripMargin))
 
+  /** The full WebDataset round trip proven against SQL: documents →
+    * real ustar shard blobs → samples extracted BACK out of the archive
+    * bytes, each reduced to (media_id, n_bytes, sha256). The oracle
+    * computes the same triple straight from the documents table — a
+    * hash match means the packed-then-unpacked payloads are
+    * byte-identical to the source, through genuine tar bytes the
+    * oracle never sees. */
+  val m09TarRoundtrip = NamedQuery(
+    "m09_tar_roundtrip",
+    (s, dir) => {
+      val media = Multimodal.asMediaTable(
+        Tables.documents(s, dir).where(col("text").isNotNull),
+        "doc_id", "text")
+      Multimodal.untarSamples(s, Multimodal.tarShards(s, media, nShards = 8))
+        .toDF()
+        .select(col("media_id"),
+          octet_length(col("content")).cast("long").as("n_bytes"),
+          sha2(col("content"), 256).as("sha"))
+    },
+    Some("""SELECT doc_id AS media_id,
+           |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |       lower(sha256(text)) AS sha
+           |FROM documents WHERE text IS NOT NULL""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1646,5 +1670,6 @@ object DataOpsQueries {
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,
-    m05AssembleRecords, m06PatchGrid, m07PerceptualNeardup, m08TarShards)
+    m05AssembleRecords, m06PatchGrid, m07PerceptualNeardup, m08TarShards,
+    m09TarRoundtrip)
 }
