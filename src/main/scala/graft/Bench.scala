@@ -58,7 +58,8 @@ object Bench {
       "q29_sessionize", "d03_minhash_pairs", "d07_ann_lsh",
       "d08_embedding_neardup", "d09_dedup_resolve", "d10_ann_ivf",
       "d11_contamination", "d15_jaccard_verify", "d13_sequence_pack",
-      "t06_top_terms", "m02_media_decode", "d22_domain_kl")
+      "t06_top_terms", "m02_media_decode", "d22_domain_kl",
+      "q60_recursive_cte", "d29_bpe_train", "d30_bpe_encode")
     val headlineQs = results.filter { case (k, _) => headline.contains(k) }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(headlineQs)},"n_queries":${results.size},"sf":"$sfDir"}"""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""

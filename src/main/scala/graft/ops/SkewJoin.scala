@@ -42,4 +42,27 @@ object SkewJoin {
     df.withColumn("_salt", pmod(xxhash64(saltSource.map(col): _*), lit(factor)))
       .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
       .groupBy(col(key)).agg(sum("_partial").as("n"))
+
+  /** Skew DIAGNOSIS — the missing half of [[saltedInner]], which makes
+    * the caller pick `factor` blind: the top-`topK` heaviest keys with
+    * their share of the table (exact integer ppm) and the salt factor
+    * that would level each onto average-sized reducers,
+    * ceil(n_key / (n_total / numPartitions)) — "how many reducers of
+    * mean size does this key need". One hash-agg + a broadcast 1-row
+    * total + a windowless TakeOrdered rank; integer arithmetic end to
+    * end, so the report is an oracle-checkable operator, not a
+    * driver-side printout. */
+  def skewReport(df: DataFrame, key: String, topK: Int,
+      numPartitions: Int): DataFrame = {
+    require(topK > 0 && numPartitions > 0)
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("_total"))
+    Ranking.rankTop(counts, Seq(col("n").desc, col(key)), topK, "rank")
+      .crossJoin(broadcast(total))
+      .select(col(key), col("n"), col("rank"),
+        expr("n * 1000000 DIV _total").as("share_ppm"),
+        // ceil(n / (total/parts)) in exact integers:
+        // (n * parts + total - 1) DIV total
+        expr(s"(n * $numPartitions + _total - 1) DIV _total").as("suggested_salt"))
+  }
 }

@@ -996,7 +996,30 @@ object ExtendedQueries {
            |      FROM s)
            |SELECT o_orderpriority, c AS median_cents FROM r WHERE rn = (n + 1) // 2""".stripMargin))
 
+  /** Skew diagnosis report (ops/SkewJoin.skewReport): the 15 heaviest
+    * lineitem order keys with exact-ppm share and the salt factor that
+    * would level each across 32 mean-sized reducers — the measurement
+    * step q33's salted join needs to pick its factor. One hash-agg +
+    * broadcast total + windowless TakeOrdered rank, integer-exact. */
+  val q70SkewReport = NamedQuery(
+    "q70_skew_report",
+    (s, dir) => {
+      graft.ops.SkewJoin.skewReport(
+        Tables.lineitem(s, dir), "l_orderkey", topK = 15, numPartitions = 32)
+    },
+    Some("""WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+           |           FROM lineitem GROUP BY 1),
+           |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
+           |r AS (SELECT l_orderkey, n,
+           |             CAST(row_number() OVER (ORDER BY n DESC, l_orderkey) AS BIGINT) AS rank
+           |      FROM c)
+           |SELECT r.l_orderkey, r.n, r.rank,
+           |       n * 1000000 // total AS share_ppm,
+           |       (n * 32 + total - 1) // total AS suggested_salt
+           |FROM r CROSS JOIN t WHERE rank <= 15""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
+    q70SkewReport,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,

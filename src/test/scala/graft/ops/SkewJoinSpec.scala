@@ -51,4 +51,19 @@ class SkewJoinSpec extends SparkSpec {
     assert(math.abs(r.getLong(0) - 1000L) <= 50)        // HLL rsd default 5%
     assert(math.abs(r.getDouble(1) - 4999.5) <= 10.0)   // high-accuracy t-digest-ish
   }
+
+  test("skewReport ranks heavy keys with exact shares and mean-reducer salt factors") {
+    import spark.implicits._
+    // hot key: 600 of 1000 rows; two warm keys; 100 singletons
+    val rows = (Seq.fill(600)("hot") ++ Seq.fill(200)("warm1") ++
+      Seq.fill(100)("warm2") ++ (1 to 100).map(i => s"cold$i")).toDF("k")
+    val got = SkewJoin.skewReport(rows, "k", topK = 3, numPartitions = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // hot: 600/1000 = 600000 ppm; mean reducer = 100 rows -> salt 6
+    assert(got("hot") == ((600L, 1L, 600000L, 6L)))
+    assert(got("warm1") == ((200L, 2L, 200000L, 2L)))
+    // warm2 exactly fills one mean reducer -> salt 1 (no widening needed)
+    assert(got("warm2") == ((100L, 3L, 100000L, 1L)))
+  }
 }
