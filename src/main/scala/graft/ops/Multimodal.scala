@@ -189,32 +189,40 @@ object Multimodal {
       tar: Array[Byte])
 
   /** WebDataset-style training shard export: samples are assigned to
-    * shards by the content-keyed deterministic shuffle
-    * ([[Sampling.shuffleShard]] — re-runs and engines agree on the
-    * layout) and each shard is assembled into ONE ustar archive blob
-    * with entries `<media_id>.bin` in shard order. Tar bytes are fully
-    * deterministic: fixed epoch mtime, default mode/uid, 512-byte
-    * block size (so the archive is exactly
-    * Σ(512 + ceil(size/512)·512) + 1024 bytes — an arithmetic fact the
-    * m08 oracle checks against the REAL archive's length without
-    * needing tar in SQL). The per-shard assembly runs in `mapGroups` —
-    * the opaque-codec seam, same rule as [[decode]] — and a shard's
-    * samples are buffered in memory to build its blob, so callers size
-    * `nShards` to the usual WebDataset contract (shards of ~100 MB–1 GB
-    * that fit an executor). */
+    * shards by the ID-KEYED deterministic hash (u(media_id) — id-keyed
+    * on purpose: byte-identical payloads under different ids spread
+    * across shards instead of colliding into one, the balance caveat
+    * `Packing.layoutOffsets` documents) and each shard is assembled
+    * into ONE ustar archive blob with entries `<media_id>.bin` in the
+    * deterministic (u, id) shard order. Archive bytes are
+    * environment-independent: fixed epoch mtime, EMPTY user/group names
+    * (commons-compress otherwise embeds the JVM's `user.name` in every
+    * header — re-running as a different OS user would change the
+    * SHA-256 of identical shards), 512-byte block size, so the archive
+    * is exactly Σ(512 + ceil(size/512)·512) + 1024 bytes — an
+    * arithmetic fact the m08 oracle checks against the REAL archive's
+    * length without needing tar in SQL.
+    *
+    * Scale shape: shard and order key are NARROW projections, so the
+    * payload bytes move through exactly ONE exchange (the groupByKey) —
+    * the in-group sort happens on the buffered entries instead of a
+    * second window shuffle. A shard's samples are buffered to build its
+    * blob (the `mapGroups` codec seam, same rule as [[decode]]), so
+    * callers size `nShards` to the usual WebDataset contract (shards of
+    * ~100 MB–1 GB that fit an executor). */
   def tarShards(spark: SparkSession, media: DataFrame,
       nShards: Int): Dataset[TarShard] = {
     import spark.implicits._
     require(nShards > 0, "nShards must be positive")
-    val assigned = Sampling.shuffleShard(
-        media.select(col("media_id"), col("content"),
-          col("media_id").cast("string").as("_skey")),
-        idCol = "media_id", keyCol = "_skey", nShards = nShards)
-      .select(col("shard"), col("pos"), col("media_id"), col("content"))
-      .as[(Long, Long, Long, Array[Byte])]
-    assigned.groupByKey(_._1).mapGroups { (shard, it) =>
-      val entries = it.map { case (_, pos, id, bytes) => (pos, id, bytes) }
-        .toArray.sortBy(_._1) // mapGroups guarantees no intra-group order
+    val assigned = media.select(col("media_id"), col("content"),
+        Sampling.hashUniform(col("media_id").cast("string")).as("_u"))
+      .withColumn("_shard", floor(col("_u") * nShards).cast("long"))
+      .as[(Long, Array[Byte], Double, Long)]
+    assigned.groupByKey(_._4).mapGroups { (shard, it) =>
+      // same total order as shuffleShard's (u, id) rank, sorted on the
+      // buffered group (mapGroups guarantees no intra-group order)
+      val entries = it.map { case (id, bytes, u, _) => (u, id, bytes) }
+        .toArray.sortBy(e => (e._1, e._2))
       val bos = new java.io.ByteArrayOutputStream()
       val tar = new org.apache.commons.compress.archivers.tar
         .TarArchiveOutputStream(bos, 512)
@@ -224,6 +232,8 @@ object Multimodal {
           .TarArchiveEntry(s"$id.bin")
         e.setSize(bytes.length.toLong)
         e.setModTime(0L) // fixed epoch: bytes must not depend on wall clock
+        e.setUserName("") // not the JVM user.name: bytes must not depend on env
+        e.setGroupName("")
         tar.putArchiveEntry(e)
         tar.write(bytes)
         tar.closeArchiveEntry()
@@ -235,15 +245,17 @@ object Multimodal {
     }
   }
 
-  case class TarSample(shard: Long, media_id: Long, content: Array[Byte])
+  case class TarSample(shard: Long, key: String, content: Array[Byte])
 
   /** The ingest side of [[tarShards]]: explode shard blobs back into
-    * (shard, media_id, content) samples — reading WebDataset-style
-    * archives INTO the pipeline. One narrow flatMap at the codec seam
-    * (a tar entry walk is sequential by format); entry keys recover the
-    * media ids. Together with [[tarShards]] this is the full round
-    * trip, and m09 proves it against SQL: samples extracted from the
-    * REAL archive bytes hash-match the table they were packed from. */
+    * (shard, key, content) samples — reading WebDataset-style archives
+    * INTO the pipeline. `key` is the entry name with its LAST extension
+    * stripped (the WebDataset sample-key convention: `000123.jpg` →
+    * `000123`, `a.tar.idx` → `a.tar`), kept as a STRING so shards from
+    * other producers — whose keys need not be numeric — ingest without
+    * throwing; [[tarShards]] output keys are the decimal media ids and
+    * cast back losslessly (m09). One narrow flatMap at the codec seam
+    * (a tar entry walk is sequential by format). */
   def untarSamples(spark: SparkSession,
       shards: Dataset[TarShard]): Dataset[TarSample] = {
     import spark.implicits._
@@ -251,8 +263,10 @@ object Multimodal {
       val in = new org.apache.commons.compress.archivers.tar
         .TarArchiveInputStream(new java.io.ByteArrayInputStream(sh.tar))
       Iterator.continually(in.getNextEntry).takeWhile(_ != null).map { e =>
-        TarSample(sh.shard, e.getName.stripSuffix(".bin").toLong,
-          in.readAllBytes())
+        val name = e.getName
+        val dot = name.lastIndexOf('.')
+        val key = if (dot > 0) name.substring(0, dot) else name
+        TarSample(sh.shard, key, in.readAllBytes())
       }.toVector // the stream is consumed per entry; materialize before it closes
     }
   }

@@ -56,6 +56,11 @@ object SkewJoin {
       numPartitions: Int): DataFrame = {
     require(topK > 0 && numPartitions > 0)
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    // total via a SECOND direct scan, deliberately: it reads zero
+    // columns (parquet count-star touches row-group metadata only),
+    // whereas summing `counts` would re-execute the groupBy shuffle —
+    // Catalyst guarantees no exchange reuse across aggregate branches
+    // (the pmiScores/t06 lesson)
     val total = df.agg(count(lit(1)).as("_total"))
     Ranking.rankTop(counts, Seq(col("n").desc, col(key)), topK, "rank")
       .crossJoin(broadcast(total))

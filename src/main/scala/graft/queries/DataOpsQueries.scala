@@ -1648,7 +1648,7 @@ object DataOpsQueries {
         "doc_id", "text")
       Multimodal.untarSamples(s, Multimodal.tarShards(s, media, nShards = 8))
         .toDF()
-        .select(col("media_id"),
+        .select(col("key").cast("long").as("media_id"),
           octet_length(col("content")).cast("long").as("n_bytes"),
           sha2(col("content"), 256).as("sha"))
     },

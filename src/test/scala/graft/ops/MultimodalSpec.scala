@@ -144,6 +144,9 @@ class MultimodalSpec extends SparkSpec {
       while (e != null) {
         val id = e.getName.stripSuffix(".bin").toLong
         recovered(id) = in.readAllBytes()
+        // deterministic headers: no environment leakage into the bytes
+        assert(e.asInstanceOf[org.apache.commons.compress.archivers.tar.TarArchiveEntry]
+          .getUserName == "", s"user.name leaked into ${e.getName}'s header")
         n += 1
         e = in.getNextEntry
       }
@@ -176,5 +179,25 @@ class MultimodalSpec extends SparkSpec {
       assert(again(sh.shard) == java.security.MessageDigest
         .getInstance("SHA-256").digest(sh.tar).toSeq)
     }
+  }
+
+  test("untarSamples tolerates foreign WebDataset keys (non-numeric, multi-dot, no extension)") {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val bos = new java.io.ByteArrayOutputStream()
+    val tar = new TarArchiveOutputStream(bos, 512)
+    for ((name, payload) <- Seq("sample.json" -> "{}", "a.tar.idx" -> "ix", "noext" -> "n")) {
+      val e = new TarArchiveEntry(name)
+      e.setSize(payload.length.toLong)
+      tar.putArchiveEntry(e)
+      tar.write(payload.getBytes("UTF-8"))
+      tar.closeArchiveEntry()
+    }
+    tar.finish(); tar.close()
+    val foreign = spark.createDataset(
+      Seq(Multimodal.TarShard(0L, 3L, 5L, bos.toByteArray)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.TarShard])
+    val got = Multimodal.untarSamples(spark, foreign)
+      .collect().map(s => s.key -> new String(s.content, "UTF-8")).toMap
+    assert(got == Map("sample" -> "{}", "a.tar" -> "ix", "noext" -> "n"))
   }
 }
