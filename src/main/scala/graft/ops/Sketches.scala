@@ -231,6 +231,32 @@ object Sketches {
       .agg(min(coalesce(col("_n"), lit(0L))).as("est_n"))
   }
 
+  /** Equi-join SIZE estimation from two count-min sketches — the
+    * pre-flight cardinality check a planner (or an engineer deciding
+    * whether a join is runnable at all) wants BEFORE shuffling
+    * anything: |A ⋈ B| = Σ_k n_A(k)·n_B(k) is estimated by the
+    * count-min inner product, min over depth rows of Σ_cell
+    * n_a(r,c)·n_b(r,c) — one-sided (est ≥ true, collisions only ever
+    * add) and exact-integer, so it is oracle-checkable. Cost: a join of
+    * two depth×width-bounded counter tables — input-size-free. Both
+    * sketches must share (depth, width); a depth row with no
+    * overlapping cells contributes inner product 0 (the spine join —
+    * dropping it would silently skip the best row). Products and sums
+    * are longs: valid while |A|·|B| < 2⁶³ (≈9·10¹⁸ — beyond that, cast
+    * the counters to decimal(38,0) on both engines). */
+  def countMinJoinSize(a: CountMinSketch, b: CountMinSketch,
+      as: String = "est_join_rows"): DataFrame = {
+    require(a.depth == b.depth && a.width == b.width,
+      s"sketch shapes differ: ${(a.depth, a.width)} vs ${(b.depth, b.width)}")
+    val spark = a.counters.sparkSession
+    val ips = a.counters.withColumnRenamed("_n", "_na")
+      .join(b.counters.withColumnRenamed("_n", "_nb"), Seq("_r", "_b"))
+      .groupBy(col("_r")).agg(sum(col("_na") * col("_nb")).as("_ip"))
+    spark.range(a.depth).select(col("id").cast("int").as("_r"))
+      .join(ips, Seq("_r"), "left")
+      .agg(min(coalesce(col("_ip"), lit(0L))).as(as))
+  }
+
   /** A built Bloom filter: the sparse SET-BIT table (`_bit` long — one
     * row per set bit, ≤ numBits rows regardless of input size) plus the
     * parameters it was built with, so probing with mismatched hash

@@ -1018,8 +1018,56 @@ object ExtendedQueries {
            |       (n * 32 + total - 1) // total AS suggested_salt
            |FROM r CROSS JOIN t WHERE rank <= 15""".stripMargin))
 
+  /** Join-size estimation WITHOUT running the join
+    * (ops/Sketches.countMinJoinSize): |orders ⋈ lineitem| from two
+    * depth-4 × 4096 count-min sketches via the inner-product estimator
+    * — min over depth rows of Σ n_a·n_b, one-sided (est ≥ true), exact
+    * integers. The exact join size rides along (computed from per-key
+    * counts, never the join itself) so the overestimate factor is
+    * visible. The sketch-side cost is input-size-free: two bounded
+    * counter tables joined on (row, cell). */
+  val q71JoinSizeEst = NamedQuery(
+    "q71_join_size_est",
+    (s, dir) => {
+      import graft.ops.Sketches
+      val o = Sketches.countMinCounters(
+        Tables.orders(s, dir), "o_orderkey", depth = 4, width = 4096)
+      val l = Sketches.countMinCounters(
+        Tables.lineitem(s, dir), "l_orderkey", depth = 4, width = 4096)
+      val exact = Tables.orders(s, dir)
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("_no"))
+        .join(Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("_nl")),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(sum(col("_no") * col("_nl")).as("exact_join_rows"))
+      Sketches.countMinJoinSize(o, l).crossJoin(exact)
+    },
+    Some("""WITH ho AS (
+           |  SELECT md5_number_upper(CAST(o_orderkey AS VARCHAR)) & 67108863 AS a,
+           |         (md5_number_upper(CAST(o_orderkey AS VARCHAR)) >> 26) & 67108863 AS b0
+           |  FROM orders),
+           |co AS (SELECT r.r, (a + r.r * b0) & 4095 AS b, CAST(COUNT(*) AS BIGINT) AS na
+           |       FROM ho CROSS JOIN generate_series(0, 3) r(r) GROUP BY 1, 2),
+           |hl AS (
+           |  SELECT md5_number_upper(CAST(l_orderkey AS VARCHAR)) & 67108863 AS a,
+           |         (md5_number_upper(CAST(l_orderkey AS VARCHAR)) >> 26) & 67108863 AS b0
+           |  FROM lineitem),
+           |cl AS (SELECT r.r, (a + r.r * b0) & 4095 AS b, CAST(COUNT(*) AS BIGINT) AS nb
+           |       FROM hl CROSS JOIN generate_series(0, 3) r(r) GROUP BY 1, 2),
+           |ip AS (SELECT s.r, COALESCE(SUM(na * nb), 0) AS ip
+           |       FROM generate_series(0, 3) s(r)
+           |       LEFT JOIN (SELECT co.r, co.b, na, nb FROM co JOIN cl USING (r, b)) j
+           |         ON j.r = s.r
+           |       GROUP BY 1),
+           |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip),
+           |ex AS (SELECT CAST(SUM(no.n * nl.n) AS BIGINT) AS exact_join_rows
+           |       FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1) no
+           |       JOIN (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1) nl
+           |         ON no.o_orderkey = nl.l_orderkey)
+           |SELECT est.est_join_rows, ex.exact_join_rows FROM est, ex""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
-    q70SkewReport,
+    q70SkewReport, q71JoinSizeEst,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,

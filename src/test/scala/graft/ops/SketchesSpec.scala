@@ -161,6 +161,27 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("countMinJoinSize: one-sided (est >= true join size), exact when collision-free, shape mismatch rejected") {
+    // 50 keys on A (1 row each), 30 overlapping keys on B with 2 rows
+    // each -> true join size = 30 * 1 * 2 = 60
+    val a = (1 to 50).map(i => s"k$i").toDF("k")
+    val b = (21 to 50).flatMap(i => Seq(s"k$i", s"k$i")).toDF("k")
+    val sa = Sketches.countMinCounters(a, "k", depth = 4, width = 4096)
+    val sb = Sketches.countMinCounters(b, "k", depth = 4, width = 4096)
+    val est = Sketches.countMinJoinSize(sa, sb).collect()(0).getLong(0)
+    assert(est >= 60L, s"one-sided guarantee violated: $est < 60")
+    // at width 4096 with 50 keys, collisions are overwhelmingly absent
+    assert(est == 60L, s"expected collision-free exactness, got $est")
+    // disjoint key sets: inner product 0 (the spine row keeps min at 0)
+    val c = Sketches.countMinCounters(
+      (1 to 20).map(i => s"zz$i").toDF("k"), "k", depth = 4, width = 4096)
+    assert(Sketches.countMinJoinSize(sa, c).collect()(0).getLong(0) == 0L)
+    intercept[IllegalArgumentException] {
+      Sketches.countMinJoinSize(sa,
+        Sketches.countMinCounters(b, "k", depth = 4, width = 1024))
+    }
+  }
+
   test("bloom: no false negatives ever; false-positive rate within the analytic bound") {
     val members = (1 to 500).map(i => s"m$i")
     val f = Sketches.bloomBits(members.toDF("k"), "k",
