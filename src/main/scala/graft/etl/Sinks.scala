@@ -83,7 +83,12 @@ object Sinks {
       s"could not publish $replacement -> $target")
     catch {
       case e: Throwable =>
-        if (hadTarget && !fs.exists(target)) fs.rename(old, target)
+        // a FAILED restore must not be silent: the previous data would
+        // sit stranded under `old` while the exception implies it was
+        // put back — surface it on the original error
+        if (hadTarget && !fs.exists(target) && !fs.rename(old, target))
+          e.addSuppressed(new RuntimeException(
+            s"rollback rename $old -> $target also failed — previous data stranded at $old"))
         throw e
     }
     delete(fs, old)

@@ -340,10 +340,16 @@ object Dedup {
   /** Banded Hamming near-dup candidates over ANY 64-bit fingerprint
     * table (doc, fp) — the shared engine under text simhash (d04) and
     * media perceptual-hash (m07) dedup: bucket by 16-bit bands (one
-    * shuffle, never all-pairs — a pair within Hamming ≤ 16 of a 4-band
-    * split shares at least one intact band by pigeonhole), verify with
-    * exact Hamming distance. `maxBucketSize` caps the in-bucket join
-    * (see capBuckets); callers audit drops via their overflow twin. */
+    * shuffle, never all-pairs), verify with exact Hamming distance.
+    * RECALL contract: pigeonhole only GUARANTEES a shared intact band
+    * for Hamming ≤ 3 (bands − 1); pairs up to `maxHamming` are found
+    * iff their differing bits cluster so that some band stays intact —
+    * the standard banded-LSH recall/cost trade (near-dups concentrate
+    * differences, which is why the heuristic works; an adversarial
+    * 4-bit spread across all 4 bands is invisible). Callers needing
+    * guaranteed recall at higher radii add rotated/multi-probe band
+    * sets. `maxBucketSize` caps the in-bucket join (see capBuckets);
+    * callers audit drops via their overflow twin. */
   def fingerprintCandidates(fps: DataFrame,
       maxHamming: Int = 16, maxBucketSize: Int = 10000): DataFrame = {
     val banded = capBuckets(bandedFp(fps), Seq("band", "bucket"), maxBucketSize)

@@ -262,12 +262,17 @@ object Multimodal {
     shards.flatMap { sh =>
       val in = new org.apache.commons.compress.archivers.tar
         .TarArchiveInputStream(new java.io.ByteArrayInputStream(sh.tar))
-      Iterator.continually(in.getNextEntry).takeWhile(_ != null).map { e =>
-        val name = e.getName
-        val dot = name.lastIndexOf('.')
-        val key = if (dot > 0) name.substring(0, dot) else name
-        TarSample(sh.shard, key, in.readAllBytes())
-      }.toVector // the stream is consumed per entry; materialize before it closes
+      Iterator.continually(in.getNextEntry).takeWhile(_ != null)
+        // regular files only: a foreign archive's directory entries (and
+        // any special entries the stream surfaces) are structure, not
+        // samples — without the filter they'd become empty bogus rows
+        .filter(_.isFile)
+        .map { e =>
+          val name = e.getName
+          val dot = name.lastIndexOf('.')
+          val key = if (dot > 0) name.substring(0, dot) else name
+          TarSample(sh.shard, key, in.readAllBytes())
+        }.toVector // the stream is consumed per entry; materialize before it closes
     }
   }
 }

@@ -128,8 +128,11 @@ object Sampling {
         concat(col(idCol).cast("string"), lit(":"), i.cast("string"))),
       lit(11))
     val pri = array_max(transform(sequence(lit(1L), w), draw))
+    // null ids are unsampleable (the family NULL rule): their draws
+    // would be NULL priorities, and desc's NULLS-LAST still admits them
+    // when fewer than k real rows exist
     Ranking.rankTop(
-      df.where(w >= 1L).withColumn("_pri", pri),
+      df.where(col(idCol).isNotNull && w >= 1L).withColumn("_pri", pri),
       Seq(col("_pri").desc, col(idCol)), k, "_rk")
       .drop("_rk")
   }
@@ -154,7 +157,11 @@ object Sampling {
       lit(fractions.last._1): Column) {
       case (((name, _), cut), acc) => when(u < lit(cut), lit(name)).otherwise(acc)
     }
-    df.withColumn(as, expr)
+    // a NULL key has no identity to split on — without the filter every
+    // when() is NULL-false and the fold's final otherwise() would dump
+    // ALL null-key rows deterministically into the LAST declared split,
+    // silently contaminating the held-out set (the family NULL rule)
+    df.where(col(keyCol).isNotNull).withColumn(as, expr)
   }
 
   /** Budgeted corpus assembly — [[mixtureWeights]] actually ENFORCED:

@@ -34,7 +34,18 @@ object Sketches {
     * identical across engines. Present registers always carry _M ≥ 1
     * (w = 0 maps to rhoMax, any other w to ≥ 1), so "empty" is exactly
     * "absent from the table". */
-  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 9): HllSketch = {
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 9): HllSketch =
+    HllSketch(registerTable(df, keyCol, p, Nil), p)
+
+  /** The ONE implementation of the hash → register → rho build,
+    * generalized over grouping (the estimate-side twin is
+    * [[estimateOver]]). NULL-key policy: globally, null keys are not
+    * values and are filtered (COUNT DISTINCT semantics — a (null, null)
+    * register row would count as present); per group, they survive as a
+    * (group, null-register) PRESENCE row so an all-null-key group still
+    * reports estimate 0 rather than vanishing. */
+  private def registerTable(df: DataFrame, keyCol: String, p: Int,
+      groupCols: Seq[String]): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
     val rhoMax = 53 - p
@@ -43,15 +54,16 @@ object Sketches {
       .bitwiseAND(lit((1L << 52) - 1))
     val rho = when(col("_w") === 0L, lit(rhoMax))
       .otherwise(lit(rhoMax) - length(bin(col("_w"))))
-    // COUNT DISTINCT semantics: NULL keys are not values — without the
-    // filter md5Upper(NULL) yields a (null, null) register row that
-    // hllEstimate's register count would treat as one present register
-    val regs = df.where(col(keyCol).isNotNull).select(hp.as("_hp"))
-      .select(col("_hp").bitwiseAND(lit((m - 1).toLong)).as("_reg"),
-        shiftright(col("_hp"), p).as("_w"))
-      .select(col("_reg"), rho.as("_rho"))
-      .groupBy(col("_reg")).agg(max(col("_rho")).as("_M"))
-    HllSketch(regs, p)
+    val g = groupCols.map(col)
+    val base =
+      if (groupCols.isEmpty) df.where(col(keyCol).isNotNull).select(hp.as("_hp"))
+      else df.select(g :+ when(col(keyCol).isNotNull, hp).as("_hp"): _*)
+    base
+      .select(g ++ Seq(
+        col("_hp").bitwiseAND(lit((m - 1).toLong)).as("_reg"),
+        shiftright(col("_hp"), p).as("_w")): _*)
+      .select(g ++ Seq(col("_reg"), rho.as("_rho")): _*)
+      .groupBy(g :+ col("_reg"): _*).agg(max(col("_rho")).as("_M"))
   }
 
   /** Union of sketches: register-wise MAX. The HLL merge law —
@@ -140,31 +152,9 @@ object Sketches {
     * [[hllDistinct]] over that group's rows would produce, and partial
     * register tables remain mergeable per group by register-wise MAX. */
   def hllDistinctByGroup(df: DataFrame, groupCol: String, keyCol: String,
-      p: Int = 9, as: String = "hll_est"): DataFrame = {
-    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val m = 1 << p
-    val rhoMax = 53 - p
-    val hp = graft.functions.TextHashExpressions
-      .md5Upper(col(keyCol).cast("string"))
-      .bitwiseAND(lit((1L << 52) - 1))
-    val rho = when(col("_w") === 0L, lit(rhoMax))
-      .otherwise(lit(rhoMax) - length(bin(col("_w"))))
-    // NULL keys are not values (the hllRegisters rule), but a group
-    // whose keys are ALL null must still appear with estimate 0 — the
-    // GROUP BY g + COUNT(DISTINCT k) contract (the group has rows, its
-    // distinct count is 0). Null keys therefore survive as a
-    // (group, null-register) presence row that estimateOver's
-    // count(_M) excludes from the register count.
-    val regs = df
-      .select(col(groupCol),
-        when(col(keyCol).isNotNull, hp).as("_hp"))
-      .select(col(groupCol),
-        col("_hp").bitwiseAND(lit((m - 1).toLong)).as("_reg"),
-        shiftright(col("_hp"), p).as("_w"))
-      .select(col(groupCol), col("_reg"), rho.as("_rho"))
-      .groupBy(col(groupCol), col("_reg")).agg(max(col("_rho")).as("_M"))
-    estimateOver(regs, Seq(groupCol), p, as)
-  }
+      p: Int = 9, as: String = "hll_est"): DataFrame =
+    estimateOver(registerTable(df, keyCol, p, Seq(groupCol)),
+      Seq(groupCol), p, as)
 
   /** Count-min cell for hash row `r`: the Kirsch–Mitzenmacher
     * construction (a + r·b) & (width−1) with a, b the two 26-bit halves

@@ -1520,12 +1520,16 @@ object DataOpsQueries {
     "d34_corpus_diff",
     (s, dir) => {
       val v1 = Tables.documents(s, dir)
+      // clone ids mirror to the NEGATIVE range (-id - 1): collision with
+      // a real non-negative doc_id is impossible at ANY scale factor —
+      // an additive offset would silently collide once ids exceed it,
+      // fanning out corpusDiff's full-outer join on both engines at once
       val v2 = v1.where(col("doc_id") % 13 =!= 0)
         .withColumn("text",
           when(col("doc_id") % 7 === 0 && col("text").isNotNull,
             concat(col("text"), lit(" v2changed"))).otherwise(col("text")))
         .unionByName(v1.where(col("doc_id") % 17 === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
+          .withColumn("doc_id", -col("doc_id") - 1L))
       Dedup.corpusDiff(v1, v2, "doc_id", "text")
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1537,7 +1541,7 @@ object DataOpsQueries {
            |              THEN text || ' v2changed' ELSE text END AS text
            |  FROM documents WHERE doc_id % 13 <> 0
            |  UNION ALL
-           |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0),
+           |  SELECT -doc_id - 1, text FROM documents WHERE doc_id % 17 = 0),
            |a AS (SELECT doc_id AS id,
            |             COALESCE(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '-') AS fp,
            |             COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS tok

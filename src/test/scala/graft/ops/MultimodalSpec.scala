@@ -185,6 +185,10 @@ class MultimodalSpec extends SparkSpec {
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
     val bos = new java.io.ByteArrayOutputStream()
     val tar = new TarArchiveOutputStream(bos, 512)
+    // a directory entry is archive structure, not a sample — must be skipped
+    val dir = new TarArchiveEntry("images/")
+    tar.putArchiveEntry(dir)
+    tar.closeArchiveEntry()
     for ((name, payload) <- Seq("sample.json" -> "{}", "a.tar.idx" -> "ix", "noext" -> "n")) {
       val e = new TarArchiveEntry(name)
       e.setSize(payload.length.toLong)

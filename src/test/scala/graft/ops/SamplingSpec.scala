@@ -115,6 +115,13 @@ class SamplingSpec extends SparkSpec {
     val nz = Sampling.weightedSample(withNull, "doc_id", col("w"), k = 100)
       .select("doc_id").as[Long].collect()
     assert(nz.length == 10 && nz.forall(_ >= 390))
+    // NULL id = excluded even when that leaves fewer than k rows
+    // (a null id's draws are NULL priorities, admitted by limit otherwise)
+    val withNullId = docs.withColumn("w", lit(2L))
+      .withColumn("id2", when(col("doc_id") >= 395, col("doc_id")))
+    val ni = Sampling.weightedSample(withNullId, "id2", col("w"), k = 100)
+      .select("id2").as[Long].collect()
+    assert(ni.length == 5 && ni.forall(_ >= 395))
   }
 
   test("weightedSample: equal weights reduce to the unweighted content-keyed top-k") {
@@ -146,6 +153,14 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
     }
+    // NULL keys have no identity to split on — they are excluded, never
+    // silently dumped into the last declared split (test-set poisoning)
+    val withNullKey = docs.withColumn("k2",
+      when(col("doc_id") < 10, lit(null).cast("long")).otherwise(col("doc_id")))
+    val ns = Sampling.assignSplit(withNullKey, "k2",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(ns.count() == 390)
+    assert(ns.where(col("k2").isNull).count() == 0)
   }
 
   test("budgetedAssembly: each stratum covers its allocation, boundary doc kept, deterministic") {
