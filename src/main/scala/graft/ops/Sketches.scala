@@ -358,7 +358,21 @@ object Sketches {
     * ≤cap rows per group. Same tieKey-uniqueness precondition as
     * [[sampledMedian]]. */
   def sampledMedianByGroup(df: DataFrame, groupCol: String, value: Column,
-      tieKey: Column, cap: Int, as: String): DataFrame = {
+      tieKey: Column, cap: Int, as: String): DataFrame =
+    sampledPercentileByGroup(df, groupCol, value, tieKey, cap, 0.5, as)
+
+  /** [[sampledMedianByGroup]] at any percentile: PERCENTILE_DISC(pct)
+    * over each group's deterministic reservoir — position ceil(pct·n)
+    * in (value, tieKey) order, the SQL discrete-percentile contract
+    * (pct 0.5 ⟹ ceil(n/2) == (n+1) DIV 2, exactly the median form this
+    * generalizes). Same plan shape and tieKey-uniqueness precondition.
+    * Determinism caveat: use pct values exactly representable in binary
+    * (k/2^m — 0.5, 0.25, 0.75, …); for others, pct·n can round across
+    * an integer boundary and shift the picked position by one between
+    * engines that evaluate ceil differently. */
+  def sampledPercentileByGroup(df: DataFrame, groupCol: String, value: Column,
+      tieKey: Column, cap: Int, pct: Double, as: String): DataFrame = {
+    require(pct > 0.0 && pct <= 1.0, s"pct must be in (0,1], got $pct")
     import org.apache.spark.sql.expressions.Window
     val wCap = Window.partitionBy(col("_g")).orderBy(col("_k"))
     df.select(col(groupCol).as("_g"), value.as("_c"), md5(tieKey).as("_k"))
@@ -367,7 +381,7 @@ object Sketches {
       .groupBy(col("_g"))
       .agg(sort_array(collect_list(struct(col("_c"), col("_k")))).as("_arr"))
       .select(col("_g").as(groupCol), element_at(col("_arr"),
-        ((size(col("_arr")) + 1) / lit(2)).cast("int")).getField("_c").as(as))
+        ceil(size(col("_arr")) * lit(pct)).cast("int")).getField("_c").as(as))
   }
 
   def sampledMedian(df: DataFrame, value: Column, tieKey: Column,

@@ -129,7 +129,11 @@ class MultimodalSpec extends SparkSpec {
 
   test("tarShards: real ustar blobs round-trip every sample; bytes deterministic; length matches the block formula") {
     import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
-    val corpus = (1L to 40L).map(i => (i, "payload " * (i % 7).toInt + s"doc$i"))
+    // includes the ustar boundary cases: an EMPTY payload (header-only
+    // entry, zero data blocks) and an exactly-512-byte payload (one
+    // data block, no padding)
+    val corpus = ((1L to 38L).map(i => (i, "payload " * (i % 7).toInt + s"doc$i"))
+      :+ (39L, "") :+ (40L, "x" * 512))
       .toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(corpus, "doc_id", "text")
     val shards = Multimodal.tarShards(spark, media, nShards = 4).collect()

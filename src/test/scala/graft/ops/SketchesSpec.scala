@@ -147,6 +147,18 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(est - truth(g)) / truth(g) < 0.15, s"$g est=$est true=${truth(g)}")
   }
 
+  test("sampledPercentileByGroup: p25/p75 bracket the median; pct bounds enforced") {
+    val rows = (1 to 300).map(i => ("g", (i % 100).toLong, s"id$i")).toDF("g", "v", "id")
+    def pctOf(p: Double) = Sketches.sampledPercentileByGroup(
+      rows, "g", col("v"), col("id"), cap = 1000, pct = p, as = "q")
+      .collect()(0).getLong(1)
+    val (p25, p50, p75) = (pctOf(0.25), pctOf(0.5), pctOf(0.75))
+    assert(p25 <= p50 && p50 <= p75, s"$p25 / $p50 / $p75")
+    // cap covers all rows -> exact percentile-disc of 0..99 (each x3)
+    assert(p25 == 24L && p50 == 49L && p75 == 74L, s"$p25 / $p50 / $p75")
+    intercept[IllegalArgumentException] { pctOf(0.0) }
+  }
+
   test("sampledMedianByGroup: each group's median equals a dedicated global reservoir over its rows") {
     val rows = (1 to 900).map(i => (s"g${i % 3}", (i * 37 % 1000).toLong, s"id$i"))
       .toDF("g", "v", "id")
