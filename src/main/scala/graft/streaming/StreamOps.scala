@@ -314,6 +314,74 @@ object StreamOps {
       }
   }
 
+  final case class BloomState(nSeen: Long, words: Array[Long])
+  final case class DedupVerdict(group: String, item: String, kept: Boolean)
+
+  /** Streaming dedup with CONSTANT state — the approximate counterpart
+    * of [[dedupStream]], whose exact state grows with distinct keys
+    * (watermark-bounded, but a key universe that never repeats within
+    * the watermark still accumulates until expiry). Here each group
+    * keeps a fixed numBits-bit Bloom bitmap: an arriving item is kept
+    * iff not all of its k positions are set, then its positions are
+    * set. One-sided like the batch filter: a kept row is GENUINELY
+    * first-seen within the group (no false drops of duplicates —
+    * duplicates always hit their own bits); a novel row can be
+    * spuriously dropped at the filter's false-positive rate as the
+    * bitmap fills — the knob is numBits, state is numBits/8 bytes per
+    * group forever. Hash positions replicate
+    * ops/Sketches.bloomBits' Kirsch–Mitzenmacher construction (same
+    * md5 halves), so a batch-built filter and the stream agree on
+    * membership bit for bit. */
+  def bloomDedupStream(spark: SparkSession, items: Dataset[KeyedItem],
+      numHashes: Int = 4, numBits: Int = 1 << 16,
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[DedupVerdict] = {
+    import spark.implicits._
+    require(numHashes >= 1 && numHashes <= 8,
+      s"numHashes must be in [1,8], got $numHashes")
+    require(numBits >= 64 && numBits <= (1 << 22) && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two in [64, 2^22], got $numBits")
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    items.groupByKey(_.group)
+      .flatMapGroupsWithState[BloomState, DedupVerdict](
+        OutputMode.Append, timeoutConf) {
+        (group: String, rows: Iterator[KeyedItem], state: GroupState[BloomState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption
+              .getOrElse(BloomState(0L, new Array[Long](numBits / 64)))
+            val words = prior.words.clone()
+            var n = prior.nSeen
+            val mask26 = (1L << 26) - 1
+            val out = rows.filter(_.item != null).map { it =>
+              // Sketches.kmHalves / cmCell, replicated: position_r =
+              // (a + r·b) & (numBits−1) from one md5 per item
+              val h = graft.functions.Md5Mix.halves(
+                org.apache.spark.unsafe.types.UTF8String.fromString(it.item))(0)
+              val a = h & mask26
+              val b = (h >>> 26) & mask26
+              var r = 0
+              var allSet = true
+              while (r < numHashes) {
+                val pos = (a + r * b) & (numBits - 1)
+                val w = (pos >> 6).toInt
+                val bit = 1L << (pos & 63)
+                if ((words(w) & bit) == 0L) { allSet = false; words(w) |= bit }
+                r += 1
+              }
+              n += 1
+              DedupVerdict(group, it.item, kept = !allSet)
+            }.toVector
+            state.update(BloomState(n, words))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** hllEstimate's exact-integer arithmetic on a dense register array —
     * register value 0 means "never touched" (present registers always
     * carry rho >= 1, the hllRegisters invariant), the Σ2^−M sum is an

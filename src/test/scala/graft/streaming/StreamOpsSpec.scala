@@ -311,6 +311,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(firstG0 == batch1G0)
   }
 
+  test("bloom dedup stream: duplicates always drop (across batches), novel items pass at low fill") {
+    import spark.implicits._
+    val mem = MemoryStream[StreamOps.KeyedItem](spark, 1)
+    val out = StreamOps.bloomDedupStream(spark, mem.toDS(),
+      numHashes = 4, numBits = 1 << 16, idleTimeout = None)
+    val q = out.writeStream.format("memory").queryName("bloomdedup_t")
+      .outputMode("append").start()
+    // batch 1: 200 novel + 100 in-batch duplicates
+    mem.addData(((1 to 200) ++ (1 to 100)).map(i => StreamOps.KeyedItem("g", s"k$i")): _*)
+    q.processAllAvailable()
+    // batch 2: 100 cross-batch duplicates + 100 novel
+    mem.addData(((1 to 100) ++ (201 to 300)).map(i => StreamOps.KeyedItem("g", s"k$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("bloomdedup_t")
+      .collect().map(r => (r.getString(1), r.getBoolean(2)))
+    assert(rows.length == 500)
+    val keptPerItem = rows.groupBy(_._1).view.mapValues(_.count(_._2)).toMap
+    // one-sided: an item is NEVER kept twice (duplicates hit their own bits)
+    assert(keptPerItem.values.forall(_ <= 1), "an item was kept twice")
+    // at 300 distinct / 65536 bits the false-positive rate is ~1e-9:
+    // every distinct item's first occurrence must have been kept
+    assert(keptPerItem.size == 300 && keptPerItem.values.forall(_ == 1),
+      s"${keptPerItem.count(_._2 == 0)} novel items spuriously dropped")
+    // agreement with the batch-built filter: stream-seen items are
+    // members of Sketches.bloomBits over the same keys, bit for bit
+    val f = graft.ops.Sketches.bloomBits(
+      (1 to 300).map(i => s"k$i").toDF("k"), "k", 4, 1 << 16)
+    val miss = graft.ops.Sketches.bloomMightContain(
+      (1 to 300).map(i => s"k$i").toDF("k"), f, "k")
+      .where(!col("might_contain")).count()
+    assert(miss == 0L)
+  }
+
   test("streaming HLL recovers its register-array state from checkpoint across a restart") {
     import spark.implicits._
     val b1 = (1 to 300).map(i => StreamOps.KeyedItem("g", s"k${i % 200}"))
