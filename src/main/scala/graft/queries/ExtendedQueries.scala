@@ -1066,8 +1066,61 @@ object ExtendedQueries {
            |         ON no.o_orderkey = nl.l_orderkey)
            |SELECT est.est_join_rows, ex.exact_join_rows FROM est, ex""".stripMargin))
 
+  /** GROUPED heavy hitters from ONE count-min sketch — the composite-
+    * key pattern: sketching `group:key` folds the group into the hash,
+    * so a single depth×width counter table serves every group's
+    * frequency queries (no per-group sketch state, no new operator).
+    * Top-5 true heavy hitters per lineitem return flag ride along via
+    * a rank-partitioned window (plans as WindowGroupLimit), and each
+    * probe estimate keeps the one-sided est ≥ true guarantee. */
+  val q72HeavyByGroup = NamedQuery(
+    "q72_heavy_by_group",
+    (s, dir) => {
+      import graft.ops.Sketches
+      val li = Tables.lineitem(s, dir)
+        .withColumn("_ck", concat_ws(":", col("l_returnflag"), col("l_partkey")))
+      val sketch = Sketches.countMinCounters(li, "_ck", depth = 4, width = 4096)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("true_n").desc, col("l_partkey"))
+      val top = li.groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(count(lit(1)).as("true_n"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .withColumn("_ck", concat_ws(":", col("l_returnflag"), col("l_partkey")))
+      Sketches.countMinEstimate(top, sketch, "_ck")
+        .select(col("l_returnflag"), col("l_partkey"), col("true_n"),
+          col("rank").cast("long").as("rank"), col("est_n"))
+    },
+    Some("""WITH ck AS (
+           |  SELECT l_returnflag, l_partkey,
+           |         l_returnflag || ':' || CAST(l_partkey AS VARCHAR) AS k
+           |  FROM lineitem),
+           |h AS (SELECT k, md5_number_upper(k) & 67108863 AS a,
+           |             (md5_number_upper(k) >> 26) & 67108863 AS b0
+           |      FROM ck),
+           |counters AS (
+           |  SELECT r.r, (a + r.r * b0) & 4095 AS b, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM h CROSS JOIN generate_series(0, 3) r(r) GROUP BY 1, 2),
+           |top AS (
+           |  SELECT l_returnflag, l_partkey, true_n, rank
+           |  FROM (SELECT l_returnflag, l_partkey, CAST(COUNT(*) AS BIGINT) AS true_n,
+           |               CAST(row_number() OVER (PARTITION BY l_returnflag
+           |                    ORDER BY COUNT(*) DESC, l_partkey) AS BIGINT) AS rank
+           |        FROM lineitem GROUP BY 1, 2)
+           |  WHERE rank <= 5),
+           |probe AS (
+           |  SELECT t.l_returnflag, t.l_partkey, t.true_n, t.rank, r.r,
+           |         ((md5_number_upper(t.l_returnflag || ':' || CAST(t.l_partkey AS VARCHAR)) & 67108863)
+           |          + r.r * ((md5_number_upper(t.l_returnflag || ':' || CAST(t.l_partkey AS VARCHAR)) >> 26) & 67108863)) & 4095 AS b
+           |  FROM top t CROSS JOIN generate_series(0, 3) r(r))
+           |SELECT p.l_returnflag, p.l_partkey, p.true_n, p.rank,
+           |       CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est_n
+           |FROM probe p LEFT JOIN counters c ON p.r = c.r AND p.b = c.b
+           |GROUP BY 1, 2, 3, 4""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
-    q70SkewReport, q71JoinSizeEst,
+    q70SkewReport, q71JoinSizeEst, q72HeavyByGroup,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
