@@ -366,13 +366,16 @@ object Sketches {
     * in (value, tieKey) order, the SQL discrete-percentile contract
     * (pct 0.5 ⟹ ceil(n/2) == (n+1) DIV 2, exactly the median form this
     * generalizes). Same plan shape and tieKey-uniqueness precondition.
-    * Determinism caveat: use pct values exactly representable in binary
-    * (k/2^m — 0.5, 0.25, 0.75, …); for others, pct·n can round across
-    * an integer boundary and shift the picked position by one between
-    * engines that evaluate ceil differently. */
+    * `pct` is interpreted at MICRO precision (rounded to 1e-6) and the
+    * position is computed in exact integer arithmetic,
+    * (n·pct_micro + 999999) DIV 10⁶ — a double ceil(n·pct) is off by
+    * one whenever n·pct rounds up across an integer (pct 0.07, n 100 →
+    * 7.000000000000001 → 8), within one engine, not just across two. */
   def sampledPercentileByGroup(df: DataFrame, groupCol: String, value: Column,
       tieKey: Column, cap: Int, pct: Double, as: String): DataFrame = {
     require(pct > 0.0 && pct <= 1.0, s"pct must be in (0,1], got $pct")
+    val pctMicro = math.round(pct * 1e6)
+    require(pctMicro >= 1, s"pct must be >= 1e-6, got $pct")
     import org.apache.spark.sql.expressions.Window
     val wCap = Window.partitionBy(col("_g")).orderBy(col("_k"))
     df.select(col(groupCol).as("_g"), value.as("_c"), md5(tieKey).as("_k"))
@@ -381,7 +384,8 @@ object Sketches {
       .groupBy(col("_g"))
       .agg(sort_array(collect_list(struct(col("_c"), col("_k")))).as("_arr"))
       .select(col("_g").as(groupCol), element_at(col("_arr"),
-        ceil(size(col("_arr")) * lit(pct)).cast("int")).getField("_c").as(as))
+        expr(s"CAST((size(_arr) * ${pctMicro}L + 999999) DIV 1000000 AS INT)"))
+        .getField("_c").as(as))
   }
 
   def sampledMedian(df: DataFrame, value: Column, tieKey: Column,

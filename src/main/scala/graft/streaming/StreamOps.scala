@@ -314,7 +314,7 @@ object StreamOps {
       }
   }
 
-  final case class BloomState(nSeen: Long, words: Array[Long])
+  final case class BloomState(words: Array[Long])
   final case class DedupVerdict(group: String, item: String, kept: Boolean)
 
   /** Streaming dedup with CONSTANT state — the approximate counterpart
@@ -352,9 +352,8 @@ object StreamOps {
             Iterator.empty
           } else {
             val prior = state.getOption
-              .getOrElse(BloomState(0L, new Array[Long](numBits / 64)))
+              .getOrElse(BloomState(new Array[Long](numBits / 64)))
             val words = prior.words.clone()
-            var n = prior.nSeen
             val mask26 = (1L << 26) - 1
             val out = rows.filter(_.item != null).map { it =>
               // Sketches.kmHalves / cmCell, replicated: position_r =
@@ -372,11 +371,16 @@ object StreamOps {
                 if ((words(w) & bit) == 0L) { allSet = false; words(w) |= bit }
                 r += 1
               }
-              n += 1
               DedupVerdict(group, it.item, kept = !allSet)
             }.toVector
-            state.update(BloomState(n, words))
-            idleTimeout.foreach(state.setTimeoutDuration)
+            // a batch of only-null items is NOT activity: writing state
+            // for it would allocate a permanent numBits/8-byte bitmap
+            // per junk group (this file's unbounded-keys rule), and it
+            // must not refresh the idle timeout either
+            if (out.nonEmpty) {
+              state.update(BloomState(words))
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
             out.iterator
           }
       }

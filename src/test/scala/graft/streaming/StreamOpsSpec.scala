@@ -331,18 +331,53 @@ class StreamOpsSpec extends SparkSpec {
     val keptPerItem = rows.groupBy(_._1).view.mapValues(_.count(_._2)).toMap
     // one-sided: an item is NEVER kept twice (duplicates hit their own bits)
     assert(keptPerItem.values.forall(_ <= 1), "an item was kept twice")
-    // at 300 distinct / 65536 bits the false-positive rate is ~1e-9:
-    // every distinct item's first occurrence must have been kept
+    // at 300 distinct / 65536 bits / k=4 the per-item fp rate is ~1e-7
+    // (~7e-6 across the run): every first occurrence must have been kept
     assert(keptPerItem.size == 300 && keptPerItem.values.forall(_ == 1),
       s"${keptPerItem.count(_._2 == 0)} novel items spuriously dropped")
-    // agreement with the batch-built filter: stream-seen items are
-    // members of Sketches.bloomBits over the same keys, bit for bit
-    val f = graft.ops.Sketches.bloomBits(
-      (1 to 300).map(i => s"k$i").toDF("k"), "k", 4, 1 << 16)
-    val miss = graft.ops.Sketches.bloomMightContain(
-      (1 to 300).map(i => s"k$i").toDF("k"), f, "k")
-      .where(!col("might_contain")).count()
-    assert(miss == 0L)
+  }
+
+  test("bloom dedup stream verdicts are bit-compatible with the batch-built filter") {
+    import spark.implicits._
+    // Wave 1 seeds the stream bitmap; wave 2 probes it. Wave-2 items
+    // mutate the bitmap as they process (every item sets its bits), so
+    // per-item equality against a fixed filter is order-dependent —
+    // instead assert the order-independent SANDWICH that pins the hash
+    // replication from both sides:
+    //   kept(i)    ⟹ NOT member of bloomBits(wave1)         (lower bound)
+    //   dropped(i) ⟹     member of bloomBits(wave1 ∪ wave2) (upper bound)
+    // A drifted stream hash breaks one of the two with high probability
+    // at this deliberately small bitmap (4k bits, real collisions).
+    val wave1 = (1 to 400).map(i => s"seed$i")
+    val wave2 = (1 to 400).map(i => s"probe$i")
+    val mem = MemoryStream[StreamOps.KeyedItem](spark, 1)
+    val out = StreamOps.bloomDedupStream(spark, mem.toDS(),
+      numHashes = 4, numBits = 1 << 12, idleTimeout = None)
+    val q = out.writeStream.format("memory").queryName("bloomcompat_t")
+      .outputMode("append").start()
+    mem.addData(wave1.map(k => StreamOps.KeyedItem("g", k)): _*)
+    q.processAllAvailable()
+    mem.addData(wave2.map(k => StreamOps.KeyedItem("g", k)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamKept = spark.table("bloomcompat_t")
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    def membership(keys: Seq[String]) = {
+      val f = graft.ops.Sketches.bloomBits(keys.toDF("k"), "k", 4, 1 << 12)
+      graft.ops.Sketches.bloomMightContain(wave2.toDF("k"), f, "k")
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    }
+    val memberW1 = membership(wave1)
+    val memberAll = membership(wave1 ++ wave2)
+    wave2.foreach { k =>
+      if (streamKept(k))
+        assert(!memberW1(k), s"$k kept by stream but member of the wave-1 filter")
+      else
+        assert(memberAll(k), s"$k dropped by stream but not even in the full filter")
+    }
+    // the bounds only bite if collisions actually happened
+    assert(memberW1.values.count(identity) > 0,
+      "no false positives generated — bitmap too large to exercise agreement")
   }
 
   test("streaming HLL recovers its register-array state from checkpoint across a restart") {
