@@ -36,6 +36,13 @@ object Bench {
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val run1 = ordered.map { case (n, fn) => n -> timeOnce(fn) }.toMap
+    // Cache hygiene between the two timed sweeps: a query that leaked a
+    // plan-keyed cache entry in run 1 would otherwise serve run 1's data
+    // to run 2's identical analyzed plan, and the reported min would be
+    // a warm-cache number rather than steady state. The ops own their
+    // lifetimes (checkpoint-based, no registry entries) — this is the
+    // defensive backstop so a future leak can't flatter the bench.
+    spark.catalog.clearCache()
     val results = ordered.map { case (n, fn) => n -> merge(run1(n), timeOnce(fn)) }
     val failed = results.filter(_._2 < 0).map(_._1)
     if (failed.nonEmpty)

@@ -32,10 +32,10 @@ object SparkEntry {
     * oracle unrolls as CTEs (Similarity.ivfTopKPortable); and m02/m03's
     * stub decode is byte-length-deterministic, so even the mapPartitions
     * plumbing is oracle-checked.
-    * Exactly one query is rows-only, engine-specific by construction,
-    * with the property a SQL oracle can't state asserted in unit tests
-    * instead:
-    *   - q37: approx sketches (HLL / approx-percentile) — estimates are
-    *     engine-defined; error bound asserted in spec. */
+    * EVERY registered query carries an oracle — none is rows-only. The
+    * one historical exception (q37, engine-native approx sketches whose
+    * estimates are engine-defined) was retired in round 7 in favor of
+    * its portable twin q59; the native approx_count_distinct /
+    * approx_percentile error bounds stay asserted in SkewJoinSpec. */
   def oracleSql: Map[String, String] = NamedQuery.oracles(inventory)
 }

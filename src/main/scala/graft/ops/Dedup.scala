@@ -431,9 +431,19 @@ object Dedup {
         s"dupClusters did not converge in $maxIter rounds — a component has " +
           s"diameter > $maxIter; raise maxIter or pass strict = false")
     }
-    // the final generation stays cached (callers typically consume it at
-    // once); unpersist() it to release — lineage is preserved
-    labels
+    // Managed lifetime (the verifyJaccardManaged pattern): the final
+    // labels — one row per doc that appears in a candidate pair, the
+    // SMALL end of the funnel — are materialized once via eager
+    // localCheckpoint, then EVERY generation's cache entry is released.
+    // No cache-registry entry survives the call: a bench-style second
+    // run cannot silently hit run 1's cached labels (which would report
+    // a warm-cache number as steady state), and a long multi-query
+    // session doesn't pin executor memory. The checkpoint blocks are
+    // owned by the returned frame's lineage and reclaimed by the
+    // ContextCleaner when the caller drops it.
+    val out = labels.localCheckpoint()
+    if (cached != null) cached.unpersist()
+    out
   }
 
   /** End-to-end minhash dedup: signatures → LSH candidates → clusters →

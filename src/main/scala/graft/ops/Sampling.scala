@@ -144,18 +144,34 @@ object Sampling {
     * everything on every rebuild). `fractions` are (name, fraction)
     * in declared order and must sum to 1 within 1e-9; the final bucket
     * absorbs u up to 1.0 exactly. Pure narrow when-chain — zero
-    * shuffle, composable under every other op here. */
+    * shuffle, composable under every other op here.
+    *
+    * Boundary determinism: the cut is compared in INTEGER space — the
+    * raw 53-bit hash against floor(cum_micros · 2^53 / 10^6), where
+    * cum_micros is the exact long sum of round(fraction · 10^6). A
+    * double scanLeft would yield 0.8 + 0.1 = 0.9000000000000001, and
+    * the one representable u per boundary ulp would classify
+    * differently from an oracle comparing against literal 0.9 —
+    * integer thresholds make the boundary bit-identical on every
+    * engine (the float-free-keys rule applied to split cuts). */
   def assignSplit(df: DataFrame, keyCol: String,
       fractions: Seq[(String, Double)], as: String = "split"): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),
       "fractions must be positive")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
-    val u = hashUniform(col(keyCol).cast("string")) // long keys hash as their decimal string
-    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-    val expr = fractions.init.zip(cuts.init).foldRight(
+    // raw 53-bit hash (the numerator of hashUniform, before the /2^53)
+    val h = call_function("shiftrightunsigned",
+      graft.functions.TextHashExpressions.md5Upper(col(keyCol).cast("string")),
+      lit(11)) // long keys hash as their decimal string
+    val cutMicros = fractions
+      .map { case (_, f) => math.round(f * 1e6) }
+      .scanLeft(0L)(_ + _).tail
+    val thresholds = cutMicros.map(m =>
+      ((BigInt(m) << 53) / 1000000).toLong) // floor division, exact in BigInt
+    val expr = fractions.init.zip(thresholds.init).foldRight(
       lit(fractions.last._1): Column) {
-      case (((name, _), cut), acc) => when(u < lit(cut), lit(name)).otherwise(acc)
+      case (((name, _), cut), acc) => when(h < lit(cut), lit(name)).otherwise(acc)
     }
     // a NULL key has no identity to split on — without the filter every
     // when() is NULL-false and the fold's final otherwise() would dump
@@ -200,18 +216,22 @@ object Sampling {
     * Float determinism: sqrt(n_tokens) is quantized to integer MICROS
     * (round ×1e6 → long) so the normalizing total is an exact integer
     * sum, and share = w_micro/total is one IEEE division of longs.
-    * The whole-frame window SUM runs over the per-stratum aggregate —
-    * #strata rows, not corpus rows — so the single-task frame is
-    * scale-safe by construction. */
+    * The normalizing total is a broadcast one-row aggregate joined back
+    * (the PMI/zipf pattern, TextAnalysis) — NOT a whole-frame window:
+    * an unpartitioned WindowExec would be harmless here (#strata rows)
+    * but would fire Spark's single-partition warning on every run,
+    * burying any REAL single-partition regression in noise. The two
+    * plan branches share the per-stratum exchange (ReuseExchange), so
+    * the corpus is still scanned once. */
   def mixtureWeights(df: DataFrame, stratumCol: String, textCol: String,
       budgetTokens: Long): DataFrame = {
-    val wAll = Window.partitionBy()
-    df.groupBy(col(stratumCol).as("stratum"))
+    val strata = df.groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
       .withColumn("w_micro",
         round(sqrt(col("n_tokens").cast("double")) * 1e6, 0).cast("long"))
-      .withColumn("total_micro", sum(col("w_micro")).over(wAll))
+    val total = strata.agg(sum(col("w_micro")).as("total_micro"))
+    strata.crossJoin(broadcast(total))
       .select(col("stratum"), col("n_docs"), col("n_tokens"), col("w_micro"),
         (col("w_micro").cast("double") / col("total_micro")).as("share"),
         round((col("w_micro").cast("double") / col("total_micro")) * budgetTokens, 0)

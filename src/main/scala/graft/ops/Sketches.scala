@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * 100 TB pipeline substitutes for exact forms, built on the repo's md5
   * hash chain so a second engine (the DuckDB oracle) reproduces every
   * estimate bit for bit, unlike the engine-private hashes inside
-  * approx_count_distinct / approx_percentile (q37). Shared design rules:
+  * approx_count_distinct / approx_percentile. Shared design rules:
   * all register/counter arithmetic is exact integers (order-free sums),
   * floats appear only in the final one-or-two IEEE ops, and results are
   * rounded 6 (the repo-wide ulp contract).
@@ -307,7 +307,8 @@ object Sketches {
     * (1−e^{−kn/m})^k).
     *
     * The probe is a PURE NARROW projection — zero shuffle, zero join:
-    * the bit table (≤ numBits/64 longs ≈ 64 KB by the build bound) is
+    * the bit table (≤ numBits/64 longs, ≤ 512 KB at the 2^22-bit
+    * build bound — same contract as bloomBits) is
     * collected once into a dense bitmap array literal — the d10
     * centroid-literal pattern, constant driver state — and each of the
     * k positions is tested with element_at + bitwise AND inside

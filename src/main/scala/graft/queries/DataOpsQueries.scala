@@ -81,11 +81,13 @@ object DataOpsQueries {
             |bands AS (
             |  SELECT doc_id, b AS band,
             |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
-            |  FROM sig CROSS JOIN generate_series(0, 3) bb(b))
+            |  FROM sig CROSS JOIN generate_series(0, 3) bb(b)),
+            |bc AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 10000)
             |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
             |       CAST(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 16 AS est_jaccard
             |FROM bands a JOIN bands b
-            |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin))
+            |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            |JOIN bc ON a.band = bc.band AND a.bucket = bc.bucket""".stripMargin))
 
   /** SimHash fingerprints — oracle-checked (portable md5 chain: the
     * per-token hash is md5_number_upper, bit votes reassembled to a
@@ -182,11 +184,10 @@ object DataOpsQueries {
     * engine-portable (see srpCodesCte), and the cosine re-rank is exact
     * integer arithmetic + IEEE division.
     *
-    * Cap assumption: the oracle does NOT model lshBucketed's
-    * maxBucketSize guard (default 10000) — it holds only while no
-    * (table, code) bucket exceeds the cap at the verification SF
-    * (6-bit codes × sf0.1's 20k vectors ≪ cap; audit with
-    * Similarity.nearDupBucketOverflow if the dial or SF changes). */
+    * lshBucketed's maxBucketSize guard is ENCODED in the oracle: the
+    * `kept` CTE drops over-cap (table, code) DATA buckets exactly as
+    * capTableBuckets does (the query side is deliberately uncapped on
+    * both engines), so the hash match holds on any corpus. */
   val d07AnnLsh = NamedQuery(
     "d07_ann_lsh",
     (s, dir) => {
@@ -198,10 +199,12 @@ object DataOpsQueries {
         emb.where(col("vec_id") < 5), "vec_id", k = 5, nPlanes = 6)
     },
     Some(s"""WITH $srpCodesCte,
+            |kept AS (SELECT t, code FROM codes GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
             |cand AS (
             |  SELECT DISTINCT qc.vec_id AS query_id, dc.vec_id AS data_id
             |  FROM codes qc JOIN codes dc ON qc.t = dc.t
             |    AND bit_count(xor(qc.code, dc.code)) <= 1
+            |  JOIN kept ON dc.t = kept.t AND dc.code = kept.code
             |  WHERE qc.vec_id < 5 AND dc.vec_id <> qc.vec_id),
             |scored AS (
             |  SELECT query_id, data_id,
@@ -216,11 +219,10 @@ object DataOpsQueries {
 
   /** Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
     * cosine verify) — the vector-space member of the dedup family.
-    * Oracle-checked via the same portable SRP codes as d07.
-    * Same cap assumption as d07: the oracle keeps what an over-cap
-    * bucket would drop; holds while every (table, code) bucket stays
-    * under maxBucketSize at verification SFs (audit with
-    * nearDupBucketOverflow). */
+    * Oracle-checked via the same portable SRP codes as d07; the
+    * maxBucketSize cap is ENCODED in the oracle (the `kept` CTE drops
+    * over-cap (table, code) buckets exactly as capTableBuckets does),
+    * so the hash match holds on any corpus, capped buckets or not. */
   val d08EmbeddingNeardup = NamedQuery(
     "d08_embedding_neardup",
     (s, dir) => {
@@ -230,10 +232,13 @@ object DataOpsQueries {
         minCosine = 0.3, nPlanes = 6)
     },
     Some(s"""WITH $srpCodesCte,
+            |kept AS (SELECT t, code FROM codes GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
             |cand AS (
             |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
             |  FROM codes a JOIN codes b ON a.t = b.t AND a.vec_id < b.vec_id
-            |    AND bit_count(xor(a.code, b.code)) <= 1)
+            |    AND bit_count(xor(a.code, b.code)) <= 1
+            |  JOIN kept ka ON a.t = ka.t AND a.code = ka.code
+            |  JOIN kept kb ON b.t = kb.t AND b.code = kb.code)
             |SELECT id_a, id_b,
             |       list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) AS cos_sim
             |FROM cand JOIN n na ON na.vec_id = id_a
@@ -589,11 +594,9 @@ object DataOpsQueries {
     * pipeline — true n-gram Jaccard recomputed ONLY for the LSH candidate
     * pairs (work ∝ candidates, never n²; see Dedup.verifyJaccard).
     * Fully oracle-checked: candidate generation replays the d03 band
-    * join, verification is integer set arithmetic + one IEEE division.
-    * Cap assumption (as d07/d08): the oracle's band join is uncapped;
-    * valid while no (band, bucket) exceeds minhashCandidates'
-    * maxBucketSize at the verification SF (audit:
-    * Dedup.minhashBucketOverflow). */
+    * join — INCLUDING the maxBucketSize cap (the `bc` CTE drops over-cap
+    * (band, bucket) buckets exactly as capBuckets does) — and
+    * verification is integer set arithmetic + one IEEE division. */
   val d15JaccardVerify = NamedQuery(
     "d15_jaccard_verify",
     (s, dir) => {
@@ -609,10 +612,12 @@ object DataOpsQueries {
             |  SELECT doc_id, b AS band,
             |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket
             |  FROM sig CROSS JOIN generate_series(0, 3) bb(b)),
+            |bc AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
             |cand AS (
             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             |  FROM bands a JOIN bands b
-            |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            |  JOIN bc ON a.band = bc.band AND a.bucket = bc.bucket),
             |gd AS (SELECT doc_id, list_distinct(list_transform(
             |         generate_series(1, len(toks) - 2),
             |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
@@ -1069,9 +1074,8 @@ object DataOpsQueries {
     * candidate machinery (Dedup.fingerprintCandidates). Oracle-checked
     * end to end because the stub decode is byte-deterministic and the
     * fingerprint is the portable md5 simhash chain (the d04 SQL, over
-    * blocks instead of tokens). Cap assumption as d03/d04: the oracle's
-    * band join is uncapped — valid while no (band, bucket) exceeds
-    * maxBucketSize at the verification SF. */
+    * blocks instead of tokens); the band join carries the maxBucketSize
+    * cap in its `bc` CTE, mirroring capBuckets. */
   val m07PerceptualNeardup = NamedQuery(
     "m07_perceptual_neardup",
     (s, dir) => {
@@ -1096,11 +1100,13 @@ object DataOpsQueries {
            |              CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS fp
            |       FROM fp0),
            |bands AS (SELECT media_id, fp, b, (fp >> (b * 16)) & 65535 AS bucket
-           |          FROM fp CROSS JOIN generate_series(0, 3) bb(b))
+           |          FROM fp CROSS JOIN generate_series(0, 3) bb(b)),
+           |bc AS (SELECT b, bucket FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 10000)
            |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
            |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
            |FROM bands a JOIN bands b
            |  ON a.b = b.b AND a.bucket = b.bucket AND a.media_id < b.media_id
+           |JOIN bc ON a.b = bc.b AND a.bucket = bc.bucket
            |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin))
 
   /** C4-style cross-document chunk dedup (8-token disjoint chunks,
@@ -1122,9 +1128,10 @@ object DataOpsQueries {
            |x AS (SELECT doc_id, chunk_idx,
            |             md5(array_to_string(toks[chunk_idx*8+1 : chunk_idx*8+8], ' ')) AS h
            |      FROM c),
+           |g AS (SELECT h FROM x GROUP BY h HAVING COUNT(*) <= 100000),
            |r AS (SELECT doc_id, chunk_idx,
            |             row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rk
-           |      FROM x)
+           |      FROM x JOIN g USING (h))
            |SELECT doc_id, COUNT(*) AS n_chunks,
            |       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            |       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
@@ -1465,7 +1472,12 @@ object DataOpsQueries {
     * of the content-keyed uniform): a document's split never changes as
     * the corpus grows — the property that keeps held-out sets
     * uncontaminated across dataset versions. Narrow when-chain + one
-    * (split, lang) hash-agg. */
+    * (split, lang) hash-agg. The oracle's literal thresholds are the
+    * same integers assignSplit computes: floor(800000·2^53/10^6) =
+    * 7205759403792793 and floor(900000·2^53/10^6) = 8106479329266892 —
+    * both engines compare the raw 53-bit hash in integer space, so the
+    * boundary ulp cannot classify differently (no accumulated-double
+    * cuts anywhere). */
   val d32SplitAssign = NamedQuery(
     "d32_split_assign",
     (s, dir) => {
@@ -1478,11 +1490,10 @@ object DataOpsQueries {
     },
     Some("""WITH u AS (
            |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-           |         CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 11 AS DOUBLE)
-           |           / 9007199254740992.0 AS u
+           |         CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 11 AS BIGINT) AS h
            |  FROM documents WHERE text IS NOT NULL)
-           |SELECT CASE WHEN u < 0.8 THEN 'train'
-           |            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+           |SELECT CASE WHEN h < 7205759403792793 THEN 'train'
+           |            WHEN h < 8106479329266892 THEN 'val' ELSE 'test' END AS split,
            |       lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
            |FROM u GROUP BY 1, 2""".stripMargin))

@@ -135,26 +135,16 @@ object ExtendedQueries {
     Some("""SELECT o_orderkey, o_totalprice FROM orders
            |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)""".stripMargin))
 
-  /** Approximate sketches (HLL count-distinct, t-digest-style quantile):
-    * the 100 TB substitutes for their exact forms. Estimates are
-    * engine-specific → rows-only check; the UNIT test asserts the
-    * estimate lands within the documented error bound of the exact
-    * answer. */
-  val q37ApproxSketch = NamedQuery(
-    "q37_approx_sketch",
-    (s, dir) => {
-      Tables.lineitem(s, dir).agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_median"),
-        count(lit(1)).as("n"))
-    },
-    None)
-
-  /** Engine-PORTABLE approximate sketches — the oracle-checkable twin
-    * of q37: the same estimator class (HLL count-distinct, quantile
-    * from a bounded sample) built on content-addressed md5 derivations
-    * instead of engine-private hashes, so a second engine reproduces
-    * the estimates bit for bit.
+  /** Engine-PORTABLE approximate sketches — the oracle-checkable form
+    * of the approx-sketch operator: the same estimator class (HLL
+    * count-distinct, quantile from a bounded sample) built on
+    * content-addressed md5 derivations instead of engine-private
+    * hashes, so a second engine reproduces the estimates bit for bit.
+    * (An engine-native twin on approx_count_distinct/approx_percentile
+    * was registered as q37 through round 6; being engine-defined it
+    * could only ever be rows-only-checked, so it was retired in favor
+    * of this query — the native functions' error bounds stay asserted
+    * in SkewJoinSpec, and the registry stays 100% oracle-checked.)
     *
     * HLL: p=9 (512 registers); row hash = the lower 52 bits of the
     * first little-endian md5 half (DuckDB md5_number_upper — the same
@@ -928,8 +918,8 @@ object ExtendedQueries {
            |      FROM b GROUP BY 1, 2),
            |agg AS (SELECT event_type,
            |               CAST(SUM(1::BIGINT << CAST(44 - M AS INT)) AS BIGINT)
-           |                 + (512 - COUNT(*)) * 17592186044416 AS s,
-           |               512 - COUNT(*) AS zeros
+           |                 + (512 - COUNT(M)) * 17592186044416 AS s,
+           |               512 - COUNT(M) AS zeros
            |        FROM r GROUP BY 1),
            |est AS (SELECT event_type,
            |               round(CASE WHEN (0.7213 / (1 + 1.079 / 512.0)) * 512 * 512 * 17592186044416.0 / s <= 1280.0
@@ -1122,7 +1112,7 @@ object ExtendedQueries {
   val all: Seq[NamedQuery] = Seq(
     q70SkewReport, q71JoinSizeEst, q72HeavyByGroup,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
-    q35UnionAll, q36ScalarSubq, q37ApproxSketch, q38Tpch3, q39Tpch5,
+    q35UnionAll, q36ScalarSubq, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
     q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte,

@@ -290,6 +290,7 @@ object StreamOps {
             val prior = state.getOption.getOrElse(HllState(0L, new Array[Byte](m)))
             val regs = prior.regs.clone()
             var n = prior.n
+            val n0 = n
             // null items are not values — the batch hllRegisters filter,
             // replicated (they would NPE the hash and skew n_items)
             rows.filter(_.item != null).foreach { it =>
@@ -307,9 +308,18 @@ object StreamOps {
               if (rho > regs(reg)) regs(reg) = rho.toByte
               n += 1
             }
-            state.update(HllState(n, regs))
-            idleTimeout.foreach(state.setTimeoutDuration)
-            Iterator(HllGroupEstimate(group, n, estimateFromRegs(regs, p)))
+            // a batch of only-null items must not allocate an m-byte
+            // register array for the group (nor refresh its idle
+            // timeout): a firehose of junk groups with null values would
+            // otherwise pin unbounded state forever — the same
+            // unbounded-keys hazard bloomDedupStream guards with its
+            // out.nonEmpty check
+            if (n == n0) Iterator.empty
+            else {
+              state.update(HllState(n, regs))
+              idleTimeout.foreach(state.setTimeoutDuration)
+              Iterator(HllGroupEstimate(group, n, estimateFromRegs(regs, p)))
+            }
           }
       }
   }

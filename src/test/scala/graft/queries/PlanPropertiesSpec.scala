@@ -166,6 +166,45 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("ALL queries: no single-partition shuffle of unaggregated data anywhere in any plan") {
+    // The fleet-wide scale-killer guard: a ShuffleExchange to
+    // SinglePartition is only ever acceptable when its input is already
+    // bounded — the partial side of a global aggregate (one row per task
+    // per group, where the groups ARE the output) or a per-task
+    // LocalLimit. Anything else funnels table-sized data through one
+    // task and would have been the round-5 q60 regression. Walking the
+    // physical tree (not the plan string) keeps the check exact:
+    // wrappers (codegen / project / filter / sort) are transparent,
+    // everything else on the exchange input is a violation.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    @annotation.tailrec
+    def producer(p: SparkPlan): SparkPlan = p match {
+      case w: WholeStageCodegenExec => producer(w.child)
+      case i: InputAdapter => producer(i.child)
+      case pr: ProjectExec => producer(pr.child)
+      case f: FilterExec => producer(f.child)
+      case s: SortExec => producer(s.child)
+      case _ => p
+    }
+    def boundedInput(e: ShuffleExchangeExec): Boolean = producer(e.child) match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec | _: LocalLimitExec => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan
+      plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition && !boundedInput(e) =>
+          s"$name: Exchange SinglePartition over ${producer(e.child).nodeName}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("q64 (bloom prune): the probe side is scan+project — membership never joins or shuffles probe rows") {
     // one broadcast join IS expected (the exact-semi-join cross-check in
     // the query); the bloom probe itself must add no exchange beyond the

@@ -380,6 +380,30 @@ class StreamOpsSpec extends SparkSpec {
       "no false positives generated — bitmap too large to exercise agreement")
   }
 
+  test("streaming HLL: a null-only batch allocates no state and emits no row") {
+    import spark.implicits._
+    val mem = MemoryStream[StreamOps.KeyedItem](spark, 1)
+    val out = StreamOps.hllDistinctStream(spark, mem.toDS(), p = 9,
+      idleTimeout = None)
+    val q = out.writeStream.format("memory").queryName("hll_nulls")
+      .outputMode("append").start()
+    // junk group: only null items — must not emit (and must not pin an
+    // m-byte register array; the emit is the observable proxy)
+    mem.addData(StreamOps.KeyedItem("junk", null),
+      StreamOps.KeyedItem("junk", null),
+      StreamOps.KeyedItem("real", "k1"))
+    q.processAllAvailable()
+    // second null-only batch against a group WITH state: nothing new
+    mem.addData(StreamOps.KeyedItem("real", null))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hll_nulls").collect()
+    assert(!rows.exists(_.getString(0) == "junk"),
+      "null-only group must not emit an estimate row")
+    assert(rows.count(_.getString(0) == "real") == 1,
+      "a null-only batch against existing state must not re-emit")
+  }
+
   test("streaming HLL recovers its register-array state from checkpoint across a restart") {
     import spark.implicits._
     val b1 = (1 to 300).map(i => StreamOps.KeyedItem("g", s"k${i % 200}"))
