@@ -479,6 +479,28 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Curation-grade keep decision over resolved clusters: keep the
+    * HIGHEST-scoring doc per cluster (ties → min id) instead of the
+    * min-id doc. resolveMinhashDups' min-id canonical is correct for
+    * identity dedup (stable, order-free); for corpus curation the
+    * cluster should surrender its most complete copy — longest text,
+    * best quality score, newest crawl — which is a caller-supplied
+    * score, not an id. Input: per-doc labels (any frame with id,
+    * cluster and score columns, e.g. resolveMinhashDups joined to a
+    * score). One window shuffle on the cluster key; the argmax is the
+    * q52 struct-ordered max (score desc, id asc via negation), so the
+    * winner is deterministic without a sort of the corpus. */
+  def keepBestPerCluster(labeled: DataFrame, idCol: String,
+      clusterCol: String, scoreCol: String, as: String = "is_kept"): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol))
+    labeled
+      .withColumn("_best",
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"))).over(w))
+      .withColumn(as,
+        col("_best.s") === col(scoreCol) && col("_best.ni") === -col(idCol))
+      .drop("_best")
+  }
+
   /** Cross-corpus contamination scan — the train/eval overlap check a
     * training pipeline runs before shipping a corpus: pairs
     * (train doc, eval doc) sharing at least `minSharedGrams` distinct

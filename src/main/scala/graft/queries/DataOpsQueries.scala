@@ -1672,6 +1672,35 @@ object DataOpsQueries {
            |       lower(sha256(text)) AS sha
            |FROM documents WHERE text IS NOT NULL""".stripMargin))
 
+  /** Curation-grade cluster resolution: same clusters as d09, but the
+    * keep decision surrenders each cluster's LONGEST copy (token count,
+    * ties → min id) instead of its min-id copy — the choice an actual
+    * corpus pipeline wants when near-dup copies differ in completeness
+    * (truncated mirrors, boilerplate-wrapped rehosts). Composition of
+    * resolveMinhashDups + keepBestPerCluster: one extra window shuffle
+    * on the cluster key over d09's plan. Oracle: d09's
+    * signature-equality classes, argmax by (n_tokens desc, doc_id). */
+  val d36KeepBest = NamedQuery(
+    "d36_keep_best",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      val labeled = Dedup.resolveMinhashDups(docs, "doc_id", "text",
+          minEstJaccard = 1.0)
+        .join(docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")), Seq("doc_id"))
+      Dedup.keepBestPerCluster(labeled, "doc_id", "cluster_id", "n_tokens")
+        .select(col("doc_id"), col("cluster_id"), col("n_tokens"), col("is_kept"))
+    },
+    Some(s"""WITH $minhashSigCte,
+            |keyed AS (
+            |  SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+            |         CASE WHEN s.doc_id IS NOT NULL THEN 'L:' || array_to_string(s.sig, ',')
+            |              ELSE 'S:' || t.text END AS k
+            |  FROM t LEFT JOIN sig s USING (doc_id))
+            |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY k) AS cluster_id, n_tokens,
+            |       row_number() OVER (PARTITION BY k ORDER BY n_tokens DESC, doc_id) = 1 AS is_kept
+            |FROM keyed""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1681,7 +1710,7 @@ object DataOpsQueries {
     d21MixtureWeights, d22DomainKl, d23QualityFilter, d24ChunkDedup,
     d25CurationPipeline, d26KAnonymity, d27ForgetPurge, d28LmQuality,
     d29BpeTrain, d30BpeEncode, d31WeightedSample, d32SplitAssign,
-    d33Curriculum, d34CorpusDiff, d35BudgetAssembly,
+    d33Curriculum, d34CorpusDiff, d35BudgetAssembly, d36KeepBest,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -1109,6 +1109,77 @@ object ExtendedQueries {
            |FROM probe p LEFT JOIN counters c ON p.r = c.r AND p.b = c.b
            |GROUP BY 1, 2, 3, 4""".stripMargin))
 
+  /** TPC-H Q10 (returned-item reporting): which customers returned the
+    * most revenue in a quarter. The canonical fact-fact-dim shape: the
+    * quarter filter is pushed to the orders scan and the return-flag
+    * filter to the lineitem scan BEFORE either join (at 100 TB the
+    * quarter prunes ~96% of orders partitions); nation broadcasts; the
+    * only shuffles are the two fact joins and the customer aggregate;
+    * top-20 plans as TakeOrderedAndProject. Revenue in integer cents
+    * (the q38 rule: an order-dependent double SUM can differ in the
+    * last ulp between engines; cents are an exact integer sum). */
+  val q73Tpch10 = NamedQuery(
+    "q73_tpch10",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+      val li = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+      val nat = Tables.nation(s, dir)
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+           |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |              JOIN lineitem ON o_orderkey = l_orderkey
+           |              JOIN nation ON c_nationkey = n_nationkey
+           |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+           |  AND l_returnflag = 'R'
+           |GROUP BY 1, 2, 3, 4
+           |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin))
+
+  /** The ranking-function window family (ntile / percent_rank /
+    * cume_dist / dense_rank) in one pass — quartile bucketing and
+    * distribution position per (priority, order-date) reporting group.
+    * One window shuffle serves all four functions. The partition key is
+    * deliberately (priority × day), NOT priority alone: a 5-value
+    * partition key would funnel n/5 rows through single tasks at scale
+    * — the same trap the single-partition plan guard catches, one level
+    * up. The orderBy carries o_orderkey so the order is total: with no
+    * peer rows, percent_rank = (rn−1)/(n−1) and cume_dist = rn/n are
+    * single IEEE divisions of identical integers on both engines. */
+  val q74RankFunctions = NamedQuery(
+    "q74_rank_functions",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"), col("o_orderdate"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        dense_rank().over(w).cast("long").as("drank"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+           |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_day,
+           |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           |       percent_rank() OVER w AS pct_rank,
+           |       cume_dist() OVER w AS cume,
+           |       CAST(dense_rank() OVER w AS BIGINT) AS drank
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_orderpriority, o_orderdate
+           |             ORDER BY o_totalprice, o_orderkey)""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q70SkewReport, q71JoinSizeEst, q72HeavyByGroup,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
@@ -1117,5 +1188,5 @@ object ExtendedQueries {
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
     q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte,
     q61VariantJson, q62CountMin, q63SketchMerge, q64BloomPrune,
-    q65HllByGroup, q66Lateral, q68GroupedMedian)
+    q65HllByGroup, q66Lateral, q68GroupedMedian, q73Tpch10, q74RankFunctions)
 }

@@ -435,4 +435,34 @@ object StreamOps {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Switch the session's streaming state store to RocksDB (with
+    * changelog checkpointing) — the 100 TB state backend. The default
+    * HDFS-backed provider keeps every store's working set as JVM-heap
+    * maps: fine for the constant-state ops here (HLL registers, Bloom
+    * bitmaps), lethal once keyed state approaches executor heap (large
+    * key universes, long watermarks). RocksDB keeps state off-heap with
+    * spill-to-disk, and changelog checkpointing uploads per-batch deltas
+    * instead of full snapshots. Provider choice is a SESSION conf read
+    * at query START and pinned into the checkpoint after that — call
+    * this before `.start()`; an existing checkpoint keeps whichever
+    * provider created it. Everything else (state schema, recovery
+    * semantics, the ops' outputs) is provider-independent — asserted by
+    * the StreamOpsSpec restart test running against this backend. */
+  def withRocksDBStateStore(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    spark
+  }
+
+  /** Restore the default HDFS-backed state store provider (test
+    * hygiene: provider is session-global, so suites flip it back). */
+  def withDefaultStateStore(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark
+  }
 }

@@ -108,6 +108,16 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("keepBestPerCluster keeps the highest score, breaks ties on min id, singletons keep themselves") {
+    val labeled = Seq(
+      (1L, 1L, 5L), (2L, 1L, 9L), (3L, 1L, 9L), // cluster 1: 2 and 3 tie on score 9 -> 2 wins
+      (10L, 10L, 1L)                            // singleton keeps itself
+    ).toDF("doc_id", "cluster_id", "score")
+    val got = Dedup.keepBestPerCluster(labeled, "doc_id", "cluster_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 10L -> true))
+  }
+
   test("dupClusters strict mode throws when a chain outruns maxIter") {
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b") // diameter 5
     intercept[IllegalStateException] {

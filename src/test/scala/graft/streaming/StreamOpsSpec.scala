@@ -404,6 +404,43 @@ class StreamOpsSpec extends SparkSpec {
       "a null-only batch against existing state must not re-emit")
   }
 
+  test("RocksDB state store: HLL stream survives a restart with identical estimates") {
+    // Same restart-recovery contract as the HDFS-backed test below, but
+    // against the RocksDB provider (changelog checkpointing on) — the
+    // backend the 100 TB streaming story assumes. Provider choice is
+    // read at query start; flip it back afterwards so the rest of the
+    // suite keeps the default backend.
+    import spark.implicits._
+    StreamOps.withRocksDBStateStore(spark)
+    try {
+      val b1 = (1 to 300).map(i => StreamOps.KeyedItem("g", s"k${i % 200}"))
+      val b2 = (1 to 300).map(i => StreamOps.KeyedItem("g", s"k${i % 450}"))
+      val mem = MemoryStream[StreamOps.KeyedItem](spark, 1)
+      val out = StreamOps.hllDistinctStream(spark, mem.toDS(), p = 9,
+        idleTimeout = None)
+      val ckpt = java.nio.file.Files.createTempDirectory("hll-rocks-ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("hll-rocks-out").toString
+      def startQuery() = out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = startQuery()
+      mem.addData(b1: _*)
+      q1.processAllAvailable()
+      q1.stop()
+      mem.addData(b2: _*)
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val last = spark.read.parquet(outDir).orderBy(col("n_items").desc)
+        .limit(1).collect()(0)
+      val batchEst = graft.ops.Sketches.hllDistinct(
+        (b1 ++ b2).toDF("group", "item"), "item").collect()(0).getDouble(0)
+      assert(last.getLong(1) == 600L)
+      assert(last.getDouble(2) == batchEst,
+        s"stream=${last.getDouble(2)} batch=$batchEst")
+    } finally StreamOps.withDefaultStateStore(spark)
+  }
+
   test("streaming HLL recovers its register-array state from checkpoint across a restart") {
     import spark.implicits._
     val b1 = (1 to 300).map(i => StreamOps.KeyedItem("g", s"k${i % 200}"))
