@@ -489,7 +489,14 @@ object Dedup {
     * cluster and score columns, e.g. resolveMinhashDups joined to a
     * score). One window shuffle on the cluster key; the argmax is the
     * q52 struct-ordered max (score desc, id asc via negation), so the
-    * winner is deterministic without a sort of the corpus. */
+    * winner is deterministic without a sort of the corpus.
+    *
+    * NULL scores rank below every non-NULL score (struct ordering puts
+    * null fields first, so a null-score doc never out-ranks a scored
+    * one); a cluster whose EVERY score is null falls back to the min-id
+    * keep — the null-safe `<=>` below is what keeps is_kept a real
+    * boolean there instead of three-valued NULL (the family NULL rule:
+    * a missing score must not silently drop the whole cluster). */
   def keepBestPerCluster(labeled: DataFrame, idCol: String,
       clusterCol: String, scoreCol: String, as: String = "is_kept"): DataFrame = {
     val w = Window.partitionBy(col(clusterCol))
@@ -497,7 +504,7 @@ object Dedup {
       .withColumn("_best",
         max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"))).over(w))
       .withColumn(as,
-        col("_best.s") === col(scoreCol) && col("_best.ni") === -col(idCol))
+        (col("_best.s") <=> col(scoreCol)) && col("_best.ni") === -col(idCol))
       .drop("_best")
   }
 

@@ -1701,6 +1701,48 @@ object DataOpsQueries {
             |       row_number() OVER (PARTITION BY k ORDER BY n_tokens DESC, doc_id) = 1 AS is_kept
             |FROM keyed""".stripMargin))
 
+  /** Per-dimension embedding statistics — the hygiene audit an
+    * embedding pipeline runs before ANN indexing (a dead dimension,
+    * a scale-outlier dimension, or a shifted mean all degrade every
+    * downstream cosine). One posexplode + one (dim)-keyed hash-agg:
+    * 64 output rows regardless of corpus size. Values quantized to
+    * integer millis (the d06/SRP precedent) so count/sum/sumsq/min/max
+    * are exact integers; mean and variance are then two or three IEEE
+    * ops on those exact longs — deterministic on both engines. */
+  val d37EmbeddingStats = NamedQuery(
+    "d37_embedding_stats",
+    (s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")))
+        .groupBy(col("pos").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("col")).as("sum_milli"),
+          sum(col("col") * col("col")).as("ssq_milli"),
+          min(col("col")).as("min_milli"),
+          max(col("col")).as("max_milli"))
+        .withColumn("mean_milli", col("sum_milli").cast("double") / col("n"))
+        .withColumn("var_milli",
+          col("ssq_milli").cast("double") / col("n")
+            - col("mean_milli") * col("mean_milli"))
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id,
+           |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q,
+           |         generate_subscripts(embedding, 1) - 1 AS dim
+           |  FROM embeddings),
+           |a AS (SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+           |             CAST(SUM(q) AS BIGINT) AS sum_milli,
+           |             CAST(SUM(q * q) AS BIGINT) AS ssq_milli,
+           |             CAST(MIN(q) AS BIGINT) AS min_milli,
+           |             CAST(MAX(q) AS BIGINT) AS max_milli
+           |      FROM e GROUP BY 1)
+           |SELECT dim, n, sum_milli, ssq_milli, min_milli, max_milli,
+           |       CAST(sum_milli AS DOUBLE) / n AS mean_milli,
+           |       CAST(ssq_milli AS DOUBLE) / n
+           |         - (CAST(sum_milli AS DOUBLE) / n) * (CAST(sum_milli AS DOUBLE) / n) AS var_milli
+           |FROM a""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1711,6 +1753,7 @@ object DataOpsQueries {
     d25CurationPipeline, d26KAnonymity, d27ForgetPurge, d28LmQuality,
     d29BpeTrain, d30BpeEncode, d31WeightedSample, d32SplitAssign,
     d33Curriculum, d34CorpusDiff, d35BudgetAssembly, d36KeepBest,
+    d37EmbeddingStats,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -1159,9 +1159,14 @@ object ExtendedQueries {
   val q74RankFunctions = NamedQuery(
     "q74_rank_functions",
     (s, dir) => {
+      // asc_nulls_last: Spark defaults null-first on ASC, DuckDB
+      // null-LAST — on today's corpus o_totalprice is never null, but a
+      // regenerated corpus with one null would silently reorder every
+      // peer row between the engines (the family NULL rule: align the
+      // edge explicitly, don't inherit engine defaults)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_orderpriority"), col("o_orderdate"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .orderBy(col("o_totalprice").asc_nulls_last, col("o_orderkey"))
       Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_orderpriority"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"),
@@ -1180,8 +1185,42 @@ object ExtendedQueries {
            |WINDOW w AS (PARTITION BY o_orderpriority, o_orderdate
            |             ORDER BY o_totalprice, o_orderkey)""".stripMargin))
 
+  /** TPC-H Q14 shape (promotion-revenue share): conditional aggregation
+    * over a fact-dim join — the promo/total split computed in ONE pass
+    * (two conditional SUMs), never two joins or two scans. Part
+    * broadcasts (the dim); the single shuffle is the per-year hash-agg.
+    * Cents keep both sums exact integers; the share is one IEEE
+    * division of those longs — deterministic on both engines. */
+  val q75PromoRatio = NamedQuery(
+    "q75_promo_ratio",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val cents =
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", cents).otherwise(0L)).as("promo_cents"),
+          sum(cents).as("total_cents"))
+        .withColumn("promo_ratio",
+          col("promo_cents").cast("double") / col("total_cents"))
+    },
+    Some("""SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+           |       CAST(SUM(CASE WHEN p_type = 'PROMO'
+           |                     THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+           |                     ELSE 0 END) AS BIGINT) AS promo_cents,
+           |       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           |       CAST(SUM(CASE WHEN p_type = 'PROMO'
+           |                     THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+           |                     ELSE 0 END) AS DOUBLE)
+           |         / SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS promo_ratio
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
-    q70SkewReport, q71JoinSizeEst, q72HeavyByGroup,
+    q70SkewReport, q71JoinSizeEst, q72HeavyByGroup, q75PromoRatio,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,

@@ -396,6 +396,92 @@ object StreamOps {
       }
   }
 
+  final case class CmState(n: Long, counters: Array[Long])
+  final case class CmKeyEstimate(group: String, item: String,
+      n_items: Long, est_n: Long)
+
+  /** Streaming count-min: live per-group heavy-hitter frequency
+    * tracking with CONSTANT state — the streaming twin of the batch
+    * q62/q72 sketches (ops/Sketches.countMinCounters), folding each
+    * arriving item into a fixed depth×width counter table per group
+    * (depth·width·8 bytes forever, 32 KB at the defaults, regardless of
+    * key cardinality). After folding a batch it emits the CURRENT
+    * estimate for each distinct item seen in that batch — one-sided
+    * (est ≥ true count, collisions only inflate), exactly the batch
+    * guarantee running live.
+    *
+    * Cell positions replicate Sketches' Kirsch–Mitzenmacher
+    * construction from the same md5 halves (a + r·b over the first
+    * little-endian half), so after any batch prefix the stream's
+    * estimate for a key equals ops/Sketches.countMinEstimate probed
+    * against a batch sketch of the same rows, bit for bit — the
+    * merge-law bridge between the live and offline forms, asserted in
+    * StreamOpsSpec. Null items and null-only batches follow the
+    * file-wide unbounded-keys rule: no fold, no state allocation, no
+    * timeout refresh, no emission. */
+  def countMinStream(spark: SparkSession, items: Dataset[KeyedItem],
+      depth: Int = 4, width: Int = 1024,
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[CmKeyEstimate] = {
+    import spark.implicits._
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2 && width <= (1 << 26) && (width & (width - 1)) == 0,
+      s"width must be a power of two in [2, 2^26], got $width")
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    items.groupByKey(_.group)
+      .flatMapGroupsWithState[CmState, CmKeyEstimate](
+        OutputMode.Append, timeoutConf) {
+        (group: String, rows: Iterator[KeyedItem], state: GroupState[CmState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption
+              .getOrElse(CmState(0L, new Array[Long](depth * width)))
+            val counters = prior.counters.clone()
+            var n = prior.n
+            val mask26 = (1L << 26) - 1
+            // distinct batch items in arrival order → deterministic
+            // emission order; estimates are computed AFTER the whole
+            // batch folds, so every emission reflects the full prefix
+            val seen = new scala.collection.mutable.LinkedHashSet[String]
+            rows.filter(_.item != null).foreach { it =>
+              val h = graft.functions.Md5Mix.halves(
+                org.apache.spark.unsafe.types.UTF8String.fromString(it.item))(0)
+              val a = h & mask26
+              val b = (h >>> 26) & mask26
+              var r = 0
+              while (r < depth) {
+                counters(r * width + ((a + r * b) & (width - 1)).toInt) += 1
+                r += 1
+              }
+              n += 1
+              seen += it.item
+            }
+            if (seen.isEmpty) Iterator.empty
+            else {
+              state.update(CmState(n, counters))
+              idleTimeout.foreach(state.setTimeoutDuration)
+              seen.iterator.map { item =>
+                val h = graft.functions.Md5Mix.halves(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(item))(0)
+                val a = h & mask26
+                val b = (h >>> 26) & mask26
+                var est = Long.MaxValue
+                var r = 0
+                while (r < depth) {
+                  val c = counters(r * width + ((a + r * b) & (width - 1)).toInt)
+                  if (c < est) est = c
+                  r += 1
+                }
+                CmKeyEstimate(group, item, n, est)
+              }
+            }
+          }
+      }
+  }
+
   /** hllEstimate's exact-integer arithmetic on a dense register array —
     * register value 0 means "never touched" (present registers always
     * carry rho >= 1, the hllRegisters invariant), the Σ2^−M sum is an

@@ -116,6 +116,16 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.keepBestPerCluster(labeled, "doc_id", "cluster_id", "score")
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(got == Map(1L -> false, 2L -> true, 3L -> false, 10L -> true))
+    // NULL scores: a null never beats a scored doc; an all-null cluster
+    // falls back to the min-id keep (is_kept stays a real boolean,
+    // never three-valued NULL)
+    val withNulls = Seq(
+      (1L, 1L, Some(5L)), (2L, 1L, None),       // null loses to scored
+      (20L, 20L, None), (21L, 20L, None)        // all-null: min id kept
+    ).toDF("doc_id", "cluster_id", "score")
+    val gotN = Dedup.keepBestPerCluster(withNulls, "doc_id", "cluster_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(gotN == Map(1L -> true, 2L -> false, 20L -> true, 21L -> false))
   }
 
   test("dupClusters strict mode throws when a chain outruns maxIter") {

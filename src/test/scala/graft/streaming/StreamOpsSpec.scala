@@ -404,6 +404,49 @@ class StreamOpsSpec extends SparkSpec {
       "a null-only batch against existing state must not re-emit")
   }
 
+  test("streaming count-min: one-sided, null-guarded, bit-identical to the batch sketch over the same prefix") {
+    import spark.implicits._
+    val mem = MemoryStream[StreamOps.KeyedItem](spark, 1)
+    val out = StreamOps.countMinStream(spark, mem.toDS(), depth = 4,
+      width = 256, idleTimeout = None)
+    val q = out.writeStream.format("memory").queryName("cm_t")
+      .outputMode("append").start()
+    val batch1 = (1 to 400).map(i => StreamOps.KeyedItem("g", s"k${i % 50}"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    val batch2 = (1 to 300).map(i => StreamOps.KeyedItem("g", s"k${i % 120}")) :+
+      StreamOps.KeyedItem("junk", null)
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cm_t")
+    // null-only group: no state, no emission
+    assert(rows.where(col("group") === "junk").count() == 0)
+    // last emission per item = estimate over the full two-batch prefix
+    val streamed = rows.where(col("group") === "g")
+      .groupBy("item").agg(max(struct(col("n_items"), col("est_n"))).as("s"))
+      .select(col("item"), col("s.est_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = (batch1 ++ batch2).filter(_.item != null).map(_.item)
+    val trueCounts = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // one-sided everywhere: est >= true count at the time of emission,
+    // so the FINAL emission is >= the full true count for items whose
+    // last appearance was the last batch; for batch-1-only items the
+    // final emission covers at least batch 1's count
+    for ((item, est) <- streamed)
+      assert(est >= math.min(trueCounts(item), batch1.count(_.item == item).toLong),
+        s"$item: est $est below its prefix count")
+    // bit-compat law: for items in the final batch, the stream's last
+    // estimate equals the batch sketch probed over the same rows
+    val sk = graft.ops.Sketches.countMinCounters(
+      all.toDF("item"), "item", depth = 4, width = 256)
+    val batchEst = graft.ops.Sketches.countMinEstimate(
+        batch2.filter(_.item != null).map(_.item).distinct.toDF("item"), sk, "item")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((item, est) <- batchEst)
+      assert(streamed(item) == est, s"$item: stream ${streamed(item)} != batch $est")
+  }
+
   test("RocksDB state store: HLL stream survives a restart with identical estimates") {
     // Same restart-recovery contract as the HDFS-backed test below, but
     // against the RocksDB provider (changelog checkpointing on) — the
