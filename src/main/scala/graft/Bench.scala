@@ -66,7 +66,8 @@ object Bench {
       "d08_embedding_neardup", "d09_dedup_resolve", "d10_ann_ivf",
       "d11_contamination", "d15_jaccard_verify", "d13_sequence_pack",
       "t06_top_terms", "m02_media_decode", "d22_domain_kl",
-      "q60_recursive_cte", "d29_bpe_train", "d30_bpe_encode")
+      "q60_recursive_cte", "d29_bpe_train", "d30_bpe_encode",
+      "d36_keep_best")
     val headlineQs = results.filter { case (k, _) => headline.contains(k) }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(headlineQs)},"n_queries":${results.size},"sf":"$sfDir"}"""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""

@@ -1743,6 +1743,34 @@ object DataOpsQueries {
            |         - (CAST(sum_milli AS DOUBLE) / n) * (CAST(sum_milli AS DOUBLE) / n) AS var_milli
            |FROM a""".stripMargin))
 
+  /** Dup-cluster size distribution — the dataset-card statistic behind
+    * every dedup report ("how duplicated is this corpus?"): cluster
+    * size → number of clusters and docs at that size. Two bounded
+    * hash-aggs over d09's resolution (cluster sizes, then the size
+    * histogram — output rows = distinct sizes, ≤ tens). A heavy tail
+    * here is the first sign the corpus needs the cap audits tightened. */
+  val d38ClusterSizes = NamedQuery(
+    "d38_cluster_sizes",
+    (s, dir) => {
+      Dedup.resolveMinhashDups(
+          Tables.documents(s, dir).where(col("text").isNotNull),
+          "doc_id", "text", minEstJaccard = 1.0)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+    },
+    Some(s"""WITH $minhashSigCte,
+            |keyed AS (
+            |  SELECT t.doc_id,
+            |         CASE WHEN s.doc_id IS NOT NULL THEN 'L:' || array_to_string(s.sig, ',')
+            |              ELSE 'S:' || t.text END AS k
+            |  FROM t LEFT JOIN sig s USING (doc_id)),
+            |c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS sz FROM keyed GROUP BY 1)
+            |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+            |       CAST(SUM(sz) AS BIGINT) AS n_docs
+            |FROM c GROUP BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1753,7 +1781,7 @@ object DataOpsQueries {
     d25CurationPipeline, d26KAnonymity, d27ForgetPurge, d28LmQuality,
     d29BpeTrain, d30BpeEncode, d31WeightedSample, d32SplitAssign,
     d33Curriculum, d34CorpusDiff, d35BudgetAssembly, d36KeepBest,
-    d37EmbeddingStats,
+    d37EmbeddingStats, d38ClusterSizes,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -1219,8 +1219,63 @@ object ExtendedQueries {
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |GROUP BY 1""".stripMargin))
 
+  /** Equi-width value histogram (data profiling): order totals binned
+    * at a fixed width with each bin's share of the corpus. Bin ids are
+    * pure integer arithmetic (floor of a double/int division — exact on
+    * both engines); the share denominator is the broadcast one-row
+    * total (the repo's standard pattern — never a whole-frame window),
+    * and the two branches share the bin-agg exchange. Fixed width
+    * rather than min/max-derived: a histogram whose bin edges move with
+    * the data can't be compared across corpus versions, which is the
+    * profiling use case. */
+  val q76Histogram = NamedQuery(
+    "q76_histogram",
+    (s, dir) => {
+      val bins = Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+      val total = bins.agg(sum(col("n")).as("n_total"))
+      bins.crossJoin(broadcast(total))
+        .select(col("bin"), (col("bin") * 25000).as("bin_lo"), col("n"),
+          (col("n").cast("double") / col("n_total")).as("share"))
+    },
+    Some("""WITH b AS (
+           |  SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+           |         CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM orders GROUP BY 1)
+           |SELECT bin, bin * 25000 AS bin_lo, n,
+           |       CAST(n AS DOUBLE) / (SELECT SUM(n) FROM b) AS share
+           |FROM b""".stripMargin))
+
+  /** Relational division ("for all"): customers with an order in EVERY
+    * year the corpus covers. The classic divide shape — per-key
+    * distinct count compared against the universe's distinct count —
+    * expressed scale-first: one (custkey, year)-distinct aggregate, and
+    * the universe size as a broadcast one-row aggregate joined back
+    * (never a driver-side collect, never a whole-frame window). The
+    * naive double-NOT-EXISTS formulation runs a correlated anti-join
+    * per (customer, year) pair; this is two hash-aggs. */
+  val q77Division = NamedQuery(
+    "q77_division",
+    (s, dir) => {
+      val oy = Tables.orders(s, dir)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      val perCust = oy.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("yr")).as("n_years"))
+      val universe = oy.agg(countDistinct(col("yr")).as("n_total"))
+      perCust.crossJoin(broadcast(universe))
+        .where(col("n_years") === col("n_total"))
+        .select(col("o_custkey"), col("n_years"))
+    },
+    Some("""SELECT o_custkey, CAST(COUNT(DISTINCT year(CAST(o_orderdate AS DATE))) AS BIGINT) AS n_years
+           |FROM orders
+           |GROUP BY 1
+           |HAVING COUNT(DISTINCT year(CAST(o_orderdate AS DATE))) =
+           |       (SELECT COUNT(DISTINCT year(CAST(o_orderdate AS DATE))) FROM orders)""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q70SkewReport, q71JoinSizeEst, q72HeavyByGroup, q75PromoRatio,
+    q76Histogram, q77Division,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
     q35UnionAll, q36ScalarSubq, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
