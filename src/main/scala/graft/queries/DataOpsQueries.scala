@@ -1712,9 +1712,14 @@ object DataOpsQueries {
   val d37EmbeddingStats = NamedQuery(
     "d37_embedding_stats",
     (s, dir) => {
+      // cast to double BEFORE the ×1000 (the Similarity.quantize rule):
+      // multiplying the raw FLOAT first rounds in float precision,
+      // which can land the .5 boundary differently from the oracle's
+      // CAST(v AS DOUBLE) * 1000 on adversarial values
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
-          posexplode(expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")))
+          posexplode(expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 1000) AS BIGINT))")))
         .groupBy(col("pos").cast("long").as("dim"))
         .agg(count(lit(1)).as("n"),
           sum(col("col")).as("sum_milli"),

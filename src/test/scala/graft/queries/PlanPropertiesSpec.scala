@@ -166,6 +166,30 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("q73 (TPC-H Q10): both fact filters pushed, nation broadcast, top-20 as TakeOrderedAndProject") {
+    val plan = executedPlan("q73_tpch10")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(plan).isDefined, plan)
+    assert("EqualTo\\(l_returnflag,R\\)".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q75 (TPC-H Q14): part broadcasts; the only data shuffle is the per-year aggregate") {
+    val plan = executedPlan("q75_promo_ratio")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // one hash exchange (the year agg) — the promo/total split must not
+    // cost a second scan or join
+    assert("(?<!Broadcast)Exchange [a-zA-Z]*[Hh]ash".r.findAllIn(plan).length == 1, plan)
+    assert("lineitem\\.parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("q77 (relational division): two hash-aggs + broadcast universe — no shuffle join, no per-pair anti-join") {
+    val plan = executedPlan("q77_division")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("ALL queries: no single-partition shuffle of unaggregated data anywhere in any plan") {
     // The fleet-wide scale-killer guard: a ShuffleExchange to
     // SinglePartition is only ever acceptable when its input is already
