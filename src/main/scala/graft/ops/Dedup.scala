@@ -479,6 +479,48 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Incremental dedup — the APPEND-time form of the dedup family: a
+    * crawl increment is deduped against an existing corpus without
+    * re-clustering the world. Each incoming doc gets a verdict:
+    * `dup_of` = the min-id existing doc it duplicates (byte-identical
+    * text OR identical full minhash signature — the threshold-1.0
+    * identity level), or NULL with `is_new` = true.
+    *
+    * Scale shape: at threshold 1.0 banding is unnecessary — signature
+    * equality IS the join key, so the whole op is two fingerprint
+    * equi-joins (md5 of text; md5 of the joined signature lanes — the
+    * lshBands(bands=1) key), shuffling 32-char hashes, never text. In
+    * production the existing side's two fingerprint tables are exactly
+    * what the corpus catalog stores, so the increment's cost is
+    * independent of corpus re-processing. Docs shorter than shingleN
+    * have no signature and dedup by exact text only (the resolveMinhash
+    * rule); a NULL-text incoming doc has no identity and reports
+    * is_new (it matches nothing, including other NULL texts). */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      numHashes: Int = 16): DataFrame = {
+    def sigKeyed(df: DataFrame): DataFrame =
+      signatures(df.where(col(textCol).isNotNull &&
+          size(split(col(textCol), " ")) >= shingleN),
+          idCol, textCol, shingleN, numHashes)
+        .select(col("doc"),
+          element_at(lshBands(col("sig"), 1, numHashes), 1)
+            .getField("bucket").as("_sk"))
+    val exText = existing.where(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("_th"), col(idCol).as("_eid"))
+      .groupBy(col("_th")).agg(min(col("_eid")).as("_tdup"))
+    val exSig = sigKeyed(existing)
+      .groupBy(col("_sk")).agg(min(col("doc")).as("_sdup"))
+    incoming.select(col(idCol).as("doc_id"), md5(col(textCol)).as("_th"))
+      .join(exText, Seq("_th"), "left")
+      .join(sigKeyed(incoming).select(col("doc").as("doc_id"), col("_sk")),
+        Seq("doc_id"), "left")
+      .join(exSig, Seq("_sk"), "left")
+      .select(col("doc_id"),
+        least(col("_tdup"), col("_sdup")).as("dup_of"),
+        (col("_tdup").isNull && col("_sdup").isNull).as("is_new"))
+  }
+
   /** Curation-grade keep decision over resolved clusters: keep the
     * HIGHEST-scoring doc per cluster (ties → min id) instead of the
     * min-id doc. resolveMinhashDups' min-id canonical is correct for

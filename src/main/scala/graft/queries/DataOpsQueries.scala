@@ -1776,6 +1776,56 @@ object DataOpsQueries {
             |       CAST(SUM(sz) AS BIGINT) AS n_docs
             |FROM c GROUP BY 1""".stripMargin))
 
+  /** Incremental dedup of a crawl increment against the existing corpus
+    * (Dedup.incrementalDedup): the increment is a derived variant of
+    * documents — every 7th doc re-crawled verbatim (must report dup_of
+    * its original) and every 11th doc with appended novel content
+    * (new unless its 16-lane signature happens to collide — both
+    * engines agree either way). Clone ids mirror to disjoint negative
+    * ranges (odd = re-crawl, even = novel) so collision with real ids
+    * is impossible at any SF — the d34 rule. */
+  val d39IncrementalDedup = NamedQuery(
+    "d39_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val recrawl = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") * -2 - 1).as("doc_id"), col("text"))
+      val novel = docs.where(col("doc_id") % 11 === 0 && col("text").isNotNull)
+        .select((col("doc_id") * -2 - 2).as("doc_id"),
+          concat(col("text"), lit(" entirely novel content marker")).as("text"))
+      Dedup.incrementalDedup(docs, recrawl.unionByName(novel), "doc_id", "text")
+    },
+    Some(s"""WITH $minhashSigCte,
+            |v2 AS (
+            |  SELECT -2 * doc_id - 1 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+            |  UNION ALL
+            |  SELECT -2 * doc_id - 2 AS doc_id, text || ' entirely novel content marker' AS text
+            |  FROM documents WHERE doc_id % 11 = 0 AND text IS NOT NULL),
+            |t2 AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM v2
+            |       WHERE text IS NOT NULL),
+            |g2 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            |         generate_series(1, len(toks) - 2),
+            |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+            |       FROM t2 WHERE len(toks) >= 3),
+            |h2 AS (SELECT doc_id, CAST(md5_number_upper(gram) AS HUGEINT) AS h1,
+            |              CAST(md5_number_lower(gram) AS HUGEINT) AS h2 FROM g2),
+            |l2 AS (SELECT doc_id, i,
+            |              MIN(CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616 ELSE m END AS BIGINT)) AS lane
+            |       FROM (SELECT doc_id, i, (h1 + i * h2) % 18446744073709551616 AS m
+            |             FROM h2 CROSS JOIN generate_series(0, 15) s(i))
+            |       GROUP BY doc_id, i),
+            |sig2 AS (SELECT doc_id, list(lane ORDER BY i) AS sig FROM l2 GROUP BY doc_id),
+            |tm AS (SELECT v.doc_id AS nid, MIN(d.doc_id) AS tdup
+            |       FROM v2 v JOIN documents d ON d.text = v.text GROUP BY 1),
+            |sm AS (SELECT s2.doc_id AS nid, MIN(s1.doc_id) AS sdup
+            |       FROM sig2 s2 JOIN sig s1
+            |         ON array_to_string(s2.sig, ',') = array_to_string(s1.sig, ',')
+            |       GROUP BY 1)
+            |SELECT v.doc_id, least(tm.tdup, sm.sdup) AS dup_of,
+            |       (tm.tdup IS NULL AND sm.sdup IS NULL) AS is_new
+            |FROM v2 v LEFT JOIN tm ON v.doc_id = tm.nid
+            |          LEFT JOIN sm ON v.doc_id = sm.nid""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1786,7 +1836,7 @@ object DataOpsQueries {
     d25CurationPipeline, d26KAnonymity, d27ForgetPurge, d28LmQuality,
     d29BpeTrain, d30BpeEncode, d31WeightedSample, d32SplitAssign,
     d33Curriculum, d34CorpusDiff, d35BudgetAssembly, d36KeepBest,
-    d37EmbeddingStats, d38ClusterSizes,
+    d37EmbeddingStats, d38ClusterSizes, d39IncrementalDedup,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

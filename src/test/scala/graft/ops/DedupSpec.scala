@@ -108,6 +108,29 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("incrementalDedup: re-crawl → dup_of original, novel → is_new, short docs by exact text, null text new") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "completely different content here now"),
+      (3L, "ab")                                        // short: no shingles
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the dog"), // exact dup of 1
+      (101L, "ab"),                                     // short dup via exact text
+      (102L, "totally novel text never seen anywhere"), // new
+      (103L, null.asInstanceOf[String])                 // no identity → new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(existing, incoming, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      100L -> ((Some(1L), false)),
+      101L -> ((Some(3L), false)),
+      102L -> ((None, true)),
+      103L -> ((None, true))))
+  }
+
   test("keepBestPerCluster keeps the highest score, breaks ties on min id, singletons keep themselves") {
     val labeled = Seq(
       (1L, 1L, 5L), (2L, 1L, 9L), (3L, 1L, 9L), // cluster 1: 2 and 3 tie on score 9 -> 2 wins
