@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
 object BenchAtScale {
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = if (args.length > 0) args(0) else "target/sfscale10"
     val copies = if (args.length > 1) args(1).toInt else 10
+    // default outDir embeds the copy count so a later run with a
+    // different `copies` can never silently reuse a mismatched corpus
+    val outDir = if (args.length > 0) args(0) else s"target/sfscale$copies"
     val names =
       if (args.length > 2) args.drop(2).toSeq
       else Seq("q60_recursive_cte", "d11_contamination", "d15_jaccard_verify",
@@ -47,12 +49,17 @@ object BenchAtScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/documents.parquet"))) {
+    // a _COMPLETE marker (written last) gates reuse: an interrupted
+    // build — documents written, orders not — must rebuild, not crash
+    // every later run on the missing table
+    val donePath = java.nio.file.Paths.get(s"$outDir/_COMPLETE")
+    if (!java.nio.file.Files.exists(donePath)) {
       System.err.println(s"[scale] building ${copies}x corpus at $outDir from $srcDir")
       scaleDocuments(Tables.documents(spark, srcDir), copies)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
       scaleOrders(Tables.orders(spark, srcDir), copies)
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      java.nio.file.Files.write(donePath, s"copies=$copies\n".getBytes("UTF-8"))
     }
 
     def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {

@@ -1679,7 +1679,12 @@ object DataOpsQueries {
     * (truncated mirrors, boilerplate-wrapped rehosts). Composition of
     * resolveMinhashDups + keepBestPerCluster: one extra window shuffle
     * on the cluster key over d09's plan. Oracle: d09's
-    * signature-equality classes, argmax by (n_tokens desc, doc_id). */
+    * signature-equality classes, argmax by (n_tokens desc, doc_id).
+    * Cap assumption (inherited from d09, NOT encodable as a k-class
+    * oracle): a signature class larger than maxBucketSize whose members
+    * are not byte-identical would have all its LSH pairs capped away on
+    * the Spark side while the oracle keeps one class — valid while no
+    * (band, bucket) exceeds the cap (audit: Dedup.minhashBucketOverflow). */
   val d36KeepBest = NamedQuery(
     "d36_keep_best",
     (s, dir) => {
@@ -1753,7 +1758,10 @@ object DataOpsQueries {
     * size → number of clusters and docs at that size. Two bounded
     * hash-aggs over d09's resolution (cluster sizes, then the size
     * histogram — output rows = distinct sizes, ≤ tens). A heavy tail
-    * here is the first sign the corpus needs the cap audits tightened. */
+    * here is the first sign the corpus needs the cap audits tightened.
+    * Same cap assumption as d09/d36: the k-class oracle cannot model
+    * the band-bucket cap — valid while no (band, bucket) exceeds
+    * maxBucketSize (audit: Dedup.minhashBucketOverflow). */
   val d38ClusterSizes = NamedQuery(
     "d38_cluster_sizes",
     (s, dir) => {

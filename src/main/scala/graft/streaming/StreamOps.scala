@@ -309,13 +309,17 @@ object StreamOps {
               n += 1
             }
             // a batch of only-null items must not allocate an m-byte
-            // register array for the group (nor refresh its idle
-            // timeout): a firehose of junk groups with null values would
-            // otherwise pin unbounded state forever — the same
-            // unbounded-keys hazard bloomDedupStream guards with its
-            // out.nonEmpty check
-            if (n == n0) Iterator.empty
-            else {
+            // register array for a NEW group (junk-group firehose
+            // hazard) and emits nothing — but a group that already
+            // holds state must have its idle timeout RE-armed: Spark
+            // clears the registered timeout on every invocation of this
+            // function, so skipping the re-set would cancel expiry and
+            // pin the existing registers forever (the exact failure the
+            // guard exists to prevent)
+            if (n == n0) {
+              if (state.exists) idleTimeout.foreach(state.setTimeoutDuration)
+              Iterator.empty
+            } else {
               state.update(HllState(n, regs))
               idleTimeout.foreach(state.setTimeoutDuration)
               Iterator(HllGroupEstimate(group, n, estimateFromRegs(regs, p)))
@@ -385,10 +389,15 @@ object StreamOps {
             }.toVector
             // a batch of only-null items is NOT activity: writing state
             // for it would allocate a permanent numBits/8-byte bitmap
-            // per junk group (this file's unbounded-keys rule), and it
-            // must not refresh the idle timeout either
+            // per junk group (this file's unbounded-keys rule). But a
+            // group that ALREADY holds state must have its idle timeout
+            // re-armed — Spark clears the registered timeout on every
+            // invocation, so skipping the re-set would cancel expiry
+            // and pin the bitmap forever
             if (out.nonEmpty) {
               state.update(BloomState(words))
+              idleTimeout.foreach(state.setTimeoutDuration)
+            } else if (state.exists) {
               idleTimeout.foreach(state.setTimeoutDuration)
             }
             out.iterator
@@ -441,41 +450,39 @@ object StreamOps {
               .getOrElse(CmState(0L, new Array[Long](depth * width)))
             val counters = prior.counters.clone()
             var n = prior.n
-            val mask26 = (1L << 26) - 1
+            // ONE cell derivation shared by fold and probe (a drifted
+            // copy would silently break the batch bit-compat law):
+            // Sketches.kmHalves / cmCell, flattened to counter indices
+            def cells(item: String): Array[Int] = {
+              val mask26 = (1L << 26) - 1
+              val h = graft.functions.Md5Mix.halves(
+                org.apache.spark.unsafe.types.UTF8String.fromString(item))(0)
+              val a = h & mask26
+              val b = (h >>> 26) & mask26
+              Array.tabulate(depth)(r =>
+                r * width + ((a + r * b) & (width - 1)).toInt)
+            }
             // distinct batch items in arrival order → deterministic
             // emission order; estimates are computed AFTER the whole
             // batch folds, so every emission reflects the full prefix
             val seen = new scala.collection.mutable.LinkedHashSet[String]
             rows.filter(_.item != null).foreach { it =>
-              val h = graft.functions.Md5Mix.halves(
-                org.apache.spark.unsafe.types.UTF8String.fromString(it.item))(0)
-              val a = h & mask26
-              val b = (h >>> 26) & mask26
-              var r = 0
-              while (r < depth) {
-                counters(r * width + ((a + r * b) & (width - 1)).toInt) += 1
-                r += 1
-              }
+              cells(it.item).foreach(counters(_) += 1)
               n += 1
               seen += it.item
             }
-            if (seen.isEmpty) Iterator.empty
-            else {
+            if (seen.isEmpty) {
+              // no new-group allocation for junk traffic, but an
+              // EXISTING group's idle timeout must be re-armed — Spark
+              // clears the registered timeout on every invocation, so
+              // skipping the re-set would pin the counters forever
+              if (state.exists) idleTimeout.foreach(state.setTimeoutDuration)
+              Iterator.empty
+            } else {
               state.update(CmState(n, counters))
               idleTimeout.foreach(state.setTimeoutDuration)
               seen.iterator.map { item =>
-                val h = graft.functions.Md5Mix.halves(
-                  org.apache.spark.unsafe.types.UTF8String.fromString(item))(0)
-                val a = h & mask26
-                val b = (h >>> 26) & mask26
-                var est = Long.MaxValue
-                var r = 0
-                while (r < depth) {
-                  val c = counters(r * width + ((a + r * b) & (width - 1)).toInt)
-                  if (c < est) est = c
-                  r += 1
-                }
-                CmKeyEstimate(group, item, n, est)
+                CmKeyEstimate(group, item, n, cells(item).map(counters).min)
               }
             }
           }

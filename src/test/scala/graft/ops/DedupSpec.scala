@@ -131,6 +131,16 @@ class DedupSpec extends SparkSpec {
       103L -> ((None, true))))
   }
 
+  test("incrementalDedup law: a corpus deduped against itself reports every non-null doc as a dup of its class min") {
+    // self-consistency: when incoming == existing, nothing is new (every
+    // doc matches at least itself) and dup_of is the min id of the doc's
+    // identity class — never larger than the doc's own id
+    val self = Dedup.incrementalDedup(docs, docs, "doc_id", "text").collect()
+    assert(self.forall(!_.getBoolean(2)), "self-dedup reported a new doc")
+    assert(self.forall(r => r.getLong(1) <= r.getLong(0)),
+      "dup_of must be the class min, never above the doc's own id")
+  }
+
   test("keepBestPerCluster keeps the highest score, breaks ties on min id, singletons keep themselves") {
     val labeled = Seq(
       (1L, 1L, 5L), (2L, 1L, 9L), (3L, 1L, 9L), // cluster 1: 2 and 3 tie on score 9 -> 2 wins
