@@ -59,6 +59,8 @@ object BenchAtScale {
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
       scaleOrders(Tables.orders(spark, srcDir), copies)
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      scaleEmbeddings(Tables.embeddings(spark, srcDir), copies)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
       java.nio.file.Files.write(donePath, s"copies=$copies\n".getBytes("UTF-8"))
     }
 
@@ -103,6 +105,25 @@ object BenchAtScale {
     val maxId = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 1
     (0 until copies).map { i =>
       orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxId))
+    }.reduce(_ unionByName _)
+  }
+
+  /** K shifted copies; copy ≥ 1 ROTATES each vector left by the copy
+    * index. Rotation is orthogonal, so within a copy all pairwise
+    * cosines (the near-dup structure) are preserved exactly — ANN work
+    * scales ~K× — while a copy of vector v is decorrelated from other
+    * copies instead of being its exact duplicate (identical copies
+    * would multiply candidate pairs K² by construction and measure the
+    * synthetic data, not the plan). */
+  def scaleEmbeddings(emb: DataFrame, copies: Int): DataFrame = {
+    val maxId = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    (0 until copies).map { i =>
+      val rotated =
+        if (i == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+          s"slice(embedding, 1, $i))")
+      emb.withColumn("vec_id", col("vec_id") + lit(i * maxId))
+        .withColumn("embedding", rotated)
     }.reduce(_ unionByName _)
   }
 }
