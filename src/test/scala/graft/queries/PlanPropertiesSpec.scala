@@ -229,6 +229,69 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q79 (TPC-H Q6): all three predicates reach the parquet scan; 4-column read; no join") {
+    // PushedFilters is elided in the plan STRING — read the scan node's
+    // metadata (untruncated) instead of regexing the rendering
+    val df = SparkEntry.queries("q79_tpch6")(spark, dir)
+    val plan = df.queryExecution.executedPlan match {
+      // collect() does not descend into the adaptive wrapper
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, plan.toString)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+    assert(!plan.toString.contains("Join"), plan.toString)
+    assert(scans.head.requiredSchema.size <= 4, scans.head.requiredSchema.toString)
+  }
+
+  test("q80 (TPC-H Q7): nation-filtered dims broadcast — the only data shuffle is lineitem ⋈ orders") {
+    val plan = executedPlan("q80_tpch7")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("q81 (TPC-H Q8): five dims broadcast; no shuffle join beyond the fact-fact pair") {
+    val plan = executedPlan("q81_tpch8")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // part's type filter must reach its scan (it gates the whole query)
+    assert("EqualTo\\(p_type,ECONOMY\\)".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q82 (TPC-H Q13): the priority filter keeps the join LEFT OUTER (zero-order customers survive)") {
+    val plan = executedPlan("q82_tpch13")
+    assert(plan.contains("LeftOuter"), plan)
+    // the filter must sit under the join (scan-pushed), not above it
+    assert("Not\\(EqualTo\\(o_orderpriority".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q83 (TPC-H Q15): the revenue view computes once — its exchange is reused for the max") {
+    // exchange reuse is finalized during adaptive execution — run the
+    // query, then assert on the final plan
+    val df = SparkEntry.queries("q83_tpch15")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"), plan)
+  }
+
+  test("q84 (TPC-H Q17): decorrelated to ONE lineitem scan and one partkey exchange") {
+    val plan = executedPlan("q84_tpch17")
+    assert("lineitem\\.parquet".r.findAllIn(plan).length == 1, plan)
+    assert("(?<!Broadcast)Exchange [a-zA-Z]*[Hh]ash".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q86 (TPC-H Q22): no-recent-order test is an ANTI join with the date filter pushed to orders' scan") {
+    val plan = executedPlan("q86_tpch22")
+    assert(plan.contains("LeftAnti"), plan)
+    assert("GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("q64 (bloom prune): the probe side is scan+project — membership never joins or shuffles probe rows") {
     // one broadcast join IS expected (the exact-semi-join cross-check in
     // the query); the bloom probe itself must add no exchange beyond the
