@@ -478,6 +478,80 @@ object TextHashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** graft_sorted_intersect_count(array<bigint>, array<bigint>) -> bigint:
+    * two-pointer intersection count of two SORTED long arrays. The
+    * array_intersect + size composition allocates a hash set and a
+    * result array per row — this is the triangle-counting inner loop
+    * (one intersection per oriented edge), so it gets a zero-allocation
+    * codegen pass. Inputs MUST be sorted ascending (sort_array upstream
+    * is the contract); null elements are skipped on either side. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_sorted_intersect_count requires (array<bigint>, array<bigint>), got (${l.catalogString}, ${r.catalogString})")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_sorted_intersect_count"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements()
+      val nb = b.numElements()
+      var i = 0
+      var j = 0
+      var k = 0L
+      while (i < na && j < nb) {
+        if (a.isNullAt(i)) i += 1
+        else if (b.isNullAt(j)) j += 1
+        else {
+          val x = a.getLong(i)
+          val y = b.getLong(j)
+          if (x == y) { k += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+      }
+      k
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val k = ctx.freshName("k")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; long $k = 0L;
+           |while ($i < $na && $j < $nb) {
+           |  if ($a.isNullAt($i)) { $i++; }
+           |  else if ($b.isNullAt($j)) { $j++; }
+           |  else {
+           |    long $x = $a.getLong($i);
+           |    long $y = $b.getLong($j);
+           |    if ($x == $y) { $k++; $i++; $j++; }
+           |    else if ($x < $y) { $i++; } else { $j++; }
+           |  }
+           |}
+           |${ev.value} = $k;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectCount =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** graft_dot(array<double>, array<double>) -> double: one-pass dot
     * product. The zip_with/aggregate formulation allocates a zipped
     * array and runs interpreted lambda frames per element — this is the
@@ -705,6 +779,8 @@ object TextHashExpressions {
     toCol(WordShingles(expr(tokens), n))
   def sigAgreement(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     toCol(SignatureAgreement(expr(a), expr(b)))
+  def sortedIntersectCount(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    toCol(SortedIntersectCount(expr(a), expr(b)))
 
   /** Idempotent per-session registration (for the SQL string surface;
     * the typed builders above need no registration). */

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over co-occurrence graphs (reference scope: the
+  * engine-capability surface a general analytics library needs beyond
+  * the reference's linear ELT — market-basket edges, triangle census,
+  * PageRank — SURVEY §2.7 extension family).
+  *
+  * Scale design, in order of the pipeline:
+  *   - Edge derivation is the market-basket self-pair: the k² blowup on
+  *     a pathological basket is bounded by an explicit item cap (the
+  *     d11/d24 rule: cap + encode the cap in the oracle), and pairs are
+  *     generated from a per-basket sorted set — ONE basket-keyed
+  *     exchange, narrow pair expansion, then the (u,v)-distinct
+  *     exchange. Never an uncapped basket self-join.
+  *   - Triangle counting uses degree orientation (each edge directed
+  *     low→high degree): every triangle has exactly one node with two
+  *     out-edges inside it, so wedges-from-src joined against the edge
+  *     set count each triangle once, and out-degree is bounded by
+  *     O(√2m) — the wedge fan-out that makes the naive undirected form
+  *     explode on hub nodes is structurally capped.
+  *   - PageRank runs in exact integer micros (damping 0.85 as the
+  *     rational 85/100, contributions as floor divisions) so a DuckDB
+  *     oracle can unroll the iterations as CTEs and match hash-exact
+  *     (the d10 k-means / d29 BPE precedent); every iteration is one
+  *     contribution join + one incoming-sum exchange.
+  */
+object Graph {
+
+  /** Undirected co-occurrence edges (u < v, distinct) from a
+    * (basket, item) relation: u,v co-occur iff some basket contains
+    * both. Baskets with fewer than 2 or more than `maxBasketItems`
+    * distinct items contribute nothing — the cap bounds the per-basket
+    * pair expansion at cap², and belongs in any oracle SQL too.
+    * Output: (u, v) typed as the item column. */
+  def coOccurrenceEdges(items: DataFrame, basketCol: String, itemCol: String,
+      maxBasketItems: Int = 64): DataFrame = {
+    val baskets = items
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .groupBy(col("_b"))
+      .agg(sort_array(collect_set(col("_i"))).as("_items"))
+      .where(size(col("_items")).between(2, maxBasketItems))
+    // sorted set + index-ordered pair expansion: u < v by construction,
+    // so no post-filter on values and the distinct is the only exchange
+    // after the basket agg
+    baskets
+      .select(posexplode(col("_items")).as(Seq("_iu", "u")), col("_items"))
+      .select(col("u"), posexplode(col("_items")).as(Seq("_iv", "v")), col("_iu"))
+      .where(col("_iv") > col("_iu"))
+      .select(col("u"), col("v"))
+      .distinct()
+  }
+
+  /** Per-node degree of an undirected (u, v) edge list:
+    * (node, deg: long). */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+
+  /** Exact triangle count by degree orientation + edge-iterator
+    * adjacency intersection. Edges orient from the (deg, id)-smaller
+    * endpoint, making the graph a DAG in which each triangle has
+    * exactly one "counting" edge (u→v) whose endpoints share the third
+    * node as a common OUT-neighbour — so
+    * n_triangles = Σ_{(u,v)} |N⁺(u) ∩ N⁺(v)|.
+    * Why not materialize wedges and close them against the edge set:
+    * that shuffles Σ C(outdeg, 2) ≈ m^1.5 wedge ROWS (measured 13 s at
+    * sf0.1 — the round-7 bench outlier); this form shuffles O(m) edge
+    * rows carrying O(√m)-bounded adjacency arrays and runs the
+    * intersection as a zero-allocation codegen'd two-pointer pass
+    * (graft_sorted_intersect_count) per row. Orientation is what
+    * bounds the array: out-degree ≤ O(√2m) regardless of hub degree.
+    * Only the NODE-sized adjacency table materializes (eager
+    * localCheckpoint — it feeds both join sides; managed lifetime, the
+    * dupClusters rule): exploding it back regenerates each oriented
+    * edge WITH its src adjacency already attached, so the u-side
+    * adjacency join the naive plan needs disappears. Returns one row:
+    * (n_triangles: long). */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val adj = orient(edges.select(col("u"), col("v")))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("_nbrs"))
+      .localCheckpoint(true)
+    // a dst with no out-edges (a DAG sink) simply drops from the inner
+    // join — its intersection is empty and contributes 0. The join is
+    // pinned SHUFFLE_HASH with the node-sized adjacency as build side:
+    // the exploded edge stream scans from a checkpoint (no size stats),
+    // and AQE's fallback estimate otherwise BROADCASTS the O(m·√m)
+    // stream — a 600 MB broadcast at sf0.1 and a dead executor at
+    // scale. A sort-merge join would instead SORT the array-carrying
+    // stream. Hash-shuffling it is the honest O(m) exchange.
+    val perEdge = adj
+      .select(col("_nbrs").as("_nu"), explode(col("_nbrs")).as("dst"))
+      .join(adj.select(col("src").as("_sv"), col("_nbrs").as("_nv")).hint("shuffle_hash"),
+        col("dst") === col("_sv"))
+      .select(graft.functions.TextHashExpressions
+        .sortedIntersectCount(col("_nu"), col("_nv")).as("_k"))
+    perEdge.agg(coalesce(sum(col("_k")), lit(0L)).as("n_triangles"))
+  }
+
+  /** Degree-orient an undirected (u < v) edge list: src is the
+    * (deg, id)-smaller endpoint. The degree frame joins back onto the
+    * edges twice — AQE broadcasts it when #nodes is small and falls
+    * back to a node-keyed shuffle join when it isn't; neither path is
+    * a scale hazard (degrees is one row per node). */
+  private def orient(e: DataFrame): DataFrame = {
+    val deg = degrees(e)
+    val srcFirst = col("_du") < col("_dv") ||
+      (col("_du") === col("_dv") && col("u") < col("v"))
+    e.join(deg.select(col("node").as("u"), col("deg").as("_du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("_dv")), "v")
+      .select(
+        when(srcFirst, col("u")).otherwise(col("v")).as("src"),
+        when(srcFirst, col("v")).otherwise(col("u")).as("dst"))
+  }
+
+  /** PageRank in exact integer micros over an undirected edge list
+    * (both directions materialized). pr₀ = 1_000_000 per node;
+    * pr_{i+1} = 150_000 + (85 · Σ_{s→node} (pr_i(s) div deg(s))) div 100
+    * — every operation an exact long op, identical under any partition
+    * or merge order, so a DuckDB oracle unrolling the same iterations
+    * matches bit-for-bit. Nodes are edge endpoints (deg ≥ 1 — no
+    * dangling-mass term; an isolated node never enters the graph).
+    * The edge list and degree frame materialize once via eager
+    * localCheckpoint (each is referenced every iteration; the managed-
+    * lifetime rule — no cache-registry entry survives the call).
+    * Returns (node, pr: long). */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ed = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    val deg = ed.groupBy(col("s").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    var pr = deg.select(col("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(deg, "node")
+        .select(col("node"), expr("pr div d").as("c"))
+      pr = ed.join(contrib, ed("s") === contrib("node"))
+        .groupBy(col("t").as("node"))
+        .agg(sum(col("c")).as("s_in"))
+        .select(col("node"), expr("150000L + (85L * s_in) div 100L").as("pr"))
+    }
+    pr
+  }
+}

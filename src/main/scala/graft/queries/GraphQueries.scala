@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics inventory (g-family): the co-purchase graph — parts
+  * are nodes, "appeared in the same order" is an edge — profiled three
+  * ways: census (g01), centrality (g02), and degree shape (g03). All
+  * three share one oracle edge definition (the capped market-basket
+  * CTE below), so the DuckDB twins re-derive the identical graph and
+  * every number is hash-exact.
+  */
+object GraphQueries {
+
+  /** Shared oracle preamble: the capped co-purchase edge set, both
+    * directions, and per-node degrees — the SQL twin of
+    * `Graph.coOccurrenceEdges` + `Graph.degrees` (basket cap 64
+    * encoded HERE too, the d24 rule: the oracle must stay valid on any
+    * regenerated corpus, not just one that respects the cap). */
+  private val edgeCte =
+    """li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+      |       WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |bsz AS (SELECT b, COUNT(*) AS n FROM li GROUP BY b),
+      |e AS (SELECT DISTINCT a.i AS u, c.i AS v
+      |      FROM li a JOIN li c ON a.b = c.b AND a.i < c.i
+      |      JOIN bsz ON a.b = bsz.b
+      |      WHERE bsz.n BETWEEN 2 AND 64),
+      |ed AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v AS s, u AS t FROM e),
+      |deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1)""".stripMargin
+
+  /** Graph census: nodes, edges, exact triangle count — the one-row
+    * dataset-card answer to "how connected is the co-purchase graph".
+    * The edge list checkpoints once and feeds all three stats (the
+    * triangle op re-materializes its bounded input — the op owns its
+    * lifetime; the double checkpoint is two bounded edge-list writes,
+    * not two basket expansions); the census row assembles by
+    * broadcast crossJoin of one-row aggregates, never a shuffle. */
+  val g01TriangleCensus = NamedQuery(
+    "g01_triangle_census",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+        .localCheckpoint(true)
+      val nNodes = Graph.degrees(e).agg(count(lit(1)).as("n_nodes"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      nNodes.crossJoin(broadcast(nEdges))
+        .crossJoin(broadcast(Graph.triangleCount(e)))
+    },
+    Some(s"""WITH $edgeCte,
+            |o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+            |                  THEN e.u ELSE e.v END AS src,
+            |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+            |                  THEN e.v ELSE e.u END AS dst
+            |      FROM e JOIN deg du ON e.u = du.node
+            |             JOIN deg dv ON e.v = dv.node),
+            |w AS (SELECT a.dst AS y, b.dst AS z
+            |      FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst)
+            |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+            |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+            |       (SELECT CAST(COUNT(*) AS BIGINT)
+            |        FROM w JOIN e ON w.y = e.u AND w.z = e.v) AS n_triangles""".stripMargin))
+
+  /** PageRank top-20 over the co-purchase graph (which parts anchor
+    * the catalog). Exact integer micros, damping 85/100, 3 iterations
+    * — the oracle unrolls the identical integer recurrence as CTEs
+    * (the d10/d29 relearn-it-end-to-end rule), so the ranking is
+    * hash-exact, not approximately-equal. Top-20 plans as
+    * TakeOrderedAndProject with (pr desc, node) a total order. */
+  val g02PageRank = NamedQuery(
+    "g02_pagerank",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.pageRank(e, iters = 3)
+        .orderBy(col("pr").desc, col("node"))
+        .limit(20)
+    },
+    Some(s"""WITH $edgeCte,
+            |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+            |c1 AS (SELECT p.node, p.pr // d.d AS c FROM pr0 p JOIN deg d ON p.node = d.node),
+            |s1 AS (SELECT t AS node, CAST(SUM(c1.c) AS BIGINT) AS sm
+            |       FROM ed JOIN c1 ON ed.s = c1.node GROUP BY 1),
+            |pr1 AS (SELECT node, 150000 + (85 * sm) // 100 AS pr FROM s1),
+            |c2 AS (SELECT p.node, p.pr // d.d AS c FROM pr1 p JOIN deg d ON p.node = d.node),
+            |s2 AS (SELECT t AS node, CAST(SUM(c2.c) AS BIGINT) AS sm
+            |       FROM ed JOIN c2 ON ed.s = c2.node GROUP BY 1),
+            |pr2 AS (SELECT node, 150000 + (85 * sm) // 100 AS pr FROM s2),
+            |c3 AS (SELECT p.node, p.pr // d.d AS c FROM pr2 p JOIN deg d ON p.node = d.node),
+            |s3 AS (SELECT t AS node, CAST(SUM(c3.c) AS BIGINT) AS sm
+            |       FROM ed JOIN c3 ON ed.s = c3.node GROUP BY 1),
+            |pr3 AS (SELECT node, 150000 + (85 * sm) // 100 AS pr FROM s3)
+            |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3
+            |ORDER BY pr DESC, node LIMIT 20""".stripMargin))
+
+  /** Degree distribution of the co-purchase graph (the heavy-tail
+    * profile that decides whether the dedup/join caps are sized right
+    * — g-family twin of d38's cluster-size distribution). Two bounded
+    * hash-aggs over the edge endpoints. */
+  val g03DegreeDistribution = NamedQuery(
+    "g03_degree_distribution",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.degrees(e)
+        .groupBy(col("deg").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+    },
+    Some(s"""WITH $edgeCte
+            |SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            |FROM deg GROUP BY 1""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(g01TriangleCensus, g02PageRank, g03DegreeDistribution)
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two baskets: {1,2,3} (a triangle) and {3,4} (a pendant edge)
+  private val items = Seq(
+    (10L, 1L), (10L, 2L), (10L, 3L),
+    (20L, 3L), (20L, 4L),
+    (20L, 4L), // duplicate line: same item twice in one basket
+    (30L, 5L)  // singleton basket: contributes nothing
+  ).toDF("basket", "item")
+
+  private def edges = Graph.coOccurrenceEdges(items, "basket", "item")
+
+  test("coOccurrenceEdges: distinct u<v pairs; singleton baskets and duplicate lines contribute nothing") {
+    val got = edges.as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+  }
+
+  test("coOccurrenceEdges: the basket cap drops oversized baskets entirely") {
+    val big = (1L to 5L).map(i => (99L, i)).toDF("basket", "item")
+    assert(Graph.coOccurrenceEdges(big, "basket", "item", maxBasketItems = 4).isEmpty)
+    assert(Graph.coOccurrenceEdges(big, "basket", "item", maxBasketItems = 5).count() == 10L)
+  }
+
+  test("coOccurrenceEdges: null basket/item rows are dropped, not joined") {
+    val withNulls = items.unionByName(
+      Seq((Option.empty[Long], Option(9L)), (Option(10L), Option.empty[Long]))
+        .toDF("basket", "item"))
+    val got = Graph.coOccurrenceEdges(withNulls, "basket", "item")
+      .as[(Long, Long)].collect().toSet
+    assert(got == edges.as[(Long, Long)].collect().toSet)
+  }
+
+  test("degrees: each endpoint counted over both directions") {
+    val got = Graph.degrees(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+
+  test("triangleCount: one triangle in the two-basket graph; zero in a path") {
+    assert(Graph.triangleCount(edges).as[Long].head() == 1L)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    assert(Graph.triangleCount(path).as[Long].head() == 0L)
+  }
+
+  test("triangleCount: K4 has exactly 4 triangles (every wedge closes once)") {
+    val k4 = (for { u <- 1L to 4L; v <- (u + 1) to 4L } yield (u, v)).toDF("u", "v")
+    assert(Graph.triangleCount(k4).as[Long].head() == 4L)
+  }
+
+  test("pageRank: replays the exact integer recurrence on the pendant-triangle graph") {
+    // hand-rolled replica of the documented recurrence
+    val edgeList = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val nbrs = edgeList.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    var pr = nbrs.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val c = pr.map { case (n, p) => n -> p / deg(n) }
+      pr = nbrs.map { case (n, ns) => n -> (150000L + 85L * ns.map(c).sum / 100L) }
+    }
+    val got = Graph.pageRank(edges, iters = 3).as[(Long, Long)].collect().toMap
+    assert(got == pr)
+    // the hub (node 3, degree 3) must outrank the pendant (node 4)
+    assert(got(3L) > got(4L))
+  }
+
+  test("pageRank: leaves no cache-registry entry behind (managed lifetime)") {
+    Graph.pageRank(edges, iters = 2).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pageRank leaked a cached plan into the registry")
+  }
+
+  test("triangleCount: leaves no cache-registry entry behind (managed lifetime)") {
+    Graph.triangleCount(edges).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "triangleCount leaked a cached plan into the registry")
+  }
+}
