@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DataOpsQueries, ExtendedQueries, GraphQueries, NamedQuery, PipelineQueries, RelationalQueries, TpchQueries}
+import graft.queries.{DataOpsQueries, ExtendedQueries, GraphQueries, NamedQuery, PipelineQueries, RelationalQueries, SignalQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{DataOpsQueries, ExtendedQueries, GraphQueries, NamedQuery,
 object SparkEntry {
   val inventory: Seq[NamedQuery] =
     PipelineQueries.all ++ RelationalQueries.all ++ ExtendedQueries.all ++
-      TpchQueries.all ++ DataOpsQueries.all ++ GraphQueries.all
+      TpchQueries.all ++ DataOpsQueries.all ++ GraphQueries.all ++
+      SignalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

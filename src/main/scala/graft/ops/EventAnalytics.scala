@@ -212,4 +212,60 @@ object EventAnalytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(as, last(value, ignoreNulls = true).over(w))
   }
+
+  /** Days whose event count deviates more than `sigmas`·σ from the
+    * key's own daily mean — the monitoring query over an event log
+    * ("which days spiked"). The σ test runs entirely in exact integer
+    * cross-multiplication — (x·n − s)² > sigmas²·(n·ss − s²) is the
+    * |x − μ| > k·σ inequality with both sides scaled by n²
+    * (n²σ² = n·ss − s²) — so there
+    * is no sqrt, no float boundary, and a SQL oracle replays it
+    * bit-exact. Overflow bound: (x·n)² < 2⁶³, i.e. max-daily-count ×
+    * n-days < 3·10⁹ per key — years of daily buckets at under ~10⁶
+    * events/day; beyond that, pre-aggregate to coarser buckets.
+    *
+    * Plan: one (key, day) hash-agg, one key-level re-aggregate
+    * (#keys rows, AQE-broadcast back), the flag a narrow projection.
+    * Output: anomalous (key, day, x, mean_milli) rows only; day is an
+    * ISO string (the oracle date rule). */
+  def anomalousDays(events: DataFrame, keyCol: String, tsCol: String,
+      sigmas: Int = 2): DataFrame = {
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
+    val daily = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy(col("key"))
+      .agg(count(lit(1)).as("_n"), sum(col("x")).as("_s"),
+        sum(col("x") * col("x")).as("_ss"))
+    val dev = col("x") * col("_n") - col("_s")
+    daily.join(stats, "key")
+      .where(dev * dev >
+        lit(sigmas.toLong * sigmas) *
+          (col("_n") * col("_ss") - col("_s") * col("_s")))
+      .select(col("key"), col("day"), col("x"),
+        expr("(1000L * _s) div _n").as("mean_milli"))
+  }
+
+  /** Truncated exponentially-weighted moving average (α = 1/2,
+    * window 16) of a per-key integer series:
+    *   ewma_t = (Σ_{j=0..15} x_{t−j} · 2^(15−j)) div 2^16
+    * α = 1/2 makes every weight a power of two, so the smoothing is
+    * EXACT long arithmetic (the pandas ewm(adjust=False) shape with a
+    * zero seed: lags before the series start contribute 0) and a SQL
+    * oracle replays it with 16 lag() terms. One window pass over one
+    * key-partitioned exchange — the 16 lags share the frame. `orderCols`
+    * must totally order each key's series (the debounce contract). */
+  def ewmaSmooth(df: DataFrame, partitionCols: Seq[Column],
+      orderCols: Seq[Column], value: Column, as: String): DataFrame = {
+    require(partitionCols.nonEmpty,
+      "ewmaSmooth needs partition columns — an unpartitioned series " +
+        "would move the whole table through one task")
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    val acc = (0 until 16)
+      .map(j => coalesce(lag(value, j).over(w), lit(0L)) * lit(1L << (15 - j)))
+      .reduce(_ + _)
+    df.withColumn(as, shiftright(acc, 16))
+  }
 }

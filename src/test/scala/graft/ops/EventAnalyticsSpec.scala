@@ -158,4 +158,35 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.forwardFill(series, Nil, Seq(col("seq")), col("v"), "f")
     }
   }
+
+  test("anomalousDays flags exactly the day that breaks 2 sigma, via exact integer arithmetic") {
+    // key "a": 9 quiet days of 10 events + one day of 100.
+    // mean≈19, var dominated by the spike — only the spike exceeds 2σ.
+    val rows =
+      (0 until 9).flatMap(d => Seq.fill(10)(("a", ts(d * 24L)))) ++
+        Seq.fill(100)(("a", ts(9 * 24L))) ++
+        (0 until 10).flatMap(d => Seq.fill(5)(("b", ts(d * 24L)))) // constant key: σ=0
+    val got = EventAnalytics.anomalousDays(
+      rows.toDF("k", "t"), "k", "t", sigmas = 2)
+      .select("key", "day", "x").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "1970-01-10", 100L)), got.mkString(","))
+    // constant series: (x·n−s)² = 0 is NOT > 0 — zero variance flags nothing
+    assert(!got.exists(_._1 == "b"))
+  }
+
+  test("ewmaSmooth replays the exact power-of-two recurrence with zero padding") {
+    val series = Seq(("a", "d1", 65536L), ("a", "d2", 0L), ("a", "d3", 65536L))
+      .toDF("key", "day", "v")
+    val got = EventAnalytics.ewmaSmooth(series,
+        Seq(col("key")), Seq(col("day")), col("v"), as = "ewma")
+      .orderBy("day").select("ewma").as[Long].collect().toSeq
+    // t1: 65536·2^15 / 2^16 = 32768
+    // t2: (0·2^15 + 65536·2^14) / 2^16 = 16384
+    // t3: (65536·2^15 + 0 + 65536·2^13) / 2^16 = 32768 + 8192
+    assert(got == Seq(32768L, 16384L, 40960L), got.mkString(","))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.ewmaSmooth(series, Nil, Seq(col("day")), col("v"), "e")
+    }
+  }
 }
