@@ -250,13 +250,19 @@ object EventAnalytics {
 
   /** Truncated exponentially-weighted moving average (α = 1/2,
     * window 16) of a per-key integer series:
-    *   ewma_t = (Σ_{j=0..15} x_{t−j} · 2^(15−j)) div 2^16
+    *   ewma_t = (Σ_{j=0..15} x_{t−j} · 2^(15−j)) >> 16
     * α = 1/2 makes every weight a power of two, so the smoothing is
     * EXACT long arithmetic (the pandas ewm(adjust=False) shape with a
     * zero seed: lags before the series start contribute 0) and a SQL
-    * oracle replays it with 16 lag() terms. One window pass over one
-    * key-partitioned exchange — the 16 lags share the frame. `orderCols`
-    * must totally order each key's series (the debounce contract). */
+    * oracle replays it with 16 lag() terms. The final scale-down is an
+    * ARITHMETIC RIGHT SHIFT — floor semantics — deliberately: Spark's
+    * shiftright and DuckDB's >> agree on floor for negative
+    * accumulators at any magnitude, whereas div/'//' truncate toward
+    * zero and a power-of-two double division loses exactness past 2⁵³
+    * (a negative revenue day — refunds — would silently diverge by 1).
+    * One window pass over one key-partitioned exchange — the 16 lags
+    * share the frame. `orderCols` must totally order each key's series
+    * (the debounce contract). */
   def ewmaSmooth(df: DataFrame, partitionCols: Seq[Column],
       orderCols: Seq[Column], value: Column, as: String): DataFrame = {
     require(partitionCols.nonEmpty,

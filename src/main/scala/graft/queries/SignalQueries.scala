@@ -90,7 +90,9 @@ object SignalQueries {
   /** Exact EWMA (α = 1/2, window 16) of daily revenue-cents per event
     * type — trend smoothing whose every weight is a power of two, so
     * the whole series is long arithmetic and the oracle replays it
-    * with 16 lag() terms. See EventAnalytics.ewmaSmooth. */
+    * with 16 lag() terms and the same arithmetic >> 16 (floor on both
+    * engines even for refund-negative days — NOT '//', which truncates
+    * toward zero). See EventAnalytics.ewmaSmooth. */
   val q88Ewma = NamedQuery(
     "q88_ewma",
     (s, dir) => {
@@ -112,7 +114,7 @@ object SignalQueries {
          |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
          |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
          |  GROUP BY 1, 2)
-         |SELECT key, day, v, ($lags) // 65536 AS ewma
+         |SELECT key, day, v, ($lags) >> 16 AS ewma
          |FROM daily
          |WINDOW w AS (PARTITION BY key ORDER BY day)""".stripMargin
     })

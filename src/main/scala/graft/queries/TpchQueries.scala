@@ -25,23 +25,28 @@ import org.apache.spark.sql.functions._
 object TpchQueries {
 
   private def discCents = // l_extendedprice * (1 - l_discount), exact cents
-    round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0).cast("long")
+    Exact.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
 
   /** TPC-H Q1 (pricing summary report): the canonical "is partial
     * aggregation working" query — 8 aggregates over ~6 groups; at 100 TB
     * the map-side combine reduces ~all input before the 6-row exchange.
-    * The shipdate cutoff is pushed to the scan. Averages are single IEEE
-    * division chains over exact integer sums (identical ops both
-    * engines); qty is integral in the corpus so it sums as a long
-    * directly (round() guards a regenerated corpus with .5 values). */
+    * The shipdate cutoff is pushed to the scan as a HALF-OPEN bound
+    * (< next midnight): the classic <= DATE form compares a timestamp
+    * against midnight in Spark but a truncated date in SQL, so an
+    * intraday boundary-day row would diverge (the repo's date-filter
+    * rule — every other date filter here is half-open too). Averages
+    * are single IEEE division chains over exact integer sums
+    * (identical ops both engines); qty is integral in the corpus so it
+    * sums as a long directly (round() guards a regenerated corpus with
+    * .5 values). */
   val q78Tpch1 = NamedQuery(
     "q78_tpch1",
     (s, dir) => {
       val qtyL = round(col("l_quantity"), 0).cast("long")
-      val chargeCents = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-        (lit(1.0) + col("l_tax")) * 100, 0).cast("long")
+      val chargeCents = Exact.cents(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
       Tables.lineitem(s, dir)
-        .where(col("l_shipdate") <= "2000-09-02")
+        .where(col("l_shipdate") < "2000-09-03")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(qtyL).as("sum_qty"),
@@ -68,7 +73,7 @@ object TpchQueries {
            |       CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100 AS avg_disc,
            |       CAST(COUNT(*) AS BIGINT) AS count_order
            |FROM lineitem
-           |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+           |WHERE CAST(l_shipdate AS DATE) < DATE '2000-09-03'
            |GROUP BY 1, 2""".stripMargin))
 
   /** TPC-H Q6 (forecast revenue change): pure filter+agg — the pushdown
@@ -85,7 +90,7 @@ object TpchQueries {
         .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
           col("l_discount") >= 0.02 && col("l_discount") <= 0.04 && col("l_quantity") < 24)
         .agg(
-          sum(round(col("l_extendedprice") * col("l_discount") * 100, 0).cast("long"))
+          sum(Exact.cents(col("l_extendedprice") * col("l_discount")))
             .as("revenue_cents"),
           count(lit(1)).as("n_lines")),
     Some("""SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,

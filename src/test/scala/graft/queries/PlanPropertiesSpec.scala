@@ -250,6 +250,24 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(scans.head.requiredSchema.size <= 4, scans.head.requiredSchema.toString)
   }
 
+  test("q78 (TPC-H Q1): shipdate cutoff pushed to the scan; partial agg below the 6-group exchange") {
+    val plan = executedPlan("q78_tpch1")
+    assert("LessThan\\(l_shipdate".r.findFirstIn(plan).isDefined, plan)
+    // map-side combine must exist: partial_sum below the exchange means
+    // ~all 100 TB reduces before the 6-row shuffle
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q85 (TPC-H Q19): part broadcasts and the disjunction's common factor reaches the lineitem scan") {
+    val plan = executedPlan("q85_tpch19")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the OR-of-ANDs common factor over lineitem columns (quantity
+    // bounds) must be extracted and pushed into the scan's data filters
+    assert("DataFilters: \\[[^\\]]*l_quantity".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("q80 (TPC-H Q7): nation-filtered dims broadcast — the only data shuffle is lineitem ⋈ orders") {
     val plan = executedPlan("q80_tpch7")
     assert(!plan.contains("SortMergeJoin"), plan)
