@@ -119,5 +119,87 @@ object SignalQueries {
          |WINDOW w AS (PARTITION BY key ORDER BY day)""".stripMargin
     })
 
-  val all: Seq[NamedQuery] = Seq(t12Bm25, t13TfidfTerms, q87AnomalyDays, q88Ewma)
+  /** Rolling 7-day revenue per order priority via a RANGE window frame
+    * — the frame family q15/q16/q46's ROWS windows don't cover: RANGE
+    * over an integer day index sums every peer day in [d−6, d], with
+    * gap days (no orders) correctly absent from the sum rather than
+    * consuming a row slot. The order key is an epoch-day integer, so
+    * frame boundaries are exact on both engines; revenue is cents. One
+    * window over one priority-keyed exchange (daily pre-aggregate
+    * first — the window runs over #days rows per priority, not raw
+    * orders). */
+  val q89RollingRange = NamedQuery(
+    "q89_rolling_range",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .where(col("o_orderpriority").isNotNull && col("o_orderdate").isNotNull)
+        .groupBy(col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("day_idx"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("day_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("day_idx"))
+        .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+      daily.select(col("o_orderpriority"), col("day_idx"), col("day_cents"),
+        sum(col("day_cents")).over(w).as("rolling7_cents"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT o_orderpriority,
+           |         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+           |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+           |  FROM orders
+           |  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+           |  GROUP BY 1, 2)
+           |SELECT o_orderpriority, day_idx, day_cents,
+           |       CAST(SUM(day_cents) OVER (
+           |         PARTITION BY o_orderpriority ORDER BY day_idx
+           |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling7_cents
+           |FROM daily""".stripMargin))
+
+  /** Gaps-and-islands: each user's longest consecutive-active-day
+    * streak from the event log, top-20. The classic island key
+    * day_idx − row_number is constant exactly while days are
+    * consecutive — all integer, both engines. Plan: (user, day)
+    * dedup-agg, one user-keyed window (islands), island-length agg,
+    * per-user max, global top-20 as TakeOrderedAndProject. Every stage
+    * is user-keyed — Catalyst reuses the exchange across the three
+    * user-keyed steps. */
+  val q90Streaks = NamedQuery(
+    "q90_streaks",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day_idx"))
+      Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("_n"))
+        .select(col("user_id"), col("day_idx"),
+          (col("day_idx") - row_number().over(w)).as("island"))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("streak_days"))
+        .groupBy(col("user_id"))
+        .agg(max(col("streak_days")).as("longest_streak"))
+        .orderBy(col("longest_streak").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH days AS (
+           |  SELECT user_id,
+           |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx
+           |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           |  GROUP BY 1, 2),
+           |isl AS (SELECT user_id, day_idx,
+           |               day_idx - CAST(row_number() OVER (
+           |                 PARTITION BY user_id ORDER BY day_idx) AS BIGINT) AS island
+           |        FROM days),
+           |st AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS streak_days
+           |       FROM isl GROUP BY 1, 2)
+           |SELECT user_id, CAST(MAX(streak_days) AS BIGINT) AS longest_streak
+           |FROM st GROUP BY 1
+           |ORDER BY longest_streak DESC, user_id LIMIT 20""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(
+    t12Bm25, t13TfidfTerms, q87AnomalyDays, q88Ewma, q89RollingRange, q90Streaks)
 }

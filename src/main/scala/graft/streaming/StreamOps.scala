@@ -489,6 +489,67 @@ object StreamOps {
       }
   }
 
+  final case class ZscoreState(n: Long, s: Long, ss: Long)
+  final case class ZscoreBatch(group: String, n: Long, sum: Long,
+      sumsq: Long, n_anomalies: Long)
+
+  /** Streaming σ-anomaly monitor — the live twin of
+    * EventAnalytics.anomalousDays, same exact integer inequality
+    * (v·n − s)² > k²·(n·ss − s²), with (n, s, ss) the running moments
+    * of the group's WHOLE prefix (state law: after any batch prefix
+    * the moments bit-equal the batch aggregate over the same rows —
+    * asserted in spec). Values fold first, then every value of the
+    * incoming batch is tested against the post-fold moments, exactly
+    * how the batch op scores a day against statistics that include it.
+    * Constant state: three longs per group, ever. Emits one summary
+    * row per (group, batch): the moments plus how many of the batch's
+    * values broke k·σ. Overflow bound: Σv² < 2⁶³ per group (the
+    * anomalousDays bucket rule — pre-scale coarse values).
+    *
+    * Guards (the countMinStream/hllDistinctStream contract): a
+    * null-only batch allocates no state for a new group and emits
+    * nothing, but RE-arms an existing group's idle timeout — Spark
+    * clears the registered timeout on every invocation, so an early
+    * return that skips the re-set would pin the moments forever. */
+  def zscoreStream(spark: SparkSession, values: Dataset[KeyedValue],
+      sigmas: Int = 2,
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[ZscoreBatch] = {
+    import spark.implicits._
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
+    val k2 = sigmas.toLong * sigmas
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    values.groupByKey(_.group)
+      .flatMapGroupsWithState[ZscoreState, ZscoreBatch](
+        OutputMode.Append, timeoutConf) {
+        (group: String, rows: Iterator[KeyedValue], state: GroupState[ZscoreState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(ZscoreState(0L, 0L, 0L))
+            val batch = rows.filter(_.value != null).map(_.value.longValue()).toArray
+            if (batch.isEmpty) {
+              if (state.exists) idleTimeout.foreach(state.setTimeoutDuration)
+              Iterator.empty
+            } else {
+              var n = prior.n; var s = prior.s; var ss = prior.ss
+              batch.foreach { v => n += 1; s += v; ss += v * v }
+              val rhs = k2 * (n * ss - s * s)
+              val flagged = batch.count { v =>
+                val dev = v * n - s
+                dev * dev > rhs
+              }
+              state.update(ZscoreState(n, s, ss))
+              idleTimeout.foreach(state.setTimeoutDuration)
+              Iterator(ZscoreBatch(group, n, s, ss, flagged.toLong))
+            }
+          }
+      }
+  }
+  final case class KeyedValue(group: String, value: java.lang.Long)
+
   /** hllEstimate's exact-integer arithmetic on a dense register array —
     * register value 0 means "never touched" (present registers always
     * carry rho >= 1, the hllRegisters invariant), the Σ2^−M sum is an

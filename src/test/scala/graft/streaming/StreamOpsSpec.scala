@@ -515,4 +515,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(last.getDouble(2) == batchEst,
       s"stream=${last.getDouble(2)} batch=$batchEst")
   }
+
+  test("streaming z-score: moments bit-equal the batch prefix; the spike batch flags; null batches guarded") {
+    import spark.implicits._
+    val mem = MemoryStream[StreamOps.KeyedValue](spark, 1)
+    val out = StreamOps.zscoreStream(spark, mem.toDS(), sigmas = 2,
+      idleTimeout = None)
+    val q = out.writeStream.format("memory").queryName("zs_t")
+      .outputMode("append").start()
+    // batch 1: nine quiet values; batch 2: one 3-sigma spike;
+    // plus a null-only junk group that must never materialize state
+    val quiet = (1 to 9).map(_ => StreamOps.KeyedValue("a", 10L))
+    mem.addData(quiet :+ StreamOps.KeyedValue("junk", null): _*)
+    q.processAllAvailable()
+    mem.addData(StreamOps.KeyedValue("a", 100L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("zs_t").orderBy("n").collect()
+    assert(!rows.exists(_.getString(0) == "junk"),
+      "null-only group must not emit")
+    val a = rows.filter(_.getString(0) == "a")
+    assert(a.length == 2)
+    // state law: moments after each prefix equal the batch aggregates
+    assert((a(0).getLong(1), a(0).getLong(2), a(0).getLong(3)) == ((9L, 90L, 900L)))
+    assert((a(1).getLong(1), a(1).getLong(2), a(1).getLong(3)) == ((10L, 190L, 10900L)))
+    // the quiet batch flags nothing; the spike batch flags its one value
+    // ((100*10-190)^2 = 656100 > 4*(10*10900-36100) = 291600 — the
+    // EventAnalytics.anomalousDays inequality over the same prefix)
+    assert(a(0).getLong(4) == 0L)
+    assert(a(1).getLong(4) == 1L)
+  }
 }
