@@ -53,7 +53,12 @@ object BenchAtScale {
     // build — documents written, orders not — must rebuild, not crash
     // every later run on the missing table
     val donePath = java.nio.file.Paths.get(s"$outDir/_COMPLETE")
-    if (!java.nio.file.Files.exists(donePath)) {
+    // lineitem joined the scaled set in round 7 (graph family) — a
+    // corpus built before that is complete-but-missing it, so the
+    // table's own presence gates too
+    val liPath = java.nio.file.Paths.get(s"$outDir/lineitem.parquet")
+    if (!java.nio.file.Files.exists(donePath) ||
+        !java.nio.file.Files.exists(liPath)) {
       System.err.println(s"[scale] building ${copies}x corpus at $outDir from $srcDir")
       scaleDocuments(Tables.documents(spark, srcDir), copies)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -61,6 +66,8 @@ object BenchAtScale {
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
       scaleEmbeddings(Tables.embeddings(spark, srcDir), copies)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      scaleLineitem(Tables.lineitem(spark, srcDir), copies)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
       java.nio.file.Files.write(donePath, s"copies=$copies\n".getBytes("UTF-8"))
     }
 
@@ -97,6 +104,22 @@ object BenchAtScale {
             t => concat(lit(s"c${i}_"), t)), " "))
       docs.withColumn("doc_id", col("doc_id") + lit(i * maxId))
         .withColumn("text", tagged)
+    }.reduce(_ unionByName _)
+  }
+
+  /** K copies with BOTH order and part keys shifted: the co-purchase
+    * graph of the scaled corpus is K disjoint copies of the original
+    * graph (nodes, edges, and triangles all scale exactly K×, no
+    * cross-copy edges) — the graph twin of the doc-prefix rule: shared
+    * partkeys across copies would densify every node K× and grow
+    * wedges K² BY CONSTRUCTION, measuring the synthetic data rather
+    * than the plan. */
+  def scaleLineitem(li: DataFrame, copies: Int): DataFrame = {
+    val maxOrd = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0) + 1
+    val maxPart = li.agg(max(col("l_partkey"))).collect()(0).getLong(0) + 1
+    (0 until copies).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrd))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * maxPart))
     }.reduce(_ unionByName _)
   }
 
