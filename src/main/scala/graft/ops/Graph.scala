@@ -132,6 +132,16 @@ object Graph {
     * Returns (node, pr: long). */
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // Plain eager checkpoints, no partitioning games — both
+    // alternatives were MEASURED WORSE at sf0.1: (a) repartition(t)
+    // before the checkpoint is wasted because a checkpoint's LogicalRDD
+    // drops outputPartitioning, so the groupBy exchange returns anyway;
+    // (b) cache() (which does preserve partitioning) + a final eager
+    // checkpoint costs more in materialization than the three ~40 MB
+    // per-iteration exchanges it saves (5.5 s vs 4.4 s). The loop's
+    // repeated cost — one broadcast contribution join + one
+    // incoming-sum exchange per iteration — is the honest PageRank
+    // shape at any scale.
     val ed = edges.select(col("u").as("s"), col("v").as("t"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint(true)
