@@ -793,8 +793,13 @@ object TextHashExpressions {
 }
 
 /** spark.sql.extensions entry point:
-  * .config("spark.sql.extensions", "graft.functions.GraftExtensions") */
+  * .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * Injects the SQL function surface AND the engine scale guards
+  * (graft.plans.UnpartitionedWindowGuard — opt out per session with
+  * spark.graft.failUnpartitionedWindow=false). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     TextHashExpressions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.UnpartitionedWindowGuard)
+  }
 }

@@ -1,0 +1,79 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.SparkException
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class GuardRailsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withGuard[A](body: => A): A = {
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ UnpartitionedWindowGuard
+    try body
+    finally spark.experimental.extraOptimizations = before
+  }
+
+  test("guard rejects an unpartitioned window over unbounded input") {
+    withGuard {
+      val df = spark.range(1000).toDF("id")
+        .withColumn("rn", row_number().over(Window.orderBy("id")))
+      val e = intercept[SparkException] { df.collect() }
+      assert(e.getMessage.contains("globalRowNumber"), e.getMessage)
+    }
+  }
+
+  test("guard allows a partitioned window over the same input") {
+    withGuard {
+      val df = spark.range(1000).toDF("id")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("id") % 7).orderBy("id")))
+      assert(df.count() == 1000L)
+    }
+  }
+
+  test("guard allows a global window over aggregated (bounded) input") {
+    withGuard {
+      val agg = spark.range(1000).toDF("id")
+        .groupBy((col("id") % 5).as("k")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("k"))))
+      assert(agg.count() == 5L)
+    }
+  }
+
+  test("guard allows driver-local data and explicit limits") {
+    withGuard {
+      val local = Seq(1L, 2L, 3L).toDF("id")
+        .withColumn("rn", row_number().over(Window.orderBy("id")))
+      assert(local.count() == 3L)
+      val limited = spark.range(1000).toDF("id").limit(10)
+        .withColumn("rn", row_number().over(Window.orderBy("id")))
+      assert(limited.count() == 10L)
+    }
+  }
+
+  test("guard is opt-out per session via conf") {
+    withGuard {
+      spark.conf.set("spark.graft.failUnpartitionedWindow", "false")
+      try {
+        val df = spark.range(100).toDF("id")
+          .withColumn("rn", row_number().over(Window.orderBy("id")))
+        assert(df.count() == 100L)
+      } finally spark.conf.unset("spark.graft.failUnpartitionedWindow")
+    }
+  }
+
+  test("the whole registered inventory optimizes clean under the guard") {
+    // the engine-level guard must agree with PlanPropertiesSpec's
+    // physical walk: no registered query trips it
+    withGuard {
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        // optimization (where the guard runs) happens during planning —
+        // force it without executing the query
+        fn(spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+        ()
+      }
+    }
+  }
+}
