@@ -801,5 +801,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     TextHashExpressions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.UnpartitionedWindowGuard)
+    ext.injectOptimizerRule(_ => graft.plans.UnboundedCrossJoinGuard)
   }
 }

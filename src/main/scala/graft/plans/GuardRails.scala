@@ -30,12 +30,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * OneRowRelation). Everything else is table-sized until proven
   * otherwise, which is the safe default at scale.
   */
-object UnpartitionedWindowGuard extends Rule[LogicalPlan] {
-
-  private val confKey = "spark.graft.failUnpartitionedWindow"
-
+object GuardRails {
+  /** "Bounded" — the driver-side row count is already small by
+    * construction, so a global window / cross join over it is
+    * legitimate: an Aggregate (the global-agg partial pattern), an
+    * explicit Limit, driver-local data, or any of those behind
+    * row-preserving wrappers. Everything else is table-sized until
+    * proven otherwise — the safe default at scale. */
   @annotation.tailrec
-  private def bounded(p: LogicalPlan): Boolean = p match {
+  private[plans] def bounded(p: LogicalPlan): Boolean = p match {
     case _: Aggregate => true
     case _: GlobalLimit | _: LocalLimit => true
     case _: LocalRelation | _: OneRowRelation => true
@@ -44,19 +47,56 @@ object UnpartitionedWindowGuard extends Rule[LogicalPlan] {
     case u: Sort => bounded(u.child)
     case u: SubqueryAlias => bounded(u.child)
     case w: Window => bounded(w.child) // a window adds columns, not rows
+    case h: ResolvedHint => bounded(h.child)
     case _ => false
   }
+}
+
+object UnpartitionedWindowGuard extends Rule[LogicalPlan] {
+
+  private val confKey = "spark.graft.failUnpartitionedWindow"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(confKey, "true").toBoolean) {
       plan.foreach {
-        case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        case w: Window if w.partitionSpec.isEmpty && !GuardRails.bounded(w.child) =>
           throw new SparkException(
             "graft guard: window function with an empty PARTITION BY over " +
               "unbounded input — this plans as a single-partition exchange " +
               "of the whole table through one task. Partition the window, " +
               "pre-aggregate its input, or use the two-phase " +
               "graft.ops.Ranking.globalRowNumber for a global rank. " +
+              s"(disable per session: set $confKey=false)")
+        case _ => ()
+      }
+    }
+    plan
+  }
+}
+
+/** Rejects condition-free cross products where NEITHER side is bounded
+  * — at scale an n×m nested-loop join of two table-sized inputs never
+  * finishes; the legitimate uses (a broadcast one-row aggregate total,
+  * a literal frame, a capped sample) all have a bounded side and pass.
+  * Joins WITH a condition are left alone even when they plan as
+  * BroadcastNestedLoopJoin: an inequality/range join of a bounded side
+  * is a real pattern (q30), and a condition means the author said how
+  * the rows relate. */
+object UnboundedCrossJoinGuard extends Rule[LogicalPlan] {
+
+  private val confKey = "spark.graft.failUnboundedCrossJoin"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(confKey, "true").toBoolean) {
+      plan.foreach {
+        case j: Join if j.condition.isEmpty &&
+            j.joinType == org.apache.spark.sql.catalyst.plans.Cross &&
+            !GuardRails.bounded(j.left) && !GuardRails.bounded(j.right) =>
+          throw new SparkException(
+            "graft guard: cross join with no condition and no bounded " +
+              "side — an n×m product of two table-sized inputs. Broadcast " +
+              "a bounded frame (aggregate/limit/literal) on one side, or " +
+              "express the relationship as a join condition. " +
               s"(disable per session: set $confKey=false)")
         case _ => ()
       }

@@ -200,6 +200,53 @@ object SignalQueries {
            |FROM st GROUP BY 1
            |ORDER BY longest_streak DESC, user_id LIMIT 20""".stripMargin))
 
+  /** The value-function window family (first_value / last_value /
+    * nth_value / lead / lag) in one pass — the navigation complement
+    * of q74's ranking functions. first/last/nth read the FULL
+    * partition via an explicit unbounded frame (the default frame
+    * stops at the current row, where last_value degenerates to the
+    * current value — the classic window gotcha, made explicit on both
+    * engines); lead/lag use the default frame. Partition key is
+    * (priority × month), not priority alone (the q74 5-value-key
+    * rule); (day, orderkey) makes the order total so edge NULLs from
+    * lead/lag land on identical rows in both engines. One window
+    * shuffle serves all five functions. */
+  val q91ValueFunctions = NamedQuery(
+    "q91_value_functions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val part = Seq(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      val w = Window.partitionBy(part: _*)
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        cents.as("cents"),
+        first(cents).over(wFull).as("first_cents"),
+        last(cents).over(wFull).as("last_cents"),
+        nth_value(cents, 3).over(wFull).as("third_cents"),
+        lead(cents, 1).over(w).as("next_cents"),
+        lag(cents, 1).over(w).as("prev_cents"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+           |       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           |       first_value(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wf AS first_cents,
+           |       last_value(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wf AS last_cents,
+           |       nth_value(CAST(round(o_totalprice * 100) AS BIGINT), 3) OVER wf AS third_cents,
+           |       lead(CAST(round(o_totalprice * 100) AS BIGINT), 1) OVER w AS next_cents,
+           |       lag(CAST(round(o_totalprice * 100) AS BIGINT), 1) OVER w AS prev_cents
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_orderpriority, strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+           |             ORDER BY o_orderdate, o_orderkey),
+           |       wf AS (PARTITION BY o_orderpriority, strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+           |              ORDER BY o_orderdate, o_orderkey
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
-    t12Bm25, t13TfidfTerms, q87AnomalyDays, q88Ewma, q89RollingRange, q90Streaks)
+    t12Bm25, t13TfidfTerms, q87AnomalyDays, q88Ewma, q89RollingRange,
+    q90Streaks, q91ValueFunctions)
 }

@@ -550,6 +550,62 @@ object StreamOps {
   }
   final case class KeyedValue(group: String, value: java.lang.Long)
 
+  final case class EwmaState(t: Long, recent: Array[Long])
+  final case class EwmaPoint(group: String, t: Long, value: Long, ewma: Long)
+
+  /** Streaming exact EWMA (α = 1/2, window 16) — the live twin of
+    * EventAnalytics.ewmaSmooth: same power-of-two weight ladder, same
+    * arithmetic >> 16 floor, so feeding a key's series through any
+    * batch split yields BIT-IDENTICAL smoothed points to the batch
+    * window over the completed series (spec-asserted). Values smooth in
+    * ARRIVAL order within each batch (the op's order contract — q88's
+    * batch twin orders by day; feed the stream the same order).
+    * Constant state: at most 16 longs per group (the trailing window),
+    * with the null-batch / timeout-re-arm guards of the sketch
+    * streams. */
+  def ewmaStream(spark: SparkSession, values: Dataset[KeyedValue],
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[EwmaPoint] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    values.groupByKey(_.group)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, timeoutConf) {
+        (group: String, rows: Iterator[KeyedValue], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(EwmaState(0L, Array.empty[Long]))
+            val batch = rows.filter(_.value != null).map(_.value.longValue()).toArray
+            if (batch.isEmpty) {
+              if (state.exists) idleTimeout.foreach(state.setTimeoutDuration)
+              Iterator.empty
+            } else {
+              // recent(0) is the newest value; identical ladder to the
+              // batch op's lag(value, j) * 2^(15-j) — here j indexes
+              // recency directly
+              var recent = prior.recent
+              var t = prior.t
+              val out = batch.map { v =>
+                recent = (v +: recent).take(16)
+                var acc = 0L
+                var j = 0
+                while (j < recent.length) {
+                  acc += recent(j) * (1L << (15 - j)); j += 1
+                }
+                t += 1
+                EwmaPoint(group, t, v, acc >> 16)
+              }
+              state.update(EwmaState(t, recent))
+              idleTimeout.foreach(state.setTimeoutDuration)
+              out.iterator
+            }
+          }
+      }
+  }
+
   /** hllEstimate's exact-integer arithmetic on a dense register array —
     * register value 0 means "never touched" (present registers always
     * carry rho >= 1, the hllRegisters invariant), the Σ2^−M sum is an

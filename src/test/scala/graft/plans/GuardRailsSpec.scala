@@ -10,7 +10,8 @@ class GuardRailsSpec extends SparkSpec {
 
   private def withGuard[A](body: => A): A = {
     val before = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = before :+ UnpartitionedWindowGuard
+    spark.experimental.extraOptimizations =
+      before :+ UnpartitionedWindowGuard :+ UnboundedCrossJoinGuard
     try body
     finally spark.experimental.extraOptimizations = before
   }
@@ -61,6 +62,20 @@ class GuardRailsSpec extends SparkSpec {
           .withColumn("rn", row_number().over(Window.orderBy("id")))
         assert(df.count() == 100L)
       } finally spark.conf.unset("spark.graft.failUnpartitionedWindow")
+    }
+  }
+
+  test("cross-join guard rejects two unbounded sides; a bounded side passes") {
+    withGuard {
+      val big1 = spark.range(1000).toDF("a")
+      val big2 = spark.range(1000).toDF("b")
+      val e = intercept[SparkException] { big1.crossJoin(big2).count() }
+      assert(e.getMessage.contains("cross join"), e.getMessage)
+      // the repo's standard pattern: broadcast one-row aggregate total
+      val total = big2.agg(count(lit(1)).as("n"))
+      assert(big1.crossJoin(broadcast(total)).count() == 1000L)
+      // a literal frame is bounded too
+      assert(big1.crossJoin(Seq(1).toDF("one")).count() == 1000L)
     }
   }
 

@@ -545,4 +545,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(a(0).getLong(4) == 0L)
     assert(a(1).getLong(4) == 1L)
   }
+
+  test("streaming EWMA: any batch split is bit-identical to the batch window over the completed series") {
+    import spark.implicits._
+    val series = Seq(65536L, 0L, 65536L, 131072L, 32768L, 65536L)
+    val mem = MemoryStream[StreamOps.KeyedValue](spark, 1)
+    val out = StreamOps.ewmaStream(spark, mem.toDS(), idleTimeout = None)
+    val q = out.writeStream.format("memory").queryName("ew_t")
+      .outputMode("append").start()
+    // split the series unevenly across three batches + a null-only batch
+    mem.addData(series.take(2).map(v => StreamOps.KeyedValue("k", v)): _*)
+    q.processAllAvailable()
+    mem.addData(StreamOps.KeyedValue("k", null))
+    q.processAllAvailable()
+    mem.addData(series.slice(2, 5).map(v => StreamOps.KeyedValue("k", v)): _*)
+    q.processAllAvailable()
+    mem.addData(StreamOps.KeyedValue("k", series(5)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ew_t").orderBy("t")
+      .select("ewma").as[Long].collect().toSeq
+    val batch = graft.ops.EventAnalytics.ewmaSmooth(
+        series.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+          .toDF("key", "seq", "v"),
+        Seq(col("key")), Seq(col("seq")), col("v"), as = "ewma")
+      .orderBy("seq").select("ewma").as[Long].collect().toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
 }
