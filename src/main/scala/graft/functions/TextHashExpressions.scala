@@ -794,9 +794,11 @@ object TextHashExpressions {
 
 /** spark.sql.extensions entry point:
   * .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-  * Injects the SQL function surface AND the engine scale guards
-  * (graft.plans.UnpartitionedWindowGuard — opt out per session with
-  * spark.graft.failUnpartitionedWindow=false). */
+  * Injects the SQL function surface AND both engine scale guards:
+  *   - graft.plans.UnpartitionedWindowGuard
+  *     (opt out: spark.graft.failUnpartitionedWindow=false)
+  *   - graft.plans.UnboundedCrossJoinGuard
+  *     (opt out: spark.graft.failUnboundedCrossJoin=false) */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     TextHashExpressions.descriptors.foreach(ext.injectFunction)

@@ -31,15 +31,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * otherwise, which is the safe default at scale.
   */
 object GuardRails {
-  /** "Bounded" — the driver-side row count is already small by
-    * construction, so a global window / cross join over it is
-    * legitimate: an Aggregate (the global-agg partial pattern), an
+  /** "Bounded" — the row count is provably small (or explicitly
+    * capped) by construction, so a global window / cross join over it
+    * is legitimate: a grouping-FREE Aggregate (one output row), an
     * explicit Limit, driver-local data, or any of those behind
-    * row-preserving wrappers. Everything else is table-sized until
-    * proven otherwise — the safe default at scale. */
-  @annotation.tailrec
+    * row-preserving wrappers (project/filter/sort/repartition/sample/
+    * union-of-bounded). A KEYED aggregate is deliberately NOT bounded
+    * — "rank every user by their aggregate" has one output row per
+    * key and is exactly the single-partition killer the window guard
+    * exists for; cap it with a limit (top-k) or use the two-phase
+    * global rank. Everything else is table-sized until proven
+    * otherwise — the safe default at scale. */
   private[plans] def bounded(p: LogicalPlan): Boolean = p match {
-    case _: Aggregate => true
+    case a: Aggregate => a.groupingExpressions.isEmpty
     case _: GlobalLimit | _: LocalLimit => true
     case _: LocalRelation | _: OneRowRelation => true
     case u: Project => bounded(u.child)
@@ -48,6 +52,10 @@ object GuardRails {
     case u: SubqueryAlias => bounded(u.child)
     case w: Window => bounded(w.child) // a window adds columns, not rows
     case h: ResolvedHint => bounded(h.child)
+    case r: Repartition => bounded(r.child) // incl. coalesce
+    case r: RepartitionByExpression => bounded(r.child)
+    case s: Sample => bounded(s.child)
+    case u: Union => u.children.forall(bounded)
     case _ => false
   }
 }
@@ -78,10 +86,14 @@ object UnpartitionedWindowGuard extends Rule[LogicalPlan] {
   * — at scale an n×m nested-loop join of two table-sized inputs never
   * finishes; the legitimate uses (a broadcast one-row aggregate total,
   * a literal frame, a capped sample) all have a bounded side and pass.
-  * Joins WITH a condition are left alone even when they plan as
-  * BroadcastNestedLoopJoin: an inequality/range join of a bounded side
-  * is a real pattern (q30), and a condition means the author said how
-  * the rows relate. */
+  * Matches BOTH the explicit Cross join type and a condition-free
+  * Inner join: a forgotten join condition parses as Inner with
+  * condition None (df.join(other), SELECT * FROM a, b) — the most
+  * common accidental cartesian — and Spark 3+ no longer rejects it
+  * (spark.sql.crossJoin.enabled defaults true). Joins WITH a condition
+  * are left alone even when they plan as BroadcastNestedLoopJoin: an
+  * inequality/range join of a bounded side is a real pattern (q30),
+  * and a condition means the author said how the rows relate. */
 object UnboundedCrossJoinGuard extends Rule[LogicalPlan] {
 
   private val confKey = "spark.graft.failUnboundedCrossJoin"
@@ -90,13 +102,16 @@ object UnboundedCrossJoinGuard extends Rule[LogicalPlan] {
     if (conf.getConfString(confKey, "true").toBoolean) {
       plan.foreach {
         case j: Join if j.condition.isEmpty &&
-            j.joinType == org.apache.spark.sql.catalyst.plans.Cross &&
+            (j.joinType == org.apache.spark.sql.catalyst.plans.Cross ||
+              j.joinType == org.apache.spark.sql.catalyst.plans.Inner) &&
             !GuardRails.bounded(j.left) && !GuardRails.bounded(j.right) =>
           throw new SparkException(
-            "graft guard: cross join with no condition and no bounded " +
-              "side — an n×m product of two table-sized inputs. Broadcast " +
-              "a bounded frame (aggregate/limit/literal) on one side, or " +
-              "express the relationship as a join condition. " +
+            "graft guard: cross product with no join condition and no " +
+              "bounded side — an n×m product of two table-sized inputs " +
+              "(a missing join condition parses as Inner with no " +
+              "condition). Broadcast a bounded frame (one-row aggregate/" +
+              "limit/literal) on one side, or express the relationship " +
+              "as a join condition. " +
               s"(disable per session: set $confKey=false)")
         case _ => ()
       }

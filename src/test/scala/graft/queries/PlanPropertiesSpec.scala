@@ -304,6 +304,11 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q91 (value functions): one exchange serves all five window functions") {
+    val plan = executedPlan("q91_value_functions")
+    assert("(?<!Broadcast)Exchange ".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("q86 (TPC-H Q22): no-recent-order test is an ANTI join with the date filter pushed to orders' scan") {
     val plan = executedPlan("q86_tpch22")
     assert(plan.contains("LeftAnti"), plan)
