@@ -246,7 +246,57 @@ object SignalQueries {
            |              ORDER BY o_orderdate, o_orderkey
            |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin))
 
+  /** Trailing-7-day DISTINCT users per event type — the sliding
+    * distinct count that window functions cannot express (COUNT
+    * (DISTINCT) OVER is unsupported in Spark, and per-day distincts
+    * don't sum). The scale-first construction: each distinct
+    * (type, day, user) row is EXPLODED to the 7 target days it
+    * contributes to (a narrow ×7 expansion — no self-join of the
+    * log), target days restrict to observed days via a broadcast-size
+    * join, and one distinct-aggregate shuffle keyed on
+    * (type, target-day) — thousands of keys — does the counting.
+    * The per-type window formulation would funnel each type's whole
+    * user-day history through one task (the q74 trap). At
+    * billion-user scale, swap countDistinct for the q65 grouped-HLL
+    * registers — same frame, sketch-sized state. */
+  val q92SlidingDistinct = NamedQuery(
+    "q92_sliding_distinct",
+    (s, dir) => {
+      val du = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("day_idx"),
+          col("user_id"))
+        .distinct()
+      val days = du.select(col("event_type"), col("day_idx")).distinct()
+      val contrib = du
+        .withColumn("_k", explode(sequence(lit(0L), lit(6L))))
+        .select(col("event_type").as("_t"), (col("day_idx") + col("_k")).as("_td"),
+          col("user_id"))
+      contrib.join(days,
+          contrib("_t") === days("event_type") && contrib("_td") === days("day_idx"))
+        .groupBy(col("event_type"), col("day_idx"))
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+    },
+    Some("""WITH du AS (
+           |  SELECT DISTINCT event_type,
+           |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+           |         user_id
+           |  FROM events
+           |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+           |days AS (SELECT DISTINCT event_type, day_idx FROM du),
+           |contrib AS (
+           |  SELECT du.event_type AS t, du.day_idx + k.k AS td, du.user_id
+           |  FROM du CROSS JOIN (SELECT unnest(range(7)) AS k) k)
+           |SELECT days.event_type, days.day_idx,
+           |       CAST(COUNT(DISTINCT contrib.user_id) AS BIGINT) AS users_7d
+           |FROM contrib JOIN days
+           |  ON contrib.t = days.event_type AND contrib.td = days.day_idx
+           |GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     t12Bm25, t13TfidfTerms, q87AnomalyDays, q88Ewma, q89RollingRange,
-    q90Streaks, q91ValueFunctions)
+    q90Streaks, q91ValueFunctions, q92SlidingDistinct)
 }
