@@ -377,7 +377,165 @@ object TpchQueries {
            |                    AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
            |GROUP BY 1""".stripMargin))
 
+  /** TPC-H Q4 (order priority checking): orders with at least one LATE
+    * line, counted by priority. The corpus has no commit/receipt dates,
+    * so "late" adapts to shipped > 90 days after the order date —
+    * preserving Q4's defining shape: an EXISTS that must plan as a
+    * LEFT SEMI join (each order counted ONCE however many late lines
+    * it has), with a mixed equi + cross-side range predicate. The year
+    * filter is pushed to the orders scan; the semi join's equi key
+    * carries the shuffle. */
+  val q93Tpch4 = NamedQuery(
+    "q93_tpch4",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01")
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          ord("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+           |FROM orders
+           |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+           |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+           |  AND EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey
+           |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+           |GROUP BY 1""".stripMargin))
+
+  /** TPC-H Q2 (minimum-cost supplier): for each size-25 part, the
+    * EUROPE supplier offering it cheapest. No partsupp table in the
+    * corpus, so the (part, supplier, cost) relation derives from
+    * lineitem with cost = the line's extended price in cents
+    * (documented proxy). The correlated min-cost subquery decorrelates
+    * into ONE struct-min hash-agg (the q52 argmax pattern — never the
+    * textbook re-join): min(struct(cost, suppkey, name)) picks the
+    * cheapest offer with the supplier id as the deterministic
+    * tie-break. Part and the region-filtered supplier both broadcast;
+    * the only data shuffle is the per-part aggregate. */
+  val q94Tpch2 = NamedQuery(
+    "q94_tpch2",
+    (s, dir) => {
+      val part = Tables.part(s, dir).where(col("p_size") === 25)
+        .select(col("p_partkey"))
+      val euroSup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(part), col("l_partkey") === part("p_partkey"))
+        .join(broadcast(euroSup), col("l_suppkey") === euroSup("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(min(struct(
+          Exact.cents(col("l_extendedprice")).as("cost_cents"),
+          col("s_suppkey"), col("s_name"))).as("_best"))
+        .select(col("l_partkey"),
+          col("_best.cost_cents").as("min_cost_cents"),
+          col("_best.s_suppkey").as("s_suppkey"),
+          col("_best.s_name").as("s_name"))
+    },
+    Some("""WITH offers AS (
+           |  SELECT l_partkey,
+           |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cost_cents,
+           |         s_suppkey, s_name,
+           |         row_number() OVER (PARTITION BY l_partkey
+           |           ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT), s_suppkey) AS rn
+           |  FROM lineitem
+           |    JOIN part ON l_partkey = p_partkey
+           |    JOIN supplier ON l_suppkey = s_suppkey
+           |    JOIN nation ON s_nationkey = n_nationkey
+           |    JOIN region ON n_regionkey = r_regionkey
+           |  WHERE p_size = 25 AND r_name = 'EUROPE')
+           |SELECT l_partkey, cost_cents AS min_cost_cents, s_suppkey, s_name
+           |FROM offers WHERE rn = 1""".stripMargin))
+
+  /** TPC-H Q9 (product-type profit by nation and year): profit =
+    * revenue − cost for STANDARD parts, by supplier nation × order
+    * year. The corpus has no ps_supplycost; cost adapts to
+    * 60% · p_retailprice · quantity (documented proxy — the shape is
+    * what matters: a 5-table join where every dim broadcasts, the
+    * fact-fact lineitem ⋈ orders pair carries the only big shuffle,
+    * and the per-line profit must round to cents ONCE per line, not
+    * per term, so both engines subtract identical doubles before the
+    * one quantization). */
+  val q95Tpch9 = NamedQuery(
+    "q95_tpch9",
+    (s, dir) => {
+      val part = Tables.part(s, dir).where(col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supN = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+      val profitCents = round(
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")) * 100, 0).cast("long")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(broadcast(supN), li("l_suppkey") === supN("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(profitCents).as("profit_cents"))
+    },
+    Some("""SELECT n_name AS nation,
+           |       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           |       CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)
+           |                            - 0.6 * p_retailprice * l_quantity) * 100) AS BIGINT)) AS BIGINT) AS profit_cents
+           |FROM lineitem
+           |  JOIN part ON l_partkey = p_partkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |WHERE p_type = 'STANDARD'
+           |GROUP BY 1, 2""".stripMargin))
+
+  /** TPC-H Q16 (parts/supplier relationship): how many distinct
+    * suppliers offer each (brand, type, size) bucket, excluding one
+    * brand and excluding negative-balance suppliers (the corpus'
+    * stand-in for Q16's complaint filter — no comment column). The
+    * partsupp relation derives as DISTINCT (part, supplier) pairs from
+    * lineitem — deduped FIRST so the distinct-supplier count never
+    * re-scans raw lines; part broadcasts; the excluded suppliers
+    * arrive as a broadcast ANTI join (never NOT IN's null-trap
+    * semantics). Top-20 buckets by supplier count plans as
+    * TakeOrderedAndProject. */
+  val q96Tpch16 = NamedQuery(
+    "q96_tpch16",
+    (s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val part = Tables.part(s, dir).where(col("p_brand") =!= "Brand#5")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val badSup = Tables.supplier(s, dir).where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      pairs
+        .join(broadcast(part), col("l_partkey") === part("p_partkey"))
+        .join(broadcast(badSup), col("l_suppkey") === badSup("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+        .limit(20)
+    },
+    Some("""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+           |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+           |FROM pairs JOIN part ON l_partkey = p_partkey
+           |WHERE p_brand <> 'Brand#5'
+           |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           |GROUP BY 1, 2, 3
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q78Tpch1, q79Tpch6, q80Tpch7, q81Tpch8, q82Tpch13,
-    q83Tpch15, q84Tpch17, q85Tpch19, q86Tpch22)
+    q83Tpch15, q84Tpch17, q85Tpch19, q86Tpch22,
+    q93Tpch4, q94Tpch2, q95Tpch9, q96Tpch16)
 }

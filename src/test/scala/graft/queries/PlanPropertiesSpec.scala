@@ -304,6 +304,25 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q93 (TPC-H Q4): the EXISTS plans as LEFT SEMI — an order counts once however many late lines") {
+    val plan = executedPlan("q93_tpch4")
+    assert(plan.contains("LeftSemi"), plan)
+    assert("GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q94 (TPC-H Q2): min-cost supplier is ONE struct-min hash-agg — no window, no re-join of offers") {
+    val plan = executedPlan("q94_tpch2")
+    assert(!plan.contains("Window"), plan)
+    assert("lineitem\\.parquet".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q96 (TPC-H Q16): pairs dedup before counting; exclusions are a broadcast ANTI; top-20 as TakeOrdered") {
+    val plan = executedPlan("q96_tpch16")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("q91 (value functions): one exchange serves all five window functions") {
     val plan = executedPlan("q91_value_functions")
     assert("(?<!Broadcast)Exchange ".r.findAllIn(plan).length == 1, plan)
