@@ -123,4 +123,73 @@ class PropertyInvariantsSpec extends SparkSpec {
       assert(outIds.subsetOf(inputIds), s"seed=$seed")
     }
   }
+
+  // filter-free (a retrying `if u != v` guard can exhaust the
+  // generator on unlucky seeds): draw u then a positive offset
+  private val randomEdges: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(5, 30).flatMap { n =>
+      Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 11L)
+        d <- Gen.chooseNum(1L, 12L - u)
+      } yield (u, u + d))
+    }.map(_.distinct)
+
+  test("triangleCount equals the O(n^3) brute-force census on random graphs") {
+    for (seed <- 31L to 38L) {
+      val edges = sample(randomEdges, seed)
+      if (edges.nonEmpty) {
+        val got = Graph.triangleCount(edges.toDF("u", "v")).as[Long].head()
+        val set = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val expect = (for {
+          a <- nodes; b <- nodes if b > a; c <- nodes if c > b
+          if set((a, b)) && set((b, c)) && set((a, c))
+        } yield 1).size.toLong
+        assert(got == expect, s"seed=$seed edges=$edges got=$got expect=$expect")
+      }
+    }
+  }
+
+  test("pageRank invariants on random graphs: node set preserved, floor bound, more iters keep the floor") {
+    for (seed <- 41L to 45L) {
+      val edges = sample(randomEdges, seed)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("u", "v")
+        val pr = Graph.pageRank(df, iters = 3)
+          .as[(Long, Long)].collect().toMap
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        assert(pr.keySet == nodes, s"seed=$seed")
+        // every node receives at least the teleport floor, and no node
+        // can exceed the teleport floor plus 85% of the total mass
+        val totalMass = 1000000L * nodes.size
+        assert(pr.values.forall(_ >= 150000L), s"seed=$seed")
+        assert(pr.values.forall(_ <= 150000L + 85L * totalMass / 100L), s"seed=$seed")
+      }
+    }
+  }
+
+  test("ewmaSmooth is bounded by the running max and exact on constant series") {
+    for (seed <- 51L to 55L) {
+      val vals = sample(Gen.listOfN(12, Gen.chooseNum(0L, 1000L)), seed)
+      val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("key", "seq", "v")
+      val out = EventAnalytics.ewmaSmooth(df, Seq(col("key")), Seq(col("seq")),
+          col("v"), as = "e")
+        .orderBy("seq").select("v", "e").as[(Long, Long)].collect()
+      // the weight ladder sums to < 2^16, so the smoothed value never
+      // exceeds the max of the window (floor keeps it strictly under)
+      var runMax = 0L
+      out.foreach { case (v, e) =>
+        runMax = math.max(runMax, v)
+        assert(e <= runMax, s"seed=$seed v=$v e=$e max=$runMax")
+      }
+      // constant series converges to c * (2^16 - 1) / 2^16 (floor)
+      val const = Seq.fill(20)(65536L).zipWithIndex
+        .map { case (v, i) => ("k", i.toLong, v) }.toDF("key", "seq", "v")
+      val tail = EventAnalytics.ewmaSmooth(const, Seq(col("key")), Seq(col("seq")),
+          col("v"), as = "e")
+        .orderBy(col("seq").desc).limit(1).select("e").as[Long].head()
+      assert(tail == 65535L, s"constant-series tail=$tail")
+    }
+  }
 }
