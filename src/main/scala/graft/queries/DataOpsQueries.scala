@@ -802,6 +802,48 @@ object DataOpsQueries {
            |       array_to_string(list(id ORDER BY pos), ',') AS ids
            |FROM enc GROUP BY doc_id""".stripMargin))
 
+  /** Vocabulary coverage audit (per-source OOV rate): the share of
+    * each source's tokens that a top-20 vocabulary would map to OOV —
+    * the "is this source tokenizer-compatible" card a mixture
+    * assembly consults before d35 allocates its budget. One explode
+    * feeds both the vocab build (d19's deterministic top-N) and the
+    * per-source tally; the vocab side joins back as a broadcast
+    * (bounded by construction); the rate is exact integer milli —
+    * (1000·n_oov) div n_tokens. Vocab size 20 of the corpus' ~31
+    * terms so the rate is non-degenerate at every SF. */
+  val d40OovRate = NamedQuery(
+    "d40_oov_rate",
+    (s, dir) => {
+      // vocab from every text-bearing doc; the per-source tally
+      // additionally needs a source key — the SAME split the oracle
+      // encodes (a null-source doc still shapes the vocabulary)
+      val vocab = TextAnalysis.buildVocab(
+        Tables.documents(s, dir).where(col("text").isNotNull), "text", size = 20)
+      val docs = Tables.documents(s, dir)
+        .where(col("text").isNotNull && col("source").isNotNull)
+      docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .join(broadcast(vocab.select(col("term"), col("id"))), Seq("term"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_milli", expr("(1000L * n_oov) div n_tokens"))
+    },
+    Some("""WITH base AS (SELECT source, unnest(string_split(text, ' ')) AS term
+           |              FROM documents
+           |              WHERE text IS NOT NULL AND source IS NOT NULL),
+           |vocab AS (SELECT term,
+           |                 CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS id
+           |          FROM (SELECT term, COUNT(*) AS c
+           |                FROM (SELECT unnest(string_split(text, ' ')) AS term
+           |                      FROM documents WHERE text IS NOT NULL) GROUP BY 1)
+           |          QUALIFY id <= 20)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |       (1000 * CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+           |         // CAST(COUNT(*) AS BIGINT) AS oov_milli
+           |FROM base LEFT JOIN vocab v USING (term)
+           |GROUP BY 1""".stripMargin))
+
   /** Audio-style fixed-window framing over the raw byte stream (window
     * 1024, hop 512) — the waveform-chunking twin of m02's video frame
     * sampling: frame offsets/lengths are pure integer arithmetic over
@@ -1844,7 +1886,7 @@ object DataOpsQueries {
     d25CurationPipeline, d26KAnonymity, d27ForgetPurge, d28LmQuality,
     d29BpeTrain, d30BpeEncode, d31WeightedSample, d32SplitAssign,
     d33Curriculum, d34CorpusDiff, d35BudgetAssembly, d36KeepBest,
-    d37EmbeddingStats, d38ClusterSizes, d39IncrementalDedup,
+    d37EmbeddingStats, d38ClusterSizes, d39IncrementalDedup, d40OovRate,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -606,6 +606,63 @@ object StreamOps {
       }
   }
 
+  final case class KeyedScore(group: String, item: String, score: java.lang.Long)
+  final case class TopKState(entries: Array[(String, Long)])
+  final case class TopKEntry(group: String, rank: Long, item: String, score: Long)
+
+  /** Streaming exact top-k leaderboard per group: constant state of at
+    * most k (item, score) entries, ordered (score desc, item asc).
+    * After any prefix the emission equals the batch top-k over the
+    * same observations PROVIDED each item carries at most one score
+    * per key (the leaderboard contract — final scores, not deltas); a
+    * re-observed item updates to max(old, new) while it remains in
+    * the kept set, but a score evicted earlier is gone — constant
+    * state cannot resurrect it (documented; feed per-item maxima for
+    * exactness under duplicates). Emits the FULL current leaderboard
+    * each batch a group receives data (≤ k rows, Append-safe). Null
+    * items/scores are not observations; the null-batch/timeout
+    * re-arm guards of the sketch streams apply. */
+  def topKStream(spark: SparkSession, scores: Dataset[KeyedScore], k: Int,
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[TopKEntry] = {
+    import spark.implicits._
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    implicit val ord: Ordering[(String, Long)] =
+      Ordering.by { case (item, score) => (-score, item) }
+    scores.groupByKey(_.group)
+      .flatMapGroupsWithState[TopKState, TopKEntry](
+        OutputMode.Append, timeoutConf) {
+        (group: String, rows: Iterator[KeyedScore], state: GroupState[TopKState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows
+              .filter(r => r.item != null && r.score != null)
+              .map(r => r.item -> r.score.longValue()).toArray
+            if (batch.isEmpty) {
+              if (state.exists) idleTimeout.foreach(state.setTimeoutDuration)
+              Iterator.empty
+            } else {
+              val prior = state.getOption
+                .map(_.entries).getOrElse(Array.empty[(String, Long)])
+              // fold: per-item max across prior entries + batch, then
+              // re-trim to k under (score desc, item asc)
+              val merged = (prior ++ batch)
+                .groupBy(_._1).view.mapValues(_.map(_._2).max).toArray
+                .sorted(ord).take(k)
+              state.update(TopKState(merged))
+              idleTimeout.foreach(state.setTimeoutDuration)
+              merged.iterator.zipWithIndex.map { case ((item, score), i) =>
+                TopKEntry(group, (i + 1).toLong, item, score)
+              }
+            }
+          }
+      }
+  }
+
   /** hllEstimate's exact-integer arithmetic on a dense register array —
     * register value 0 means "never touched" (present registers always
     * carry rho >= 1, the hllRegisters invariant), the Σ2^−M sum is an

@@ -572,4 +572,32 @@ class StreamOpsSpec extends SparkSpec {
       .orderBy("seq").select("ewma").as[Long].collect().toSeq
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
+
+  test("streaming top-k: leaderboard after any prefix equals batch top-k; re-observed items take max") {
+    import spark.implicits._
+    val mem = MemoryStream[StreamOps.KeyedScore](spark, 1)
+    val out = StreamOps.topKStream(spark, mem.toDS(), k = 3, idleTimeout = None)
+    val q = out.writeStream.format("memory").queryName("tk_t")
+      .outputMode("append").start()
+    mem.addData(
+      StreamOps.KeyedScore("g", "a", 10L), StreamOps.KeyedScore("g", "b", 30L),
+      StreamOps.KeyedScore("g", "c", 20L), StreamOps.KeyedScore("g", "d", 5L),
+      StreamOps.KeyedScore("junk", null, 1L))
+    q.processAllAvailable()
+    // batch 2: new entrant evicts the floor; a kept item re-observes higher
+    mem.addData(
+      StreamOps.KeyedScore("g", "e", 25L), StreamOps.KeyedScore("g", "c", 40L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tk_t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(!rows.exists(_._1 == "junk"), "null-item group must not emit")
+    val b1 = rows.filter(_._2 <= 3).take(3) // first emission: 3 rows
+    assert(rows.length == 6, rows.mkString(","))
+    assert(rows.take(3).toSeq ==
+      Seq(("g", 1L, "b", 30L), ("g", 2L, "c", 20L), ("g", 3L, "a", 10L)), b1.mkString(","))
+    assert(rows.drop(3).toSeq ==
+      Seq(("g", 1L, "c", 40L), ("g", 2L, "b", 30L), ("g", 3L, "e", 25L)),
+      rows.drop(3).mkString(","))
+  }
 }
