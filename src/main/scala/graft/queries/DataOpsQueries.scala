@@ -805,10 +805,11 @@ object DataOpsQueries {
   /** Vocabulary coverage audit (per-source OOV rate): the share of
     * each source's tokens that a top-20 vocabulary would map to OOV —
     * the "is this source tokenizer-compatible" card a mixture
-    * assembly consults before d35 allocates its budget. One explode
-    * feeds both the vocab build (d19's deterministic top-N) and the
-    * per-source tally; the vocab side joins back as a broadcast
-    * (bounded by construction); the rate is exact integer milli —
+    * assembly consults before d35 allocates its budget. Two text
+    * passes by design — the vocab build (d19's deterministic top-N)
+    * and the per-source tally scan different filters of documents and
+    * the bounded vocab is what crosses between them; it joins back as
+    * a broadcast, and the rate is exact integer milli —
     * (1000·n_oov) div n_tokens. Vocab size 20 of the corpus' ~31
     * terms so the rate is non-degenerate at every SF. */
   val d40OovRate = NamedQuery(

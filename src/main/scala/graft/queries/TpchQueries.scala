@@ -476,9 +476,9 @@ object TpchQueries {
         .select(col("s_suppkey"), col("n_name"))
       val li = Tables.lineitem(s, dir)
       val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
-      val profitCents = round(
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-          lit(0.6) * col("p_retailprice") * col("l_quantity")) * 100, 0).cast("long")
+      val profitCents = Exact.cents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity"))
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
         .join(broadcast(supN), li("l_suppkey") === supN("s_suppkey"))
         .join(ord, li("l_orderkey") === ord("o_orderkey"))

@@ -607,8 +607,9 @@ object StreamOps {
   }
 
   final case class KeyedScore(group: String, item: String, score: java.lang.Long)
-  final case class TopKState(entries: Array[(String, Long)])
-  final case class TopKEntry(group: String, rank: Long, item: String, score: Long)
+  final case class TopKState(n: Long, entries: Array[(String, Long)])
+  final case class TopKEntry(group: String, n: Long, rank: Long, item: String,
+      score: Long)
 
   /** Streaming exact top-k leaderboard per group: constant state of at
     * most k (item, score) entries, ordered (score desc, item asc).
@@ -619,9 +620,12 @@ object StreamOps {
     * the kept set, but a score evicted earlier is gone — constant
     * state cannot resurrect it (documented; feed per-item maxima for
     * exactness under duplicates). Emits the FULL current leaderboard
-    * each batch a group receives data (≤ k rows, Append-safe). Null
-    * items/scores are not observations; the null-batch/timeout
-    * re-arm guards of the sketch streams apply. */
+    * each batch a group receives data (≤ k rows, Append-safe), each
+    * row carrying the monotone observation count `n` so an Append
+    * sink's consumers can select the CURRENT leaderboard
+    * (WHERE n = max(n) per group) — the ZscoreBatch/EwmaPoint marker
+    * convention. Null items/scores are not observations; the
+    * null-batch/timeout re-arm guards of the sketch streams apply. */
   def topKStream(spark: SparkSession, scores: Dataset[KeyedScore], k: Int,
       idleTimeout: Option[String] = Some("1 hour")): Dataset[TopKEntry] = {
     import spark.implicits._
@@ -629,8 +633,13 @@ object StreamOps {
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
+    // score desc via Ordering.Long.reverse, NOT negation: -score
+    // overflows at Long.MinValue (-MinValue == MinValue) and would
+    // sort the worst score to rank 1
     implicit val ord: Ordering[(String, Long)] =
-      Ordering.by { case (item, score) => (-score, item) }
+      Ordering.by[(String, Long), (Long, String)] {
+        case (item, score) => (score, item)
+      }(Ordering.Tuple2(Ordering.Long.reverse, Ordering.String))
     scores.groupByKey(_.group)
       .flatMapGroupsWithState[TopKState, TopKEntry](
         OutputMode.Append, timeoutConf) {
@@ -646,17 +655,17 @@ object StreamOps {
               if (state.exists) idleTimeout.foreach(state.setTimeoutDuration)
               Iterator.empty
             } else {
-              val prior = state.getOption
-                .map(_.entries).getOrElse(Array.empty[(String, Long)])
+              val prior = state.getOption.getOrElse(TopKState(0L, Array.empty))
               // fold: per-item max across prior entries + batch, then
               // re-trim to k under (score desc, item asc)
-              val merged = (prior ++ batch)
+              val merged = (prior.entries ++ batch)
                 .groupBy(_._1).view.mapValues(_.map(_._2).max).toArray
                 .sorted(ord).take(k)
-              state.update(TopKState(merged))
+              val n = prior.n + batch.length
+              state.update(TopKState(n, merged))
               idleTimeout.foreach(state.setTimeoutDuration)
               merged.iterator.zipWithIndex.map { case ((item, score), i) =>
-                TopKEntry(group, (i + 1).toLong, item, score)
+                TopKEntry(group, n, (i + 1).toLong, item, score)
               }
             }
           }

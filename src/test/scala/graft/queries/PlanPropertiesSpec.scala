@@ -317,6 +317,13 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q95 (TPC-H Q9): every dim broadcasts; one lineitem scan; the fact-fact pair is the only shuffle join") {
+    val plan = executedPlan("q95_tpch9")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("lineitem\\.parquet".r.findAllIn(plan).length == 1, plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
+  }
+
   test("q96 (TPC-H Q16): pairs dedup before counting; exclusions are a broadcast ANTI; top-20 as TakeOrdered") {
     val plan = executedPlan("q96_tpch16")
     assert(plan.contains("TakeOrderedAndProject"), plan)

@@ -582,22 +582,28 @@ class StreamOpsSpec extends SparkSpec {
     mem.addData(
       StreamOps.KeyedScore("g", "a", 10L), StreamOps.KeyedScore("g", "b", 30L),
       StreamOps.KeyedScore("g", "c", 20L), StreamOps.KeyedScore("g", "d", 5L),
-      StreamOps.KeyedScore("junk", null, 1L))
+      StreamOps.KeyedScore("junk", null, 1L),
+      // MinValue must sort WORST, not to rank 1 (the -score overflow)
+      StreamOps.KeyedScore("g", "z", Long.MinValue))
     q.processAllAvailable()
     // batch 2: new entrant evicts the floor; a kept item re-observes higher
     mem.addData(
       StreamOps.KeyedScore("g", "e", 25L), StreamOps.KeyedScore("g", "c", 40L))
     q.processAllAvailable()
     q.stop()
+    // emissions are keyed by the monotone observation count n — never
+    // by sink row order, which no API guarantees
     val rows = spark.table("tk_t").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
     assert(!rows.exists(_._1 == "junk"), "null-item group must not emit")
-    val b1 = rows.filter(_._2 <= 3).take(3) // first emission: 3 rows
     assert(rows.length == 6, rows.mkString(","))
-    assert(rows.take(3).toSeq ==
-      Seq(("g", 1L, "b", 30L), ("g", 2L, "c", 20L), ("g", 3L, "a", 10L)), b1.mkString(","))
-    assert(rows.drop(3).toSeq ==
-      Seq(("g", 1L, "c", 40L), ("g", 2L, "b", 30L), ("g", 3L, "e", 25L)),
-      rows.drop(3).mkString(","))
+    val emission1 = rows.filter(_._2 == 5L).sortBy(_._3)
+      .map { case (_, _, rank, item, score) => (rank, item, score) }.toSeq
+    val emission2 = rows.filter(_._2 == 7L).sortBy(_._3)
+      .map { case (_, _, rank, item, score) => (rank, item, score) }.toSeq
+    assert(emission1 ==
+      Seq((1L, "b", 30L), (2L, "c", 20L), (3L, "a", 10L)), emission1.mkString(","))
+    assert(emission2 ==
+      Seq((1L, "c", 40L), (2L, "b", 30L), (3L, "e", 25L)), emission2.mkString(","))
   }
 }
