@@ -296,7 +296,69 @@ object SignalQueries {
            |  ON contrib.t = days.event_type AND contrib.td = days.day_idx
            |GROUP BY 1, 2""".stripMargin))
 
+  /** Grouped OLS trend: slope and intercept of daily revenue vs time
+    * per event type — q58's Pearson machinery pointed at "is this
+    * metric trending". All five regression sums are exact longs; the
+    * slope is ONE IEEE division of two exact longs and the intercept
+    * two IEEE ops on it — deterministic on both engines, no rounding
+    * needed. Overflow management: x is the day offset from the
+    * corpus' first day (broadcast one-row min — raw epoch days would
+    * square into n·Σxy), and y is whole DOLLARS (cents div 100, both
+    * engines truncate toward zero): n·Σxy < days²·max_daily_dollars·n
+    * stays under 2⁶³ through ~100× this corpus; cents would overflow
+    * at ~sf1. */
+  val q97TrendRegression = NamedQuery(
+    "q97_trend_regression",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .where(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("_d"))
+        .agg(expr("sum(cast(round(value * 100) as long)) div 100L").as("_y"))
+      val minDay = daily.agg(min(col("_d")).as("_d0"))
+      daily.crossJoin(broadcast(minDay))
+        .select(col("event_type"), (col("_d") - col("_d0")).as("_x"), col("_y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+          sum(col("_x") * col("_y")).as("_sxy"),
+          sum(col("_x") * col("_x")).as("_sxx"))
+        .select(col("event_type"), col("n_days"), {
+          val slope =
+            (col("n_days") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+              (col("n_days") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+          slope.as("slope_dollars_per_day")
+        }, {
+          val slope =
+            (col("n_days") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+              (col("n_days") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+          ((col("_sy").cast("double") - slope * col("_sx").cast("double")) /
+            col("n_days")).as("intercept_dollars")
+        })
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type,
+           |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+           |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) // 100 AS y
+           |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           |  GROUP BY 1, 2),
+           |xy AS (SELECT event_type, d - (SELECT MIN(d) FROM daily) AS x, y FROM daily),
+           |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           |             CAST(SUM(x * y) AS BIGINT) AS sxy,
+           |             CAST(SUM(x * x) AS BIGINT) AS sxx
+           |      FROM xy GROUP BY 1)
+           |SELECT event_type, n_days,
+           |       CAST(n_days * sxy - sx * sy AS DOUBLE)
+           |         / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope_dollars_per_day,
+           |       (CAST(sy AS DOUBLE)
+           |        - (CAST(n_days * sxy - sx * sy AS DOUBLE)
+           |           / CAST(n_days * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           |         / n_days AS intercept_dollars
+           |FROM s""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     t12Bm25, t13TfidfTerms, q87AnomalyDays, q88Ewma, q89RollingRange,
-    q90Streaks, q91ValueFunctions, q92SlidingDistinct)
+    q90Streaks, q91ValueFunctions, q92SlidingDistinct, q97TrendRegression)
 }

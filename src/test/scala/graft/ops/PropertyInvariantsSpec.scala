@@ -193,4 +193,33 @@ class PropertyInvariantsSpec extends SparkSpec {
       .orderBy(col("seq").desc).limit(1).select("e").as[Long].head()
     assert(tail == 65535L, s"constant-series tail=$tail")
   }
+
+  test("bm25TopDocs replays the documented milli ladder on random corpora (brute-force reference)") {
+    val queryTerms = Seq("a", "b", "c")
+    for (seed <- 61L to 66L) {
+      val texts = sample(corpus, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Relevance.bm25TopDocs(docs, "doc_id", "text", queryTerms, k = 100)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // plain-Scala replica of the ladder
+      val toks = texts.zipWithIndex.map { case (t, i) => i.toLong -> t.split(" ").toSeq }
+      val nDocs = toks.size.toLong
+      val lTot = toks.map(_._2.size.toLong).sum
+      val tf = for {
+        (id, ts) <- toks; term <- queryTerms
+        n = ts.count(_ == term).toLong if n > 0
+      } yield (id, term, n, ts.size.toLong)
+      val df = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val expect = tf.groupBy(_._1).view.mapValues { rows =>
+        val s = rows.map { case (_, term, n, len) =>
+          val idf = (2L * (nDocs - df(term)) + 1L) * 1000L / (2L * df(term) + 1L)
+          val lr = 1000L * len * nDocs / lTot
+          2200L * n * idf / (1000L * n + 300L + 9L * lr / 10L)
+        }.sum
+        (s, rows.size.toLong)
+      }.toMap
+      assert(got == expect, s"seed=$seed got=$got expect=$expect")
+    }
+  }
 }

@@ -104,6 +104,14 @@ def main(sf_dir, out_dir):
         else:
             print(f"  {name:26s} OK rows={len(g)}")
             n_pass += 1
+    # an oracle with NO output dir means graft.Verify caught that query
+    # throwing (its [verify] stderr line is easy to miss in sbt noise) —
+    # count it as a FAILURE, not a silent skip: iterating only existing
+    # dirs once hid a query that failed at analysis time
+    missing = sorted(set(oracles) - set(names))
+    for name in missing:
+        print(f"  {name:26s} NO_OUTPUT (query threw in graft.Verify — see its stderr)")
+        n_fail += 1
     print(f"\n{n_pass} oracle-pass, {n_fail} fail")
     return 1 if n_fail else 0
 
