@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The library front door delivers its documented wiring: functions,
+  * guard rails, and the determinism confs. Builds its own session (the
+  * point under test), parked around the shared one. */
+class GraftSessionSpec extends AnyFunSuite {
+
+  test("GraftSession.create wires functions, guards, and the determinism confs") {
+    val old = TestSpark.spark // ensure the shared session exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = GraftSession.create(parallelism = 2)
+      assert(s ne old)
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "2")
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      // SQL function surface present
+      assert(s.sql("SELECT graft_md5_upper('x') AS h").count() == 1L)
+      // both guards live
+      intercept[SparkException] {
+        s.range(100).toDF("id")
+          .withColumn("rn", row_number().over(Window.orderBy("id"))).collect()
+      }
+      intercept[SparkException] {
+        s.range(100).toDF("a").join(s.range(100).toDF("b")).count()
+      }
+      intercept[IllegalArgumentException] { GraftSession.create(parallelism = 0) }
+    } finally {
+      SparkSession.setActiveSession(old)
+      SparkSession.setDefaultSession(old)
+    }
+  }
+}
