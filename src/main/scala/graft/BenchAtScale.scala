@@ -53,12 +53,14 @@ object BenchAtScale {
     // build — documents written, orders not — must rebuild, not crash
     // every later run on the missing table
     val donePath = java.nio.file.Paths.get(s"$outDir/_COMPLETE")
-    // lineitem joined the scaled set in round 7 (graph family) — a
-    // corpus built before that is complete-but-missing it, so the
+    // lineitem and events joined the scaled set during round 7 — a
+    // corpus built before either is complete-but-missing them, so each
     // table's own presence gates too
     val liPath = java.nio.file.Paths.get(s"$outDir/lineitem.parquet")
+    val evPath = java.nio.file.Paths.get(s"$outDir/events.parquet")
     if (!java.nio.file.Files.exists(donePath) ||
-        !java.nio.file.Files.exists(liPath)) {
+        !java.nio.file.Files.exists(liPath) ||
+        !java.nio.file.Files.exists(evPath)) {
       System.err.println(s"[scale] building ${copies}x corpus at $outDir from $srcDir")
       scaleDocuments(Tables.documents(spark, srcDir), copies)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -68,6 +70,12 @@ object BenchAtScale {
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
       scaleLineitem(Tables.lineitem(spark, srcDir), copies)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      // RAW events (ts as long nanos — the Tables.events transform must
+      // happen on READ of the scaled table, exactly as on the source):
+      // Tables.table with the nanos conf set gives the untransformed rows
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      scaleEvents(Tables.table(spark, srcDir, "events"), copies)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
       java.nio.file.Files.write(donePath, s"copies=$copies\n".getBytes("UTF-8"))
     }
 
@@ -120,6 +128,22 @@ object BenchAtScale {
     (0 until copies).map { i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrd))
         .withColumn("l_partkey", col("l_partkey") + lit(i * maxPart))
+    }.reduce(_ unionByName _)
+  }
+
+  /** K copies with event AND user ids shifted (timestamps untouched):
+    * each copy contributes a fresh user population over the same
+    * timeline, so per-user work (streaks, sliding distincts) scales
+    * exactly K× while per-day group counts densify K× — the event-log
+    * twin of the disjoint-graph rule. Expects RAW rows (ts as long
+    * nanos) and emits the same, so the scaled table reads through
+    * Tables.events identically to the source. */
+  def scaleEvents(events: DataFrame, copies: Int): DataFrame = {
+    val maxEv = events.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
+    val maxUser = events.agg(max(col("user_id"))).collect()(0).getLong(0) + 1
+    (0 until copies).map { i =>
+      events.withColumn("event_id", col("event_id") + lit(i * maxEv))
+        .withColumn("user_id", col("user_id") + lit(i * maxUser))
     }.reduce(_ unionByName _)
   }
 
