@@ -802,6 +802,48 @@ object DataOpsQueries {
            |       array_to_string(list(id ORDER BY pos), ',') AS ids
            |FROM enc GROUP BY doc_id""".stripMargin))
 
+  /** Leak-safe train/val/test split: assignment keyed on the NEAR-DUP
+    * CLUSTER id, not the doc id — a document and its near-duplicate
+    * can never straddle train and eval (the d32 doc-keyed split leaks
+    * exactly that way: two copies of one document hash to different
+    * splits and the eval set contains training text). Composition of
+    * the two existing guarantees: d09's resolution defines the
+    * clusters, d32's growth-stable integer-threshold cut assigns them
+    * — every doc inherits its cluster's split, and the assignment
+    * stays stable as the corpus grows. Emits the per-split summary
+    * (docs + clusters); the no-straddle invariant is structural
+    * (split is a FUNCTION of cluster_id) and spec-asserted on dup
+    * pairs. */
+  val d41LeakSafeSplit = NamedQuery(
+    "d41_leaksafe_split",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      val clusters = Dedup.resolveMinhashDups(docs, "doc_id", "text",
+          minEstJaccard = 1.0)
+        .select(col("doc_id"), col("cluster_id"))
+      graft.ops.Sampling.assignSplit(clusters, "cluster_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+    },
+    Some(s"""WITH $minhashSigCte,
+            |keyed AS (
+            |  SELECT t.doc_id,
+            |         CASE WHEN s.doc_id IS NOT NULL THEN 'L:' || array_to_string(s.sig, ',')
+            |              ELSE 'S:' || t.text END AS k
+            |  FROM t LEFT JOIN sig s USING (doc_id)),
+            |cl AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY k) AS cluster_id
+            |       FROM keyed),
+            |u AS (SELECT cluster_id,
+            |             CAST(md5_number_upper(CAST(cluster_id AS VARCHAR)) >> 11 AS BIGINT) AS h
+            |      FROM cl)
+            |SELECT CASE WHEN h < 7205759403792793 THEN 'train'
+            |            WHEN h < 8106479329266892 THEN 'val' ELSE 'test' END AS split,
+            |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+            |FROM u GROUP BY 1""".stripMargin))
+
   /** Vocabulary coverage audit (per-source OOV rate): the share of
     * each source's tokens that a top-20 vocabulary would map to OOV —
     * the "is this source tokenizer-compatible" card a mixture
@@ -1888,6 +1930,7 @@ object DataOpsQueries {
     d29BpeTrain, d30BpeEncode, d31WeightedSample, d32SplitAssign,
     d33Curriculum, d34CorpusDiff, d35BudgetAssembly, d36KeepBest,
     d37EmbeddingStats, d38ClusterSizes, d39IncrementalDedup, d40OovRate,
+    d41LeakSafeSplit,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

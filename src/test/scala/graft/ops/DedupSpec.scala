@@ -13,6 +13,21 @@ class DedupSpec extends SparkSpec {
     (4L, "completely different text about spark engines here")
   ).toDF("doc_id", "text")
 
+  test("leak-safe split: a doc and its near-duplicate always land in the SAME split") {
+    val clusters = Dedup.resolveMinhashDups(docs, "doc_id", "text", minEstJaccard = 1.0)
+      .select(col("doc_id"), col("cluster_id"))
+    val assigned = Sampling.assignSplit(clusters, "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // structural invariant: split is a function of cluster_id
+    val straddling = assigned.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("k")).where(col("k") > 1).count()
+    assert(straddling == 0L)
+    // and the exact-dup pair (docs 1 and 2) shares one split
+    val s12 = assigned.where(col("doc_id").isin(1L, 2L))
+      .select("split").distinct().count()
+    assert(s12 == 1L)
+  }
+
   test("exact dedup keeps min id per distinct text with copy counts") {
     val got = Dedup.exact(docs, "doc_id", Seq("text"))
       .select("keep_id", "n_copies")
