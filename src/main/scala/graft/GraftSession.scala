@@ -26,9 +26,21 @@ import org.apache.spark.sql.SparkSession
   * keys; this entry point is for LIBRARY users. */
 object GraftSession {
 
-  /** Recommended session. `parallelism` sizes both the local master
-    * and the shuffle partition count; pass `master = None` to inherit
-    * an external cluster manager (spark-submit). */
+  /** Recommended session. `parallelism` sizes both the local-fallback
+    * master and the shuffle partition count. Master resolution, in
+    * order: an explicit `master` argument wins; otherwise a
+    * `spark.master` already configured by the environment (spark-submit
+    * sets the system property) is INHERITED untouched; only when
+    * neither exists does the session fall back to local[parallelism] —
+    * so calling create() inside a spark-submit'd app never silently
+    * downgrades a cluster master to local.
+    *
+    * If a SparkSession already exists, getOrCreate returns it and
+    * session EXTENSIONS cannot be applied retroactively — create()
+    * detects that case and delivers the same contract through the
+    * late-binding paths instead: the SQL functions register through
+    * the session's FunctionRegistry and the guard rules append to
+    * experimental.extraOptimizations (both idempotent). */
   def create(parallelism: Int = Runtime.getRuntime.availableProcessors(),
       master: Option[String] = None,
       appName: String = "graft"): SparkSession = {
@@ -40,7 +52,30 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", parallelism.toString)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
-    master.orElse(Some(s"local[$parallelism]")).foreach(b.master)
-    b.getOrCreate()
+    master match {
+      case Some(m) => b.master(m)
+      case None if sys.props.get("spark.master").isEmpty =>
+        b.master(s"local[$parallelism]")
+      case None => () // inherit the environment's spark.master
+    }
+    // the reuse signal must be session IDENTITY, not registry state
+    // (another caller may have registered the functions on a session
+    // that still lacks the guards)
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    val s = b.getOrCreate()
+    if (preExisting.exists(_ eq s)) {
+      graft.functions.TextHashExpressions.register(s) // idempotent
+      val rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+        Seq(graft.plans.UnpartitionedWindowGuard,
+          graft.plans.UnboundedCrossJoinGuard)
+      val missing = rules.filterNot(s.experimental.extraOptimizations.contains)
+      if (missing.nonEmpty) {
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations ++ missing
+      }
+    }
+    s
   }
 }

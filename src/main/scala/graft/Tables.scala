@@ -86,4 +86,12 @@ object Exact {
 
   /** Exact integer-cents sum kept as a long. */
   def centsSum(c: Column): Column = sum(cents(c))
+
+  /** Σcents div 100 — the sum in WHOLE dollars, truncated toward zero
+    * (matching DuckDB's `//`): the resolution drop that keeps x·y
+    * regression/product sums inside 2⁶³ at large SF. Takes the column
+    * NAME because integer `div` has no Column-API form (expr-string
+    * only) — centralized here so the quantization idiom has one home. */
+  def centsSumDollars(colName: String): Column =
+    expr(s"sum(cast(round($colName * 100) as long)) div 100L")
 }

@@ -307,6 +307,13 @@ object SignalQueries {
     * engines truncate toward zero): n·Σxy < days²·max_daily_dollars·n
     * stays under 2⁶³ through ~100× this corpus; cents would overflow
     * at ~sf1. */
+  // the OLS slope over the five exact-long sums — ONE definition feeds
+  // both the slope column and the intercept that must stay consistent
+  // with it
+  private def slopeCol =
+    (col("n_days") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+      (col("n_days") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+
   val q97TrendRegression = NamedQuery(
     "q97_trend_regression",
     (s, dir) => {
@@ -315,7 +322,7 @@ object SignalQueries {
         .groupBy(col("event_type"),
           datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
             .cast("long").as("_d"))
-        .agg(expr("sum(cast(round(value * 100) as long)) div 100L").as("_y"))
+        .agg(graft.Exact.centsSumDollars("value").as("_y"))
       val minDay = daily.agg(min(col("_d")).as("_d0"))
       daily.crossJoin(broadcast(minDay))
         .select(col("event_type"), (col("_d") - col("_d0")).as("_x"), col("_y"))
@@ -324,18 +331,9 @@ object SignalQueries {
           sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
           sum(col("_x") * col("_y")).as("_sxy"),
           sum(col("_x") * col("_x")).as("_sxx"))
-        .select(col("event_type"), col("n_days"), {
-          val slope =
-            (col("n_days") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
-              (col("n_days") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
-          slope.as("slope_dollars_per_day")
-        }, {
-          val slope =
-            (col("n_days") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
-              (col("n_days") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
-          ((col("_sy").cast("double") - slope * col("_sx").cast("double")) /
-            col("n_days")).as("intercept_dollars")
-        })
+        .select(col("event_type"), col("n_days"), slopeCol.as("slope_dollars_per_day"),
+          ((col("_sy").cast("double") - slopeCol * col("_sx").cast("double")) /
+            col("n_days")).as("intercept_dollars"))
     },
     Some("""WITH daily AS (
            |  SELECT event_type,

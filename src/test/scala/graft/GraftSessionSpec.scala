@@ -37,4 +37,23 @@ class GraftSessionSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(old)
     }
   }
+
+  test("create() on a pre-existing session delivers the contract through the late-binding paths") {
+    val old = TestSpark.spark
+    SparkSession.setActiveSession(old)
+    SparkSession.setDefaultSession(old)
+    val before = old.experimental.extraOptimizations
+    try {
+      val s = GraftSession.create(parallelism = 2)
+      // getOrCreate reused the active session — extensions could not
+      // apply, so functions registered via the registry and guards via
+      // extraOptimizations
+      assert(s eq old)
+      assert(s.sql("SELECT graft_md5_upper('x') AS h").count() == 1L)
+      intercept[SparkException] {
+        s.range(100).toDF("id")
+          .withColumn("rn", row_number().over(Window.orderBy("id"))).collect()
+      }
+    } finally old.experimental.extraOptimizations = before
+  }
 }
