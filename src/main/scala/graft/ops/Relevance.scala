@@ -68,10 +68,16 @@ object Relevance {
     * (N · 10⁶) div df — t06's raw-frequency ranking re-weighted so
     * corpus-wide boilerplate terms sink (the "what is this doc about"
     * signal a curation pipeline reports). Same plan skeleton as t06:
-    * one explode feeding both tf and df (term-partitioned window over
-    * the aggregated (doc, term) frame — bounded by distinct terms per
-    * partition key), N from a narrow one-row scan, and the per-doc
-    * rank kept map-side by WindowGroupLimit. */
+    * one explode feeding the (doc, term) tf aggregate, df folded from
+    * that SAME aggregated frame via `groupBy(term).count` + an equi-join
+    * back on the term key (the bm25TopDocs pattern). NEVER a window
+    * partitioned by the raw term — a Zipf head term's partition is its
+    * whole posting list (≈ the corpus for a stop word), one task at
+    * 100×; a skewed JOIN partition, by contrast, AQE splits at runtime.
+    * The tf subtree feeds both branches through one ReusedExchange; the
+    * df side is left unhinted so AQE broadcasts it when small. N rides
+    * a narrow one-row scan; the per-doc rank stays map-side via
+    * WindowGroupLimit. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val nDocs = docs
@@ -82,15 +88,19 @@ object Relevance {
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val wDf = Window.partitionBy(col("term"))
+    // cf in the df-branch output keeps its partial aggregate the
+    // canonical twin of the tf branch's (pruning would otherwise drop
+    // the count and block AQE stage reuse — see TextAnalysis.topTerms)
+    val dfFrame = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     val wRank = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_scaled").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(wDf))
+    tf.join(dfFrame, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score_scaled", col("tf") * expr("(_n_docs * 1000000L) div df"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .where(col("rank") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("cf"),
         col("score_scaled"), col("rank"))
   }
 }

@@ -167,27 +167,40 @@ object TextAnalysis {
 
   /** Corpus bigram language-model statistics: count(w1,w2), the history
     * count n(w1·) = Σ_w2 count(w1,w2), and the conditional estimate
-    * P(w2|w1) = count(w1,w2)/n(w1·). The denominator comes from a window
-    * SUM over the already-aggregated bigram counts — never a second pass
-    * over the corpus (the t06 lesson: a separate unigram aggregate
-    * joined back re-executes the explode subtree). The probability is
-    * one IEEE division of two exact longs — bit-deterministic on any
+    * P(w2|w1) = count(w1,w2)/n(w1·). The denominator folds from the
+    * already-aggregated bigram counts via `groupBy(w1).sum` + an
+    * equi-join back on w1 — never a second pass over the corpus (the
+    * explode subtree feeds both branches through one ReusedExchange),
+    * and never a window partitioned by the raw w1 key: a Zipf head
+    * context's window partition is its entire continuation list — one
+    * task at 100× — while a skewed join partition AQE splits at
+    * runtime. The history sum is computed BEFORE the minCount filter
+    * (n_w1 counts all continuations, filtered or not). The probability
+    * is one IEEE division of two exact longs — bit-deterministic on any
     * engine. Bigrams via arrays_zip of two token-array slices (empty for
     * docs shorter than 2 tokens — no row, no sequence() edge case). */
   def bigramCounts(docs: org.apache.spark.sql.DataFrame, textCol: String,
       minCount: Long): org.apache.spark.sql.DataFrame = {
-    val wHist = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
-    bigramAgg(docs, textCol)
-      .withColumn("n_w1", sum(col("n_bigram")).over(wHist))
+    val counts = bigramAgg(docs, textCol)
+    val hist = counts.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_w1"))
+    counts
       .where(col("n_bigram") >= minCount)
+      .join(hist, "w1")
       .select(col("w1"), col("w2"), col("n_bigram"), col("n_w1"),
         (col("n_bigram").cast("double") / col("n_w1")).as("cond_p"))
   }
 
-  /** (w1, w2, n_bigram): the corpus bigram aggregate BEFORE the history
-    * window — shared by bigramCounts and docCrossEntropy so derived
-    * quantities (the smoothing vocabulary) hang off the grouped counts
-    * structurally, not via optimizer pruning of the windowed frame. */
+  /** (w1, w2, n_bigram): the corpus bigram aggregate shared by
+    * bigramCounts, docCrossEntropy, and pmiScores, so the margin/history
+    * aggregates hang off the grouped counts structurally. The explicit
+    * w1/w2 null filters are semantic no-ops (split() never yields null
+    * elements) but load-bearing for the plan: a downstream equi-join on
+    * w1 alone infers `isnotnull(w1)` into ONLY its own branch, making
+    * the branches canonical non-twins so the corpus explode stage
+    * cannot be reused and runs once per branch (the q83 suppkey
+    * lesson). With the filters explicit, every consumer branch carries
+    * the identical filter set and AQE materializes the explode shuffle
+    * ONCE, however many margins fold off it. */
   private def bigramAgg(docs: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = split(col(textCol), " ")
@@ -196,6 +209,7 @@ object TextAnalysis {
       slice(toks, lit(2), size(toks) - 1).as("w2"))
     docs.select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .where(col("w1").isNotNull && col("w2").isNotNull)
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_bigram"))
   }
@@ -217,7 +231,9 @@ object TextAnalysis {
     * is one IEEE division rounded 6.
     *
     * Scale shape: ONE corpus explode feeds the bigram hash-agg (history
-    * totals as a window over the aggregate — the t06 lesson); the
+    * totals fold from that aggregate via `groupBy(w1).sum` + join —
+    * never a window on the raw w1 key, whose hot-context partition
+    * would funnel through one task; see [[bigramCounts]]); the
     * per-doc pass re-explodes with the doc id and joins the
     * (vocab²-bounded, in practice vastly smaller) count table on the
     * bigram key; V rides in as a broadcast 1-row frame. */
@@ -228,8 +244,8 @@ object TextAnalysis {
       slice(toks, lit(1), size(toks) - 1).as("w1"),
       slice(toks, lit(2), size(toks) - 1).as("w2"))
     val counts = bigramAgg(docs, textCol)
-    val wHist = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
-    val bg = counts.withColumn("n_w1", sum(col("n_bigram")).over(wHist))
+    val hist = counts.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_w1"))
+    val bg = counts.join(hist, "w1")
     val v = broadcast(
       counts.select(col("w1").as("t")).union(counts.select(col("w2").as("t")))
         .agg(countDistinct(col("t")).as("v")))
@@ -287,37 +303,49 @@ object TextAnalysis {
     * of classic tf-idf — ln() is not guaranteed bit-identical across
     * engines — while ordering identically to tf·idf whenever tf ties
     * break on rarity. Plan: explode (narrow) → (doc, term) hash-agg →
-    * window COUNT over the term partition (df = tf rows per term = docs
-    * containing the term) → per-doc window top-k. The window form
-    * computes df from the SAME tf rows instead of a separate aggregate
-    * joined back — the join formulation re-executed the entire
-    * scan+explode+agg subtree for its aggregate branch (no exchange
-    * reuse across the extra HashAggregate, seen in the t06 plan),
-    * doubling the dominant explode cost. Both counts are emitted so
-    * callers can apply their own weighting downstream. */
+    * df folded from that SAME aggregated frame via `groupBy(term).count`
+    * + an equi-join back on term (df = tf rows per term = docs
+    * containing the term) → per-doc window top-k. The tf subtree feeds
+    * both branches through one ReusedExchange, so the dominant explode
+    * cost is paid once; the df side is unhinted so AQE broadcasts it
+    * when small. NEVER a window partitioned by the raw term — a stop
+    * word's window partition is ≈ the whole corpus's posting list in
+    * one task at 100×, whereas a skewed join partition AQE splits at
+    * runtime. The df frame also emits cf (collection frequency,
+    * Σ tf over docs — the term's total corpus occurrences): useful
+    * downstream, and load-bearing for the plan — consuming tf in the
+    * df-branch OUTPUT keeps its partial aggregate the canonical twin
+    * of the tf branch's (otherwise column pruning drops the count
+    * function from the df branch and the stages stop canonicalizing
+    * equal), which is what lets AQE materialize the explode shuffle
+    * once and feed both branches from it. */
   def topTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val dfFrame = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(wDf))
+    tf.join(dfFrame, "term")
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .where(col("rank") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("cf"),
+        col("rank"))
   }
 
   /** Collocation extraction: pointwise mutual information of each corpus
     * bigram against its margins, all in BIGRAM event space —
     * pmi = ln(p(w1,w2) / (p(w1,·)·p(·,w2))) with p(w1,·) = n_w1/N over
-    * bigram occurrences. Margins come from two window SUMs over the
-    * already-aggregated bigram counts (bounded by distinct bigrams,
-    * never a second corpus pass); the total is a 1-row aggregate
-    * broadcast back. Determinism: the ln argument is computed as
+    * bigram occurrences. Margins fold from the already-aggregated
+    * bigram counts via two `groupBy(margin).sum` aggregates joined back
+    * on their keys (bounded by distinct bigrams, never a second corpus
+    * pass, and never a window on a raw word key — the hot-word
+    * partition funnel; see [[bigramCounts]]); the total is a 1-row
+    * aggregate broadcast back. Determinism: the ln argument is computed as
     * (n12/n1)·(N/n2) — two IEEE divisions of exact longs and one
     * product, never an integer product that could overflow at corpus
     * scale (N² ≫ 2^63 at 100 TB) — and the final round(·, 6) absorbs
@@ -331,21 +359,15 @@ object TextAnalysis {
   def pmiScores(docs: org.apache.spark.sql.DataFrame, textCol: String,
       minCount: Long): org.apache.spark.sql.DataFrame = {
     val toks = split(col(textCol), " ")
-    val pairs = arrays_zip(
-      slice(toks, lit(1), size(toks) - 1).as("w1"),
-      slice(toks, lit(2), size(toks) - 1).as("w2"))
-    val counts = docs.select(explode(pairs).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n_bigram"))
-    val w1w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
-    val w2w = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
+    val counts = bigramAgg(docs, textCol)
+    val m1 = counts.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_w1"))
+    val m2 = counts.groupBy(col("w2")).agg(sum(col("n_bigram")).as("n_w2"))
     val total = docs.where(col(textCol).isNotNull)
       .agg(sum((size(toks) - 1).cast("long")).as("n_total"))
     counts
-      .withColumn("n_w1", sum(col("n_bigram")).over(w1w))
-      .withColumn("n_w2", sum(col("n_bigram")).over(w2w))
       .where(col("n_bigram") >= minCount)
+      .join(m1, "w1")
+      .join(m2, "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("n_bigram"), col("n_w1"), col("n_w2"),
         round(log((col("n_bigram").cast("double") / col("n_w1")) *

@@ -559,9 +559,10 @@ object DataOpsQueries {
            |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
            |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
            |  GROUP BY 1, 2),
-           |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
-           |SELECT doc_id, term, tf, df, rank FROM (
-           |  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+           |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           |             CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
+           |SELECT doc_id, term, tf, df, cf, rank FROM (
+           |  SELECT tf.doc_id, tf.term, tf.tf, d.df, d.cf,
            |         row_number() OVER (PARTITION BY tf.doc_id
            |                            ORDER BY tf.tf DESC, d.df ASC, tf.term) AS rank
            |  FROM tf JOIN d USING (term))

@@ -55,16 +55,15 @@ object SignalQueries {
            |  GROUP BY 1, 2),
            |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
            |       WHERE text IS NOT NULL AND doc_id IS NOT NULL),
-           |wd AS (SELECT doc_id, term, tf,
-           |              CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
-           |       FROM tf),
-           |sc AS (SELECT doc_id, term, tf, df,
+           |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           |             CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+           |sc AS (SELECT doc_id, term, tf, df, cf,
            |              tf * ((n_docs * 1000000) // df) AS score_scaled
-           |       FROM wd, nd),
+           |       FROM tf JOIN d USING (term), nd),
            |rk AS (SELECT *, CAST(row_number() OVER (
            |         PARTITION BY doc_id ORDER BY score_scaled DESC, term) AS BIGINT) AS rank
            |       FROM sc)
-           |SELECT doc_id, term, tf, df, CAST(score_scaled AS BIGINT) AS score_scaled, rank
+           |SELECT doc_id, term, tf, df, cf, CAST(score_scaled AS BIGINT) AS score_scaled, rank
            |FROM rk WHERE rank <= 5""".stripMargin))
 
   /** Daily-count anomaly scan per event type at 2σ — the ops-dashboard

@@ -174,15 +174,18 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "apple apple apple banana banana cherry"),
       (2L, "banana banana banana durian durian cherry")).toDF("doc_id", "text")
     val got = TextAnalysis.topTerms(docs, "doc_id", "text", k = 2)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    val doc1 = got.filter(_._1 == 1L).sortBy(_._5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val doc1 = got.filter(_._1 == 1L).sortBy(_._6)
     // apple tf=3 wins; banana tf=2 beats cherry tf=1
-    assert(doc1.map(t => (t._2, t._3, t._5)).toSeq == Seq(("apple", 3L, 1L), ("banana", 2L, 2L)))
-    val doc2 = got.filter(_._1 == 2L).sortBy(_._5)
+    assert(doc1.map(t => (t._2, t._3, t._6)).toSeq == Seq(("apple", 3L, 1L), ("banana", 2L, 2L)))
+    val doc2 = got.filter(_._1 == 2L).sortBy(_._6)
     // banana tf=3 first; durian tf=2 (df=1, rarer than cherry df=2) second
-    assert(doc2.map(t => (t._2, t._3, t._5)).toSeq == Seq(("banana", 3L, 1L), ("durian", 2L, 2L)))
-    // df column counts documents containing the term corpus-wide
+    assert(doc2.map(t => (t._2, t._3, t._6)).toSeq == Seq(("banana", 3L, 1L), ("durian", 2L, 2L)))
+    // df counts documents containing the term corpus-wide; cf its total
+    // occurrences (banana: docs 1+2, 2+3 occurrences)
     assert(got.find(t => t._2 == "banana").get._4 == 2L)
+    assert(got.find(t => t._2 == "banana").get._5 == 5L)
   }
 
   test("pmiScores: margins and sign match the hand-computed contingency table") {
