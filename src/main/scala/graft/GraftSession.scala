@@ -35,47 +35,56 @@ object GraftSession {
     * so calling create() inside a spark-submit'd app never silently
     * downgrades a cluster master to local.
     *
-    * If a SparkSession already exists, getOrCreate returns it and
-    * session EXTENSIONS cannot be applied retroactively — create()
-    * detects that case and delivers the same contract through the
-    * late-binding paths instead: the SQL functions register through
+    * If a SparkSession already exists, session EXTENSIONS cannot be
+    * applied retroactively — create() detects that case FIRST and
+    * returns the existing session with the same contract delivered
+    * through the late-binding paths: the SQL functions register through
     * the session's FunctionRegistry and the guard rules append to
-    * experimental.extraOptimizations (both idempotent). */
+    * experimental.extraOptimizations (both idempotent). The TUNING
+    * confs (timezone, shuffle partitions, AQE, listing threshold) are
+    * deliberately NOT applied on this path: getOrCreate would silently
+    * rewrite the inherited session's modifiable confs — resetting a
+    * cluster session's shuffle parallelism to this machine's CPU count
+    * and its timezone to UTC mid-flight. An inherited session keeps its
+    * owner's tuning; only a session create() itself builds gets the
+    * graft defaults. */
   def create(parallelism: Int = Runtime.getRuntime.availableProcessors(),
       master: Option[String] = None,
       appName: String = "graft"): SparkSession = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
-    val b = SparkSession.builder()
-      .appName(appName)
-      .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.shuffle.partitions", parallelism.toString)
-      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
-    master match {
-      case Some(m) => b.master(m)
-      case None if sys.props.get("spark.master").isEmpty =>
-        b.master(s"local[$parallelism]")
-      case None => () // inherit the environment's spark.master
-    }
     // the reuse signal must be session IDENTITY, not registry state
     // (another caller may have registered the functions on a session
-    // that still lacks the guards)
-    val preExisting = SparkSession.getActiveSession
-      .orElse(SparkSession.getDefaultSession)
-    val s = b.getOrCreate()
-    if (preExisting.exists(_ eq s)) {
-      graft.functions.TextHashExpressions.register(s) // idempotent
-      val rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
-        Seq(graft.plans.UnpartitionedWindowGuard,
-          graft.plans.UnboundedCrossJoinGuard)
-      val missing = rules.filterNot(s.experimental.extraOptimizations.contains)
-      if (missing.nonEmpty) {
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations ++ missing
-      }
+    // that still lacks the guards) — and the check must run BEFORE any
+    // builder with .config touches the session, not after
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        graft.functions.TextHashExpressions.register(s) // idempotent
+        val rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+          Seq(graft.plans.UnpartitionedWindowGuard,
+            graft.plans.UnboundedCrossJoinGuard)
+        val missing = rules.filterNot(s.experimental.extraOptimizations.contains)
+        if (missing.nonEmpty) {
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations ++ missing
+        }
+        s
+      case None =>
+        val b = SparkSession.builder()
+          .appName(appName)
+          .withExtensions(new graft.functions.GraftExtensions)
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.shuffle.partitions", parallelism.toString)
+          .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+        master match {
+          case Some(m) => b.master(m)
+          case None if sys.props.get("spark.master").isEmpty =>
+            b.master(s"local[$parallelism]")
+          case None => () // inherit the environment's spark.master
+        }
+        b.getOrCreate()
     }
-    s
   }
 }

@@ -529,25 +529,31 @@ object Dedup {
     * best quality score, newest crawl — which is a caller-supplied
     * score, not an id. Input: per-doc labels (any frame with id,
     * cluster and score columns, e.g. resolveMinhashDups joined to a
-    * score). One window shuffle on the cluster key; the argmax is the
-    * q52 struct-ordered max (score desc, id asc via negation), so the
-    * winner is deterministic without a sort of the corpus.
+    * score). One exchange on the cluster key serving two stacked window
+    * aggregates: best score, then min id AMONG best-scored rows. The
+    * earlier single-struct-max form ordered ids ascending by NEGATING
+    * the id — which silently casts a string id to double NULL (making
+    * is_kept NULL for every row) and overflows on Long.MinValue
+    * (-MinValue == MinValue, the trap topKStream documents); the
+    * two-aggregate form works for ANY orderable id type with no
+    * arithmetic on the id at all.
     *
-    * NULL scores rank below every non-NULL score (struct ordering puts
-    * null fields first, so a null-score doc never out-ranks a scored
-    * one); a cluster whose EVERY score is null falls back to the min-id
-    * keep — the null-safe `<=>` below is what keeps is_kept a real
-    * boolean there instead of three-valued NULL (the family NULL rule:
-    * a missing score must not silently drop the whole cluster). */
+    * NULL scores rank below every non-NULL score (max() ignores nulls,
+    * and a null score fails the null-safe `<=>` match against the best
+    * score); a cluster whose EVERY score is null falls back to the
+    * min-id keep (null <=> null is TRUE, so all rows match and min id
+    * wins) — is_kept stays a real boolean in both cases (the family
+    * NULL rule: a missing score must not silently drop the cluster). */
   def keepBestPerCluster(labeled: DataFrame, idCol: String,
       clusterCol: String, scoreCol: String, as: String = "is_kept"): DataFrame = {
     val w = Window.partitionBy(col(clusterCol))
     labeled
-      .withColumn("_best",
-        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"))).over(w))
+      .withColumn("_bs", max(col(scoreCol)).over(w))
+      .withColumn("_bid",
+        min(when(col(scoreCol) <=> col("_bs"), col(idCol))).over(w))
       .withColumn(as,
-        (col("_best.s") <=> col(scoreCol)) && col("_best.ni") === -col(idCol))
-      .drop("_best")
+        (col(scoreCol) <=> col("_bs")) && col(idCol) === col("_bid"))
+      .drop("_bs", "_bid")
   }
 
   /** Cross-corpus contamination scan — the train/eval overlap check a

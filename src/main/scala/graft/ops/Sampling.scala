@@ -160,6 +160,15 @@ object Sampling {
       "fractions must be positive")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    // a fraction below 5e-7 passes the > 0 check but rounds to 0 micros
+    // — two adjacent thresholds collide and that bucket is silently
+    // always-empty; fail loudly instead (raise the quantization if a
+    // sub-micro split is ever a real need)
+    fractions.foreach { case (name, f) =>
+      require(math.round(f * 1e6) >= 1L,
+        s"fraction for '$name' ($f) quantizes to 0 of 1e6 micros — " +
+          "the split bucket would always be empty")
+    }
     // raw 53-bit hash (the numerator of hashUniform, before the /2^53)
     val h = call_function("shiftrightunsigned",
       graft.functions.TextHashExpressions.md5Upper(col(keyCol).cast("string")),

@@ -506,8 +506,11 @@ object TpchQueries {
     * lineitem — deduped FIRST so the distinct-supplier count never
     * re-scans raw lines; part broadcasts; the excluded suppliers
     * arrive as a broadcast ANTI join (never NOT IN's null-trap
-    * semantics). Top-20 buckets by supplier count plans as
-    * TakeOrderedAndProject. */
+    * semantics) — and the ORACLE uses NOT EXISTS for the same reason:
+    * a NOT IN over a set containing one NULL suppkey would empty the
+    * DuckDB side while the anti join keeps rows (the align-the-NULL-
+    * edge rule applies to both engines). Top-20 buckets by supplier
+    * count plans as TakeOrderedAndProject. */
   val q96Tpch16 = NamedQuery(
     "q96_tpch16",
     (s, dir) => {
@@ -530,7 +533,8 @@ object TpchQueries {
            |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
            |FROM pairs JOIN part ON l_partkey = p_partkey
            |WHERE p_brand <> 'Brand#5'
-           |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           |  AND NOT EXISTS (SELECT 1 FROM supplier
+           |                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
            |GROUP BY 1, 2, 3
            |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin))
 

@@ -43,17 +43,31 @@ class GraftSessionSpec extends AnyFunSuite {
     SparkSession.setActiveSession(old)
     SparkSession.setDefaultSession(old)
     val before = old.experimental.extraOptimizations
+    val tzBefore = old.conf.get("spark.sql.session.timeZone")
+    val spBefore = old.conf.get("spark.sql.shuffle.partitions")
     try {
+      // the inherited session's tuning must SURVIVE create(): before the
+      // round-8 fix, getOrCreate applied the builder's modifiable confs,
+      // silently resetting a cluster session's shuffle parallelism to
+      // this machine's CPU count and its timezone to UTC
+      old.conf.set("spark.sql.session.timeZone", "America/New_York")
+      old.conf.set("spark.sql.shuffle.partitions", "7")
       val s = GraftSession.create(parallelism = 2)
-      // getOrCreate reused the active session — extensions could not
-      // apply, so functions registered via the registry and guards via
-      // extraOptimizations
+      // the active session is reused — extensions could not apply, so
+      // functions registered via the registry and guards via
+      // extraOptimizations; tuning confs untouched
       assert(s eq old)
+      assert(s.conf.get("spark.sql.session.timeZone") == "America/New_York")
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "7")
       assert(s.sql("SELECT graft_md5_upper('x') AS h").count() == 1L)
       intercept[SparkException] {
         s.range(100).toDF("id")
           .withColumn("rn", row_number().over(Window.orderBy("id"))).collect()
       }
-    } finally old.experimental.extraOptimizations = before
+    } finally {
+      old.experimental.extraOptimizations = before
+      old.conf.set("spark.sql.session.timeZone", tzBefore)
+      old.conf.set("spark.sql.shuffle.partitions", spBefore)
+    }
   }
 }

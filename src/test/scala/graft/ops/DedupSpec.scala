@@ -174,6 +174,22 @@ class DedupSpec extends SparkSpec {
     val gotN = Dedup.keepBestPerCluster(withNulls, "doc_id", "cluster_id", "score")
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(gotN == Map(1L -> true, 2L -> false, 20L -> true, 21L -> false))
+    // STRING ids must work: the earlier arithmetic-negation tie-break
+    // cast a string id to double NULL, making is_kept NULL fleet-wide
+    val strIds = Seq(
+      ("a", 1L, 9L), ("b", 1L, 9L), ("c", 1L, 5L)
+    ).toDF("doc_id", "cluster_id", "score")
+    val gotS = Dedup.keepBestPerCluster(strIds, "doc_id", "cluster_id", "score")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(gotS == Map("a" -> true, "b" -> false, "c" -> false))
+    // Long.MinValue id must not wrap (-MinValue == MinValue overflow):
+    // it is the MINIMUM id, so it wins its tie
+    val minIds = Seq(
+      (Long.MinValue, 1L, 9L), (5L, 1L, 9L)
+    ).toDF("doc_id", "cluster_id", "score")
+    val gotM = Dedup.keepBestPerCluster(minIds, "doc_id", "cluster_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(gotM == Map(Long.MinValue -> true, 5L -> false))
   }
 
   test("dupClusters strict mode throws when a chain outruns maxIter") {

@@ -153,6 +153,12 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
     }
+    // a fraction below 5e-7 rounds to 0 micros — its bucket would be
+    // silently always-empty; must fail loudly, not quantize away
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, "doc_id",
+        Seq("a" -> (1.0 - 1e-9), "b" -> 1e-9))
+    }
     // NULL keys have no identity to split on — they are excluded, never
     // silently dumped into the last declared split (test-set poisoning)
     val withNullKey = docs.withColumn("k2",
