@@ -153,8 +153,19 @@ object Sketches {
     * register tables remain mergeable per group by register-wise MAX. */
   def hllDistinctByGroup(df: DataFrame, groupCol: String, keyCol: String,
       p: Int = 9, as: String = "hll_est"): DataFrame =
-    estimateOver(registerTable(df, keyCol, p, Seq(groupCol)),
-      Seq(groupCol), p, as)
+    hllDistinctByGroups(df, Seq(groupCol), keyCol, p, as)
+
+  /** [[hllDistinctByGroup]] over a COMPOSITE group key — the form the
+    * sliding-window distinct (q92's (event_type, day) frame) needs at
+    * billion-user scale: state is groups × m register rows however many
+    * users contribute, and the estimate arithmetic is the same
+    * oracle-checkable integer ladder as the single-key form. */
+  def hllDistinctByGroups(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, p: Int = 9, as: String = "hll_est"): DataFrame = {
+    require(groupCols.nonEmpty,
+      "hllDistinctByGroups needs at least one group column (use hllDistinct for the global form)")
+    estimateOver(registerTable(df, keyCol, p, groupCols), groupCols, p, as)
+  }
 
   /** Count-min cell for hash row `r`: the Kirsch–Mitzenmacher
     * construction (a + r·b) & (width−1) with a, b the two 26-bit halves

@@ -258,24 +258,33 @@ object SignalQueries {
     * user-day history through one task (the q74 trap). At
     * billion-user scale, swap countDistinct for the q65 grouped-HLL
     * registers — same frame, sketch-sized state. */
+  /** The (event_type, target-day, user) contribution frame shared by
+    * q92 (exact) and q98 (sketch): each distinct (type, day, user)
+    * exploded to its 7 target days, restricted to observed days. */
+  private def sliding7dFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val du = Tables.events(s, dir)
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day_idx"),
+        col("user_id"))
+      .distinct()
+    val days = du.select(col("event_type"), col("day_idx")).distinct()
+    val contrib = du
+      .withColumn("_k", explode(sequence(lit(0L), lit(6L))))
+      .select(col("event_type").as("_t"), (col("day_idx") + col("_k")).as("_td"),
+        col("user_id"))
+    contrib.join(days,
+        contrib("_t") === days("event_type") && contrib("_td") === days("day_idx"))
+      .select(col("event_type"), col("day_idx"), col("user_id"))
+  }
+
   val q92SlidingDistinct = NamedQuery(
     "q92_sliding_distinct",
     (s, dir) => {
-      val du = Tables.events(s, dir)
-        .where(col("user_id").isNotNull && col("ts").isNotNull &&
-          col("event_type").isNotNull)
-        .select(col("event_type"),
-          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
-            .cast("long").as("day_idx"),
-          col("user_id"))
-        .distinct()
-      val days = du.select(col("event_type"), col("day_idx")).distinct()
-      val contrib = du
-        .withColumn("_k", explode(sequence(lit(0L), lit(6L))))
-        .select(col("event_type").as("_t"), (col("day_idx") + col("_k")).as("_td"),
-          col("user_id"))
-      contrib.join(days,
-          contrib("_t") === days("event_type") && contrib("_td") === days("day_idx"))
+      sliding7dFrame(s, dir)
         .groupBy(col("event_type"), col("day_idx"))
         .agg(countDistinct(col("user_id")).as("users_7d"))
     },
@@ -294,6 +303,54 @@ object SignalQueries {
            |FROM contrib JOIN days
            |  ON contrib.t = days.event_type AND contrib.td = days.day_idx
            |GROUP BY 1, 2""".stripMargin))
+
+  /** q92's billion-user form, registered and oracle-checked rather than
+    * a scaladoc promise: the SAME explode-to-target-days frame counted
+    * with the q65 grouped-HLL registers over the composite
+    * (event_type, day) key. Exact sliding distinct shuffles every
+    * (type, day, user) contribution; the sketch shuffles at most
+    * groups x 512 register rows — constant per group however many users
+    * a day sees. The DuckDB oracle replays the identical md5-register
+    * ladder (52-bit hash, register = low 9 bits, exact-integer
+    * 2^(44-M) register sum, small-range correction), so the estimate
+    * is hash-exact across engines, not approximately compared. */
+  val q98SlidingDistinctHll = NamedQuery(
+    "q98_sliding_distinct_hll",
+    (s, dir) => {
+      graft.ops.Sketches.hllDistinctByGroups(sliding7dFrame(s, dir),
+        Seq("event_type", "day_idx"), "user_id", p = 9, as = "hll_users_7d")
+    },
+    Some("""WITH du AS (
+           |  SELECT DISTINCT event_type,
+           |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+           |         user_id
+           |  FROM events
+           |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+           |days AS (SELECT DISTINCT event_type, day_idx FROM du),
+           |contrib AS (
+           |  SELECT du.event_type AS t, du.day_idx + k.k AS td, du.user_id
+           |  FROM du CROSS JOIN (SELECT unnest(range(7)) AS k) k),
+           |j AS (SELECT days.event_type, days.day_idx, contrib.user_id
+           |      FROM contrib JOIN days
+           |        ON contrib.t = days.event_type AND contrib.td = days.day_idx),
+           |h AS (SELECT event_type, day_idx,
+           |             md5_number_upper(CAST(user_id AS VARCHAR)) & ((1::BIGINT << 52) - 1) AS hp
+           |      FROM j),
+           |b AS (SELECT event_type, day_idx, hp & 511 AS reg, hp >> 9 AS w FROM h),
+           |r AS (SELECT event_type, day_idx, reg,
+           |             MAX(CASE WHEN w = 0 THEN 44 ELSE 44 - length(bin(w)) END) AS M
+           |      FROM b GROUP BY 1, 2, 3),
+           |agg AS (SELECT event_type, day_idx,
+           |               CAST(SUM(1::BIGINT << CAST(44 - M AS INT)) AS BIGINT)
+           |                 + (512 - COUNT(M)) * 17592186044416 AS s,
+           |               512 - COUNT(M) AS zeros
+           |        FROM r GROUP BY 1, 2)
+           |SELECT event_type, day_idx,
+           |       round(CASE WHEN (0.7213 / (1 + 1.079 / 512.0)) * 512 * 512 * 17592186044416.0 / s <= 1280.0
+           |                       AND zeros > 0
+           |                  THEN 512 * ln(512.0 / zeros)
+           |                  ELSE (0.7213 / (1 + 1.079 / 512.0)) * 512 * 512 * 17592186044416.0 / s END, 6) AS hll_users_7d
+           |FROM agg""".stripMargin))
 
   /** Grouped OLS trend: slope and intercept of daily revenue vs time
     * per event type — q58's Pearson machinery pointed at "is this
@@ -357,5 +414,6 @@ object SignalQueries {
 
   val all: Seq[NamedQuery] = Seq(
     t12Bm25, t13TfidfTerms, q87AnomalyDays, q88Ewma, q89RollingRange,
-    q90Streaks, q91ValueFunctions, q92SlidingDistinct, q97TrendRegression)
+    q90Streaks, q91ValueFunctions, q92SlidingDistinct, q97TrendRegression,
+    q98SlidingDistinctHll)
 }

@@ -147,6 +147,32 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(est - truth(g)) / truth(g) < 0.15, s"$g est=$est true=${truth(g)}")
   }
 
+  test("hllDistinctByGroups: composite-key estimates equal the dedicated global sketch per group") {
+    // the q98 shape: a two-column group key; each (g, d) cell's estimate
+    // must be bit-identical to a dedicated sketch over that cell's rows,
+    // and the single-col form must be the one-element special case
+    val rows = (1 to 4000)
+      .map(i => (s"g${i % 2}", (i % 3).toLong, s"key-${i % 500}"))
+      .toDF("g", "d", "k")
+    val grouped = Sketches.hllDistinctByGroups(rows, Seq("g", "d"), "k")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(grouped.keySet.size == 6)
+    for (((g, d), est) <- grouped) {
+      val solo = Sketches.hllDistinct(
+        rows.where(col("g") === g && col("d") === d), "k")
+        .collect()(0).getDouble(0)
+      assert(est == solo, s"($g,$d): grouped=$est solo=$solo")
+    }
+    val single = Sketches.hllDistinctByGroups(rows, Seq("g"), "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaOld = Sketches.hllDistinctByGroup(rows, "g", "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(single == viaOld)
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinctByGroups(rows, Seq.empty, "k")
+    }
+  }
+
   test("sampledPercentileByGroup: p25/p75 bracket the median; pct bounds enforced") {
     val rows = (1 to 300).map(i => ("g", (i % 100).toLong, s"id$i")).toDF("g", "v", "id")
     def pctOf(p: Double) = Sketches.sampledPercentileByGroup(

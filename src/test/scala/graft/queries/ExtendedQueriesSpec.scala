@@ -29,6 +29,24 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(strings.exceptAll(typed).isEmpty)
   }
 
+  test("q98 (sliding-distinct HLL) tracks q92's exact counts within the p=9 envelope") {
+    // the sketch twin must agree with the exact form it replaces: same
+    // (event_type, day) keys, and every estimate within a generous
+    // multiple of HLL's standard error (1.04/sqrt(512) ~ 4.6%) of the
+    // exact count — catching a frame drift (wrong join, wrong key)
+    // that the hash oracle alone would not relate back to q92
+    val exact = SignalQueries.q92SlidingDistinct.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val est = SignalQueries.q98SlidingDistinctHll.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((k, e) <- est) {
+      val t = exact(k).toDouble
+      assert(math.abs(e - t) <= math.max(3.0, 0.2 * t),
+        s"$k: est=$e exact=$t")
+    }
+  }
+
   test("q53 oracle precondition: events are (user_id, ts) tie-free at every SF") {
     // funnelOnePass (sorted walk) and the join-form oracle SQL agree on
     // tie-free logs; a regenerated events table with tied same-user
