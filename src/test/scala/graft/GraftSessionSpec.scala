@@ -38,6 +38,37 @@ class GraftSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("inventory queries run unchanged through GraftSession.create() — the adoption path") {
+    // A library user does NOT build the harness session: they call
+    // create() and run queries on what it returns, with the guard
+    // rules live in the optimizer. A representative slice of the
+    // inventory (aggregate, TPC-H join tree, text explode+join, minhash
+    // expression chain, sketch arithmetic, gaps-and-islands window)
+    // must optimize clean under the guards AND produce row-identical
+    // results to the harness session — any plan drift under the
+    // extensions path surfaces here rather than in a user's hands.
+    val dir = "/root/testdata/sf0.001"
+    val old = TestSpark.spark
+    val names = Seq("q01_gold_agg", "q38_tpch3", "t06_top_terms",
+      "d03_minhash_pairs", "q65_hll_by_group", "q90_streaks")
+    val expected = names.map { n =>
+      n -> SparkEntry.queries(n)(old, dir).collect().map(_.toString).sorted.toSeq
+    }.toMap
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = GraftSession.create(parallelism = 2)
+      assert(s ne old)
+      for (n <- names) {
+        val got = SparkEntry.queries(n)(s, dir).collect().map(_.toString).sorted.toSeq
+        assert(got == expected(n), s"$n drifted under the GraftSession path")
+      }
+    } finally {
+      SparkSession.setActiveSession(old)
+      SparkSession.setDefaultSession(old)
+    }
+  }
+
   test("create() on a pre-existing session delivers the contract through the late-binding paths") {
     val old = TestSpark.spark
     SparkSession.setActiveSession(old)
