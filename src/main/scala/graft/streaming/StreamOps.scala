@@ -606,6 +606,167 @@ object StreamOps {
       }
   }
 
+  final case class TimedValue(group: String, ts: java.sql.Timestamp,
+      value: java.lang.Long)
+  final case class ZscoreDayBatch(group: String, day: String, n: Long,
+      sum: Long, sumsq: Long, n_anomalies: Long)
+
+  private def utcDayIdx(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 86400000L)
+  private def utcDayString(dayIdx: Long): String =
+    java.time.LocalDate.ofEpochDay(dayIdx).toString
+
+  /** EVENT-TIME twin of [[zscoreStream]]: moments keyed on
+    * (group, event-time UTC day) with a watermark, so a late event
+    * folds into the day it HAPPENED in — not the day it arrived in,
+    * which is what the processing-time form would charge at real
+    * ingestion skew. State: three longs per (group, open day), sealed
+    * by an event-time timeout once the watermark passes the day's end
+    * (bounded by groups × days inside the lateness horizon, not by
+    * history). Emits the day's post-fold moments each batch the day
+    * receives data — the monotone n is the marker for selecting a
+    * day's current moments from an Append sink (the ZscoreBatch
+    * convention), and the final emission for a day bit-equals the
+    * batch aggregate over every row the watermark admitted
+    * (spec-asserted, late arrivals included).
+    *
+    * Sealed-day guard: flatMapGroupsWithState does NOT pre-filter
+    * late input the way windowed aggregations do — an over-late event
+    * (day end already behind the watermark) arriving after the
+    * timeout removed the day's state would otherwise seed FRESH
+    * moments for a sealed day and emit nonsense. Such rows are
+    * dropped explicitly; within the horizon, late rows fold
+    * normally. */
+  def zscoreStreamByDay(spark: SparkSession, values: Dataset[TimedValue],
+      lateness: String, sigmas: Int = 2): Dataset[ZscoreDayBatch] = {
+    import spark.implicits._
+    require(sigmas >= 1, s"sigmas must be >= 1, got $sigmas")
+    val k2 = sigmas.toLong * sigmas
+    values
+      .where(col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupByKey(v => (v.group, utcDayIdx(v.ts)))
+      .flatMapGroupsWithState[ZscoreState, ZscoreDayBatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), rows: Iterator[TimedValue],
+            state: GroupState[ZscoreState]) =>
+          val (group, dayIdx) = key
+          val dayEndMs = (dayIdx + 1) * 86400000L
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (!state.exists &&
+              state.getCurrentWatermarkMs() >= dayEndMs) {
+            // sealed day: its state is gone (or was never created) and
+            // the watermark guarantees the batch aggregate no longer
+            // counts rows this late — drop rather than resurrect
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(ZscoreState(0L, 0L, 0L))
+            val batch = rows.filter(_.value != null)
+              .map(_.value.longValue()).toArray
+            if (batch.isEmpty) {
+              // Spark clears the registered timeout on EVERY invocation
+              // — a null-only batch for an open day must re-arm the
+              // seal or the day's moments would pin forever
+              if (state.exists) state.setTimeoutTimestamp(dayEndMs)
+              Iterator.empty
+            } else {
+              var n = prior.n; var s = prior.s; var ss = prior.ss
+              batch.foreach { v => n += 1; s += v; ss += v * v }
+              val rhs = k2 * (n * ss - s * s)
+              val flagged = batch.count { v =>
+                val dev = v * n - s
+                dev * dev > rhs
+              }
+              state.update(ZscoreState(n, s, ss))
+              // seal when the watermark passes the day's end; the
+              // watermark already encodes the lateness allowance
+              state.setTimeoutTimestamp(dayEndMs)
+              Iterator(ZscoreDayBatch(group, utcDayString(dayIdx),
+                n, s, ss, flagged.toLong))
+            }
+          }
+      }
+  }
+
+  final case class EwmaDayState(t: Long, recent: Array[Long],
+      pending: Map[Long, Long])
+  final case class EwmaDayPoint(group: String, day: String, t: Long,
+      value: Long, ewma: Long)
+
+  /** EVENT-TIME twin of [[ewmaStream]]: per-group DAILY totals smoothed
+    * in event-time day order. EWMA is order-sensitive, so unlike the
+    * z-score (an order-free sum) the stream cannot fold a value the
+    * moment it arrives: a day's total is complete — and its position in
+    * the series known — only once the watermark passes the day's end.
+    * State per group: the open days' running totals (pending, bounded
+    * by the lateness horizon) plus the ≤16-long trailing ladder over
+    * CLOSED days. Each invocation folds the batch into pending, then
+    * closes every pending day the watermark has passed IN DAY ORDER,
+    * pushing its total through the q88 power-of-two ladder and emitting
+    * the smoothed point. Days with no events are absent, exactly like
+    * the batch twin's daily pre-aggregate (gap days are not zero
+    * slots). The emitted series after any batch split bit-equals
+    * ewmaSmooth over the same (group, day) totals (spec-asserted with
+    * late arrivals). Over-late rows for an already-closed day are
+    * dropped (the zscoreStreamByDay sealed-day guard — folding them
+    * would change history the ladder already consumed).
+    *
+    * The group's state has no idle timeout: after all pending days
+    * close it is the 16-long ladder, constant per group. Callers with
+    * unbounded group churn should recreate the query periodically or
+    * add an explicit retention sweep. */
+  def ewmaStreamByDay(spark: SparkSession, values: Dataset[TimedValue],
+      lateness: String): Dataset[EwmaDayPoint] = {
+    import spark.implicits._
+    values
+      .where(col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[EwmaDayState, EwmaDayPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (group: String, rows: Iterator[TimedValue],
+            state: GroupState[EwmaDayState]) =>
+          val prior = state.getOption
+            .getOrElse(EwmaDayState(0L, Array.empty[Long], Map.empty))
+          val wm = state.getCurrentWatermarkMs()
+          // fold the batch into pending day totals; a day whose end the
+          // watermark already passed is sealed (its point may already
+          // be emitted) — drop, never reopen
+          var pending = prior.pending
+          if (!state.hasTimedOut) {
+            rows.filter(_.value != null).foreach { v =>
+              val d = utcDayIdx(v.ts)
+              if ((d + 1) * 86400000L > wm)
+                pending = pending.updated(d, pending.getOrElse(d, 0L) + v.value.longValue())
+            }
+          }
+          // close ripe days in day order through the ladder
+          val (ripe, open) = pending.partition { case (d, _) =>
+            (d + 1) * 86400000L <= wm
+          }
+          var recent = prior.recent
+          var t = prior.t
+          val out = ripe.toSeq.sortBy(_._1).map { case (d, total) =>
+            recent = (total +: recent).take(16)
+            var acc = 0L
+            var j = 0
+            while (j < recent.length) {
+              acc += recent(j) * (1L << (15 - j)); j += 1
+            }
+            t += 1
+            EwmaDayPoint(group, utcDayString(d), t, total, acc >> 16)
+          }
+          state.update(EwmaDayState(t, recent, open))
+          // wake when the earliest open day becomes ripe; with no open
+          // days the ladder rests (constant 16 longs) until new data
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp((open.keys.min + 1) * 86400000L)
+          out.iterator
+      }
+  }
+
   final case class KeyedScore(group: String, item: String, score: java.lang.Long)
   final case class TopKState(n: Long, entries: Array[(String, Long)])
   final case class TopKEntry(group: String, n: Long, rank: Long, item: String,

@@ -606,4 +606,79 @@ class StreamOpsSpec extends SparkSpec {
     assert(emission2 ==
       Seq((1L, "c", 40L), (2L, "b", 30L), (3L, "e", 25L)), emission2.mkString(","))
   }
+  test("event-time z-score: late events fold into THEIR day; over-late rows cannot resurrect a sealed day") {
+    import graft.streaming.StreamOps.{TimedValue => TV}
+    val mem = MemoryStream[TV](spark, 1)
+    val out = StreamOps.zscoreStreamByDay(spark, mem.toDS(),
+      lateness = "1 hour", sigmas = 2)
+    val q = out.writeStream.format("memory").queryName("zsd_t")
+      .outputMode("append").start()
+    // batch 1: three day-1 values (watermark advances to 12:00 - 1h)
+    mem.addData(
+      TV("a", ts("2024-01-01 10:00:00"), 10L),
+      TV("a", ts("2024-01-01 11:00:00"), 12L),
+      TV("a", ts("2024-01-01 12:00:00"), 14L))
+    q.processAllAvailable()
+    // batch 2: a day-2 value AND a LATE day-1 value — still inside the
+    // horizon (watermark 11:00 < day-1 end), so it must fold into
+    // day 1, not day 2
+    mem.addData(
+      TV("a", ts("2024-01-02 09:00:00"), 100L),
+      TV("a", ts("2024-01-01 13:00:00"), 20L))
+    q.processAllAvailable()
+    // batch 3: far-future sentinel seals day 1 (watermark passes its
+    // end), then an over-late day-1 row must be DROPPED, not seed
+    // fresh moments
+    mem.addData(TV("a", ts("2024-01-05 00:00:00"), 1L))
+    q.processAllAvailable()
+    mem.addData(TV("a", ts("2024-01-01 14:00:00"), 999L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("zsd_t").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val day1 = rows.filter(_._1 == "2024-01-01").sortBy(_._2)
+    // final day-1 moments bit-equal the batch aggregate over the four
+    // admitted rows (10, 12, 14 + late 20) — the 999 row sealed out
+    assert(day1.last == (("2024-01-01", 4L, 56L, 840L)),
+      day1.mkString(","))
+    assert(!rows.exists(t => t._1 == "2024-01-01" && t._2 > 4L),
+      "over-late row resurrected a sealed day: " + rows.mkString(","))
+    val day2 = rows.filter(_._1 == "2024-01-02")
+    assert(day2.map(t => (t._2, t._3)).toSeq == Seq((1L, 100L)), day2.mkString(","))
+  }
+
+  test("event-time EWMA: day points emit in day order once closed, bit-equal to the batch smoother despite splits and lateness") {
+    import graft.streaming.StreamOps.{TimedValue => TV}
+    val mem = MemoryStream[TV](spark, 1)
+    val out = StreamOps.ewmaStreamByDay(spark, mem.toDS(), lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("ewd_t")
+      .outputMode("append").start()
+    // days 1-3 with uneven splits; day 2 receives a LATE value in a
+    // later batch (before its close) that must land in day 2's total
+    mem.addData(
+      TV("k", ts("2024-01-01 10:00:00"), 65536L),
+      TV("k", ts("2024-01-02 10:00:00"), 40000L))
+    q.processAllAvailable()
+    mem.addData(
+      TV("k", ts("2024-01-02 11:00:00"), 25536L), // late-ish, day 2 still open
+      TV("k", ts("2024-01-03 10:00:00"), 131072L))
+    q.processAllAvailable()
+    // sentinel far in the future closes days 1-3 (it stays pending)
+    mem.addData(TV("k", ts("2024-01-09 00:00:00"), 1L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ewd_t").orderBy("t")
+      .select("day", "value", "ewma")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch twin over the completed daily totals (day 2 = 40000+25536)
+    val batch = graft.ops.EventAnalytics.ewmaSmooth(
+        Seq(("k", 1L, 65536L), ("k", 2L, 65536L), ("k", 3L, 131072L))
+          .toDF("key", "seq", "v"),
+        Seq(col("key")), Seq(col("seq")), col("v"), as = "ewma")
+      .orderBy("seq").select("v", "ewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed.map(_._1) == Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+    assert(streamed.map(t => (t._2, t._3)) == batch,
+      s"stream=$streamed batch=$batch")
+  }
 }
