@@ -31,6 +31,11 @@ object BaselineGastos {
       // listing job per read, which costs more than driver-side listing
       // on a local filesystem at this size
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // 128m default kept after an A/B (round 8): 1g packs the 840
+      // tiny bronze files into fewer-than-core-count scan tasks and
+      // measured consistently WORSE (7.4-8.2 s vs 6.0-6.6 s same-day)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "128m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
