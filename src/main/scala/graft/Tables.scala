@@ -58,11 +58,19 @@ object Tables {
     * nanos as a raw long (legacy conf) and floor-convert to a microsecond
     * timestamp — the identical truncation DuckDB applies when it loads a
     * TIMESTAMP_NS column, so oracle comparisons line up to the microsecond.
+    *
+    * Layout-adaptive: a derived corpus (ScaleCorpus) stores `ts` already
+    * micros-converted — a timestamp column passes through untouched, so
+    * one loader serves both layouts with identical downstream values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
 }
 

@@ -139,9 +139,17 @@ object Graph {
     // (b) cache() (which does preserve partitioning) + a final eager
     // checkpoint costs more in materialization than the three ~40 MB
     // per-iteration exchanges it saves (5.5 s vs 4.4 s). The loop's
-    // repeated cost — one broadcast contribution join + one
+    // repeated cost — one shuffle-hash contribution join + one
     // incoming-sum exchange per iteration — is the honest PageRank
     // shape at any scale.
+    //
+    // The contribution join is PINNED shuffle_hash: left to AQE it
+    // broadcasts the per-iteration contrib frame (node count × 16 B,
+    // rebuilt and re-shipped every iteration off a stats-less
+    // checkpoint scan), which an interleaved A/B measured strictly
+    // worse at BOTH scales — sf0.1 3.58 s vs 4.64 s, 30× corpus
+    // 28.0 s vs 35.6 s (min-of-two each) — and whose driver-side
+    // collect grows with node count, exactly the wrong trend at 100 TB.
     val ed = edges.select(col("u").as("s"), col("v").as("t"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint(true)
@@ -151,6 +159,7 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = pr.join(deg, "node")
         .select(col("node"), expr("pr div d").as("c"))
+        .hint("shuffle_hash")
       pr = ed.join(contrib, ed("s") === contrib("node"))
         .groupBy(col("t").as("node"))
         .agg(sum(col("c")).as("s_in"))
