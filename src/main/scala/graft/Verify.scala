@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // q60's recursion emits one row per orders row; the default 1M-row
+      // guardrail trips on a gate corpus ≥ ~sf0.7 (it's a safety net
+      // against runaway recursion, not a plan property — BenchAtScale
+      // raises it for the same reason)
+      .config("spark.sql.cteRecursionRowLimit", (50 * 1000 * 1000).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
