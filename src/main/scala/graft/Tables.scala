@@ -59,9 +59,15 @@ object Tables {
     * timestamp — the identical truncation DuckDB applies when it loads a
     * TIMESTAMP_NS column, so oracle comparisons line up to the microsecond.
     *
-    * Layout-adaptive: a derived corpus (ScaleCorpus) stores `ts` already
-    * micros-converted — a timestamp column passes through untouched, so
-    * one loader serves both layouts with identical downstream values.
+    * Layout-adaptive, normalizing to ONE type: whatever the file stores
+    * (INT64 nanos, micros-no-tz → Spark TIMESTAMP_NTZ, or tz-adjusted
+    * micros → TIMESTAMP), `ts` leaves this loader as the session-zoned
+    * TIMESTAMP type. The session timezone is pinned UTC repo-wide
+    * (GraftSession / Verify), so the NTZ→instant cast is value-identical
+    * — DuckDB reads the same file as a naive timestamp and both engines
+    * agree to the microsecond. Normalizing here (rather than tolerating
+    * NTZ downstream) matters because `unix_micros` — the repo's
+    * timestamp→integer seam, see [[tsMicros]] — accepts only TIMESTAMP.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -69,9 +75,23 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ or any other timestamp layout
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }
   }
+
+  /** Timestamp → exact integer microseconds since epoch — the repo's
+    * single seam for that conversion. `unix_micros` is the only
+    * TIMESTAMP-only (NTZ-rejecting) Spark function the repo uses; the
+    * cast makes every call site layout-proof, so a future testdata
+    * layout change (nanos → micros-NTZ happened between rounds 7 and 8
+    * and broke two queries) has exactly one place to hit. Under the
+    * repo's pinned-UTC session the cast is value-identical for both NTZ
+    * and instant inputs, and a no-op for already-TIMESTAMP columns. */
+  def tsMicros(c: Column): Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
 }
 
 /** Exact-arithmetic helpers.

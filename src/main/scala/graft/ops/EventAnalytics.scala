@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -110,7 +111,7 @@ object EventAnalytics {
     val folded = bounded
       .groupBy(col(userCol).as("user"))
       .agg(array_sort(collect_list(struct(
-        unix_micros(col(tsCol)).as("ts"), col(typeCol).as("tp")))).as("_evs"))
+        Tables.tsMicros(col(tsCol)).as("ts"), col(typeCol).as("tp")))).as("_evs"))
       .select(aggregate(col("_evs"), array_repeat(lit(-1L), k), (acc, e) => {
         val ts = e.getField("ts")
         val tp = e.getField("tp")
@@ -186,7 +187,7 @@ object EventAnalytics {
       .orderBy(col(tsCol), col(idCol))
     events
       .select(col(idCol), col(userCol), col(typeCol), col(tsCol),
-        unix_micros(col(tsCol)).as("_us"))
+        Tables.tsMicros(col(tsCol)).as("_us"))
       .withColumn("gap_us",
         coalesce(col("_us") - lag(col("_us"), 1).over(w), lit(-1L)))
       .select(col(idCol), col(userCol), col(typeCol), col("gap_us"),

@@ -450,18 +450,7 @@ object StreamOps {
               .getOrElse(CmState(0L, new Array[Long](depth * width)))
             val counters = prior.counters.clone()
             var n = prior.n
-            // ONE cell derivation shared by fold and probe (a drifted
-            // copy would silently break the batch bit-compat law):
-            // Sketches.kmHalves / cmCell, flattened to counter indices
-            def cells(item: String): Array[Int] = {
-              val mask26 = (1L << 26) - 1
-              val h = graft.functions.Md5Mix.halves(
-                org.apache.spark.unsafe.types.UTF8String.fromString(item))(0)
-              val a = h & mask26
-              val b = (h >>> 26) & mask26
-              Array.tabulate(depth)(r =>
-                r * width + ((a + r * b) & (width - 1)).toInt)
-            }
+            def cells(item: String): Array[Int] = cmCells(item, depth, width)
             // distinct batch items in arrival order → deterministic
             // emission order; estimates are computed AFTER the whole
             // batch folds, so every emission reflects the full prefix
@@ -487,6 +476,20 @@ object StreamOps {
             }
           }
       }
+  }
+
+  /** The ONE count-min cell derivation, shared by every CMS form here
+    * (arrival-time fold, probe, and the event-time day variant) — a
+    * drifted copy would silently break the batch bit-compat law. Same
+    * math as Sketches.kmHalves / cmCell, flattened to counter indices. */
+  private def cmCells(item: String, depth: Int, width: Int): Array[Int] = {
+    val mask26 = (1L << 26) - 1
+    val h = graft.functions.Md5Mix.halves(
+      org.apache.spark.unsafe.types.UTF8String.fromString(item))(0)
+    val a = h & mask26
+    val b = (h >>> 26) & mask26
+    Array.tabulate(depth)(r =>
+      r * width + ((a + r * b) & (width - 1)).toInt)
   }
 
   final case class ZscoreState(n: Long, s: Long, ss: Long)
@@ -827,6 +830,151 @@ object StreamOps {
               idleTimeout.foreach(state.setTimeoutDuration)
               merged.iterator.zipWithIndex.map { case ((item, score), i) =>
                 TopKEntry(group, n, (i + 1).toLong, item, score)
+              }
+            }
+          }
+      }
+  }
+
+  final case class TimedItem(group: String, ts: java.sql.Timestamp,
+      item: String)
+  final case class CmDayEstimate(group: String, day: String, item: String,
+      n: Long, estimate: Long)
+
+  /** EVENT-TIME twin of [[countMinStream]]: one count-min sketch per
+    * (group, event-time UTC day), watermarked, so a late event's count
+    * lands in the day it HAPPENED in — the form a daily traffic /
+    * abuse counter actually wants, where the arrival-time sketch would
+    * smear a backfill across the wrong days. State: depth×width longs
+    * per (group, open day), sealed by an event-time timeout once the
+    * watermark passes the day's end — bounded by groups × days inside
+    * the lateness horizon, NOT by history (the arrival-time form's
+    * state is bounded only by its idle timeout). Emits (day, item,
+    * post-fold estimate) for each distinct item of the batch, with the
+    * day's monotone n as the currency marker (the ZscoreDayBatch
+    * convention: a day's CURRENT estimates are its max-n emission).
+    * Bit-compat law, spec-asserted: a day's final emission equals the
+    * batch count-min over every row the watermark admitted for that
+    * day — same cells ([[cmCells]]), same counters, late arrivals
+    * included.
+    *
+    * Sealed-day guard (the zscoreStreamByDay contract):
+    * flatMapGroupsWithState does not pre-filter late input — an
+    * over-late row whose day's state the timeout already removed would
+    * seed a FRESH sketch counting only stragglers and emit nonsense;
+    * such rows are dropped explicitly. Null items are not
+    * observations; a null-only batch allocates nothing for a new key
+    * but re-arms an open day's seal (Spark clears the registered
+    * timeout on every invocation). */
+  def countMinStreamByDay(spark: SparkSession, items: Dataset[TimedItem],
+      lateness: String, depth: Int = 4,
+      width: Int = 1024): Dataset[CmDayEstimate] = {
+    import spark.implicits._
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2 && width <= (1 << 26) && (width & (width - 1)) == 0,
+      s"width must be a power of two in [2, 2^26], got $width")
+    items
+      .where(col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupByKey(it => (it.group, utcDayIdx(it.ts)))
+      .flatMapGroupsWithState[CmState, CmDayEstimate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), rows: Iterator[TimedItem],
+            state: GroupState[CmState]) =>
+          val (group, dayIdx) = key
+          val dayEndMs = (dayIdx + 1) * 86400000L
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (!state.exists &&
+              state.getCurrentWatermarkMs() >= dayEndMs) {
+            Iterator.empty // sealed day — drop, never resurrect
+          } else {
+            val prior = state.getOption
+              .getOrElse(CmState(0L, new Array[Long](depth * width)))
+            val counters = prior.counters.clone()
+            var n = prior.n
+            val seen = new scala.collection.mutable.LinkedHashSet[String]
+            rows.filter(_.item != null).foreach { it =>
+              cmCells(it.item, depth, width).foreach(counters(_) += 1)
+              n += 1
+              seen += it.item
+            }
+            if (seen.isEmpty) {
+              if (state.exists) state.setTimeoutTimestamp(dayEndMs)
+              Iterator.empty
+            } else {
+              state.update(CmState(n, counters))
+              state.setTimeoutTimestamp(dayEndMs)
+              val day = utcDayString(dayIdx)
+              seen.iterator.map { item =>
+                CmDayEstimate(group, day, item, n,
+                  cmCells(item, depth, width).map(counters).min)
+              }
+            }
+          }
+      }
+  }
+
+  final case class TimedScore(group: String, ts: java.sql.Timestamp,
+      item: String, score: java.lang.Long)
+  final case class TopKDayEntry(group: String, day: String, n: Long,
+      rank: Long, item: String, score: Long)
+
+  /** EVENT-TIME twin of [[topKStream]]: one exact top-k leaderboard per
+    * (group, event-time UTC day), watermarked — the daily-leaderboard
+    * shape (top items of THE day, late data landing in its own day)
+    * rather than the all-time arrival-order board. Same leaderboard
+    * contract as the arrival-time form: per-item max on re-observation
+    * while the item remains kept, constant ≤k-entry state per open day,
+    * full current board emitted each batch the day receives data, the
+    * monotone n selecting the day's current board from an Append sink.
+    * Bit-compat law, spec-asserted: a day's final board equals the
+    * batch top-k (score desc, item asc) over its watermark-admitted
+    * per-item maxima. Sealed-day guard and null/timeout re-arm rules as
+    * [[countMinStreamByDay]]. */
+  def topKStreamByDay(spark: SparkSession, scores: Dataset[TimedScore],
+      k: Int, lateness: String): Dataset[TopKDayEntry] = {
+    import spark.implicits._
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    implicit val ord: Ordering[(String, Long)] =
+      Ordering.by[(String, Long), (Long, String)] {
+        case (item, score) => (score, item)
+      }(Ordering.Tuple2(Ordering.Long.reverse, Ordering.String))
+    scores
+      .where(col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupByKey(s => (s.group, utcDayIdx(s.ts)))
+      .flatMapGroupsWithState[TopKState, TopKDayEntry](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), rows: Iterator[TimedScore],
+            state: GroupState[TopKState]) =>
+          val (group, dayIdx) = key
+          val dayEndMs = (dayIdx + 1) * 86400000L
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (!state.exists &&
+              state.getCurrentWatermarkMs() >= dayEndMs) {
+            Iterator.empty // sealed day — drop, never resurrect
+          } else {
+            val batch = rows
+              .filter(r => r.item != null && r.score != null)
+              .map(r => r.item -> r.score.longValue()).toArray
+            if (batch.isEmpty) {
+              if (state.exists) state.setTimeoutTimestamp(dayEndMs)
+              Iterator.empty
+            } else {
+              val prior = state.getOption.getOrElse(TopKState(0L, Array.empty))
+              val merged = (prior.entries ++ batch)
+                .groupBy(_._1).view.mapValues(_.map(_._2).max).toArray
+                .sorted(ord).take(k)
+              val n = prior.n + batch.length
+              state.update(TopKState(n, merged))
+              state.setTimeoutTimestamp(dayEndMs)
+              val day = utcDayString(dayIdx)
+              merged.iterator.zipWithIndex.map { case ((item, score), i) =>
+                TopKDayEntry(group, day, n, (i + 1).toLong, item, score)
               }
             }
           }

@@ -681,4 +681,93 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.map(t => (t._2, t._3)) == batch,
       s"stream=$streamed batch=$batch")
   }
+
+  test("event-time count-min: late items count in THEIR day; final day sketch bit-equals the batch sketch; sealed days stay sealed") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.{TimedItem => TI}
+    val mem = MemoryStream[TI](spark, 1)
+    val out = StreamOps.countMinStreamByDay(spark, mem.toDS(),
+      lateness = "1 hour", depth = 4, width = 256)
+    val q = out.writeStream.format("memory").queryName("cmd_t")
+      .outputMode("append").start()
+    // batch 1: day-1 traffic (a/a/b), plus a null item (not an observation)
+    mem.addData(
+      TI("g", ts("2024-01-01 10:00:00"), "a"),
+      TI("g", ts("2024-01-01 11:00:00"), "a"),
+      TI("g", ts("2024-01-01 12:00:00"), "b"),
+      TI("junk", ts("2024-01-01 12:00:00"), null))
+    q.processAllAvailable()
+    // batch 2: day-2 traffic AND a LATE day-1 "a" (watermark 11:00 <
+    // day-1 end) — it must raise day 1's count, not day 2's
+    mem.addData(
+      TI("g", ts("2024-01-02 09:00:00"), "a"),
+      TI("g", ts("2024-01-01 13:00:00"), "a"))
+    q.processAllAvailable()
+    // batch 3: far-future sentinel seals day 1; then an over-late
+    // day-1 row must be dropped, not seed a fresh one-row sketch
+    mem.addData(TI("g", ts("2024-01-05 00:00:00"), "z"))
+    q.processAllAvailable()
+    mem.addData(TI("g", ts("2024-01-01 14:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cmd_t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(!rows.exists(_._1 == "junk"), "null-item group must not emit")
+    val day1 = rows.filter(_._2 == "2024-01-01")
+    // the day's current estimates = its max-n emission: n = 4 admitted
+    // rows (3 on time + 1 late; the over-late 5th sealed out)
+    assert(day1.map(_._4).max == 4L, day1.mkString(","))
+    val finalDay1 = day1.filter(_._4 == 4L).map(t => t._3 -> t._5).toMap
+    // bit-compat law: equals the batch sketch over the admitted rows
+    val sk = graft.ops.Sketches.countMinCounters(
+      Seq("a", "a", "b", "a").toDF("item"), "item", depth = 4, width = 256)
+    val batchEst = graft.ops.Sketches.countMinEstimate(
+        Seq("a").toDF("item"), sk, "item")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finalDay1("a") == batchEst("a"),
+      s"stream ${finalDay1("a")} != batch ${batchEst("a")}")
+    // day 2 saw exactly one row — the late day-1 row landed elsewhere
+    val day2 = rows.filter(_._2 == "2024-01-02")
+    assert(day2.map(_._4).max == 1L, day2.mkString(","))
+  }
+
+  test("event-time top-k: per-day leaderboards; late score lands in its day; final board equals batch top-k over admitted maxima") {
+    import graft.streaming.StreamOps.{TimedScore => TS}
+    val mem = MemoryStream[TS](spark, 1)
+    val out = StreamOps.topKStreamByDay(spark, mem.toDS(), k = 2,
+      lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("tkd_t")
+      .outputMode("append").start()
+    mem.addData(
+      TS("g", ts("2024-01-01 10:00:00"), "a", 10L),
+      TS("g", ts("2024-01-01 11:00:00"), "b", 30L),
+      TS("g", ts("2024-01-01 12:00:00"), "c", 20L))
+    q.processAllAvailable()
+    // a LATE day-1 score (a re-observes higher → per-item max) plus
+    // day-2 traffic; then seal day 1 and fire an over-late row at it
+    mem.addData(
+      TS("g", ts("2024-01-01 13:00:00"), "a", 40L),
+      TS("g", ts("2024-01-02 09:00:00"), "d", 7L))
+    q.processAllAvailable()
+    mem.addData(TS("g", ts("2024-01-05 00:00:00"), "e", 1L))
+    q.processAllAvailable()
+    mem.addData(TS("g", ts("2024-01-01 14:00:00"), "x", 999L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tkd_t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5)))
+    val day1 = rows.filter(_._2 == "2024-01-01")
+    // final board = max-n emission; n = 4 admitted scores (over-late x sealed out)
+    assert(day1.map(_._3).max == 4L, day1.mkString(","))
+    val board = day1.filter(_._3 == 4L).sortBy(_._4)
+      .map(t => (t._4, t._5, t._6)).toSeq
+    // batch top-2 over admitted per-item maxima {a→40, b→30, c→20}
+    assert(board == Seq((1L, "a", 40L), (2L, "b", 30L)), board.mkString(","))
+    assert(!day1.exists(_._5 == "x"), "over-late row resurrected a sealed day")
+    val day2 = rows.filter(_._2 == "2024-01-02")
+    assert(day2.filter(_._3 == 1L).map(t => (t._4, t._5, t._6)).toSeq ==
+      Seq((1L, "d", 7L)), day2.mkString(","))
+  }
 }
