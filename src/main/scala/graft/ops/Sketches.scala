@@ -400,6 +400,90 @@ object Sketches {
         .getField("_c").as(as))
   }
 
+  /** Mergeable log₂-bucket quantile sketch (HDR-histogram style) — the
+    * 100 TB percentile path, completing the sketch family (HLL counts
+    * distincts, CMS counts frequencies, Bloom answers membership; this
+    * answers quantiles). A non-negative long value maps to bucket
+    * (e, idx): e = floor(log₂ v) via the engine-portable
+    * `length(bin(v)) - 1`, idx = the value's position among the 2^subBits
+    * equal-width sub-ranges of octave e — so state is AT MOST
+    * 64·2^subBits counters regardless of input size, counters merge by
+    * ADDITION (a grouped count is associative — shards, days, or engines
+    * combine exactly), and any quantile's estimate (the target bucket's
+    * lower bound) carries relative error < 2^−subBits, one-sided (never
+    * above the true value). Everything is exact integer arithmetic, so
+    * the same ladder replays hash-exact in DuckDB (the q99 oracle).
+    * Values < 1 collapse to bucket −1 (estimate 0); negative inputs are
+    * OUT of contract (clamp or shift at the call site).
+    *
+    * Returns (bkey, cnt): bkey = e·2^subBits + idx, monotone in v — so
+    * bucket order IS value order and ranks resolve by bkey scan. */
+  def logHistCounts(df: DataFrame, value: Column, subBits: Int = 4): DataFrame = {
+    require(subBits >= 1 && subBits <= 8, s"subBits must be in [1,8], got $subBits")
+    val m = 1L << subBits
+    df.select(value.cast("long").as("_v"))
+      .select(expr(
+        s"""CASE WHEN _v < 1L THEN -1L ELSE
+           |  (length(bin(_v)) - 1) * ${m}L +
+           |  (_v - shiftleft(1L, length(bin(_v)) - 1)) div
+           |    shiftleft(1L, greatest(length(bin(_v)) - 1 - $subBits, 0))
+           |END""".stripMargin).as("bkey"))
+      .groupBy(col("bkey")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge law of [[logHistCounts]] made explicit: histograms over
+    * disjoint shards combine by summing per-bucket counts — the
+    * associativity that lets 1000 executors (or 1000 days) each keep a
+    * ≤64·2^subBits-counter sketch and reduce them exactly. */
+  def logHistMerge(histograms: Seq[DataFrame]): DataFrame = {
+    require(histograms.nonEmpty, "nothing to merge")
+    histograms.reduce(_ unionByName _)
+      .groupBy(col("bkey")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[logHistCounts]] histogram. Percentile-
+    * disc semantics in exact integers: rank_p = ceil(n·p) computed as
+    * (n·pct_milli + 999) DIV 1000 (pct at MILLI precision — p999 = the
+    * 99.9th percentile; a double ceil is off-by-one whenever n·p rounds
+    * up across an integer), estimate = lower bound of the first bucket
+    * whose cumulative count reaches the rank — one-sided ≤ true value,
+    * relative error < 2^−subBits. The histogram is first folded to ONE
+    * sorted array row (a grouping-free aggregate over ≤64·2^subBits
+    * rows — bounded by construction, no window, guard-clean) and each
+    * rank resolves with a single HOF scan of that array. Output: one
+    * row per requested pct — (pct_milli, n, est). Empty input yields
+    * n = 0, est = 0. */
+  def logHistQuantiles(counts: DataFrame, pctsMilli: Seq[Int],
+      subBits: Int = 4): DataFrame = {
+    require(pctsMilli.nonEmpty && pctsMilli.forall(p => p >= 1 && p <= 1000),
+      s"pcts must be milli-units in [1,1000], got $pctsMilli")
+    val m = 1L << subBits
+    val one = counts
+      .agg(sort_array(collect_list(struct(col("bkey"), col("cnt")))).as("_h"))
+      .select(col("_h"), expr("aggregate(_h, 0L, (a, x) -> a + x.cnt)").as("n"))
+    val perPct = pctsMilli.map { p =>
+      val found =
+        s"""aggregate(_h, named_struct('c', 0L, 'k', -2L),
+           |  (a, x) -> named_struct('c', a.c + x.cnt,
+           |    'k', CASE WHEN a.k = -2L AND a.c + x.cnt >= (n * ${p}L + 999L) div 1000L
+           |              THEN x.bkey ELSE a.k END)).k""".stripMargin
+      struct(lit(p.toLong).as("pct_milli"), expr(found).as("_k"))
+    }
+    one.select(col("n"), explode(array(perPct: _*)).as("r"))
+      .select(col("r.pct_milli").as("pct_milli"), col("n"),
+        expr(
+          s"""CASE WHEN r._k < 0L THEN 0L ELSE
+             |  shiftleft(1L, CAST(r._k div ${m}L AS INT)) +
+             |  (r._k % ${m}L) *
+             |    shiftleft(1L, greatest(CAST(r._k div ${m}L AS INT) - $subBits, 0))
+             |END""".stripMargin).as("est"))
+  }
+
+  /** One-shot [[logHistCounts]] → [[logHistQuantiles]]. */
+  def hdrQuantiles(df: DataFrame, value: Column, pctsMilli: Seq[Int],
+      subBits: Int = 4): DataFrame =
+    logHistQuantiles(logHistCounts(df, value, subBits), pctsMilli, subBits)
+
   def sampledMedian(df: DataFrame, value: Column, tieKey: Column,
       cap: Int, as: String): DataFrame = {
     val samp = df.select(value.as("_c"), md5(tieKey).as("_k"))

@@ -932,6 +932,45 @@ object ExtendedQueries {
            |SELECT est.event_type, est.hll_users, ex.exact_users
            |FROM est JOIN ex USING (event_type)""".stripMargin))
 
+  /** Mergeable quantile sketch (ops/Sketches.logHistCounts →
+    * logHistQuantiles): p50/p90/p99/p99.9 of lineitem price cents from
+    * a log₂-bucket histogram — the sketch family's QUANTILE member
+    * (HLL = distincts, CMS = frequencies, Bloom = membership). Exact
+    * percentiles at 100 TB need a global sort or a multi-pass
+    * select-k; this is ONE hash-agg into ≤ 64·2^subBits counters that
+    * merge by addition across executors/shards/days, then rank
+    * resolution over that constant-size state — with a PROVEN
+    * one-sided < 2^−4 relative error (spec-asserted vs the exact
+    * percentile). All integer arithmetic: the DuckDB oracle replays
+    * the identical bucket ladder (length(bin(v))−1 = floor(log₂ v) on
+    * both engines) and matches hash-exact. */
+  val q99HdrQuantiles = NamedQuery(
+    "q99_hdr_quantiles",
+    (s, dir) => {
+      graft.ops.Sketches.hdrQuantiles(
+        Tables.lineitem(s, dir), Exact.cents(col("l_extendedprice")),
+        pctsMilli = Seq(500, 900, 990, 999), subBits = 4)
+    },
+    Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+           |k AS (SELECT CASE WHEN c < 1 THEN -1
+           |        ELSE (length(bin(c)) - 1) * 16 +
+           |          (c - (1::BIGINT << (length(bin(c)) - 1))) //
+           |            (1::BIGINT << greatest(length(bin(c)) - 1 - 4, 0))
+           |        END AS bkey FROM v),
+           |h AS (SELECT bkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM k GROUP BY 1),
+           |c AS (SELECT bkey, SUM(cnt) OVER (ORDER BY bkey) AS cum,
+           |             SUM(cnt) OVER () AS n FROM h),
+           |p AS (SELECT * FROM (VALUES (500), (900), (990), (999)) AS t(pct_milli)),
+           |r AS (SELECT p.pct_milli, MIN(c.bkey) AS bkey, MIN(c.n) AS n
+           |      FROM p JOIN c ON c.cum >= (c.n * p.pct_milli + 999) // 1000
+           |      GROUP BY p.pct_milli)
+           |SELECT CAST(pct_milli AS BIGINT) AS pct_milli, CAST(n AS BIGINT) AS n,
+           |       CAST(CASE WHEN bkey < 0 THEN 0
+           |         ELSE (1::BIGINT << (bkey // 16)) +
+           |           (bkey % 16) * (1::BIGINT << greatest(bkey // 16 - 4, 0))
+           |         END AS BIGINT) AS est
+           |FROM r""".stripMargin))
+
   /** Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders
     * per customer) — the "for each row, run this parameterized query"
     * surface (Spark 4 / SQL:2016 LATERAL). Catalyst decorrelates it
@@ -1282,5 +1321,6 @@ object ExtendedQueries {
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
     q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte,
     q61VariantJson, q62CountMin, q63SketchMerge, q64BloomPrune,
-    q65HllByGroup, q66Lateral, q68GroupedMedian, q73Tpch10, q74RankFunctions)
+    q65HllByGroup, q66Lateral, q68GroupedMedian, q73Tpch10, q74RankFunctions,
+    q99HdrQuantiles)
 }

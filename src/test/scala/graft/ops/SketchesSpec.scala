@@ -260,4 +260,53 @@ class SketchesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"probe shuffles:\n$plan")
     assert(!plan.contains("Join"), s"probe joins:\n$plan")
   }
+
+  test("logHist quantiles: one-sided < 2^-subBits relative error vs exact; bounded state") {
+    // log-uniform-ish spread exercises many octaves; deterministic values
+    val vals = (1 to 5000).map(i => (i.toLong * i * 31) % 1000000 + 1)
+    val df = vals.toDF("v")
+    val counts = Sketches.logHistCounts(df, col("v"), subBits = 4)
+    // state bound: at most 64 octaves x 16 sub-buckets (+ the zero bucket)
+    assert(counts.count() <= 64L * 16 + 1)
+    val est = Sketches.logHistQuantiles(counts, Seq(500, 900, 990), subBits = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sorted = vals.sorted
+    for ((p, (n, e)) <- est) {
+      assert(n == vals.length.toLong)
+      val rank = ((n * p + 999) / 1000).toInt // ceil(n*p/1000)
+      val exact = sorted(rank - 1)
+      assert(e <= exact, s"p$p: estimate $e above true $exact (must be one-sided)")
+      assert((exact - e).toDouble / exact < 1.0 / 16,
+        s"p$p: error ${(exact - e).toDouble / exact} exceeds 2^-4 (est=$e exact=$exact)")
+    }
+  }
+
+  test("logHist: shard histograms merge by addition to exactly the whole-input sketch") {
+    val (a, b) = (1 to 4000).map(i => (i.toLong * 2654435761L) % 500000 + 1).splitAt(1500)
+    val whole = Sketches.logHistCounts((a ++ b).toDF("v"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Sketches.logHistMerge(Seq(
+        Sketches.logHistCounts(a.toDF("v"), col("v")),
+        Sketches.logHistCounts(b.toDF("v"), col("v"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == whole)
+  }
+
+  test("logHist edge cases: exact powers of two land on exact estimates; zeros bucket; empty input") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // a bucket whose members are a single value estimates it exactly
+    val pow = Seq.fill(100)(4096L) ++ Seq.fill(50)(0L)
+    val q = Sketches.hdrQuantiles(pow.toDF("v"), col("v"), Seq(500, 999))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(q(999) == 4096L, s"power-of-two bucket lower bound must be exact: $q")
+    assert(q(500) == 4096L) // rank 75 of 150 sorted [0x50, 4096x100]
+    val zeroHeavy = Sketches.hdrQuantiles(Seq.fill(10)(0L).toDF("v"), col("v"), Seq(500))
+      .collect()(0)
+    assert(zeroHeavy.getLong(1) == 10L && zeroHeavy.getLong(2) == 0L)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("v", LongType))))
+    val e = Sketches.hdrQuantiles(empty, col("v"), Seq(500)).collect()(0)
+    assert(e.getLong(1) == 0L && e.getLong(2) == 0L)
+  }
 }
