@@ -418,17 +418,80 @@ object Sketches {
     *
     * Returns (bkey, cnt): bkey = e·2^subBits + idx, monotone in v — so
     * bucket order IS value order and ranks resolve by bkey scan. */
+  /** The bucket-key ladder over a long column named `_v` (shared by the
+    * global and grouped histogram builders — ONE derivation, like
+    * cmCell, so the forms can never drift). */
+  private def bkeyCase(subBits: Int): String = {
+    val m = 1L << subBits
+    s"""CASE WHEN _v < 1L THEN -1L ELSE
+       |  (length(bin(_v)) - 1) * ${m}L +
+       |  (_v - shiftleft(1L, length(bin(_v)) - 1)) div
+       |    shiftleft(1L, greatest(length(bin(_v)) - 1 - $subBits, 0))
+       |END""".stripMargin
+  }
+
+  /** Bucket lower-bound reconstruction from a bkey expression `k`
+    * (negative keys — the sub-1 bucket or "not found" — estimate 0). */
+  private def lowerBoundCase(k: String, subBits: Int): String = {
+    val m = 1L << subBits
+    s"""CASE WHEN $k < 0L THEN 0L ELSE
+       |  shiftleft(1L, CAST($k div ${m}L AS INT)) +
+       |  ($k % ${m}L) *
+       |    shiftleft(1L, greatest(CAST($k div ${m}L AS INT) - $subBits, 0))
+       |END""".stripMargin
+  }
+
+  /** Per-pct rank scan over the one-row sorted histogram array `_h`
+    * with total `n`: first bucket whose cumulative count reaches
+    * ceil(n·pct_milli/1000), as (pct_milli, _k) structs. */
+  private def pctScanCols(pctsMilli: Seq[Int]): Seq[Column] =
+    pctsMilli.map { p =>
+      val found =
+        s"""aggregate(_h, named_struct('c', 0L, 'k', -2L),
+           |  (a, x) -> named_struct('c', a.c + x.cnt,
+           |    'k', CASE WHEN a.k = -2L AND a.c + x.cnt >= (n * ${p}L + 999L) div 1000L
+           |              THEN x.bkey ELSE a.k END)).k""".stripMargin
+      struct(lit(p.toLong).as("pct_milli"), expr(found).as("_k"))
+    }
+
   def logHistCounts(df: DataFrame, value: Column, subBits: Int = 4): DataFrame = {
     require(subBits >= 1 && subBits <= 8, s"subBits must be in [1,8], got $subBits")
-    val m = 1L << subBits
     df.select(value.cast("long").as("_v"))
-      .select(expr(
-        s"""CASE WHEN _v < 1L THEN -1L ELSE
-           |  (length(bin(_v)) - 1) * ${m}L +
-           |  (_v - shiftleft(1L, length(bin(_v)) - 1)) div
-           |    shiftleft(1L, greatest(length(bin(_v)) - 1 - $subBits, 0))
-           |END""".stripMargin).as("bkey"))
+      .select(expr(bkeyCase(subBits)).as("bkey"))
       .groupBy(col("bkey")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** PER-GROUP [[logHistCounts]]: one ≤64·2^subBits-counter histogram
+    * per group — per-group latency/price/size percentiles, the
+    * production shape. Same ladder ([[bkeyCase]]), same merge-by-
+    * addition law per (group, bkey). */
+  def logHistCountsByGroups(df: DataFrame, groupCols: Seq[String],
+      value: Column, subBits: Int = 4): DataFrame = {
+    require(subBits >= 1 && subBits <= 8, s"subBits must be in [1,8], got $subBits")
+    require(groupCols.nonEmpty, "use logHistCounts for the global form")
+    df.select(groupCols.map(col) :+ value.cast("long").as("_v"): _*)
+      .select(groupCols.map(col) :+ expr(bkeyCase(subBits)).as("bkey"): _*)
+      .groupBy(groupCols.head, (groupCols.tail :+ "bkey"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** PER-GROUP [[logHistQuantiles]]: each group's histogram folds to one
+    * sorted array (a KEYED aggregate over ≤64·2^subBits rows per group —
+    * no window, guard-clean) and each rank resolves with the same HOF
+    * scan. Output: (groupCols…, pct_milli, n, est), one row per
+    * (group, pct). */
+  def logHistQuantilesByGroups(counts: DataFrame, groupCols: Seq[String],
+      pctsMilli: Seq[Int], subBits: Int = 4): DataFrame = {
+    require(pctsMilli.nonEmpty && pctsMilli.forall(p => p >= 1 && p <= 1000),
+      s"pcts must be milli-units in [1,1000], got $pctsMilli")
+    val gs = groupCols.map(col)
+    counts
+      .groupBy(gs: _*)
+      .agg(sort_array(collect_list(struct(col("bkey"), col("cnt")))).as("_h"))
+      .withColumn("n", expr("aggregate(_h, 0L, (a, x) -> a + x.cnt)"))
+      .select(gs :+ col("n") :+ explode(array(pctScanCols(pctsMilli): _*)).as("r"): _*)
+      .select(gs :+ col("r.pct_milli").as("pct_milli") :+ col("n") :+
+        expr(lowerBoundCase("r._k", subBits)).as("est"): _*)
   }
 
   /** Merge law of [[logHistCounts]] made explicit: histograms over
@@ -457,26 +520,12 @@ object Sketches {
       subBits: Int = 4): DataFrame = {
     require(pctsMilli.nonEmpty && pctsMilli.forall(p => p >= 1 && p <= 1000),
       s"pcts must be milli-units in [1,1000], got $pctsMilli")
-    val m = 1L << subBits
-    val one = counts
+    counts
       .agg(sort_array(collect_list(struct(col("bkey"), col("cnt")))).as("_h"))
       .select(col("_h"), expr("aggregate(_h, 0L, (a, x) -> a + x.cnt)").as("n"))
-    val perPct = pctsMilli.map { p =>
-      val found =
-        s"""aggregate(_h, named_struct('c', 0L, 'k', -2L),
-           |  (a, x) -> named_struct('c', a.c + x.cnt,
-           |    'k', CASE WHEN a.k = -2L AND a.c + x.cnt >= (n * ${p}L + 999L) div 1000L
-           |              THEN x.bkey ELSE a.k END)).k""".stripMargin
-      struct(lit(p.toLong).as("pct_milli"), expr(found).as("_k"))
-    }
-    one.select(col("n"), explode(array(perPct: _*)).as("r"))
+      .select(col("n"), explode(array(pctScanCols(pctsMilli): _*)).as("r"))
       .select(col("r.pct_milli").as("pct_milli"), col("n"),
-        expr(
-          s"""CASE WHEN r._k < 0L THEN 0L ELSE
-             |  shiftleft(1L, CAST(r._k div ${m}L AS INT)) +
-             |  (r._k % ${m}L) *
-             |    shiftleft(1L, greatest(CAST(r._k div ${m}L AS INT) - $subBits, 0))
-             |END""".stripMargin).as("est"))
+        expr(lowerBoundCase("r._k", subBits)).as("est"))
   }
 
   /** One-shot [[logHistCounts]] → [[logHistQuantiles]]. */

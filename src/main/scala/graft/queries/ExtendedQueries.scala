@@ -971,6 +971,47 @@ object ExtendedQueries {
            |         END AS BIGINT) AS est
            |FROM r""".stripMargin))
 
+  /** q99's PER-GROUP form: p50/p99 of order value per order priority
+    * from one log₂-bucket histogram per group
+    * (ops/Sketches.logHistCountsByGroups → logHistQuantilesByGroups) —
+    * the grouped-percentile production shape (per-endpoint latency,
+    * per-source doc length) whose exact form q32 computes by sorting
+    * every group. The sketch shuffles ≤ 64·2^subBits counter rows per
+    * group however large the group, folds each group's histogram with
+    * a keyed aggregate (no window), and resolves ranks with the same
+    * HOF scan as q99 — same integer ladder, hash-exact oracle. */
+  val q100HdrByGroup = NamedQuery(
+    "q100_hdr_by_group",
+    (s, dir) => {
+      val counts = graft.ops.Sketches.logHistCountsByGroups(
+        Tables.orders(s, dir), Seq("o_orderpriority"),
+        Exact.cents(col("o_totalprice")), subBits = 4)
+      graft.ops.Sketches.logHistQuantilesByGroups(
+        counts, Seq("o_orderpriority"), pctsMilli = Seq(500, 990), subBits = 4)
+    },
+    Some("""WITH v AS (SELECT o_orderpriority AS g,
+           |                  CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+           |k AS (SELECT g, CASE WHEN c < 1 THEN -1
+           |        ELSE (length(bin(c)) - 1) * 16 +
+           |          (c - (1::BIGINT << (length(bin(c)) - 1))) //
+           |            (1::BIGINT << greatest(length(bin(c)) - 1 - 4, 0))
+           |        END AS bkey FROM v),
+           |h AS (SELECT g, bkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM k GROUP BY 1, 2),
+           |c AS (SELECT g, bkey,
+           |             SUM(cnt) OVER (PARTITION BY g ORDER BY bkey) AS cum,
+           |             SUM(cnt) OVER (PARTITION BY g) AS n FROM h),
+           |p AS (SELECT * FROM (VALUES (500), (990)) AS t(pct_milli)),
+           |r AS (SELECT c.g, p.pct_milli, MIN(c.bkey) AS bkey, MIN(c.n) AS n
+           |      FROM p JOIN c ON c.cum >= (c.n * p.pct_milli + 999) // 1000
+           |      GROUP BY 1, 2)
+           |SELECT g AS o_orderpriority, CAST(pct_milli AS BIGINT) AS pct_milli,
+           |       CAST(n AS BIGINT) AS n,
+           |       CAST(CASE WHEN bkey < 0 THEN 0
+           |         ELSE (1::BIGINT << (bkey // 16)) +
+           |           (bkey % 16) * (1::BIGINT << greatest(bkey // 16 - 4, 0))
+           |         END AS BIGINT) AS est
+           |FROM r""".stripMargin))
+
   /** Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders
     * per customer) — the "for each row, run this parameterized query"
     * surface (Spark 4 / SQL:2016 LATERAL). Catalyst decorrelates it
@@ -1322,5 +1363,5 @@ object ExtendedQueries {
     q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte,
     q61VariantJson, q62CountMin, q63SketchMerge, q64BloomPrune,
     q65HllByGroup, q66Lateral, q68GroupedMedian, q73Tpch10, q74RankFunctions,
-    q99HdrQuantiles)
+    q99HdrQuantiles, q100HdrByGroup)
 }

@@ -292,6 +292,22 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("logHist grouped form: each group's quantiles equal a dedicated global sketch over its rows") {
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", (i.toLong * 48271) % 700000 + 1))
+    val df = rows.toDF("g", "v")
+    val grouped = Sketches.logHistQuantilesByGroups(
+        Sketches.logHistCountsByGroups(df, Seq("g"), col("v")),
+        Seq("g"), Seq(500, 990))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sketches.hdrQuantiles(
+          rows.filter(_._1 == g).map(_._2).toDF("v"), col("v"), Seq(500, 990))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      for (p <- Seq(500L, 990L))
+        assert(grouped((g, p)) == solo(p), s"$g p$p: ${grouped((g, p))} != ${solo(p)}")
+    }
+  }
+
   test("logHist edge cases: exact powers of two land on exact estimates; zeros bucket; empty input") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     // a bucket whose members are a single value estimates it exactly
