@@ -257,6 +257,26 @@ object StreamOps {
   final case class HllState(n: Long, regs: Array[Byte])
   final case class HllGroupEstimate(group: String, n_items: Long, hll_est: Double)
 
+  /** The ONE HLL register fold, shared by the arrival-time and
+    * event-time stream forms (the cmCells rule): identical arithmetic
+    * to the batch hllRegisters — hp = low 52 bits of the first
+    * little-endian md5 half, register = low p bits, rho = (53−p) minus
+    * the bit length of the remaining bits — so the stream estimates
+    * stay bit-identical to the Catalyst sketch. */
+  private def hllFoldItem(regs: Array[Byte], item: String, p: Int): Unit = {
+    val m = 1 << p
+    val rhoMax = 53 - p
+    val hp = graft.functions.Md5Mix.halves(
+      org.apache.spark.unsafe.types.UTF8String.fromString(item))(0) &
+      ((1L << 52) - 1)
+    val reg = (hp & (m - 1)).toInt
+    val w = hp >>> p
+    val rho =
+      if (w == 0L) rhoMax
+      else rhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    if (rho > regs(reg)) regs(reg) = rho.toByte
+  }
+
   /** Streaming per-group approximate distinct — the incremental form of
     * ops/Sketches.hllRegisters: each group keeps a DENSE m-byte register
     * array in state (constant size regardless of stream length — the
@@ -294,18 +314,7 @@ object StreamOps {
             // null items are not values — the batch hllRegisters filter,
             // replicated (they would NPE the hash and skew n_items)
             rows.filter(_.item != null).foreach { it =>
-              // identical arithmetic to hllRegisters: hp = low 52 bits of
-              // the first little-endian md5 half; register = low p bits;
-              // rho = rhoMax - bitlength of the remaining 52-p bits
-              val hp = graft.functions.Md5Mix.halves(
-                org.apache.spark.unsafe.types.UTF8String.fromString(it.item))(0) &
-                ((1L << 52) - 1)
-              val reg = (hp & (m - 1)).toInt
-              val w = hp >>> p
-              val rho =
-                if (w == 0L) rhoMax
-                else rhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
-              if (rho > regs(reg)) regs(reg) = rho.toByte
+              hllFoldItem(regs, it.item, p)
               n += 1
             }
             // a batch of only-null items must not allocate an m-byte
@@ -976,6 +985,64 @@ object StreamOps {
               merged.iterator.zipWithIndex.map { case ((item, score), i) =>
                 TopKDayEntry(group, day, n, (i + 1).toLong, item, score)
               }
+            }
+          }
+      }
+  }
+
+  final case class HllDayEstimate(group: String, day: String,
+      n_items: Long, hll_est: Double)
+
+  /** EVENT-TIME twin of [[hllDistinctStream]]: one HLL register array
+    * per (group, event-time UTC day), watermarked — live DAILY distinct
+    * users (the q98 sliding-distinct building block running as a
+    * stream), where the arrival-time form counts a backfill into the
+    * wrong day. Same register fold as every HLL in the repo
+    * ([[hllFoldItem]] — the batch bit-compat law holds per day:
+    * a day's final estimate equals [[graft.ops.Sketches.hllDistinct]]
+    * over its watermark-admitted rows, spec-asserted with late
+    * arrivals). State: m bytes per (group, open day), sealed by the
+    * event-time timeout — bounded by groups × days inside the lateness
+    * horizon. Sealed-day guard, null-item and timeout re-arm rules as
+    * [[countMinStreamByDay]]; the day's monotone n_items is the
+    * currency marker for Append-sink consumers. */
+  def hllDistinctStreamByDay(spark: SparkSession, items: Dataset[TimedItem],
+      lateness: String, p: Int = 9): Dataset[HllDayEstimate] = {
+    import spark.implicits._
+    val m = 1 << p
+    items
+      .where(col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .groupByKey(it => (it.group, utcDayIdx(it.ts)))
+      .flatMapGroupsWithState[HllState, HllDayEstimate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), rows: Iterator[TimedItem],
+            state: GroupState[HllState]) =>
+          val (group, dayIdx) = key
+          val dayEndMs = (dayIdx + 1) * 86400000L
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (!state.exists &&
+              state.getCurrentWatermarkMs() >= dayEndMs) {
+            Iterator.empty // sealed day — drop, never resurrect
+          } else {
+            val prior = state.getOption.getOrElse(HllState(0L, new Array[Byte](m)))
+            val regs = prior.regs.clone()
+            var n = prior.n
+            val n0 = n
+            rows.filter(_.item != null).foreach { it =>
+              hllFoldItem(regs, it.item, p)
+              n += 1
+            }
+            if (n == n0) {
+              if (state.exists) state.setTimeoutTimestamp(dayEndMs)
+              Iterator.empty
+            } else {
+              state.update(HllState(n, regs))
+              state.setTimeoutTimestamp(dayEndMs)
+              Iterator(HllDayEstimate(group, utcDayString(dayIdx), n,
+                estimateFromRegs(regs, p)))
             }
           }
       }

@@ -732,6 +732,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(day2.map(_._4).max == 1L, day2.mkString(","))
   }
 
+  test("event-time HLL: per-day distinct estimates; late items fold into their day; final estimate bit-equals the batch sketch") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.{TimedItem => TI}
+    val mem = MemoryStream[TI](spark, 1)
+    val out = StreamOps.hllDistinctStreamByDay(spark, mem.toDS(),
+      lateness = "1 hour", p = 9)
+    val q = out.writeStream.format("memory").queryName("hld_t")
+      .outputMode("append").start()
+    val day1Items = (1 to 300).map(i => s"u${i % 120}")
+    mem.addData(day1Items.map(it => TI("g", ts("2024-01-01 10:00:00"), it)) :+
+      TI("junk", ts("2024-01-01 10:00:00"), null): _*)
+    q.processAllAvailable()
+    // a LATE day-1 item (new distinct) + day-2 traffic
+    mem.addData(
+      TI("g", ts("2024-01-01 13:00:00"), "u-late"),
+      TI("g", ts("2024-01-02 09:00:00"), "u1"))
+    q.processAllAvailable()
+    // seal day 1, then fire an over-late item at it
+    mem.addData(TI("g", ts("2024-01-05 00:00:00"), "z"))
+    q.processAllAvailable()
+    mem.addData(TI("g", ts("2024-01-01 14:00:00"), "u-never"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hld_t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(!rows.exists(_._1 == "junk"), "null-item group must not emit")
+    val day1 = rows.filter(_._2 == "2024-01-01")
+    assert(day1.map(_._3).max == 301L, day1.mkString(",")) // 300 + late, never 302
+    val streamEst = day1.find(_._3 == 301L).get._4
+    val batchEst = graft.ops.Sketches.hllDistinct(
+        (day1Items :+ "u-late").toDF("k"), "k").collect()(0).getDouble(0)
+    assert(streamEst == batchEst, s"stream $streamEst != batch $batchEst")
+    val day2 = rows.filter(_._2 == "2024-01-02")
+    assert(day2.map(_._3).toSeq == Seq(1L), day2.mkString(","))
+  }
+
   test("event-time top-k: per-day leaderboards; late score lands in its day; final board equals batch top-k over admitted maxima") {
     import graft.streaming.StreamOps.{TimedScore => TS}
     val mem = MemoryStream[TS](spark, 1)
