@@ -115,11 +115,12 @@ object ScaleCorpus {
         .withColumn("embedding", rotated)
     }.reduce(_ unionByName _), "embeddings")
 
-    // events: write `ts` ALREADY micros-converted (Tables.events applies
-    // the same floor conversion on the source, and passes a timestamp
-    // column through untouched) — the parquet column must be a real
-    // TIMESTAMP for the DuckDB oracle's CAST(ts AS DATE) to work, and
-    // Spark cannot write TIMESTAMP(NANOS) back
+    // events: write `ts` ALREADY micros-converted (Tables.events
+    // normalizes every source layout to session-UTC TIMESTAMP, so the
+    // corpus round-trips through the same loader with identical values)
+    // — the parquet column must be a real TIMESTAMP for the DuckDB
+    // oracle's CAST(ts AS DATE) to work, and Spark cannot write
+    // TIMESTAMP(NANOS) back
     val ev = Tables.events(spark, srcDir)
     val maxEv = maxOf(ev, "event_id") + 1
     val maxUser = maxOf(ev, "user_id") + 1

@@ -456,7 +456,11 @@ object Sketches {
 
   def logHistCounts(df: DataFrame, value: Column, subBits: Int = 4): DataFrame = {
     require(subBits >= 1 && subBits <= 8, s"subBits must be in [1,8], got $subBits")
+    // null values are not observations (the repo-wide sketch rule) — a
+    // null would otherwise ladder into a null bkey whose rank-scan
+    // behavior is engine-dependent
     df.select(value.cast("long").as("_v"))
+      .where(col("_v").isNotNull)
       .select(expr(bkeyCase(subBits)).as("bkey"))
       .groupBy(col("bkey")).agg(count(lit(1)).as("cnt"))
   }
@@ -470,6 +474,7 @@ object Sketches {
     require(subBits >= 1 && subBits <= 8, s"subBits must be in [1,8], got $subBits")
     require(groupCols.nonEmpty, "use logHistCounts for the global form")
     df.select(groupCols.map(col) :+ value.cast("long").as("_v"): _*)
+      .where(col("_v").isNotNull)
       .select(groupCols.map(col) :+ expr(bkeyCase(subBits)).as("bkey"): _*)
       .groupBy(groupCols.head, (groupCols.tail :+ "bkey"): _*)
       .agg(count(lit(1)).as("cnt"))
