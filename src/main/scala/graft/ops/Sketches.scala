@@ -461,8 +461,26 @@ object Sketches {
     // behavior is engine-dependent
     df.select(value.cast("long").as("_v"))
       .where(col("_v").isNotNull)
-      .select(expr(bkeyCase(subBits)).as("bkey"))
+      .select(expr(bkeyCase(subBits)).as("bkey", subBitsMeta(subBits)))
       .groupBy(col("bkey")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The histogram's subBits, stamped onto the bkey column as metadata
+    * so the RESOLVERS can reject a mismatched ladder: bkey = e·2^subBits
+    * + idx is decoded with the same subBits, and a drifted value would
+    * silently reconstruct wrong lower bounds. Metadata survives
+    * groupBy/union, so the check travels with the counts frame. */
+  private def subBitsMeta(subBits: Int) =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.logHist.subBits", subBits.toLong).build()
+
+  private def requireSubBitsMatch(counts: DataFrame, subBits: Int): Unit = {
+    val meta = counts.schema.fields.find(_.name == "bkey").map(_.metadata)
+    meta.filter(_.contains("graft.logHist.subBits")).foreach { m =>
+      val stamped = m.getLong("graft.logHist.subBits")
+      require(stamped == subBits.toLong,
+        s"histogram was built with subBits=$stamped but resolver got $subBits")
+    }
   }
 
   /** PER-GROUP [[logHistCounts]]: one ≤64·2^subBits-counter histogram
@@ -475,7 +493,8 @@ object Sketches {
     require(groupCols.nonEmpty, "use logHistCounts for the global form")
     df.select(groupCols.map(col) :+ value.cast("long").as("_v"): _*)
       .where(col("_v").isNotNull)
-      .select(groupCols.map(col) :+ expr(bkeyCase(subBits)).as("bkey"): _*)
+      .select(groupCols.map(col) :+
+        expr(bkeyCase(subBits)).as("bkey", subBitsMeta(subBits)): _*)
       .groupBy(groupCols.head, (groupCols.tail :+ "bkey"): _*)
       .agg(count(lit(1)).as("cnt"))
   }
@@ -489,6 +508,7 @@ object Sketches {
       pctsMilli: Seq[Int], subBits: Int = 4): DataFrame = {
     require(pctsMilli.nonEmpty && pctsMilli.forall(p => p >= 1 && p <= 1000),
       s"pcts must be milli-units in [1,1000], got $pctsMilli")
+    requireSubBitsMatch(counts, subBits)
     val gs = groupCols.map(col)
     counts
       .groupBy(gs: _*)
@@ -525,6 +545,7 @@ object Sketches {
       subBits: Int = 4): DataFrame = {
     require(pctsMilli.nonEmpty && pctsMilli.forall(p => p >= 1 && p <= 1000),
       s"pcts must be milli-units in [1,1000], got $pctsMilli")
+    requireSubBitsMatch(counts, subBits)
     counts
       .agg(sort_array(collect_list(struct(col("bkey"), col("cnt")))).as("_h"))
       .select(col("_h"), expr("aggregate(_h, 0L, (a, x) -> a + x.cnt)").as("n"))

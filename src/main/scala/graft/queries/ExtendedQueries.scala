@@ -951,7 +951,8 @@ object ExtendedQueries {
         Tables.lineitem(s, dir), Exact.cents(col("l_extendedprice")),
         pctsMilli = Seq(500, 900, 990, 999), subBits = 4)
     },
-    Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+    Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+           |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
            |k AS (SELECT CASE WHEN c < 1 THEN -1
            |        ELSE (length(bin(c)) - 1) * 16 +
            |          (c - (1::BIGINT << (length(bin(c)) - 1))) //
@@ -990,7 +991,8 @@ object ExtendedQueries {
         counts, Seq("o_orderpriority"), pctsMilli = Seq(500, 990), subBits = 4)
     },
     Some("""WITH v AS (SELECT o_orderpriority AS g,
-           |                  CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+           |                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           |           FROM orders WHERE o_totalprice IS NOT NULL),
            |k AS (SELECT g, CASE WHEN c < 1 THEN -1
            |        ELSE (length(bin(c)) - 1) * 16 +
            |          (c - (1::BIGINT << (length(bin(c)) - 1))) //

@@ -295,7 +295,6 @@ object StreamOps {
       idleTimeout: Option[String] = Some("1 hour")): Dataset[HllGroupEstimate] = {
     import spark.implicits._
     val m = 1 << p
-    val rhoMax = 53 - p
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -781,6 +780,16 @@ object StreamOps {
 
   final case class KeyedScore(group: String, item: String, score: java.lang.Long)
   final case class TopKState(n: Long, entries: Array[(String, Long)])
+
+  /** The ONE leaderboard ordering (score desc, item asc), shared by the
+    * arrival-time and event-time top-k forms so tie-breaks can never
+    * drift. Score desc via Ordering.Long.reverse, NOT negation: -score
+    * overflows at Long.MinValue (-MinValue == MinValue) and would sort
+    * the worst score to rank 1. */
+  private val leaderboardOrdering: Ordering[(String, Long)] =
+    Ordering.by[(String, Long), (Long, String)] {
+      case (item, score) => (score, item)
+    }(Ordering.Tuple2(Ordering.Long.reverse, Ordering.String))
   final case class TopKEntry(group: String, n: Long, rank: Long, item: String,
       score: Long)
 
@@ -806,13 +815,7 @@ object StreamOps {
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    // score desc via Ordering.Long.reverse, NOT negation: -score
-    // overflows at Long.MinValue (-MinValue == MinValue) and would
-    // sort the worst score to rank 1
-    implicit val ord: Ordering[(String, Long)] =
-      Ordering.by[(String, Long), (Long, String)] {
-        case (item, score) => (score, item)
-      }(Ordering.Tuple2(Ordering.Long.reverse, Ordering.String))
+    implicit val ord: Ordering[(String, Long)] = leaderboardOrdering
     scores.groupByKey(_.group)
       .flatMapGroupsWithState[TopKState, TopKEntry](
         OutputMode.Append, timeoutConf) {
@@ -946,10 +949,7 @@ object StreamOps {
       k: Int, lateness: String): Dataset[TopKDayEntry] = {
     import spark.implicits._
     require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
-    implicit val ord: Ordering[(String, Long)] =
-      Ordering.by[(String, Long), (Long, String)] {
-        case (item, score) => (score, item)
-      }(Ordering.Tuple2(Ordering.Long.reverse, Ordering.String))
+    implicit val ord: Ordering[(String, Long)] = leaderboardOrdering
     scores
       .where(col("ts").isNotNull)
       .withWatermark("ts", lateness)

@@ -308,6 +308,24 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("logHist: resolving with a mismatched subBits is rejected, not silently wrong") {
+    val counts = Sketches.logHistCounts((1L to 100L).toDF("v"), col("v"), subBits = 5)
+    intercept[IllegalArgumentException] {
+      Sketches.logHistQuantiles(counts, Seq(500), subBits = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.logHistQuantilesByGroups(
+        Sketches.logHistCountsByGroups(
+          (1L to 100L).map(("g", _)).toDF("g", "v"), Seq("g"), col("v"), subBits = 3),
+        Seq("g"), Seq(500), subBits = 4)
+    }
+    // merge preserves the stamp: resolving a merged histogram still checks
+    val merged = Sketches.logHistMerge(Seq(counts, counts))
+    intercept[IllegalArgumentException] {
+      Sketches.logHistQuantiles(merged, Seq(500), subBits = 4)
+    }
+  }
+
   test("logHist edge cases: exact powers of two land on exact estimates; zeros bucket; empty input") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     // a bucket whose members are a single value estimates it exactly

@@ -11,7 +11,14 @@ import java.sql.Timestamp
 class StreamOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ts(s: String) = Timestamp.valueOf(s)
+  /** Parse as a UTC instant, NOT Timestamp.valueOf (which parses in the
+    * JVM default timezone): the day-bucketed ops bucket by UTC epoch
+    * day and window() buckets align to the epoch, so local-parse would
+    * shift every instant — and some window memberships and all asserted
+    * day strings — on a non-UTC machine. */
+  private def ts(s: String) = Timestamp.from(
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC))
 
   private val rows = Seq(
     (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
