@@ -519,6 +519,24 @@ object Sketches {
         expr(lowerBoundCase("r._k", subBits)).as("est"): _*)
   }
 
+  /** WEIGHTED [[logHistCounts]]: per-bucket totals are Σweight instead
+    * of row counts, which turns the resolvers into weighted quantiles —
+    * "the value v such that p% of total WEIGHT lies at or below v"
+    * (byte-weighted median document size, token-weighted length
+    * percentiles — the storage/token-budget planning metrics). The
+    * resolvers need no change: rank arithmetic is over whatever the
+    * cnt column sums to. Weights must be non-negative longs; null
+    * values OR null weights are not observations. Same merge-by-
+    * addition law, same subBits stamp. */
+  def logHistWeightedCounts(df: DataFrame, value: Column, weight: Column,
+      subBits: Int = 4): DataFrame = {
+    require(subBits >= 1 && subBits <= 8, s"subBits must be in [1,8], got $subBits")
+    df.select(value.cast("long").as("_v"), weight.cast("long").as("_w"))
+      .where(col("_v").isNotNull && col("_w").isNotNull)
+      .select(expr(bkeyCase(subBits)).as("bkey", subBitsMeta(subBits)), col("_w"))
+      .groupBy(col("bkey")).agg(sum(col("_w")).as("cnt"))
+  }
+
   /** Merge law of [[logHistCounts]] made explicit: histograms over
     * disjoint shards combine by summing per-bucket counts — the
     * associativity that lets 1000 executors (or 1000 days) each keep a

@@ -1014,6 +1014,43 @@ object ExtendedQueries {
            |         END AS BIGINT) AS est
            |FROM r""".stripMargin))
 
+  /** WEIGHTED quantiles from the q99 histogram
+    * (ops/Sketches.logHistWeightedCounts): byte-weighted document-size
+    * percentiles — "the size s such that p% of total corpus BYTES live
+    * in documents of size ≤ s", the storage/shard-planning metric a
+    * row-weighted percentile cannot answer (a few huge docs carry most
+    * bytes). Same constant-state bucket ladder with Σweight per bucket
+    * instead of row counts; the rank scan is unchanged because it is
+    * already arithmetic over whatever the cnt column sums to. */
+  val d42WeightedQuantile = NamedQuery(
+    "d42_weighted_quantile",
+    (s, dir) => {
+      graft.ops.Sketches.logHistQuantiles(
+        graft.ops.Sketches.logHistWeightedCounts(
+          Tables.documents(s, dir), col("n_chars"), col("n_chars"), subBits = 4),
+        pctsMilli = Seq(500, 900, 990), subBits = 4)
+    },
+    Some("""WITH v AS (SELECT n_chars AS c, n_chars AS w FROM documents
+           |           WHERE n_chars IS NOT NULL),
+           |k AS (SELECT CASE WHEN c < 1 THEN -1
+           |        ELSE (length(bin(c)) - 1) * 16 +
+           |          (c - (1::BIGINT << (length(bin(c)) - 1))) //
+           |            (1::BIGINT << greatest(length(bin(c)) - 1 - 4, 0))
+           |        END AS bkey, w FROM v),
+           |h AS (SELECT bkey, CAST(SUM(w) AS BIGINT) AS cnt FROM k GROUP BY 1),
+           |c AS (SELECT bkey, SUM(cnt) OVER (ORDER BY bkey) AS cum,
+           |             SUM(cnt) OVER () AS n FROM h),
+           |p AS (SELECT * FROM (VALUES (500), (900), (990)) AS t(pct_milli)),
+           |r AS (SELECT p.pct_milli, MIN(c.bkey) AS bkey, MIN(c.n) AS n
+           |      FROM p JOIN c ON c.cum >= (c.n * p.pct_milli + 999) // 1000
+           |      GROUP BY p.pct_milli)
+           |SELECT CAST(pct_milli AS BIGINT) AS pct_milli, CAST(n AS BIGINT) AS n,
+           |       CAST(CASE WHEN bkey < 0 THEN 0
+           |         ELSE (1::BIGINT << (bkey // 16)) +
+           |           (bkey % 16) * (1::BIGINT << greatest(bkey // 16 - 4, 0))
+           |         END AS BIGINT) AS est
+           |FROM r""".stripMargin))
+
   /** Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders
     * per customer) — the "for each row, run this parameterized query"
     * surface (Spark 4 / SQL:2016 LATERAL). Catalyst decorrelates it
@@ -1365,5 +1402,5 @@ object ExtendedQueries {
     q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte,
     q61VariantJson, q62CountMin, q63SketchMerge, q64BloomPrune,
     q65HllByGroup, q66Lateral, q68GroupedMedian, q73Tpch10, q74RankFunctions,
-    q99HdrQuantiles, q100HdrByGroup)
+    q99HdrQuantiles, q100HdrByGroup, d42WeightedQuantile)
 }

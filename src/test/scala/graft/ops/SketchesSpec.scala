@@ -308,6 +308,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("logHist weighted: estimates bracket the exact weight-cumulative value, one-sided") {
+    // value v carries weight v -> heavy tail: big values hold most weight,
+    // so weighted quantiles sit far above row-count quantiles
+    val rows = (1L to 1000L).map(v => (v, v))
+    val est = Sketches.logHistQuantiles(
+        Sketches.logHistWeightedCounts(rows.toDF("v", "w"), col("v"), col("w")),
+        Seq(500, 990))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val totalW = rows.map(_._2).sum
+    for ((p, (n, e)) <- est) {
+      assert(n == totalW)
+      val rank = (totalW * p + 999) / 1000
+      val exact = rows.sortBy(_._1).iterator
+        .scanLeft((0L, 0L)) { case ((_, cum), (v, w)) => (v, cum + w) }
+        .find(_._2 >= rank).get._1
+      assert(e <= exact, s"p$p: $e above exact $exact")
+      assert((exact - e).toDouble / exact < 1.0 / 16,
+        s"p$p: error exceeds 2^-4 (est=$e exact=$exact)")
+    }
+    // sanity: the byte-weighted median is far above the row median (~500)
+    assert(est(500L)._2 > 600L, s"weighted median ${est(500L)._2} should exceed row median")
+  }
+
   test("logHist: resolving with a mismatched subBits is rejected, not silently wrong") {
     val counts = Sketches.logHistCounts((1L to 100L).toDF("v"), col("v"), subBits = 5)
     intercept[IllegalArgumentException] {
