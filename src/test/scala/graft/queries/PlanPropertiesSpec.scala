@@ -426,4 +426,29 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("ShuffledHashJoin"), plan)
   }
+
+  test("q99/d42 (quantile sketch): raw rows reduce map-side — the only exchanges carry the bounded bucket table") {
+    // the scale contract: the sketch is one partial hash-agg over the
+    // scan (rows never shuffle), then exchanges that move at most
+    // 64·2^subBits counter rows; the single-partition fold is the
+    // second of them, above the keyed aggregate. A lost partial agg
+    // (rows shuffling to buckets) or a window sneaking in would break
+    // the 100 TB story while staying value-correct.
+    for (q <- Seq("q99_hdr_quantiles", "d42_weighted_quantile")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Window"), s"$q grew a window:\n$plan")
+      // two non-broadcast exchanges: bkey hash-partitioning + the 1-row fold
+      assert("(?<!Broadcast)Exchange ".r.findAllIn(plan).length == 2, s"$q:\n$plan")
+      // partial aggregation present before the first exchange
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+        s"$q lost its map-side partial aggregate:\n$plan")
+    }
+  }
+
+  test("q100 (grouped quantile sketch): per-group fold is a keyed aggregate — no window, two bounded exchanges") {
+    val plan = executedPlan("q100_hdr_by_group")
+    assert(!plan.contains("Window"), plan)
+    assert("(?<!Broadcast)Exchange ".r.findAllIn(plan).length == 2, plan)
+    assert(plan.contains("partial_count"), plan)
+  }
 }
