@@ -67,7 +67,8 @@ object Bench {
       "d11_contamination", "d15_jaccard_verify", "d13_sequence_pack",
       "t06_top_terms", "m02_media_decode", "d22_domain_kl",
       "q60_recursive_cte", "d29_bpe_train", "d30_bpe_encode",
-      "d36_keep_best", "g01_triangle_census", "g02_pagerank")
+      "d36_keep_best", "g01_triangle_census", "g02_pagerank",
+      "q99_hdr_quantiles", "q100_hdr_by_group", "d42_weighted_quantile")
     val headlineQs = results.filter { case (k, _) => headline.contains(k) }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(headlineQs)},"n_queries":${results.size},"sf":"$sfDir"}"""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
