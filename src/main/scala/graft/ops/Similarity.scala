@@ -441,4 +441,49 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Exact d×d covariance (and raw second-moment) matrix of an embedding
+    * column — the whitening/PCA precursor to ANN indexing (d37's
+    * per-dimension stats are this matrix's diagonal; the off-diagonals
+    * are what whitening needs). One pass, no self-join: each row emits
+    * its d² quantized products via a nested-transform outer product,
+    * and a (i, j)-keyed hash-aggregate reduces them map-side — the
+    * shuffle carries at most d² cells per partition regardless of row
+    * count, so the plan survives any corpus size (the d² amplification
+    * is inside one narrow stage, collapsed before the exchange).
+    * Margins Σqᵢ ride a second narrow pass and broadcast-join onto the
+    * d² cells.
+    *
+    * Exactness: values quantize to integer millis (the d37/quantize
+    * rule: cast FLOAT→DOUBLE before ×1000, half-up identical on both
+    * engines), all sums are exact longs, and `cov` is formed as IEEE
+    * ops over double-cast exact longs — (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ)/n² — the
+    * q58 overflow pattern: the long products would wrap at ~10⁷ rows,
+    * the double forms stay exact below 2⁵³ and ≤1-ulp beyond,
+    * identically on both engines. `dims` truncates to the first d
+    * dimensions (bounds the d² blow-up; pass the full width for the
+    * whole matrix). */
+  def covarianceMatrix(embeddings: DataFrame, embCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 4096, s"dims must be in [1,4096], got $dims")
+    val qArr = s"transform(CAST(slice($embCol, 1, $dims) AS ARRAY<DOUBLE>), " +
+      "x -> CAST(round(x * 1000) AS BIGINT))"
+    // the margins Σqᵢ/Σqⱼ ride the SAME aggregate as the products (for
+    // a fixed cell (i, j), Σrows x IS the i-margin) — one scan, one
+    // exchange, no separate margin branch to re-read the table
+    embeddings
+      .select(expr(qArr).as("_q"))
+      .select(explode(expr(
+        """flatten(transform(_q, (x, i) -> transform(_q, (y, j) ->
+          |  named_struct('i', i, 'j', j, 'p', x * y, 'x', x, 'y', y))))""".stripMargin)).as("e"))
+      .select(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"),
+        col("e.p").as("p"), col("e.x").as("x"), col("e.y").as("y"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sprod"),
+        sum(col("x")).as("_si"), sum(col("y")).as("_sj"))
+      .select(col("i"), col("j"), col("n"), col("sprod"),
+        ((col("n").cast("double") * col("sprod").cast("double")
+          - col("_si").cast("double") * col("_sj").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double"))).as("cov"))
+  }
 }

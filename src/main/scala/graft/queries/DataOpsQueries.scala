@@ -1920,6 +1920,39 @@ object DataOpsQueries {
             |FROM v2 v LEFT JOIN tm ON v.doc_id = tm.nid
             |          LEFT JOIN sm ON v.doc_id = sm.nid""".stripMargin))
 
+  /** Exact embedding covariance matrix (Similarity.covarianceMatrix):
+    * d37's per-dimension stats are this matrix's diagonal; the
+    * off-diagonals are what PCA/whitening before ANN indexing needs.
+    * One pass, NO self-join: each row emits its d² quantized products
+    * via a nested-transform outer product and the (i, j)-keyed
+    * hash-agg collapses them map-side — the exchange carries ≤ d²
+    * cells per partition at any corpus size. The harness query takes
+    * the first 16 dimensions (256 cells) so the ORACLE's pair
+    * formulation — a vec_id self-join, the natural SQL shape — stays
+    * bounded on any gate corpus; the operator itself takes the full
+    * width. Integer-millis exact sums; cov formed as IEEE ops over
+    * double-cast exact longs (the q58 overflow pattern). */
+  val d43EmbeddingCovariance = NamedQuery(
+    "d43_embedding_covariance",
+    (s, dir) => {
+      graft.ops.Similarity.covarianceMatrix(
+        Tables.embeddings(s, dir), "embedding", dims = 16)
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id,
+           |         CAST(round(CAST(unnest(embedding[1:16]) AS DOUBLE) * 1000) AS BIGINT) AS q,
+           |         generate_subscripts(embedding[1:16], 1) - 1 AS dim
+           |  FROM embeddings),
+           |p AS (SELECT a.dim AS i, b.dim AS j, CAST(COUNT(*) AS BIGINT) AS n,
+           |             CAST(SUM(a.q * b.q) AS BIGINT) AS sprod,
+           |             CAST(SUM(a.q) AS BIGINT) AS si, CAST(SUM(b.q) AS BIGINT) AS sj
+           |      FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2)
+           |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n, sprod,
+           |       (CAST(n AS DOUBLE) * CAST(sprod AS DOUBLE)
+           |        - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE))
+           |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov
+           |FROM p""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1931,7 +1964,7 @@ object DataOpsQueries {
     d29BpeTrain, d30BpeEncode, d31WeightedSample, d32SplitAssign,
     d33Curriculum, d34CorpusDiff, d35BudgetAssembly, d36KeepBest,
     d37EmbeddingStats, d38ClusterSizes, d39IncrementalDedup, d40OovRate,
-    d41LeakSafeSplit,
+    d41LeakSafeSplit, d43EmbeddingCovariance,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

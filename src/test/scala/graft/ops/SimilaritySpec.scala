@@ -165,4 +165,25 @@ class SimilaritySpec extends SparkSpec {
     val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(rows(3L) == Seq(700.0, 700.0, 0.0)) // round(0.7f*1000)=700 exactly
   }
+
+  test("covarianceMatrix: exact on a hand-checked fixture, symmetric, diagonal is the per-dim variance") {
+    // q (millis): [1000,2000], [3000,4000], [5000,0] -> n=3, s=(9000,6000)
+    // sprod: (0,0)=35e6 (0,1)=14e6 (1,1)=20e6
+    // cov00 = (3*35e6 - 81e6)/9 = 24e6/9; cov01 = (3*14e6 - 54e6)/9 = -12e6/9
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)), (3L, Array(5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.covarianceMatrix(vecs, "embedding", dims = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m.size == 4)
+    assert(m((0L, 0L)) == ((3L, 35000000L, 24e6 / 9)))
+    assert(m((1L, 1L)) == ((3L, 20000000L, 24e6 / 9)))
+    assert(m((0L, 1L)) == ((3L, 14000000L, -12e6 / 9)))
+    assert(m((0L, 1L)) == m((1L, 0L)), "covariance must be symmetric")
+    // the matrix's diagonal agrees with the d37-style per-dim moments
+    // law var = ssq/n - mean^2, scaled by the same n
+    val var0 = 35e6 / 3 - math.pow(9000.0 / 3, 2)
+    assert(math.abs(m((0L, 0L))._3 - var0) < 1e-6)
+  }
 }

@@ -451,4 +451,14 @@ class PlanPropertiesSpec extends SparkSpec {
     assert("(?<!Broadcast)Exchange ".r.findAllIn(plan).length == 2, plan)
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("d43 (embedding covariance): one scan, one bounded exchange — margins ride the pair aggregate, no self-join") {
+    val plan = executedPlan("d43_embedding_covariance")
+    assert(!plan.contains("Join"), s"covariance must not self-join:\n$plan")
+    assert("(?<!Broadcast)Exchange ".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("partial_count"), plan)
+    // exactly one parquet scan: the d² amplification and its collapse
+    // live inside one stage over one table read
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+  }
 }
