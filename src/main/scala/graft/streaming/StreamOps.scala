@@ -627,6 +627,21 @@ object StreamOps {
   private def utcDayString(dayIdx: Long): String =
     java.time.LocalDate.ofEpochDay(dayIdx).toString
 
+  /** Re-arm a (group, day) seal. The day's end is the natural seal
+    * time, but the clamp is load-bearing: flatMapGroupsWithState
+    * admits late rows against the PREVIOUS batch's watermark while
+    * setTimeoutTimestamp validates against the CURRENT one. A late
+    * row for a still-open day, arriving in the very batch where the
+    * watermark jumps past that day's end (the backfill scenario these
+    * operators exist for), passes the filter and folds — then a bare
+    * setTimeoutTimestamp(dayEndMs) throws IllegalArgumentException
+    * and kills the query, deterministically again on restart. Clamped
+    * just past the current watermark, the seal instead fires on the
+    * next watermark advance. */
+  private[streaming] def armDaySeal(state: GroupState[_], dayEndMs: Long): Unit =
+    state.setTimeoutTimestamp(
+      math.max(dayEndMs, state.getCurrentWatermarkMs() + 1L))
+
   /** EVENT-TIME twin of [[zscoreStream]]: moments keyed on
     * (group, event-time UTC day) with a watermark, so a late event
     * folds into the day it HAPPENED in — not the day it arrived in,
@@ -680,7 +695,7 @@ object StreamOps {
               // Spark clears the registered timeout on EVERY invocation
               // — a null-only batch for an open day must re-arm the
               // seal or the day's moments would pin forever
-              if (state.exists) state.setTimeoutTimestamp(dayEndMs)
+              if (state.exists) armDaySeal(state, dayEndMs)
               Iterator.empty
             } else {
               var n = prior.n; var s = prior.s; var ss = prior.ss
@@ -693,7 +708,7 @@ object StreamOps {
               state.update(ZscoreState(n, s, ss))
               // seal when the watermark passes the day's end; the
               // watermark already encodes the lateness allowance
-              state.setTimeoutTimestamp(dayEndMs)
+              armDaySeal(state, dayEndMs)
               Iterator(ZscoreDayBatch(group, utcDayString(dayIdx),
                 n, s, ss, flagged.toLong))
             }
@@ -771,7 +786,10 @@ object StreamOps {
           }
           state.update(EwmaDayState(t, recent, open))
           // wake when the earliest open day becomes ripe; with no open
-          // days the ladder rests (constant 16 longs) until new data
+          // days the ladder rests (constant 16 longs) until new data.
+          // No armDaySeal clamp needed: `open` holds only days whose
+          // end is strictly past the CURRENT watermark (the partition
+          // above uses this batch's wm, not the admission filter's)
           if (open.nonEmpty)
             state.setTimeoutTimestamp((open.keys.min + 1) * 86400000L)
           out.iterator
@@ -913,11 +931,11 @@ object StreamOps {
               seen += it.item
             }
             if (seen.isEmpty) {
-              if (state.exists) state.setTimeoutTimestamp(dayEndMs)
+              if (state.exists) armDaySeal(state, dayEndMs)
               Iterator.empty
             } else {
               state.update(CmState(n, counters))
-              state.setTimeoutTimestamp(dayEndMs)
+              armDaySeal(state, dayEndMs)
               val day = utcDayString(dayIdx)
               seen.iterator.map { item =>
                 CmDayEstimate(group, day, item, n,
@@ -971,7 +989,7 @@ object StreamOps {
               .filter(r => r.item != null && r.score != null)
               .map(r => r.item -> r.score.longValue()).toArray
             if (batch.isEmpty) {
-              if (state.exists) state.setTimeoutTimestamp(dayEndMs)
+              if (state.exists) armDaySeal(state, dayEndMs)
               Iterator.empty
             } else {
               val prior = state.getOption.getOrElse(TopKState(0L, Array.empty))
@@ -980,7 +998,7 @@ object StreamOps {
                 .sorted(ord).take(k)
               val n = prior.n + batch.length
               state.update(TopKState(n, merged))
-              state.setTimeoutTimestamp(dayEndMs)
+              armDaySeal(state, dayEndMs)
               val day = utcDayString(dayIdx)
               merged.iterator.zipWithIndex.map { case ((item, score), i) =>
                 TopKDayEntry(group, day, n, (i + 1).toLong, item, score)
@@ -1036,11 +1054,11 @@ object StreamOps {
               n += 1
             }
             if (n == n0) {
-              if (state.exists) state.setTimeoutTimestamp(dayEndMs)
+              if (state.exists) armDaySeal(state, dayEndMs)
               Iterator.empty
             } else {
               state.update(HllState(n, regs))
-              state.setTimeoutTimestamp(dayEndMs)
+              armDaySeal(state, dayEndMs)
               Iterator(HllDayEstimate(group, utcDayString(dayIdx), n,
                 estimateFromRegs(regs, p)))
             }

@@ -813,4 +813,126 @@ class StreamOpsSpec extends SparkSpec {
     assert(day2.filter(_._3 == 1L).map(t => (t._4, t._5, t._6)).toSeq ==
       Seq((1L, "d", 7L)), day2.mkString(","))
   }
+
+  // The seal-re-arm clamp (StreamOps.armDaySeal): admission filters late
+  // rows against the PREVIOUS batch's watermark, but setTimeoutTimestamp
+  // validates against the CURRENT eviction watermark. So a late row for a
+  // still-open day, sharing a micro-batch with the rows that jump the
+  // watermark past that day's end (the backfill scenario), is ADMITTED
+  // and folds — and an unclamped setTimeoutTimestamp(dayEndMs) would
+  // then throw and kill the query, deterministically again on restart.
+  // These two cases drive exactly that window; without the clamp,
+  // processAllAvailable throws
+  // StreamingQueryException(IllegalArgumentException).
+
+  test("event-time z-score: a late row admitted AFTER the watermark jumps past its day's end folds without crashing the query") {
+    import graft.streaming.StreamOps.{TimedValue => TV}
+    val mem = MemoryStream[TV](spark, 1)
+    val out = StreamOps.zscoreStreamByDay(spark, mem.toDS(),
+      lateness = "1 hour", sigmas = 2)
+    val q = out.writeStream.format("memory").queryName("zsd_wj")
+      .outputMode("append").start()
+    // batch 1: day-1 values; watermark after this batch = 11:00 (< day end)
+    mem.addData(
+      TV("a", ts("2024-01-01 10:00:00"), 10L),
+      TV("a", ts("2024-01-01 11:00:00"), 12L),
+      TV("a", ts("2024-01-01 12:00:00"), 14L))
+    q.processAllAvailable()
+    // batch 2: the trap — the far-future sentinel and a late day-1 row
+    // in the SAME micro-batch. Admission filters against batch 1's
+    // 11:00 watermark (both rows pass) while eviction validation sees
+    // the watermark jump past day 1's end — an unclamped
+    // setTimeoutTimestamp(dayEnd) re-arm throws here and kills the
+    // query. (Two addData calls, one trigger: MemoryStream folds all
+    // pending blocks into one batch; a processAllAvailable between
+    // them would interpose a watermark-propagation batch that seals
+    // day 1 first and files the late row as over-late instead.)
+    mem.addData(TV("a", ts("2024-01-05 00:00:00"), 1L))
+    mem.addData(TV("a", ts("2024-01-01 13:00:00"), 20L))
+    q.processAllAvailable()
+    // drain further: the clamped seal fires on the next watermark
+    // advance; an over-late row afterwards must stay dropped
+    mem.addData(TV("a", ts("2024-01-09 00:00:00"), 2L))
+    q.processAllAvailable()
+    mem.addData(TV("a", ts("2024-01-01 15:00:00"), 999L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("zsd_wj").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val day1 = rows.filter(_._1 == "2024-01-01")
+    // the admitted late 20 folded: final moments over (10, 12, 14, 20)
+    assert(day1.map(_._2).max == 4L, day1.mkString(","))
+    assert(day1.find(_._2 == 4L).get == (("2024-01-01", 4L, 56L, 840L)),
+      day1.mkString(","))
+    assert(!day1.exists(_._2 > 4L),
+      "over-late row resurrected the sealed day: " + rows.mkString(","))
+  }
+
+  test("event-time count-min: watermark-jump late row folds into its still-open day without crashing; seal still lands") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.{TimedItem => TI}
+    val mem = MemoryStream[TI](spark, 1)
+    val out = StreamOps.countMinStreamByDay(spark, mem.toDS(),
+      lateness = "1 hour", depth = 4, width = 256)
+    val q = out.writeStream.format("memory").queryName("cmd_wj")
+      .outputMode("append").start()
+    mem.addData(
+      TI("g", ts("2024-01-01 10:00:00"), "a"),
+      TI("g", ts("2024-01-01 11:00:00"), "a"),
+      TI("g", ts("2024-01-01 12:00:00"), "b"))
+    q.processAllAvailable()
+    // sentinel + late day-1 row in ONE micro-batch: admitted against
+    // the pre-jump watermark, folded while the eviction watermark is
+    // already past day 1's end — the unclamped re-arm would throw here
+    mem.addData(TI("g", ts("2024-01-05 00:00:00"), "z"))
+    mem.addData(TI("g", ts("2024-01-01 13:00:00"), "a"))
+    q.processAllAvailable()
+    mem.addData(TI("g", ts("2024-01-09 00:00:00"), "z"))
+    q.processAllAvailable()
+    mem.addData(TI("g", ts("2024-01-01 15:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cmd_wj").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val day1 = rows.filter(_._1 == "2024-01-01")
+    assert(day1.map(_._3).max == 4L, day1.mkString(","))
+    val finalA = day1.filter(t => t._3 == 4L && t._2 == "a").map(_._4)
+    // bit-compat: the batch sketch over the four admitted rows
+    val sk = graft.ops.Sketches.countMinCounters(
+      Seq("a", "a", "b", "a").toDF("item"), "item", depth = 4, width = 256)
+    val batchEst = graft.ops.Sketches.countMinEstimate(
+        Seq("a").toDF("item"), sk, "item")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finalA.toSeq == Seq(batchEst("a")), day1.mkString(","))
+  }
+
+  test("armDaySeal: re-arm is clamped above the eviction watermark — the unclamped call is rejected by Spark itself") {
+    // The MemoryStream tests above can't deterministically interleave
+    // two data batches without a watermark-propagation batch between
+    // them, so they never observe eviction-watermark > day-end with
+    // live state. This drives Spark's own TestGroupState (the public
+    // unit-test harness for flatMapGroupsWithState callbacks, backed
+    // by the real GroupStateImpl validation) straight into that
+    // window.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout => GST, TestGroupState}
+    val day1EndMs = 19724L * 86400000L
+    // eviction watermark three days past the day's end, state still live
+    val wm = day1EndMs + 3L * 86400000L - 3600000L
+    val jumped = TestGroupState.create[Long](
+      Optional.of(7L), GST.EventTimeTimeout, 1000L, Optional.of(wm), false)
+    // the constraint is real in this Spark build: an unclamped re-arm
+    // at the day's end throws — in a live query this kills the stream
+    intercept[IllegalArgumentException] {
+      jumped.setTimeoutTimestamp(day1EndMs)
+    }
+    StreamOps.armDaySeal(jumped, day1EndMs) // must not throw
+    assert(jumped.getTimeoutTimestampMs.get() == wm + 1L)
+    // for a still-open day the seal stays at the day's end exactly
+    val open = TestGroupState.create[Long](
+      Optional.of(7L), GST.EventTimeTimeout, 1000L,
+      Optional.of(day1EndMs - 7200000L), false)
+    StreamOps.armDaySeal(open, day1EndMs)
+    assert(open.getTimeoutTimestampMs.get() == day1EndMs)
+  }
 }
