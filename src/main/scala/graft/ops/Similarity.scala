@@ -451,8 +451,15 @@ object Similarity {
     * shuffle carries at most d² cells per partition regardless of row
     * count, so the plan survives any corpus size (the d² amplification
     * is inside one narrow stage, collapsed before the exchange).
-    * Margins Σqᵢ ride a second narrow pass and broadcast-join onto the
-    * d² cells.
+    * Margins Σqᵢ ride the SAME aggregate as the products (for a fixed
+    * cell (i, j), Σrows x IS the i-margin) — one scan, one exchange.
+    *
+    * Null elements: a cell whose i-th OR j-th element is null is
+    * excluded from that cell's n and all three sums together (filter
+    * on the product, which is null iff either side is), so n always
+    * counts exactly the rows the sums saw and cov stays unbiased —
+    * counting the row while the sums skip it would deflate cov
+    * silently. Rows with all-null or short arrays contribute nothing.
     *
     * Exactness: values quantize to integer millis (the d37/quantize
     * rule: cast FLOAT→DOUBLE before ×1000, half-up identical on both
@@ -478,6 +485,9 @@ object Similarity {
           |  named_struct('i', i, 'j', j, 'p', x * y, 'x', x, 'y', y))))""".stripMargin)).as("e"))
       .select(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"),
         col("e.p").as("p"), col("e.x").as("x"), col("e.y").as("y"))
+      // p is null iff either element is — one filter keeps n and the
+      // three sums consistent (see scaladoc null contract)
+      .where(col("p").isNotNull)
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), sum(col("p")).as("sprod"),
         sum(col("x")).as("_si"), sum(col("y")).as("_sj"))

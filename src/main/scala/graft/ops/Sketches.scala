@@ -525,24 +525,49 @@ object Sketches {
     * (byte-weighted median document size, token-weighted length
     * percentiles — the storage/token-budget planning metrics). The
     * resolvers need no change: rank arithmetic is over whatever the
-    * cnt column sums to. Weights must be non-negative longs; null
-    * values OR null weights are not observations. Same merge-by-
-    * addition law, same subBits stamp. */
+    * cnt column sums to. Weights must be non-negative longs — ENFORCED
+    * per row at execution time (assert_true in the projection, no
+    * extra job): a negative weight silently corrupts the resolvers'
+    * cumulative ranks, so it fails the job instead. Null values OR
+    * null weights are not observations. All-zero weights are a
+    * DEGENERATE histogram, not an error: total weight 0 makes every
+    * rank_p = 0, and the resolvers latch the FIRST bucket — est is the
+    * lowest observed bucket's lower bound with n = 0, NOT the empty-
+    * input (n = 0, est = 0) shape (consistent on both engines; callers
+    * who need the distinction should check n > 0 AND nonempty input).
+    * Same merge-by-addition law, same subBits stamp. */
   def logHistWeightedCounts(df: DataFrame, value: Column, weight: Column,
       subBits: Int = 4): DataFrame = {
     require(subBits >= 1 && subBits <= 8, s"subBits must be in [1,8], got $subBits")
     df.select(value.cast("long").as("_v"), weight.cast("long").as("_w"))
       .where(col("_v").isNotNull && col("_w").isNotNull)
-      .select(expr(bkeyCase(subBits)).as("bkey", subBitsMeta(subBits)), col("_w"))
+      .select(expr(bkeyCase(subBits)).as("bkey", subBitsMeta(subBits)),
+        when(col("_w") >= 0, col("_w")).otherwise(raise_error(concat(
+          lit("logHistWeightedCounts: negative weight "), col("_w"),
+          lit(" would corrupt cumulative ranks")))).as("_w"))
       .groupBy(col("bkey")).agg(sum(col("_w")).as("cnt"))
   }
 
   /** Merge law of [[logHistCounts]] made explicit: histograms over
     * disjoint shards combine by summing per-bucket counts — the
     * associativity that lets 1000 executors (or 1000 days) each keep a
-    * ≤64·2^subBits-counter sketch and reduce them exactly. */
+    * ≤64·2^subBits-counter sketch and reduce them exactly.
+    *
+    * Every input's subBits stamp must agree: the schemas of a
+    * subBits=4 and a subBits=5 histogram are identical, unionByName
+    * succeeds, the FIRST frame's metadata survives, and the downstream
+    * requireSubBitsMatch would pass — a silent wrong-quantile merge,
+    * exactly the drift the stamp exists to reject. Unstamped inputs
+    * (hand-built frames) are tolerated, matching the resolvers. */
   def logHistMerge(histograms: Seq[DataFrame]): DataFrame = {
     require(histograms.nonEmpty, "nothing to merge")
+    val stamps = histograms.flatMap(
+      _.schema.find(_.name == "bkey").map(_.metadata)
+        .filter(_.contains("graft.logHist.subBits"))
+        .map(_.getLong("graft.logHist.subBits"))).distinct
+    require(stamps.size <= 1,
+      "cannot merge histograms built with different subBits ladders: " +
+        s"subBits=${stamps.sorted.mkString(", ")}")
     histograms.reduce(_ unionByName _)
       .groupBy(col("bkey")).agg(sum(col("cnt")).as("cnt"))
   }

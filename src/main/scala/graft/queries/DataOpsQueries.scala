@@ -1946,7 +1946,9 @@ object DataOpsQueries {
            |p AS (SELECT a.dim AS i, b.dim AS j, CAST(COUNT(*) AS BIGINT) AS n,
            |             CAST(SUM(a.q * b.q) AS BIGINT) AS sprod,
            |             CAST(SUM(a.q) AS BIGINT) AS si, CAST(SUM(b.q) AS BIGINT) AS sj
-           |      FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2)
+           |      FROM e a JOIN e b USING (vec_id)
+           |      WHERE a.q IS NOT NULL AND b.q IS NOT NULL
+           |      GROUP BY 1, 2)
            |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n, sprod,
            |       (CAST(n AS DOUBLE) * CAST(sprod AS DOUBLE)
            |        - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE))

@@ -186,4 +186,27 @@ class SimilaritySpec extends SparkSpec {
     val var0 = 35e6 / 3 - math.pow(9000.0 / 3, 2)
     assert(math.abs(m((0L, 0L))._3 - var0) < 1e-6)
   }
+
+  test("covarianceMatrix: a null element drops that row from the affected cells only — n matches the sums everywhere") {
+    // row 3's dim-1 is null: cells touching dim 1 see n=2, dim-0-only
+    // cells still see n=3. Counting the row while sum() skipped it
+    // (the count(lit(1)) shape) would bias cov toward zero.
+    val vecs = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f)),
+      (2L, Array[java.lang.Float](3.0f, 4.0f)),
+      (3L, Array[java.lang.Float](5.0f, null)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.covarianceMatrix(vecs, "embedding", dims = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m((0L, 0L))._1 == 3L, m.toString)
+    assert(m((0L, 1L))._1 == 2L, m.toString)
+    assert(m((1L, 0L))._1 == 2L, m.toString)
+    assert(m((1L, 1L))._1 == 2L, m.toString)
+    // (0,1) over the two complete rows: q=(1000,2000),(3000,4000)
+    // n=2, sprod=1000*2000+3000*4000=14e6, si=4000, sj=6000
+    // -> cov = (2*14e6 - 4000*6000)/4 = 1e6
+    assert(m((0L, 1L)) == ((2L, 14000000L, (2 * 14e6 - 24e6) / 4)), m.toString)
+    assert(m((0L, 1L)) == m((1L, 0L)), "null handling must stay symmetric")
+  }
 }

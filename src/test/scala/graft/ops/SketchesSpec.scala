@@ -347,6 +347,32 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sketches.logHistQuantiles(merged, Seq(500), subBits = 4)
     }
+    // merging mismatched ladders is itself rejected — unionByName would
+    // succeed (identical schemas) and the FIRST stamp would survive,
+    // which is exactly the silent wrong-quantile path
+    val other = Sketches.logHistCounts((1L to 100L).toDF("v"), col("v"), subBits = 4)
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.logHistMerge(Seq(counts, other))
+    }
+    assert(ex.getMessage.contains("subBits"), ex.getMessage)
+  }
+
+  test("logHist weighted: a negative weight fails the job instead of corrupting ranks; zero total weight latches the first bucket") {
+    val bad = Seq((5L, 3L), (6L, -1L)).toDF("v", "w")
+    val ex = intercept[Exception] {
+      Sketches.logHistWeightedCounts(bad, col("v"), col("w")).collect()
+    }
+    assert(ex.getMessage.contains("negative weight") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative weight")),
+      s"unexpected failure: ${ex.getMessage}")
+    // all-zero weights: documented degenerate shape — n = 0, est = the
+    // lowest observed bucket's lower bound (7 is below 2^subBits so its
+    // bucket is exact), NOT the empty-input (0, 0) shape
+    val zeros = Seq((7L, 0L), (100L, 0L)).toDF("v", "w")
+    val q = Sketches.logHistQuantiles(
+        Sketches.logHistWeightedCounts(zeros, col("v"), col("w")), Seq(500))
+      .collect()(0)
+    assert(q.getLong(1) == 0L && q.getLong(2) == 7L, q.toString)
   }
 
   test("logHist edge cases: exact powers of two land on exact estimates; zeros bucket; empty input") {
