@@ -382,11 +382,27 @@ object Dedup {
     * propagation (the simplified large-star step): each round every doc
     * adopts the smallest label among itself and its neighbours; stop
     * when a round changes nothing or maxIter hits. Rounds are whole-plan
-    * joins+aggregates (no driver data), converging in O(diameter) ≤
-    * O(log n) rounds for near-dup graphs, whose components are tiny and
-    * shallow in practice. The per-round isEmpty check is one action —
-    * the legitimate driver-side part of an iterative algorithm.
-    */
+    * joins+aggregates (no driver data), converging in O(diameter)
+    * rounds — near-dup graphs' components are tiny and shallow in
+    * practice, and components deeper than `maxIter` throw under
+    * strict = true (never silently-partial labels) with the remedies in
+    * the message. The per-round isEmpty check is one action — the
+    * legitimate driver-side part of an iterative algorithm.
+    *
+    * Each round's labels are materialized with an EAGER localCheckpoint,
+    * not cache(): a cached plan still carries the full analyzed tree,
+    * and because every round references the previous labels frame TWICE
+    * (the neighbour join and the update join) the logical plan DOUBLES
+    * per round — 2^rounds tree nodes. A diameter-9 chain OOM'd the
+    * driver in plan stringification before any executor did real work;
+    * the checkpoint collapses each generation to a LogicalRDD leaf, so
+    * plans stay constant-size at any depth. Superseded generations are
+    * dropped by reference and their blocks reclaimed by the
+    * ContextCleaner (the pageRank rule); the edge list's explicit cache
+    * is released before return, so no cache-registry entry survives the
+    * call — a bench-style second run cannot silently hit run 1's cached
+    * labels, and a long multi-query session doesn't pin executor
+    * memory. */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 20, strict: Boolean = true): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -401,7 +417,6 @@ object Dedup {
       .agg(min(col("dst")).as("_nmin"))
       .select(col("src").as("doc_id"),
         least(col("src"), col("_nmin")).as("cluster_id"))
-    var cached: DataFrame = null // previous cached generation, released each round
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -409,41 +424,24 @@ object Dedup {
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
       // carry the old label through the update so the convergence check
-      // reads the cached frame instead of re-joining the two generations
+      // reads the materialized frame instead of re-joining generations
       val updated = labels
         .join(neighbourMin, labels("doc_id") === neighbourMin("src"), "left")
         .select(col("doc_id"), col("cluster_id").as("_old"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
-      // this action materializes `updated`, after which the previous
-      // generation's cache is dead weight — release it immediately
+        .localCheckpoint() // eager: materialize + truncate lineage
       converged = updated.where(col("cluster_id") =!= col("_old")).isEmpty
-      if (cached != null) cached.unpersist()
-      cached = updated
       labels = updated.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
     edges.unpersist()
     if (!converged && strict) {
-      if (cached != null) cached.unpersist()
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIter rounds — a component has " +
           s"diameter > $maxIter; raise maxIter or pass strict = false")
     }
-    // Managed lifetime (the verifyJaccardManaged pattern): the final
-    // labels — one row per doc that appears in a candidate pair, the
-    // SMALL end of the funnel — are materialized once via eager
-    // localCheckpoint, then EVERY generation's cache entry is released.
-    // No cache-registry entry survives the call: a bench-style second
-    // run cannot silently hit run 1's cached labels (which would report
-    // a warm-cache number as steady state), and a long multi-query
-    // session doesn't pin executor memory. The checkpoint blocks are
-    // owned by the returned frame's lineage and reclaimed by the
-    // ContextCleaner when the caller drops it.
-    val out = labels.localCheckpoint()
-    if (cached != null) cached.unpersist()
-    out
+    labels
   }
 
   /** End-to-end minhash dedup: signatures → LSH candidates → clusters →

@@ -167,4 +167,20 @@ object Graph {
     }
     pr
   }
+
+  /** Connected components of an undirected (u, v) edge list: component
+    * id = the smallest node id reachable. Candidate-pair resolution IS
+    * connected components, so this reuses the dupClusters min-label
+    * propagation verbatim (ops/Dedup.scala — seeded one hop ahead,
+    * whole-plan join rounds, per-round cache lifetime managed, strict
+    * throw past `maxIter` rounds rather than silently-partial labels;
+    * see that scaladoc for the O(diameter) convergence bound and the
+    * deep-component guidance). Isolated nodes never appear in an edge
+    * list — callers wanting them label the node set's complement as
+    * singleton components. Output: (node, component), node typed as
+    * the edge endpoints. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      strict: Boolean = true): DataFrame =
+    Dedup.dupClusters(edges, "u", "v", maxIter, strict)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
 }

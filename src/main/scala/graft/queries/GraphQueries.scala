@@ -110,5 +110,52 @@ object GraphQueries {
             |SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
             |FROM deg GROUP BY 1""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(g01TriangleCensus, g02PageRank, g03DegreeDistribution)
+  /** The oracle's min-label rounds, unrolled programmatically (the g02
+    * precedent, generated instead of hand-written): round k sets
+    * lbl_k(v) = min(lbl_{k-1}(v), min over neighbours' lbl_{k-1}) —
+    * after k rounds each node holds the min id of its k-hop ball.
+    * 21 rounds is NOT a guess at the graph's diameter: the Spark side
+    * seeds one hop ahead and runs ≤ 20 converging rounds under
+    * strict = true, so any graph it returns labels for has label
+    * eccentricity ≤ 21 — the unrolled oracle is at fixpoint whenever
+    * the engine is, on ANY regenerated corpus (the d24 rule); deeper
+    * graphs throw engine-side rather than mismatch. */
+  private val ccRounds = 21
+  /** Every round is AS MATERIALIZED and joins a materialized edge copy:
+    * DuckDB inlines plain CTEs, and a round referencing its predecessor
+    * twice would inline 2^k scans of lineitem — the exact exponential
+    * blow-up the engine side solves with per-round localCheckpoint. */
+  private def ccUnrolled: String = (1 to ccRounds).map { k =>
+    s"""l$k AS MATERIALIZED (SELECT q.node, LEAST(q.lbl, MIN(r.lbl)) AS lbl
+       |       FROM l${k - 1} q JOIN edm ON edm.t = q.node
+       |       JOIN l${k - 1} r ON r.node = edm.s
+       |       GROUP BY q.node, q.lbl)""".stripMargin
+  }.mkString(",\n")
+
+  /** Connected components of the co-purchase graph: which parts form
+    * one connected market (the g-family classic the census lacked —
+    * g01 counts the graph, g04 partitions it). Component id = min
+    * reachable part key, per-node output — the strongest oracle shape,
+    * since every node's label must agree cell-exact, not just the
+    * component sizes. Engine side reuses the dupClusters propagation
+    * via Graph.connectedComponents. */
+  val g04ConnectedComponents = NamedQuery(
+    "g04_components",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.connectedComponents(e)
+        .select(col("node").cast("long").as("node"),
+          col("component").cast("long").as("component"))
+    },
+    Some(s"""WITH $edgeCte,
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
+            |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM deg),
+            |$ccUnrolled
+            |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS component
+            |FROM l$ccRounds""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(
+    g01TriangleCensus, g02PageRank, g03DegreeDistribution,
+    g04ConnectedComponents)
 }

@@ -202,6 +202,33 @@ class DedupSpec extends SparkSpec {
     assert(partial.count() == 6)
   }
 
+  test("dupClusters deep-component path: a diameter-25 chain throws at the default cap, recovers non-strict, resolves with maxIter raised") {
+    // The boilerplate-chained-crawl shape: 26 docs in one path. Three
+    // contracts at once: (1) the default cap fails LOUDLY, with the
+    // remedies in the message; (2) strict = false yields partial but
+    // monotone labels (every label ≤ own id — min-propagation never
+    // invents ids); (3) maxIter past the diameter yields exact labels
+    // WITHOUT exponential plan growth — each round localCheckpoints,
+    // so 25+ rounds of double-self-reference stay constant-size plans
+    // (a diameter-9 chain OOM'd the driver under the old cache() form
+    // before this was pinned).
+    val chain = (1L to 25L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.dupClusters(chain) // default maxIter = 20 < diameter 25
+    }
+    assert(ex.getMessage.contains("raise maxIter") &&
+      ex.getMessage.contains("strict = false"), ex.getMessage)
+    val partial = Dedup.dupClusters(chain, strict = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial.size == 26)
+    assert(partial.forall { case (doc, lbl) => lbl <= doc && lbl >= 1L })
+    val exact = Dedup.dupClusters(chain, maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == (1L to 26L).map(_ -> 1L).toMap)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dupClusters left a cache entry behind")
+  }
+
   test("resolveMinhashDups keeps one canonical doc per near-dup cluster") {
     val resolved = Dedup.resolveMinhashDups(docs, "doc_id", "text", minEstJaccard = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

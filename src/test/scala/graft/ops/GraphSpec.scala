@@ -80,4 +80,20 @@ class GraphSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "triangleCount leaked a cached plan into the registry")
   }
+
+  test("connectedComponents: min-reachable-id labels across disjoint components; deep chains resolve") {
+    // two components: the basket graph {1,2,3,4} and a disjoint edge
+    val e = edges.unionByName(Seq((8L, 9L)).toDF("u", "v"))
+    val got = Graph.connectedComponents(e)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      8L -> 8L, 9L -> 8L))
+    // a diameter-9 chain labels to its min end within default rounds
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("u", "v")
+    val chainLabels = Graph.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(chainLabels == (1L to 10L).map(_ -> 1L).toMap)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "connectedComponents leaked a cached plan into the registry")
+  }
 }
