@@ -223,6 +223,154 @@ object StreamOps {
       }
   }
 
+  // --- event-time twins of the walk operators (debounce, funnel) ---
+
+  final case class StampedEvent(event_id: Long, user_id: Long,
+      event_type: String, ts_us: Long, ts: java.sql.Timestamp)
+  final case class DebounceEtState(lastTs: Long, releasedUs: Long,
+      pending: Seq[TypedEvent])
+  final case class FunnelEtState(stage: Int, stageTs: Long, deadline: Long,
+      started: Boolean, releasedUs: Long, pending: Seq[TypedEvent])
+
+  /** The ONE pending-release law shared by the event-time walk twins
+    * ([[debounceStreamEventTime]], [[funnelStreamEventTime]]), so the
+    * two forms cannot drift. Unlike the day-bucketed monitors (order-
+    * free, day-scoped aggregates), debounce and funnel are ORDER-
+    * SENSITIVE walks over a continuous series — suppression windows
+    * and conversion deadlines cross day boundaries — so their event-
+    * time form releases individual events in watermark order instead
+    * of day buckets: admitted events buffer in state, and once the
+    * watermark strictly passes an event's time (no admissible arrival
+    * can precede it any more) it is released through the exact batch
+    * machine in (ts, id) order. Returns (ripe-sorted, still-pending).
+    * An event at EXACTLY the watermark holds — an equal-ts tie could
+    * still arrive and tie-break by id. */
+  private def splitRipe(prior: Seq[TypedEvent], arrivals: Seq[TypedEvent],
+      wmUs: Long): (Seq[TypedEvent], Seq[TypedEvent]) = {
+    val (ripe, hold) = (prior ++ arrivals).partition(_.ts_us < wmUs)
+    (ripe.sortBy(e => (e.ts_us, e.event_id)), hold)
+  }
+
+  /** Arm the event-time wake for the earliest pending event: it ripens
+    * when the watermark strictly passes its time. Pending events sit
+    * at-or-after the current watermark by construction, but the +1
+    * clamps survive the armDaySeal boundary case (an event at exactly
+    * the watermark after integer ms truncation). */
+  private def armEventWake(state: GroupState[_], minPendingUs: Long): Unit =
+    state.setTimeoutTimestamp(math.max(minPendingUs / 1000L + 1L,
+      state.getCurrentWatermarkMs() + 1L))
+
+  private def stampEvents(spark: SparkSession, events: Dataset[TypedEvent],
+      lateness: String): Dataset[StampedEvent] = {
+    import spark.implicits._
+    events
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .as[StampedEvent]
+      .withWatermark("ts", lateness)
+  }
+
+  /** EVENT-TIME twin of [[debounceStream]]: verdicts are computed over
+    * the series in EVENT order regardless of arrival order — under
+    * backfill or ingestion skew the arrival-time form's suppression
+    * windows smear (a late repeat can be judged against the wrong
+    * predecessor); this form buffers events until the watermark passes
+    * them and walks the released prefix through the identical gap
+    * arithmetic, so the emitted verdicts after any batch split
+    * bit-equal the batch debounce over every admitted row
+    * (spec-asserted, late arrivals included). State per (user, type):
+    * the last released event time plus the pending buffer — bounded by
+    * the lateness horizon, NOT by history. Sealed-prefix guard (the
+    * zscoreStreamByDay contract transposed from days to the released
+    * prefix): an over-late event whose time the release watermark has
+    * already passed would have to be inserted BEHIND verdicts already
+    * emitted — it is dropped, never re-walked. The one-long lastTs
+    * survives per key with no expiry (the ewmaStreamByDay retention
+    * rule: bounded-cardinality keys, or recreate the query
+    * periodically). */
+  def debounceStreamEventTime(spark: SparkSession, events: Dataset[TypedEvent],
+      windowSeconds: Long, lateness: String): Dataset[DebounceVerdict] = {
+    import spark.implicits._
+    val winUs = windowSeconds * 1000000L
+    stampEvents(spark, events, lateness)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceEtState, DebounceVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[StampedEvent],
+            state: GroupState[DebounceEtState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption
+            .getOrElse(DebounceEtState(Long.MinValue, Long.MinValue, Nil))
+          val arrivals =
+            rows.filter(_.ts_us >= prior.releasedUs) // sealed prefix
+              .map(e => TypedEvent(e.event_id, e.user_id, e.event_type, e.ts_us))
+              .toList
+          val (ripe, hold) = splitRipe(prior.pending, arrivals, wmUs)
+          var prev = prior.lastTs
+          val out = ripe.map { e =>
+            val gap = if (prev == Long.MinValue) -1L else e.ts_us - prev
+            prev = e.ts_us
+            DebounceVerdict(e.event_id, key._1, key._2, gap,
+              gap == -1L || gap >= winUs)
+          }
+          state.update(DebounceEtState(prev,
+            math.max(prior.releasedUs, wmUs), hold))
+          if (hold.nonEmpty) armEventWake(state, hold.map(_.ts_us).min)
+          out.iterator
+      }
+  }
+
+  /** EVENT-TIME twin of [[funnelStream]]: the per-user stage machine
+    * advances in EVENT order via the shared [[splitRipe]] release law
+    * (see [[debounceStreamEventTime]] — same buffering, same sealed-
+    * prefix guard, same retention rule; conversion deadlines are
+    * event-time facts, so arrival skew cannot stretch or shrink a
+    * funnel's horizon here). Emitted FunnelProgress rows after any
+    * batch split bit-equal the batch funnel over every admitted row
+    * (spec-asserted). State per user: the machine (three longs + a
+    * flag) plus the horizon-bounded pending buffer. */
+  def funnelStreamEventTime(spark: SparkSession, events: Dataset[TypedEvent],
+      steps: Seq[String], horizonHours: Int,
+      lateness: String): Dataset[FunnelProgress] = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    import spark.implicits._
+    val horizonUs = horizonHours * 3600L * 1000000L
+    stampEvents(spark, events, lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelEtState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[StampedEvent],
+            state: GroupState[FunnelEtState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.getOrElse(
+            FunnelEtState(0, 0L, 0L, started = false, Long.MinValue, Nil))
+          val arrivals =
+            rows.filter(_.ts_us >= prior.releasedUs) // sealed prefix
+              .map(e => TypedEvent(e.event_id, e.user_id, e.event_type, e.ts_us))
+              .toList
+          val (ripe, hold) = splitRipe(prior.pending, arrivals, wmUs)
+          var st = prior
+          val out = Seq.newBuilder[FunnelProgress]
+          ripe.foreach { e =>
+            if (!st.started) {
+              if (e.event_type == steps.head) {
+                st = st.copy(stage = 0, stageTs = e.ts_us,
+                  deadline = e.ts_us + horizonUs, started = true)
+                out += FunnelProgress(user, 0L, steps.head, e.ts_us)
+              }
+            } else if (st.stage < steps.size - 1 &&
+                e.event_type == steps(st.stage + 1) &&
+                e.ts_us >= st.stageTs && e.ts_us <= st.deadline) {
+              st = st.copy(stage = st.stage + 1, stageTs = e.ts_us)
+              out += FunnelProgress(user, st.stage.toLong, e.event_type, e.ts_us)
+            }
+          }
+          state.update(st.copy(releasedUs = math.max(prior.releasedUs, wmUs),
+            pending = hold))
+          if (hold.nonEmpty) armEventWake(state, hold.map(_.ts_us).min)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream inner join with bounded state: both sides are
     * watermarked and the join condition carries a time range, so the
     * state store holds only rows inside the watermark horizon (an

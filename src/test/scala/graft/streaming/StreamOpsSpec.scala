@@ -279,6 +279,89 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamCounts == Map(0L -> 3L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("event-time debounce: verdicts follow EVENT order under skewed arrival — bit-equal to the batch walk") {
+    val h = 3600L * 1000000 // one hour in micros
+    val mem = MemoryStream[StreamOps.TypedEvent](spark, 1)
+    val out = StreamOps.debounceStreamEventTime(spark, mem.toDS(),
+      windowSeconds = 24 * 3600L, lateness = "20 hours")
+    val q = out.writeStream.format("memory").queryName("det_t")
+      .outputMode("append").start()
+    // base offset: an event at EXACTLY the initial epoch-0 watermark
+    // would be filtered as late before the operator ever saw it
+    val b = 1000 * h
+    // u1 clicks at +0h and +30h arrive first; the +12h click arrives LATE
+    mem.addData(
+      StreamOps.TypedEvent(10L, 1L, "click", b),
+      StreamOps.TypedEvent(13L, 1L, "click", b + 30 * h))
+    q.processAllAvailable()
+    mem.addData(
+      StreamOps.TypedEvent(11L, 1L, "click", b + 12 * h), // late, in horizon
+      StreamOps.TypedEvent(14L, 1L, "click", b + 40 * h))
+    q.processAllAvailable()
+    // sentinel on another key pushes the watermark past +40h
+    mem.addData(StreamOps.TypedEvent(99L, 9L, "click", b + 70 * h))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("det_t").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSet
+    // the law: released verdicts bit-equal the batch walk in event order
+    val u1 = Seq((10L, b), (11L, b + 12 * h), (13L, b + 30 * h),
+        (14L, b + 40 * h))
+      .map { case (id, t) => StreamOps.TypedEvent(id, 1L, "click", t) }
+    val batch = graft.ops.EventAnalytics.debounce(
+        u1.toDF().withColumn("ts", timestamp_micros(col("ts_us"))),
+        "user_id", "event_type", "ts", "event_id", windowSeconds = 24 * 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSet
+    assert(stream == batch, s"stream=$stream batch=$batch")
+    // the arrival-order walk would judge 30h against 0h (gap 30h, KEPT);
+    // event order judges it against the late 12h click — suppressed
+    assert(stream.contains((13L, 18 * h, false)), stream.toString)
+    assert(stream.contains((10L, -1L, true)) &&
+      stream.contains((11L, 12 * h, false)) &&
+      stream.contains((14L, 10 * h, false)), stream.toString)
+  }
+
+  test("event-time funnel: a conversion whose steps arrive out of order still counts — bit-equal to the batch machine") {
+    val h = 3600L * 1000000
+    val mem = MemoryStream[StreamOps.TypedEvent](spark, 1)
+    val out = StreamOps.funnelStreamEventTime(spark, mem.toDS(),
+      Seq("view", "click", "purchase"), horizonHours = 72,
+      lateness = "20 hours")
+    val q = out.writeStream.format("memory").queryName("fet_t")
+      .outputMode("append").start()
+    // the click ARRIVES before the view it follows in event time — the
+    // arrival-time machine would never leave stage 0
+    val b = 1000 * h // clear of the epoch-0 initial watermark
+    mem.addData(StreamOps.TypedEvent(21L, 1L, "click", b + 1 * h))
+    q.processAllAvailable()
+    mem.addData(
+      StreamOps.TypedEvent(20L, 1L, "view", b), // late, in horizon
+      StreamOps.TypedEvent(22L, 1L, "purchase", b + 2 * h))
+    q.processAllAvailable()
+    mem.addData(StreamOps.TypedEvent(99L, 9L, "view", b + 100 * h))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fet_t").where(col("user_id") === 1L).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set((0L, "view", b), (1L, "click", b + 1 * h),
+      (2L, "purchase", b + 2 * h)), got.toString)
+    // stage counts equal the batch funnel over u1's admitted rows
+    val u1 = Seq(
+      StreamOps.TypedEvent(20L, 1L, "view", b),
+      StreamOps.TypedEvent(21L, 1L, "click", b + 1 * h),
+      StreamOps.TypedEvent(22L, 1L, "purchase", b + 2 * h))
+    val batchCounts = graft.ops.EventAnalytics.funnel(
+        u1.toDF().withColumn("ts", timestamp_micros(col("ts_us"))),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        horizonHours = 72)
+      .where(col("n_users") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val streamCounts = spark.table("fet_t").where(col("user_id") === 1L)
+      .groupBy("stage").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamCounts == batchCounts)
+  }
+
   test("streaming HLL: estimate after any batch prefix equals the batch sketch over the same rows") {
     import spark.implicits._
     val mem = MemoryStream[StreamOps.KeyedItem](spark, 1)
