@@ -425,7 +425,20 @@ object TextAnalysis {
     * vocab is localCheckpoint'ed per round (bounded rows), so round r
     * doesn't re-run rounds 1..r−1 — the dupClusters bounded-iteration
     * pattern. Ties and counts are exact integers; rounds stop early if
-    * no pair remains (all words fully merged). */
+    * no pair remains (all words fully merged).
+    *
+    * LATENCY FLOOR — this is the repo's one driver-synchronized loop,
+    * and greedy BPE makes it inherent: merge k's argmax depends on the
+    * corpus AFTER merge k−1, so each round is a separate
+    * driver-blocking job (the limit(1) collect) and
+    * wall time ≥ merges × per-job scheduling latency NO MATTER how
+    * many executors the cluster has. Adding nodes shrinks each round's
+    * scan, never the round count. That floor is why the `merges` cap
+    * (≤ 64, enforced here and re-checked against the merge table by
+    * [[bpeEncode]]) is a hard contract rather than a tuning default:
+    * production tokenizers wanting 30k+ merges need a different
+    * algorithm class (pair-cache/heap training off a frequency
+    * snapshot), not this operator with the cap raised. */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
       merges: Int): org.apache.spark.sql.DataFrame = {
     require(merges >= 1 && merges <= 64,

@@ -311,6 +311,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gotChars == totalChars, s"char mass $gotChars != $totalChars")
   }
 
+  test("bpe merge cap is a two-sided contract: train refuses > 64 rounds, encode refuses an oversized merge table") {
+    import spark.implicits._
+    val docs = Seq("low lower").toDF("text")
+    // train side: each round is a driver-blocking job (the latency
+    // floor documented on bpeTrain) — the cap is the contract, not a
+    // tuning default
+    val trainEx = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrain(docs, "text", merges = 65)
+    }
+    assert(trainEx.getMessage.contains("each round is a Spark job"),
+      trainEx.getMessage)
+    // encode side re-checks the TABLE, so a hand-built or foreign merge
+    // list can't smuggle in an unbounded codegen replace chain
+    val bigTable = (1 to 65).map(i => (i.toLong, s"x$i", "y", s"x${i}y", 1L))
+      .toDF("rank", "l", "r", "merged", "n_occ")
+    val encodeEx = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(docs, "text", bigTable)
+    }
+    assert(encodeEx.getMessage.contains("bpeTrain's contract is <= 64"),
+      encodeEx.getMessage)
+  }
+
   test("domainDivergence: zero for identical distributions, ln 2 for disjoint halves") {
     import spark.implicits._
     val same = Seq(("A", "x y"), ("B", "x y")).toDF("src", "text")
