@@ -68,10 +68,40 @@ object Bench {
       "t06_top_terms", "m02_media_decode", "d22_domain_kl",
       "q60_recursive_cte", "d29_bpe_train", "d30_bpe_encode",
       "d36_keep_best", "g01_triangle_census", "g02_pagerank",
+      "g04_components",
       "q99_hdr_quantiles", "q100_hdr_by_group", "d42_weighted_quantile")
     val headlineQs = results.filter { case (k, _) => headline.contains(k) }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(headlineQs)},"n_queries":${results.size},"sf":"$sfDir"}"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    // Per-query drift check vs the previous round's full map
+    // (BENCH_full_prev.json, refreshed at each round close): flag any
+    // query at >= 1.5x its previous time AND above a 0.3 s floor (below
+    // that, scheduling jitter dominates and a "regression" is noise).
+    // This is what catches a d11-style anomaly per-query — the total
+    // only catches regressions big enough to move a 160-query sum.
+    val prevPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_full_prev.json"))
+    val drift: Seq[(String, Double, Double)] =
+      if (!java.nio.file.Files.exists(prevPath)) Nil
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+        val kv = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
+        val meta = Set("value", "n_queries", "n", "rc", "cpus", "sf", "drift_flagged")
+        val prev = kv.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filterNot { case (k, _) => meta(k) }.toMap
+        results.flatMap { case (k, v) =>
+          prev.get(k) match {
+            case Some(p) if p > 0 && v >= 1.5 * p && v >= 0.3 => Some((k, p, v))
+            case _ => None
+          }
+        }
+      }
+    drift.foreach { case (k, p, v) => System.err.println(
+      f"[bench] DRIFT $k: $p%.3f -> $v%.3f s (${v / p}%.2fx prev)") }
+    val driftJson = drift
+      .map { case (k, p, v) => "\"" + k + "\":{\"prev\":" + num(p) + ",\"cur\":" + num(v) + "}" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(headlineQs)},"n_queries":${results.size},"drift_flagged":${drift.size},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"drift":$driftJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] bench_result.json not written: $e") }
