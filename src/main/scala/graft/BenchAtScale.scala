@@ -155,22 +155,35 @@ object BenchAtScale {
     }.reduce(_ unionByName _)
   }
 
-  /** K shifted copies; copy ≥ 1 ROTATES each vector left by the copy
-    * index. Rotation is orthogonal, so within a copy all pairwise
-    * cosines (the near-dup structure) are preserved exactly — ANN work
-    * scales ~K× — while a copy of vector v is decorrelated from other
-    * copies instead of being its exact duplicate (identical copies
-    * would multiply candidate pairs K² by construction and measure the
-    * synthetic data, not the plan). */
+  /** K shifted copies; copy ≥ 1 applies a distinct member of the
+    * rotation+reflection group: rotate left by (copy mod dim), and
+    * REVERSE the vector on every second lap around the dimension. Both
+    * transforms are orthogonal (permutations), so within a copy all
+    * pairwise cosines (the near-dup structure) are preserved exactly —
+    * ANN work scales ~K× — while a copy of vector v is decorrelated
+    * from other copies instead of being its exact duplicate (identical
+    * copies would multiply candidate pairs K² by construction and
+    * measure the synthetic data, not the plan). A bare rotation caps
+    * out at dim copies: copy dim would rotate by dim (= identity, a
+    * slice-by-negative-length crash en route), and copy dim+j would
+    * exactly duplicate copy j; the reflection lap doubles the distinct
+    * transforms to 2·dim (128 at the 64-dim corpus — probe `dim` once,
+    * require the cap). */
   def scaleEmbeddings(emb: DataFrame, copies: Int): DataFrame = {
     val maxId = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    val dim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    require(copies <= 2 * dim,
+      s"scaleEmbeddings supports at most 2*dim = ${2 * dim} decorrelated copies, got $copies")
     (0 until copies).map { i =>
+      val r = i % dim
       val rotated =
-        if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))")
+        if (r == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r))")
+      val decorrelated = if ((i / dim) % 2 == 1) reverse(rotated) else rotated
       emb.withColumn("vec_id", col("vec_id") + lit(i * maxId))
-        .withColumn("embedding", rotated)
+        .withColumn("embedding", decorrelated)
     }.reduce(_ unionByName _)
   }
 }

@@ -105,14 +105,24 @@ object ScaleCorpus {
         .withColumn("text", tagged)
     }.reduce(_ unionByName _), "documents")
 
+    // rotation+reflection decorrelation (the BenchAtScale.scaleEmbeddings
+    // rule — see its scaladoc for why a bare rotation caps out at dim
+    // copies), but on the SHARED doc base so the documents↔embeddings
+    // id join stays aligned
     val emb = Tables.embeddings(spark, srcDir)
+    val embDim = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    require(copies <= 2 * embDim,
+      s"embedding decorrelation supports at most 2*dim = ${2 * embDim} copies, got $copies")
     write((0 until copies).map { i =>
+      val r = i % embDim
       val rotated =
-        if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))")
+        if (r == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r))")
+      val decorrelated = if ((i / embDim) % 2 == 1) reverse(rotated) else rotated
       emb.withColumn("vec_id", col("vec_id") + lit(i * baseDoc))
-        .withColumn("embedding", rotated)
+        .withColumn("embedding", decorrelated)
     }.reduce(_ unionByName _), "embeddings")
 
     // events: write `ts` ALREADY micros-converted (Tables.events

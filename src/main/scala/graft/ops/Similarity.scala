@@ -213,6 +213,49 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** [[embeddingNearDups]] with the code width SIZED TO THE CORPUS —
+    * the 100 TB form. A fixed nPlanes is a scale trap: expected bucket
+    * size is n/2^p, so cost grows as n²/2^p through a quadratic-pain
+    * regime and then, once buckets cross maxBucketSize, the cap drops
+    * them ALL and recall collapses to zero — measured on the 100×
+    * corpus (2.06 M vectors), the registered d08 dial (6-bit codes)
+    * took 606 s with every surviving bucket at the cap boundary, vs
+    * the auto-sized run recorded in BASELINE.md. Sizing
+    * p = ceil(log2(n / targetBucketSize)) holds expected bucket size
+    * constant, making candidate volume ≈ n · targetBucketSize · (p+1)
+    * · nTables — linear in n with the 1-bit-probe log fan-out.
+    *
+    * The price is the LSH recall law: per-table hit rate is
+    * collide^p with collide = 1 − θ/π per plane, so wider codes lower
+    * per-table recall — amplification (nTables, cost linear in L) is
+    * the knob that buys it back, NOT narrower codes. For true near-dup
+    * thresholds (cos ≥ 0.9, collide ≈ 0.86) the defaults hold recall
+    * usefully to hundreds of millions of vectors; for
+    * moderate-similarity mining at corpus scale use
+    * [[portableIvfTopK]] instead — SRP-LSH is the wrong tool there at
+    * any dial.
+    *
+    * The one driver action is an exact count() (the d10 trainCap
+    * class of bounded probe); pass `nRows` to skip it when the caller
+    * already knows the cardinality. */
+  def embeddingNearDupsAutoSized(embeddings: DataFrame, idCol: String,
+      embCol: String, minCosine: Double, targetBucketSize: Int = 8,
+      nTables: Int = 4, multiProbeBits: Int = 1, maxBucketSize: Int = 10000,
+      nRows: Option[Long] = None): DataFrame = {
+    require(targetBucketSize >= 1, s"targetBucketSize must be >= 1, got $targetBucketSize")
+    val n = nRows.getOrElse(embeddings.count())
+    embeddingNearDups(embeddings, idCol, embCol, minCosine,
+      autoPlanes(n, targetBucketSize), nTables, multiProbeBits, maxBucketSize)
+  }
+
+  /** ceil(log2(n / targetBucketSize)) clamped to [6, 30] — 6 keeps tiny
+    * corpora from degenerating to 1-bucket tables, 30 bounds the plane
+    * matrix (a driver literal) at any conceivable corpus. */
+  def autoPlanes(n: Long, targetBucketSize: Int): Int = {
+    val buckets = math.max(1.0, n.toDouble / targetBucketSize)
+    math.max(6, math.min(30, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
   /** Buckets embeddingNearDups would drop at this cap, with sizes. */
   def nearDupBucketOverflow(embeddings: DataFrame, idCol: String, embCol: String,
       nPlanes: Int = 12, nTables: Int = 4, maxBucketSize: Int = 10000): DataFrame = {

@@ -187,6 +187,26 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(m((0L, 0L))._3 - var0) < 1e-6)
   }
 
+  test("auto-sized near-dup: plane count follows the corpus, results equal the explicitly-dialed operator") {
+    // the sizing law: constant expected bucket size, clamped [6, 30]
+    assert(Similarity.autoPlanes(100L, 8) == 6)       // floor
+    assert(Similarity.autoPlanes(200000L, 8) == 15)   // the 100x corpus
+    assert(Similarity.autoPlanes(2L << 40, 8) == 30)  // ceiling
+    assert(Similarity.autoPlanes(8L << 20, 8) == 20)  // exact power of two
+    // auto == explicit at the auto-chosen width (one operator, two dials)
+    val vecs = (1L to 60L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 17) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val auto = Similarity.embeddingNearDupsAutoSized(
+        vecs, "vec_id", "embedding", minCosine = 0.5, targetBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Similarity.embeddingNearDups(
+        vecs, "vec_id", "embedding", minCosine = 0.5,
+        nPlanes = Similarity.autoPlanes(60L, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit && auto.nonEmpty, s"auto=$auto explicit=$explicit")
+  }
+
   test("covarianceMatrix: a null element drops that row from the affected cells only — n matches the sums everywhere") {
     // row 3's dim-1 is null: cells touching dim 1 see n=2, dim-0-only
     // cells still see n=3. Counting the row while sum() skipped it
