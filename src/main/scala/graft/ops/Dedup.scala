@@ -444,6 +444,135 @@ object Dedup {
     labels
   }
 
+  /** [[dupClusters]] by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the DEEP-component scale path. Min-label propagation
+    * converges in O(diameter) rounds, which is fine for near-dup
+    * graphs (diameter ≤ 2 typical) but unbounded on chained
+    * boilerplate; contraction halves path lengths every round
+    * (O(log d) rounds), so a diameter-10⁶ chain finishes in ~20
+    * rounds where propagation needs 10⁶.
+    *
+    * Per round: LARGE-STAR — each node u connects every larger
+    * neighbour v > u to m = min(N(u) ∪ {u}) (one symmetric-adjacency
+    * aggregate + one join); SMALL-STAR — each node u re-attaches
+    * itself and all its parents to its minimum parent (edges are
+    * child→parent, parent < child, after any large-star round). Both
+    * steps preserve undirected connectivity (paper, Lemmas 1–2) and
+    * only ever redirect edges toward smaller ids, so the fixpoint is a
+    * star forest whose root IS the component minimum — the same
+    * (doc_id, cluster_id = min reachable id) contract as
+    * [[dupClusters]], verified equivalent in DedupSpec.
+    *
+    * Convergence test is STRUCTURAL and one action: a star forest is
+    * reached exactly when no edge's parent is itself some edge's child
+    * (left-semi probe + isEmpty). Each round's edge set materializes
+    * through an eager localCheckpoint — the same plan-growth rule as
+    * dupClusters: a round references its frame three times, so lineage
+    * would triple per round without the truncation. maxIter bounds the
+    * loop (paper bound is O(log² n) rounds, practice is ≲ 2·log₂ d);
+    * non-convergence throws under strict, never silently-partial. */
+  def dupClustersContract(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 30,
+      strict: Boolean = true): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("doc_id"))
+      .unionByName(pairs.select(col(bCol).as("doc_id"))).distinct()
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("src"),
+        least(col(aCol), col(bCol)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var stars = false
+    var iter = 0
+    while (!stars && iter < maxIter) {
+      // large-star over the symmetric adjacency
+      val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("_nmin"))
+        .select(col("src").as("_u"), least(col("src"), col("_nmin")).as("_m"))
+      val large = sym.join(mins, sym("src") === mins("_u"))
+        .where(col("dst") > col("src") && col("dst") =!= col("_m"))
+        .select(col("dst").as("src"), col("_m").as("dst"))
+        .distinct()
+      // small-star: re-attach each child and all its parents to its min parent
+      val pmin = large.groupBy(col("src")).agg(min(col("dst")).as("_pm"))
+      val next = large.join(pmin, Seq("src"))
+        .where(col("dst") =!= col("_pm"))
+        .select(col("dst").as("src"), col("_pm").as("dst"))
+        .unionByName(pmin.select(col("src"), col("_pm").as("dst")))
+        .distinct()
+        .localCheckpoint() // eager: materialize + truncate lineage
+      // star forest iff no parent is itself a child
+      stars = next.alias("a")
+        .join(next.alias("b"), col("a.dst") === col("b.src"), "left_semi")
+        .isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!stars && strict) {
+      throw new IllegalStateException(
+        s"dupClustersContract did not converge in $maxIter rounds; " +
+          s"raise maxIter or pass strict = false")
+    }
+    nodes.join(edges, nodes("doc_id") === edges("src"), "left")
+      .select(col("doc_id"), coalesce(col("dst"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Substring-level duplication signal (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22 — the
+    * EXACT-SUBSTRING complement to document-level minhash): for every
+    * doc, how many of its tokens sit inside some `spanN`-token span
+    * that also appears verbatim in ≥ `minDocs` distinct docs. Returns
+    * (doc_id, n_tokens, n_dup_spans, n_covered, dup_coverage) per
+    * non-null-text doc; dup_coverage = n_covered / n_tokens is the
+    * "fraction of this doc that is boilerplate" dial a curation
+    * pipeline thresholds on.
+    *
+    * Scale shape — the key property is that span dedup NEVER FORMS
+    * PAIRS: a span shared by k docs costs k rows, not k² (contrast
+    * minhash candidate generation, which needs bucket caps exactly
+    * because of the pair blowup). Work per stage is linear in total
+    * token count: one projection hashes every span via md5 (16-byte
+    * hashes shuffle, never span text — the d39 rule), one hash-agg
+    * counts distinct docs per span (partial aggregation absorbs even a
+    * corpus-universal boilerplate span map-side), one hash-join marks
+    * duplicated starts, and coverage is an 8× position explode +
+    * (doc, pos)-distinct — bounded fan-out, no caps needed. */
+  def spanDupCoverage(df: DataFrame, idCol: String, textCol: String,
+      spanN: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(spanN >= 2, s"spanN must be >= 2, got $spanN")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+    val spans = toks.where(size(col("_toks")) >= spanN)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("_toks")) - spanN),
+          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(spanN))))))
+          .as(Seq("start", "_h")))
+    val dupSpans = spans.groupBy(col("_h"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select(col("_h"))
+    val dupStarts = spans.join(dupSpans, Seq("_h"))
+      .select(col("doc_id"), col("start"))
+    val perDocSpans = dupStarts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"))
+    val covered = dupStarts
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (spanN - 1))).as("_pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    toks.select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(perDocSpans, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (coalesce(col("n_covered"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_coverage"))
+  }
+
   /** End-to-end minhash dedup: signatures → LSH candidates → clusters →
     * canonical keep decision (min doc id per cluster; docs with no
     * near-dup candidate keep themselves).

@@ -183,4 +183,15 @@ object Graph {
       strict: Boolean = true): DataFrame =
     Dedup.dupClusters(edges, "u", "v", maxIter, strict)
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+
+  /** [[connectedComponents]] by large-star/small-star contraction
+    * ([[Dedup.dupClustersContract]]) — identical (node, component =
+    * min reachable node) contract, O(log diameter) rounds instead of
+    * O(diameter): the form to reach for when components can be deep
+    * (chained near-dup boilerplate, long co-purchase paths). The A/B
+    * against min-label propagation is recorded in BASELINE.md. */
+  def connectedComponentsContract(edges: DataFrame, maxIter: Int = 30,
+      strict: Boolean = true): DataFrame =
+    Dedup.dupClustersContract(edges, "u", "v", maxIter, strict)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
 }

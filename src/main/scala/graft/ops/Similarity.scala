@@ -250,10 +250,20 @@ object Similarity {
 
   /** ceil(log2(n / targetBucketSize)) clamped to [6, 30] — 6 keeps tiny
     * corpora from degenerating to 1-bucket tables, 30 bounds the plane
-    * matrix (a driver literal) at any conceivable corpus. */
+    * matrix (a driver literal) at any conceivable corpus.
+    *
+    * Computed in INTEGER arithmetic (ceil-divide, then bit length of
+    * buckets−1), never floating log: ceil(log2(ceil(n/t))) equals
+    * ceil(log2(n/t)) exactly (no power of two lies strictly between a
+    * real and its ceiling), and the integer form is what lets a DuckDB
+    * oracle reproduce the width bit-for-bit at a power-of-two boundary,
+    * where log(2^k)/log(2) may land on either side of k in IEEE. */
   def autoPlanes(n: Long, targetBucketSize: Int): Int = {
-    val buckets = math.max(1.0, n.toDouble / targetBucketSize)
-    math.max(6, math.min(30, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+    val buckets = (n + targetBucketSize - 1) / targetBucketSize
+    val raw =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.max(6, math.min(30, raw))
   }
 
   /** Buckets embeddingNearDups would drop at this cap, with sizes. */

@@ -1955,6 +1955,89 @@ object DataOpsQueries {
            |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov
            |FROM p""".stripMargin))
 
+  /** d08's corpus-adaptive twin (Similarity.embeddingNearDupsAutoSized)
+    * — the 100 TB form: code width p = ceil(log2(n / 8)) is derived
+    * from the corpus cardinality, holding expected bucket size constant
+    * so candidate volume stays linear in n (a FIXED width crosses a
+    * quadratic regime and then the bucket cap zeroes recall — the 606 s
+    * vs 9 s A/B on the 100× corpus, BASELINE.md). The ORACLE derives p
+    * the same way — integer ceil-divide + bit length, never floating
+    * log (Similarity.autoPlanes) — so the adaptive dial itself is
+    * hash-exact at EVERY gate scale: p resolves to 6 at sf0.01, 8 at
+    * sf0.1, 12 on the 10× corpus, with both engines agreeing on the
+    * width, the buckets, and the surviving pairs. */
+  val d44NeardupAutoSized = NamedQuery(
+    "d44_neardup_autosized",
+    (s, dir) => {
+      Similarity.embeddingNearDupsAutoSized(Tables.embeddings(s, dir),
+        "vec_id", "embedding", minCosine = 0.3)
+    },
+    Some("""WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           |                                         x -> round(x * 1000)) AS e
+           |           FROM embeddings),
+           |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM q),
+           |params AS (SELECT GREATEST(6, LEAST(30, length(bin(GREATEST(1,
+           |             ((COUNT(*) + 7) // 8) - 1))))) AS p
+           |           FROM embeddings),
+           |pl AS (SELECT unnest(range(0, 4 * (SELECT p FROM params))) AS pp),
+           |dotp AS (SELECT q.vec_id, pl.pp,
+           |                list_sum(list_transform(generate_series(1, len(e)),
+           |                  d -> e[d] * (CASE WHEN md5_number_upper(
+           |                        'srp:' || pl.pp || ':' || (d - 1)) & 1 = 1
+           |                      THEN 1.0 ELSE -1.0 END))) AS dp
+           |         FROM q CROSS JOIN pl),
+           |codes AS (SELECT vec_id, pp // (SELECT p FROM params) AS t,
+           |                 CAST(SUM(CASE WHEN dp > 0
+           |                     THEN (CAST(1 AS BIGINT) << (pp % (SELECT p FROM params)))
+           |                     ELSE 0 END) AS BIGINT) AS code
+           |          FROM dotp GROUP BY 1, 2),
+           |kept AS (SELECT t, code FROM codes GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM codes a JOIN codes b ON a.t = b.t AND a.vec_id < b.vec_id
+           |    AND bit_count(xor(a.code, b.code)) <= 1
+           |  JOIN kept ka ON a.t = ka.t AND a.code = ka.code
+           |  JOIN kept kb ON b.t = kb.t AND b.code = kb.code)
+           |SELECT id_a, id_b,
+           |       list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) AS cos_sim
+           |FROM cand JOIN n na ON na.vec_id = id_a
+           |          JOIN n nb ON nb.vec_id = id_b
+           |WHERE list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) >= 0.3""".stripMargin))
+
+  /** Substring-level duplication coverage (Dedup.spanDupCoverage): per
+    * doc, the fraction of tokens inside an 8-token span repeated
+    * verbatim across ≥ 2 docs — the exact-substring complement to
+    * document-level minhash (d03/d09) and chunk dedup (d24, which
+    * hashes FIXED windows; spans here slide, so a shared passage is
+    * caught at any alignment). No pair formation anywhere (a span in k
+    * docs costs k rows, not k²), so unlike the LSH family this needs
+    * no caps and the oracle carries none. Counts are exact longs;
+    * dup_coverage is one IEEE division of two exact longs (the q97
+    * rule). */
+  val d45SpanDupCoverage = NamedQuery(
+    "d45_span_dup_coverage",
+    (s, dir) => Dedup.spanDupCoverage(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |           FROM documents WHERE text IS NOT NULL),
+           |sp AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS start, toks
+           |       FROM t WHERE len(toks) >= 8),
+           |sh AS (SELECT doc_id, start,
+           |              md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS h
+           |       FROM sp),
+           |dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+           |ds AS (SELECT sh.doc_id, sh.start FROM sh JOIN dup USING (h)),
+           |pds AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM ds GROUP BY 1),
+           |cov AS (SELECT DISTINCT doc_id, start + o AS pos
+           |        FROM ds CROSS JOIN generate_series(0, 7) g(o)),
+           |covc AS (SELECT doc_id, COUNT(*) AS n_covered FROM cov GROUP BY 1),
+           |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+           |SELECT base.doc_id, base.n_tokens,
+           |       CAST(COALESCE(pds.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           |       CAST(COALESCE(covc.n_covered, 0) AS BIGINT) AS n_covered,
+           |       CAST(COALESCE(covc.n_covered, 0) AS DOUBLE)
+           |         / CAST(base.n_tokens AS DOUBLE) AS dup_coverage
+           |FROM base LEFT JOIN pds USING (doc_id) LEFT JOIN covc USING (doc_id)""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -1966,7 +2049,8 @@ object DataOpsQueries {
     d29BpeTrain, d30BpeEncode, d31WeightedSample, d32SplitAssign,
     d33Curriculum, d34CorpusDiff, d35BudgetAssembly, d36KeepBest,
     d37EmbeddingStats, d38ClusterSizes, d39IncrementalDedup, d40OovRate,
-    d41LeakSafeSplit, d43EmbeddingCovariance,
+    d41LeakSafeSplit, d43EmbeddingCovariance, d44NeardupAutoSized,
+    d45SpanDupCoverage,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

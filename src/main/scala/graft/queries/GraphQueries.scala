@@ -155,7 +155,31 @@ object GraphQueries {
             |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS component
             |FROM l$ccRounds""".stripMargin))
 
+  /** g04's exact twin computed by large-star/small-star contraction
+    * (Graph.connectedComponentsContract): both engines' fixpoint is
+    * "label = min reachable node", so the SAME unrolled min-label
+    * oracle certifies the contraction path hash-exact at every gate
+    * scale — the two independent algorithms agreeing with DuckDB and
+    * with each other is the strongest equivalence evidence the gate
+    * can express. Registered separately so the deep-component scale
+    * path carries its own correctness row, not just a spec. */
+  val g05ComponentsContract = NamedQuery(
+    "g05_components_contract",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.connectedComponentsContract(e)
+        .select(col("node").cast("long").as("node"),
+          col("component").cast("long").as("component"))
+    },
+    Some(s"""WITH $edgeCte,
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
+            |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM deg),
+            |$ccUnrolled
+            |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS component
+            |FROM l$ccRounds""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
-    g04ConnectedComponents)
+    g04ConnectedComponents, g05ComponentsContract)
 }

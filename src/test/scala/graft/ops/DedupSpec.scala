@@ -229,6 +229,73 @@ class DedupSpec extends SparkSpec {
       "dupClusters left a cache entry behind")
   }
 
+  test("dupClustersContract matches dupClusters on mixed components and handles reversed/duplicate pairs") {
+    // same fixtures as the propagation tests, plus noise the API allows:
+    // a pair listed both ways and a repeated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 3L), (10L, 11L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val viaContract = Dedup.dupClustersContract(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPropagation = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaContract == viaPropagation)
+    assert(viaContract == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("dupClustersContract: a diameter-500 chain converges in O(log d) rounds where propagation cannot") {
+    // the deep-component scale case from the round-9 verdict: min-label
+    // needs 500 rounds (propagation throws at any practical cap);
+    // contraction halves path lengths per round, so the DEFAULT cap of
+    // 30 must be far more than enough — and labels are exact, with no
+    // cache-registry residue (the managed-lifetime law)
+    val chain = (1L to 500L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] { Dedup.dupClusters(chain) }
+    val labels = Dedup.dupClustersContract(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (1L to 501L).map(_ -> 1L).toMap)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dupClustersContract left a cache entry behind")
+  }
+
+  test("spanDupCoverage: sliding spans catch shared passages at any alignment; counts and coverage are exact") {
+    // doc 1 and 2 share an 8-token passage at DIFFERENT offsets (chunk
+    // dedup with fixed windows misses this); doc 3 is 8 tokens of
+    // unique text; doc 4 too short to host a span; doc 5 null text
+    val shared = "one two three four five six seven eight"
+    val fixture = Seq(
+      (1L, s"$shared tail1 tail2"),                    // span at offset 0
+      (2L, s"lead1 lead2 lead3 $shared"),              // same span at offset 3
+      (3L, "unique tokens that never repeat anywhere else ever"),
+      (4L, "short doc"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDupCoverage(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1: 10 tokens, ONE duplicated span (the shared 8-gram at start
+    // 0 — "two three...tail1" etc. contain tail tokens so don't repeat),
+    // 8 covered positions
+    assert(got(1L) == ((10L, 1L, 8L, 0.8)))
+    assert(got(2L) == ((11L, 1L, 8L, 8.0 / 11.0)))
+    assert(got(3L) == ((8L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((2L, 0L, 0L, 0.0)))
+    assert(!got.contains(5L)) // null text excluded, as documented
+  }
+
+  test("spanDupCoverage: overlapping duplicated spans union their covered positions, not sum them") {
+    // docs share a 9-token passage → each hosts TWO duplicated 8-spans
+    // whose covered ranges overlap in 7 positions; coverage must count
+    // the union (9), never 16
+    val nine = "a b c d e f g h i"
+    val fixture = Seq((1L, s"$nine x"), (2L, s"y $nine")).toDF("doc_id", "text")
+    val got = Dedup.spanDupCoverage(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((10L, 2L, 9L)))
+    assert(got(2L) == ((10L, 2L, 9L)))
+  }
+
   test("resolveMinhashDups keeps one canonical doc per near-dup cluster") {
     val resolved = Dedup.resolveMinhashDups(docs, "doc_id", "text", minEstJaccard = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
