@@ -4,8 +4,20 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
-  * Each query is forced with .count() (full plan execution, no
-  * result materialization on the driver).
+  *
+  * Each query is forced by hashing EVERY output column into one
+  * xxhash64 and bit_xor-folding to a single row (driver receives 8
+  * bytes). `.count()` — the action used through round 9 — is NOT
+  * evaluation-complete: Catalyst prunes deterministic projections the
+  * count doesn't need (t01's whole langid CASE tree never ran:
+  * 0.14 s "measured" vs 1.24 s real at sf0.1) and eliminates left
+  * joins onto groupBy-keyed aggregates (d45's entire span pipeline
+  * collapsed to a parquet row count). Aggregate/join-shaped queries
+  * were unaffected (their work is below the count), but the
+  * projection family was measured at 3–14× below its true cost —
+  * the round-10 re-baseline in BASELINE.md quantifies the shift.
+  * bit_xor, not sum: ANSI mode (Spark 4 default) throws on long
+  * overflow, and xor-fold consumes values just as completely.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,9 +39,15 @@ object Bench {
     // A failed query must NOT report its (tiny) failure wall time as a
     // benchmark number — that would make a plan regression look like a
     // speedup. Failures surface as -1 and are excluded from the total.
+    import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("_h"))
+        .agg(expr("bit_xor(_h)")).collect()
+      ()
+    }
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
     def merge(a: Double, b: Double): Double =
@@ -68,8 +86,9 @@ object Bench {
       "t06_top_terms", "m02_media_decode", "d22_domain_kl",
       "q60_recursive_cte", "d29_bpe_train", "d30_bpe_encode",
       "d36_keep_best", "g01_triangle_census", "g02_pagerank",
-      "g04_components",
-      "q99_hdr_quantiles", "q100_hdr_by_group", "d42_weighted_quantile")
+      "g04_components", "g05_components_contract",
+      "q99_hdr_quantiles", "q100_hdr_by_group", "d42_weighted_quantile",
+      "d44_neardup_autosized", "d45_span_dup_coverage")
     val headlineQs = results.filter { case (k, _) => headline.contains(k) }
     // Per-query drift check vs the previous round's full map
     // (BENCH_full_prev.json, refreshed at each round close): flag any

@@ -79,14 +79,23 @@ object BenchAtScale {
       java.nio.file.Files.write(donePath, s"copies=$copies\n".getBytes("UTF-8"))
     }
 
+    // evaluation-complete force (hash every output column, xor-fold to
+    // one row) — same action as Bench; .count() lets Catalyst prune
+    // deterministic projections and eliminate left joins onto keyed
+    // aggregates, silently skipping the work being measured
+    def force(df: DataFrame): Unit = {
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("_h"))
+        .agg(expr("bit_xor(_h)")).collect()
+      ()
+    }
     def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, outDir).count()
+      force(fn(spark, outDir))
       (System.nanoTime() - t0) / 1e9
     }
     // warmup on the source SF (codegen/classload), then two timed runs
     // with the Bench cache-hygiene barrier between them
-    SparkEntry.queries(names.head)(spark, srcDir).count()
+    force(SparkEntry.queries(names.head)(spark, srcDir))
     val results = names.map { n =>
       val fn = SparkEntry.queries(n)
       val a = timeOnce(fn)
