@@ -635,4 +635,49 @@ object TextAnalysis {
         round((col("sy").cast("double") / 1000 -
           slope * (col("sx").cast("double") / 1000)) / col("n"), 6).as("intercept"))
   }
+
+  /** Hashed-linear quality classifier inference — the CCNet/fastText
+    * filter shape: bag of unigram+bigram features, each hashed into a
+    * 2¹⁶-bucket table (the hashing trick, collisions and all), a
+    * per-bucket integer-milli weight, mean pooling, threshold at 0.
+    * Output per non-null-text doc: (doc_id, n_features, w_sum, logit =
+    * w_sum / (n_features·1000), keep = w_sum ≥ 0).
+    *
+    * This is the 100 TB filter archetype: a PURE per-row projection —
+    * no shuffle, no join, no state — built entirely from codegen'd
+    * built-ins (split/md5/conv/substring + higher-order aggregate), so
+    * it runs at scan bandwidth inside one WholeStageCodegen span and
+    * composes with partition pruning for free. The weights here are
+    * md5-derived stand-ins ((md5('qw:'·bucket) hex-prefix mod 2001) −
+    * 1000 ∈ [−1000, 1000] integer millis), which is what makes the
+    * whole inference DuckDB-reproducible and hash-exact at any scale;
+    * production swaps the weight derivation for a broadcast trained
+    * vector indexed by the SAME bucket id — the plan shape (and this
+    * oracle-checked plumbing) is the part that carries over.
+    *
+    * Exactness: w_sum is an exact integer fold; logit is IEEE ops over
+    * exact operands in a fixed order (cast, multiply, divide — the q97
+    * rule); keep is an integer comparison, never a float threshold. */
+  def hashedLinearScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), concat(col("_toks"),
+        when(size(col("_toks")) >= 2,
+          transform(sequence(lit(1), size(col("_toks")) - 1),
+            i => concat_ws("_", element_at(col("_toks"), i),
+              element_at(col("_toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("_feats"))
+      .select(col("doc_id"),
+        size(col("_feats")).cast("long").as("n_features"),
+        aggregate(transform(col("_feats"), f => {
+          val bucket = conv(substring(md5(f), 1, 4), 16, 10).cast("int")
+          ((conv(substring(md5(concat(lit("qw:"), bucket.cast("string"))), 1, 4),
+            16, 10).cast("int") % 2001) - 1000).cast("long")
+        }), lit(0L), (acc, x) => acc + x).as("w_sum"))
+      .select(col("doc_id"), col("n_features"), col("w_sum"),
+        (col("w_sum").cast("double") /
+          (col("n_features").cast("double") * 1000.0)).as("logit"),
+        (col("w_sum") >= 0L).as("keep"))
+  }
 }

@@ -2038,6 +2038,34 @@ object DataOpsQueries {
            |         / CAST(base.n_tokens AS DOUBLE) AS dup_coverage
            |FROM base LEFT JOIN pds USING (doc_id) LEFT JOIN covc USING (doc_id)""".stripMargin))
 
+  /** Hashed-linear quality classifier inference (the CCNet/fastText
+    * filter shape) — TextAnalysis.hashedLinearScore. A pure per-row
+    * projection: no shuffle, no join; the scan-bandwidth filter a
+    * 100 TB curation pass runs FIRST. md5-derived stand-in weights
+    * make the full inference — hashing trick, bucket collisions, mean
+    * pooling, integer threshold — reproducible in DuckDB hash-exact. */
+  val d46QualityClassifier = NamedQuery(
+    "d46_quality_classifier",
+    (s, dir) => TextAnalysis.hashedLinearScore(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |           FROM documents WHERE text IS NOT NULL),
+           |f AS (SELECT doc_id, unnest(list_concat(toks,
+           |        list_transform(generate_series(1, len(toks) - 1),
+           |          i -> toks[i] || '_' || toks[i + 1]))) AS feat
+           |      FROM t),
+           |w AS (SELECT doc_id,
+           |        CAST(CAST(concat('0x', substring(md5('qw:' ||
+           |          CAST(CAST(concat('0x', substring(md5(feat), 1, 4)) AS INTEGER) AS VARCHAR)
+           |          ), 1, 4)) AS INTEGER) % 2001 - 1000 AS BIGINT) AS wt
+           |      FROM f),
+           |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+           |             CAST(SUM(wt) AS BIGINT) AS w_sum
+           |      FROM w GROUP BY 1)
+           |SELECT a.doc_id, a.n_features, a.w_sum,
+           |       CAST(a.w_sum AS DOUBLE) / (CAST(a.n_features AS DOUBLE) * 1000.0) AS logit,
+           |       a.w_sum >= 0 AS keep
+           |FROM a""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -2050,7 +2078,7 @@ object DataOpsQueries {
     d33Curriculum, d34CorpusDiff, d35BudgetAssembly, d36KeepBest,
     d37EmbeddingStats, d38ClusterSizes, d39IncrementalDedup, d40OovRate,
     d41LeakSafeSplit, d43EmbeddingCovariance, d44NeardupAutoSized,
-    d45SpanDupCoverage,
+    d45SpanDupCoverage, d46QualityClassifier,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

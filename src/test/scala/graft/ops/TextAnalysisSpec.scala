@@ -394,4 +394,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got.getDouble(1) + 1.0) < 0.01)     // slope ≈ −1
     assert(math.abs(got.getDouble(2) - math.log(12.0)) < 0.01) // intercept ≈ ln 12
   }
+
+  test("hashedLinearScore: unigram+bigram feature count, md5-derived weight fold, integer keep threshold") {
+    // expected values derived independently in python (hashlib.md5 over
+    // the same hex-prefix arithmetic): "the quick brown fox" → 7
+    // features (4 unigrams + 3 bigrams), w_sum 3056; "solo" → 1
+    // feature (no bigram arm), w_sum 955. Null text excluded.
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "solo"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((7L, 3056L, 3056.0 / 7000.0, true)))
+    assert(got(2L) == ((1L, 955L, 955.0 / 1000.0, true)))
+    assert(!got.contains(3L))
+    // plan shape: the 100 TB filter archetype must stay a pure
+    // projection — no exchange anywhere in the physical plan
+    val plan = TextAnalysis.hashedLinearScore(df, "doc_id", "text")
+      .queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"),
+      s"hashedLinearScore must not shuffle:\n$plan")
+  }
 }
