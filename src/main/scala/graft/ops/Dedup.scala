@@ -554,18 +554,27 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("_nd"))
       .where(col("_nd") >= minDocs)
       .select(col("_h"))
-    val dupStarts = spans.join(dupSpans, Seq("_h"))
-      .select(col("doc_id"), col("start"))
-    val perDocSpans = dupStarts.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_spans"))
-    val covered = dupStarts
-      .select(col("doc_id"),
+    // Both per-doc statistics fold out of ONE exploded frame in ONE
+    // aggregate. (doc_id, start) is unique by construction (posexplode
+    // of per-doc positions), so each duplicated start contributes
+    // EXACTLY spanN exploded rows: the span tally is count(*)/spanN —
+    // no second distinct — and the coverage union is the one
+    // countDistinct(pos), which Spark plans as a two-stage partial
+    // distinct with no Expand. A first draft computed the two stats as
+    // separate aggregates left-joined one after the other — and
+    // because each left-join branch re-derives `spans` AND the
+    // dup-span aggregate, the physical plan tokenized + md5-hashed the
+    // corpus FOUR times (plan-audited at sf0.01). This shape does it
+    // twice — the two-pass minimum for global-frequency-then-join-back
+    // (one pass feeds the frequency aggregate, one the join probe).
+    val perDoc = spans.join(dupSpans, Seq("_h"))
+      .select(col("doc_id"), col("start"),
         explode(sequence(col("start"), col("start") + (spanN - 1))).as("_pos"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+      .groupBy(col("doc_id"))
+      .agg((count(lit(1)) / spanN).cast("long").as("n_dup_spans"),
+        countDistinct(col("_pos")).as("n_covered"))
     toks.select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"))
-      .join(perDocSpans, Seq("doc_id"), "left")
-      .join(covered, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
