@@ -582,6 +582,71 @@ object Dedup {
           col("n_tokens").cast("double")).as("dup_coverage"))
   }
 
+  /** Apply span-level dedup — the TRANSFORM [[spanDupCoverage]] only
+    * measures (Lee et al. ACL'22 actually REMOVE the duplicated
+    * substrings; C4 drops repeated three-sentence spans): rebuild each
+    * document's text with cross-doc-duplicated span positions removed,
+    * keeping the span in its canonical owner.
+    *
+    * Policy (deterministic, doc-level): for every `spanN`-token span
+    * appearing verbatim in ≥ `minDocs` distinct docs, the owner is the
+    * MIN doc id containing it; in every other doc, all positions covered
+    * by an occurrence of that span are dropped. The owner keeps its
+    * text untouched for that span (including internal repeats — the
+    * within-doc repetition signal belongs to t07, not here). Tokens not
+    * covered by any non-owned dup span survive in original order.
+    * Returns (doc_id, n_tokens, n_kept, clean_md5) per non-null-text
+    * doc; clean_md5 = md5 of the reconstructed space-joined text (md5,
+    * not the text itself, so the result stays fixed-width however large
+    * the documents are).
+    *
+    * Scale shape — inherits [[spanDupCoverage]]'s no-pair-formation
+    * property (a span in k docs costs k rows, never k², so no caps and
+    * no cap columns in the oracle). Two corpus-wide passes (one feeds
+    * the span-frequency aggregate, one the join probe — the
+    * global-frequency-then-join-back minimum), then the rewrite itself
+    * is NARROW: dropped positions collapse to one per-doc array
+    * (bounded by document length — the same per-row bound as holding
+    * the tokenized doc at all), and reconstruction is array_except +
+    * element_at arithmetic inside codegen, no further shuffle. */
+  def spanDedupRewrite(df: DataFrame, idCol: String, textCol: String,
+      spanN: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(spanN >= 2, s"spanN must be >= 2, got $spanN")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+    val spans = toks.where(size(col("_toks")) >= spanN)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("_toks")) - spanN),
+          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(spanN))))))
+          .as(Seq("start", "_h")))
+    // owner = min doc id per duplicated span (countDistinct gate first)
+    val owners = spans.groupBy(col("_h"))
+      .agg(countDistinct(col("doc_id")).as("_nd"), min(col("doc_id")).as("_owner"))
+      .where(col("_nd") >= minDocs)
+      .select(col("_h"), col("_owner"))
+    // every position covered by a NON-OWNED dup-span occurrence, as one
+    // sorted per-doc array (sort_array makes the array — and therefore
+    // clean_md5's reconstruction — independent of aggregation order)
+    val dropped = spans.join(owners, Seq("_h"))
+      .where(col("doc_id") > col("_owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (spanN - 1))).as("_pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("_pos"))).as("_drop"))
+    val idx = sequence(lit(0), size(col("_toks")) - 1)
+    // array_except preserves left order over unique positions → kept
+    // positions ascending; element_at(+1) maps back to tokens
+    val kept = array_except(idx, coalesce(col("_drop"),
+      array().cast("array<int>")))
+    toks.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
+        transform(kept, i => element_at(col("_toks"), i + 1)).as("_keep"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("_keep")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("_keep"))).as("clean_md5"))
+  }
+
   /** End-to-end minhash dedup: signatures → LSH candidates → clusters →
     * canonical keep decision (min doc id per cluster; docs with no
     * near-dup candidate keep themselves).

@@ -377,16 +377,18 @@ object Similarity {
     * contract as ivfTopK. Cell quality is a few percent below a
     * converged spark.ml fit (greedy floor-mean updates), which only
     * gates candidate recall — the exact cosine re-rank is unchanged. */
-  def ivfTopKPortable(embeddings: DataFrame, idCol: String, embCol: String,
-      queries: DataFrame, queryIdCol: String, k: Int,
-      nLists: Int = 8, nProbe: Int = 2, iters: Int = 3,
-      trainCap: Int = 10000): DataFrame = {
-    val data = embeddings.select(
-      col(idCol).as("data_id"), quantize(col(embCol)).as("_e"))
-    // ONE bounded TakeOrdered + collect; re-sorted driver-side so the
-    // init order never depends on a plan's output-ordering guarantee
+  /** Deterministic integer k-means over the `trainCap` smallest-md5
+    * vectors of `data` (columns: an id column named `idName` + quantized
+    * `_e`) — the shared portable-cell trainer behind [[ivfTopKPortable]]
+    * and [[semDedup]]. ONE bounded TakeOrdered + collect; re-sorted
+    * driver-side so the init order never depends on a plan's
+    * output-ordering guarantee. Every step is exact integer sums plus
+    * one IEEE divide+floor, so the recurrence is bit-identical to the
+    * oracle's unrolled CTE form. */
+  private def trainPortableCentroids(data: DataFrame, idName: String,
+      nLists: Int, iters: Int, trainCap: Int): Array[Array[Double]] = {
     val train: Array[Array[Double]] = data
-      .withColumn("_m", md5(col("data_id").cast("string")))
+      .withColumn("_m", md5(col(idName).cast("string")))
       .orderBy(col("_m")).limit(trainCap)
       .select(col("_m"), col("_e")).collect()
       .sortBy(_.getString(0))
@@ -421,23 +423,36 @@ object Similarity {
         else sums(i).map(s => math.floor(s / counts(i)))
       }
     }
-    // Per-row distance ORDER against the DRIVER-LITERAL centroids — a
-    // narrow projection, no broadcast table, no crossJoin, no window.
-    // |e−c|² = |e|² − 2e·c + |c|², and |e|² is row-constant, so ranking
-    // on (|c|² − 2e·c) gives the identical order AND identical ties as
-    // the oracle's full d2 (a monotone shift of exact integer-valued
-    // doubles); e·c is the native codegen graft_dot against a literal
-    // array — no interpreted lambda in the per-row hot path. Struct
-    // ordering (score, list) IS the tie-break, so cell assignment is
-    // array_min and the nProbe list is a slice of the sorted array.
-    // Zero shuffles on the data side.
-    def distStructs(vec: Column): Column = array(
-      centroids.toSeq.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(x => x * x).sum // exact: integer-valued doubles
-        struct(
-          (lit(c2) - lit(2.0) * dot(vec, array(c.toSeq.map(lit): _*))).as("score"),
-          lit(i).as("list"))
-      }: _*)
+    centroids
+  }
+
+  /** Per-row distance ORDER against the DRIVER-LITERAL centroids — a
+    * narrow projection, no broadcast table, no crossJoin, no window.
+    * |e−c|² = |e|² − 2e·c + |c|², and |e|² is row-constant, so ranking
+    * on (|c|² − 2e·c) gives the identical order AND identical ties as
+    * the oracle's full d2 (a monotone shift of exact integer-valued
+    * doubles); e·c is the native codegen graft_dot against a literal
+    * array — no interpreted lambda in the per-row hot path. Struct
+    * ordering (score, list) IS the tie-break, so cell assignment is
+    * array_min and the nProbe list is a slice of the sorted array.
+    * Zero shuffles on the data side. */
+  private def centroidDistStructs(centroids: Array[Array[Double]],
+      vec: Column): Column = array(
+    centroids.toSeq.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum // exact: integer-valued doubles
+      struct(
+        (lit(c2) - lit(2.0) * dot(vec, array(c.toSeq.map(lit): _*))).as("score"),
+        lit(i).as("list"))
+    }: _*)
+
+  def ivfTopKPortable(embeddings: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, iters: Int = 3,
+      trainCap: Int = 10000): DataFrame = {
+    val data = embeddings.select(
+      col(idCol).as("data_id"), quantize(col(embCol)).as("_e"))
+    val centroids = trainPortableCentroids(data, "data_id", nLists, iters, trainCap)
+    def distStructs(vec: Column): Column = centroidDistStructs(centroids, vec)
     val assigned = data
       .select(col("data_id"), col("_e"), norm(col("_e")).as("_n"),
         array_min(distStructs(col("_e"))).getField("list").as("_list"))
@@ -458,6 +473,67 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("data_id"))
     scored.withColumn("rank", row_number().over(rankW).cast("long"))
       .where(col("rank") <= k)
+  }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster the
+    * embedding space with [[ivfTopKPortable]]'s deterministic integer
+    * k-means cells, then inside each cell mark every vector that has a
+    * smaller-id neighbour with cosine ≥ `minCosine` as a semantic
+    * duplicate of its SMALLEST such neighbour. Returns one row per
+    * vector: (vec_id, cell, dup_of nullable, keep) — the greedy
+    * keep-one-per-ε-ball decision a curation pipeline applies before
+    * training (near-dup text never shares tokens with a paraphrase;
+    * embedding-cosine d08 catches lexical overlap — THIS op catches
+    * meaning-level duplication across the whole corpus through the
+    * cluster structure, at cells² ≪ n² cost).
+    *
+    * Scale shape: the cluster assignment is the IVF narrow projection
+    * (zero data-side shuffles against driver-literal centroids); pair
+    * formation is confined WITHIN cells — one self-join on the cell key
+    * — so candidate volume is Σ|cell|², controlled by nLists (size
+    * nLists ∝ n/targetCellSize, exactly the d44 auto-width argument —
+    * at fixed nLists a growing corpus crosses a quadratic regime).
+    * `maxCellSize` excludes degenerate cells from pair formation
+    * entirely (their members all KEEP, audited via the `cell_capped`
+    * column, never silently half-deduped) — the same cap+audit contract
+    * as the LSH family, and the cap is encoded in the oracle. */
+  def semDedup(embeddings: DataFrame, idCol: String, embCol: String,
+      minCosine: Double, nLists: Int = 8, iters: Int = 3,
+      trainCap: Int = 10000, maxCellSize: Int = 10000): DataFrame = {
+    val data = embeddings.select(
+      col(idCol).as("vec_id"), quantize(col(embCol)).as("_e"))
+    val centroids = trainPortableCentroids(data, "vec_id", nLists, iters, trainCap)
+    // eager localCheckpoint: the assignment feeds FOUR consumers (cell
+    // sizes, both self-join sides, the final left join) — without it
+    // each reference re-scans the table and re-computes the nLists
+    // 64-dim distance dots (plan-audited: 6 scans at sf0.1). One scan,
+    // one materialization of (id, quantized vec, norm, cell); the g01
+    // managed-lifetime rule
+    val assigned = data
+      .select(col("vec_id"), col("_e"), norm(col("_e")).as("_n"),
+        array_min(centroidDistStructs(centroids, col("_e")))
+          .getField("list").as("cell"))
+      .localCheckpoint(true)
+    val cellOk = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("_cn"))
+      .select(col("cell"), (col("_cn") <= maxCellSize).as("_ok"))
+    val inPlay = assigned.join(cellOk, Seq("cell"))
+    val a = inPlay.where(col("_ok"))
+      .select(col("cell"), col("vec_id").as("_ida"), col("_e").as("_ea"),
+        col("_n").as("_na"))
+    val b = inPlay.where(col("_ok"))
+      .select(col("cell"), col("vec_id").as("_idb"), col("_e").as("_eb"),
+        col("_n").as("_nb"))
+    val dupOf = a.join(b, Seq("cell"))
+      .where(col("_ida") < col("_idb") &&
+        dot(col("_ea"), col("_eb")) / (col("_na") * col("_nb")) >= minCosine)
+      .groupBy(col("_idb"))
+      .agg(min(col("_ida")).as("dup_of"))
+    inPlay
+      .join(dupOf, col("vec_id") === col("_idb"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("dup_of"), col("dup_of").isNull.as("keep"),
+        not(col("_ok")).as("cell_capped"))
   }
 
   /** LSH-bucketed ANN: shuffle both sides once on the (table, bucket)

@@ -499,23 +499,79 @@ object TextAnalysis {
     * per-term token arrays (≤ term length), and a vocab-bounded final
     * hash-agg. Zero joins, zero windows, corpus read once.
     */
-  def bpeEncode(docs: org.apache.spark.sql.DataFrame, textCol: String,
-      merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Collect a [[bpeTrain]] merge table to rank-ordered (l, r) pairs —
+    * bounded driver state by the `merges <= 64` contract. */
+  private def collectRankedMerges(
+      merges: org.apache.spark.sql.DataFrame): Array[(String, String)] = {
     val ranked = merges.select(col("rank"), col("l"), col("r"))
       .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
     require(ranked.length <= 64,
       s"merge table has ${ranked.length} rows — bpeTrain's contract is <= 64")
+    ranked
+  }
+
+  /** The double-space symbol string of `term` after applying the merge
+    * chain in rank order — a NARROW chain of codegen'd replaces
+    * (left-to-right non-overlapping greedy, identical in DuckDB). */
+  private def encodedSyms(ranked: Array[(String, String)]): Column = {
     val chars = transform(sequence(lit(1), length(col("term"))),
       i => col("term").substr(i, lit(1)))
     val syms0 = concat(lit(" "), concat_ws("  ", chars), lit(" "))
-    val encoded = ranked.foldLeft(syms0) { case (syms, (l, r)) =>
+    ranked.foldLeft(syms0) { case (syms, (l, r)) =>
       replace(syms, lit(s" $l  $r "), lit(s" $l$r "))
     }
+  }
+
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val encoded = encodedSyms(collectRankedMerges(merges))
     docs.select(explode(split(col(textCol), " ")).as("term"))
       .where(length(col("term")) >= 1) // split artifacts ("") have no symbols
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
       .select(explode(split(trim(encoded), "  ")).as("token"), col("freq"))
       .groupBy(col("token")).agg(sum(col("freq")).as("n_occ"))
+  }
+
+  /** Tokenizer FERTILITY card (BPE tokens per whitespace word, per
+    * stratum) — the compatibility metric that tells you how expensive
+    * each source is to tokenize under a given merge table (fertility
+    * ≈ 1 means the vocabulary fits the source; ≫ 1 means the source
+    * fragments into characters — an under-trained or out-of-domain
+    * tokenizer). Complements d40's OOV rate (which needs a closed
+    * vocabulary; fertility measures the open-vocabulary BPE behaviour).
+    * Returns (stratum, n_words, n_bpe_tokens, fertility); the counts
+    * are exact longs, fertility is ONE IEEE division of two exact longs
+    * (the q97 rule).
+    *
+    * Scale shape: the merge chain applies over DISTINCT terms only
+    * (vocab-bounded, the d29/d30 contract) and per-term piece counts
+    * join back as a BROADCAST (the d19/d40 pattern); the corpus-side
+    * work is one explode + one (stratum, term) hash-agg whose partial
+    * aggregation absorbs the explode map-side. Two corpus passes — the
+    * global-frequency-then-join-back minimum. */
+  def bpeFertility(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      stratumCol: String,
+      merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val encoded = encodedSyms(collectRankedMerges(merges))
+    val termPieces = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) >= 1)
+      .distinct()
+      .select(col("term"),
+        size(split(trim(encoded), "  ")).cast("long").as("_pieces"))
+    val perTerm = docs.where(col(textCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) >= 1)
+      .groupBy(col("stratum"), col("term"))
+      .agg(count(lit(1)).as("_cnt"))
+    perTerm.join(broadcast(termPieces), Seq("term"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("_cnt")).as("n_words"),
+        sum(col("_cnt") * col("_pieces")).as("n_bpe_tokens"))
+      .select(col("stratum"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
   }
 
   /** Per-stratum domain-shift signal: KL divergence of each stratum's

@@ -378,60 +378,76 @@ object DataOpsQueries {
         emb.where(col("vec_id") < 5), "vec_id", k = 5,
         nLists = 8, nProbe = 2, iters = 3)
     },
-    Some {
-      // squared euclidean distance between quantized vector `e` and
-      // centroid `c` — exact integer-valued-double arithmetic
-      def d2(e: String, c: String) =
-        s"list_sum(list_transform(generate_series(1, len($e)), " +
-          s"d -> ($e[d]-$c[d])*($e[d]-$c[d])))"
-      def assign(name: String, src: String, prev: String) =
-        s"""$name AS (
-           |  SELECT vec_id, e, list FROM (
-           |    SELECT t.vec_id, t.e, c.list,
-           |           row_number() OVER (PARTITION BY t.vec_id
-           |             ORDER BY ${d2("t.e", "c.c")}, c.list) AS rk
-           |    FROM $src t CROSS JOIN $prev c) WHERE rk = 1)""".stripMargin
-      // per-dim floor-of-mean update; cells with no members keep their
-      // previous centroid (COALESCE). dim = 64 (driver testdata).
-      def update(i: Int) =
-        s"""m$i AS (
-           |  SELECT list, d, CAST(floor(SUM(e[d]) / COUNT(*)) AS DOUBLE) AS cv
-           |  FROM a$i CROSS JOIN generate_series(1, 64) AS g(d)
-           |  GROUP BY list, d),
-           |c$i AS (
-           |  SELECT p.list, COALESCE(mm.c, p.c) AS c
-           |  FROM c${i - 1} p LEFT JOIN
-           |    (SELECT list, list(cv ORDER BY d) AS c FROM m$i GROUP BY list) mm
-           |    USING (list))""".stripMargin
-      val iterations = (1 to 3)
-        .map(i => assign(s"a$i", "tr", s"c${i - 1}") + ",\n" + update(i))
-        .mkString(",\n")
-      val cos = "list_dot_product(a.e, p.qe) / (sqrt(list_dot_product(a.e, a.e))" +
-        " * sqrt(list_dot_product(p.qe, p.qe)))"
-      s"""WITH quant AS (
-         |  SELECT vec_id,
-         |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS e
-         |  FROM embeddings),
-         |tr AS (SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS m
-         |       FROM quant ORDER BY m LIMIT 10000),
-         |c0 AS (SELECT (row_number() OVER (ORDER BY m)) - 1 AS list, e AS c
-         |       FROM (SELECT * FROM tr ORDER BY m LIMIT 8)),
-         |$iterations,
-         |${assign("af", "quant", "c3")},
-         |qs AS (SELECT vec_id AS query_id, e AS qe FROM quant WHERE vec_id < 5),
-         |probes AS (
-         |  SELECT query_id, qe, list FROM (
-         |    SELECT s.query_id, s.qe, c.list,
-         |           row_number() OVER (PARTITION BY s.query_id
-         |             ORDER BY ${d2("s.qe", "c.c")}, c.list) AS rk
-         |    FROM qs s CROSS JOIN c3 c) WHERE rk <= 2)
-         |SELECT query_id, data_id, cos_sim, CAST(rk AS BIGINT) AS rank FROM (
-         |  SELECT p.query_id, a.vec_id AS data_id, $cos AS cos_sim,
-         |         row_number() OVER (PARTITION BY p.query_id
-         |           ORDER BY $cos DESC, a.vec_id) AS rk
-         |  FROM af a JOIN probes p USING (list) WHERE a.vec_id <> p.query_id)
-         |WHERE rk <= 5""".stripMargin
-    })
+    Some(ivfOracleSuffixD10))
+
+  /** Shared DuckDB replay of Similarity's portable integer k-means cells
+    * (trainPortableCentroids + the full-table assignment) — the CTE
+    * prefix behind BOTH d10's probe/re-rank and d48's within-cell
+    * semantic dedup. Squared euclidean distance between quantized
+    * vector `e` and centroid `c` — exact integer-valued-double
+    * arithmetic. */
+  private def ivfD2(e: String, c: String) =
+    s"list_sum(list_transform(generate_series(1, len($e)), " +
+      s"d -> ($e[d]-$c[d])*($e[d]-$c[d])))"
+
+  private def ivfAssign(name: String, src: String, prev: String) =
+    s"""$name AS (
+       |  SELECT vec_id, e, list FROM (
+       |    SELECT t.vec_id, t.e, c.list,
+       |           row_number() OVER (PARTITION BY t.vec_id
+       |             ORDER BY ${ivfD2("t.e", "c.c")}, c.list) AS rk
+       |    FROM $src t CROSS JOIN $prev c) WHERE rk = 1)""".stripMargin
+
+  // per-dim floor-of-mean update; cells with no members keep their
+  // previous centroid (COALESCE). dim = 64 (driver testdata).
+  private def ivfUpdate(i: Int) =
+    s"""m$i AS (
+       |  SELECT list, d, CAST(floor(SUM(e[d]) / COUNT(*)) AS DOUBLE) AS cv
+       |  FROM a$i CROSS JOIN generate_series(1, 64) AS g(d)
+       |  GROUP BY list, d),
+       |c$i AS (
+       |  SELECT p.list, COALESCE(mm.c, p.c) AS c
+       |  FROM c${i - 1} p LEFT JOIN
+       |    (SELECT list, list(cv ORDER BY d) AS c FROM m$i GROUP BY list) mm
+       |    USING (list))""".stripMargin
+
+  /** WITH-prefix ending at `af` = every vector's final cell. */
+  private def ivfCellCtes(iters: Int): String = {
+    val iterations = (1 to iters)
+      .map(i => ivfAssign(s"a$i", "tr", s"c${i - 1}") + ",\n" + ivfUpdate(i))
+      .mkString(",\n")
+    s"""WITH quant AS (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS e
+       |  FROM embeddings),
+       |tr AS (SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS m
+       |       FROM quant ORDER BY m LIMIT 10000),
+       |c0 AS (SELECT (row_number() OVER (ORDER BY m)) - 1 AS list, e AS c
+       |       FROM (SELECT * FROM tr ORDER BY m LIMIT 8)),
+       |$iterations,
+       |${ivfAssign("af", "quant", s"c$iters")}""".stripMargin
+  }
+
+  /** d10's oracle suffix: probe the 2 nearest cells per query, exact
+    * cosine re-rank within them. */
+  private lazy val ivfOracleSuffixD10: String = {
+    val cos = "list_dot_product(a.e, p.qe) / (sqrt(list_dot_product(a.e, a.e))" +
+      " * sqrt(list_dot_product(p.qe, p.qe)))"
+    s"""${ivfCellCtes(3)},
+       |qs AS (SELECT vec_id AS query_id, e AS qe FROM quant WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, qe, list FROM (
+       |    SELECT s.query_id, s.qe, c.list,
+       |           row_number() OVER (PARTITION BY s.query_id
+       |             ORDER BY ${ivfD2("s.qe", "c.c")}, c.list) AS rk
+       |    FROM qs s CROSS JOIN c3 c) WHERE rk <= 2)
+       |SELECT query_id, data_id, cos_sim, CAST(rk AS BIGINT) AS rank FROM (
+       |  SELECT p.query_id, a.vec_id AS data_id, $cos AS cos_sim,
+       |         row_number() OVER (PARTITION BY p.query_id
+       |           ORDER BY $cos DESC, a.vec_id) AS rk
+       |  FROM af a JOIN probes p USING (list) WHERE a.vec_id <> p.query_id)
+       |WHERE rk <= 5""".stripMargin
+  }
 
   /** Full dedup resolution: minhash candidates → connected components →
     * canonical doc per cluster. Oracle-checked because at
@@ -2066,6 +2082,127 @@ object DataOpsQueries {
            |       a.w_sum >= 0 AS keep
            |FROM a""".stripMargin))
 
+  /** Span-level dedup APPLIED (Dedup.spanDedupRewrite) — d45 measures
+    * duplication coverage; this op performs the C4/Lee-et-al. rewrite:
+    * every position covered by a cross-doc-duplicated 8-token span is
+    * REMOVED except in the span's canonical owner (min doc id), and the
+    * document text is reconstructed from the surviving tokens. Output
+    * is fixed-width per doc (counts + md5 of the cleaned text), so the
+    * result never re-ships the corpus. Inherits d45's no-pair-formation
+    * scale property — no caps, and the oracle carries none; the oracle
+    * rebuilds the cleaned text with an ORDER BY pos string_agg. */
+  val d47DedupRewrite = NamedQuery(
+    "d47_dedup_rewrite",
+    (s, dir) => Dedup.spanDedupRewrite(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |           FROM documents WHERE text IS NOT NULL),
+           |sp AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS start, toks
+           |       FROM t WHERE len(toks) >= 8),
+           |sh AS (SELECT doc_id, start,
+           |              md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS h
+           |       FROM sp),
+           |own AS (SELECT h, MIN(doc_id) AS owner FROM sh
+           |        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+           |drp AS (SELECT DISTINCT sh.doc_id, sh.start + g.o AS pos
+           |        FROM sh JOIN own USING (h)
+           |        CROSS JOIN generate_series(0, 7) g(o)
+           |        WHERE sh.doc_id > own.owner),
+           |tp AS (SELECT doc_id, p1 - 1 AS pos, toks[p1] AS tok
+           |       FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p1, toks
+           |             FROM t)),
+           |kp AS (SELECT tp.doc_id, tp.pos, tp.tok
+           |       FROM tp LEFT JOIN drp d ON d.doc_id = tp.doc_id AND d.pos = tp.pos
+           |       WHERE d.doc_id IS NULL),
+           |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |               md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+           |        FROM kp GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           |       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           |       COALESCE(agg.clean_md5, md5('')) AS clean_md5
+           |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin))
+
+  /** SemDeDup-style semantic dedup (Similarity.semDedup): d10's
+    * portable integer k-means cells + within-cell greedy
+    * keep-one-per-ε-ball at cosine ≥ 0.8. The oracle reuses the SAME
+    * unrolled k-means CTEs as d10 (ivfCellCtes — two queries, one
+    * clustering replay), then derives the identical pair set and
+    * min-smaller-neighbour decision; the 10 000 cell cap is encoded in
+    * the oracle (the d24/d44 rule: caps live in BOTH engines or the
+    * gate can't see them). */
+  val d48SemDedup = NamedQuery(
+    "d48_semdedup",
+    (s, dir) => Similarity.semDedup(Tables.embeddings(s, dir),
+      "vec_id", "embedding", minCosine = 0.8),
+    Some {
+      val cosAb = "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))" +
+        " * sqrt(list_dot_product(b.e, b.e)))"
+      s"""${ivfCellCtes(3)},
+         |cells AS (SELECT list, COUNT(*) AS cn FROM af GROUP BY list),
+         |ok AS (SELECT list FROM cells WHERE cn <= 10000),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM af a JOIN af b ON a.list = b.list AND a.vec_id < b.vec_id
+         |  JOIN ok ON ok.list = a.list
+         |  WHERE $cosAb >= 0.8),
+         |dup AS (SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM pairs GROUP BY id_b)
+         |SELECT af.vec_id, CAST(af.list AS BIGINT) AS cell,
+         |       CAST(dup.dup_of AS BIGINT) AS dup_of,
+         |       dup.dup_of IS NULL AS keep,
+         |       af.list NOT IN (SELECT list FROM ok) AS cell_capped
+         |FROM af LEFT JOIN dup USING (vec_id)""".stripMargin
+    })
+
+  /** Tokenizer fertility card (TextAnalysis.bpeFertility): BPE tokens
+    * per whitespace word, per source, under the 6-merge table d29
+    * learns from this corpus — the open-vocabulary complement to d40's
+    * closed-vocab OOV rate. The oracle relearns the merges (shared
+    * bpeTrainCtes prefix), re-applies them over distinct terms, and
+    * re-aggregates — the tokenizer-compatibility loop round-tripped
+    * through a second engine. */
+  val d49BpeFertility = NamedQuery(
+    "d49_bpe_fertility",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      TextAnalysis.bpeFertility(docs, "text", "source",
+          TextAnalysis.bpeTrain(docs, "text", merges = 6))
+        .withColumnRenamed("stratum", "source")
+    },
+    Some(bpeFertilityOracleSql(6)))
+
+  private def bpeFertilityOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeTrainCtes(k)
+    sb ++= """,
+             |terms AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+             |          FROM documents WHERE text IS NOT NULL),
+             |f0 AS MATERIALIZED (
+             |  SELECT term,
+             |         ' ' || array_to_string(list_transform(generate_series(1, length(term)),
+             |                                               i -> term[i:i]), '  ') || ' ' AS syms
+             |  FROM terms WHERE length(term) >= 1)""".stripMargin
+    for (r <- 1 to k) {
+      sb ++= s""",
+               |f$r AS MATERIALIZED (
+               |  SELECT term, replace(syms,
+               |                 ' ' || (SELECT l FROM p$r) || '  ' || (SELECT r FROM p$r) || ' ',
+               |                 ' ' || (SELECT l FROM p$r) || (SELECT r FROM p$r) || ' ') AS syms
+               |  FROM f${r - 1})""".stripMargin
+    }
+    sb ++= s"""
+              |,pieces AS (SELECT term,
+              |              CAST(len(string_split(trim(syms), '  ')) AS BIGINT) AS np
+              |            FROM f$k),
+              |sc AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+              |       FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+              |             FROM documents WHERE text IS NOT NULL)
+              |       WHERE length(term) >= 1 GROUP BY 1, 2)
+              |SELECT source, CAST(SUM(c) AS BIGINT) AS n_words,
+              |       CAST(SUM(c * np) AS BIGINT) AS n_bpe_tokens,
+              |       CAST(SUM(c * np) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS fertility
+              |FROM sc JOIN pieces USING (term) GROUP BY source""".stripMargin
+    sb.toString
+  }
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -2078,7 +2215,8 @@ object DataOpsQueries {
     d33Curriculum, d34CorpusDiff, d35BudgetAssembly, d36KeepBest,
     d37EmbeddingStats, d38ClusterSizes, d39IncrementalDedup, d40OovRate,
     d41LeakSafeSplit, d43EmbeddingCovariance, d44NeardupAutoSized,
-    d45SpanDupCoverage, d46QualityClassifier,
+    d45SpanDupCoverage, d46QualityClassifier, d47DedupRewrite,
+    d48SemDedup, d49BpeFertility,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -296,6 +296,44 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == ((10L, 2L, 9L)))
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("spanDedupRewrite: the span's min-doc owner keeps its text; others drop covered positions in order") {
+    val shared = "one two three four five six seven eight"
+    val fixture = Seq(
+      (1L, s"$shared tail1 tail2"),       // owner: untouched
+      (2L, s"lead1 lead2 lead3 $shared"), // loses the 8 covered tokens
+      (3L, "unique tokens that never repeat anywhere else ever"),
+      (4L, "short doc"),                  // < spanN: can't host a span
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedupRewrite(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((10L, 10L, md5hex(s"$shared tail1 tail2"))))
+    assert(got(2L) == ((11L, 3L, md5hex("lead1 lead2 lead3"))))
+    assert(got(3L) == ((8L, 8L,
+      md5hex("unique tokens that never repeat anywhere else ever"))))
+    assert(got(4L) == ((2L, 2L, md5hex("short doc"))))
+    assert(!got.contains(5L)) // null text excluded, as documented
+  }
+
+  test("spanDedupRewrite: a fully-duplicated non-owner empties to md5('') and kept tokens splice around gaps") {
+    val t = "a b c d e f g h"
+    val fixture = Seq(
+      (1L, t), (2L, t),                 // doc 2 empties entirely
+      (3L, s"pre $t post")              // interior gap: pre + post splice
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedupRewrite(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((8L, 8L, md5hex(t))))
+    assert(got(2L) == ((8L, 0L, md5hex(""))))
+    assert(got(3L) == ((10L, 2L, md5hex("pre post"))))
+  }
+
   test("resolveMinhashDups keeps one canonical doc per near-dup cluster") {
     val resolved = Dedup.resolveMinhashDups(docs, "doc_id", "text", minEstJaccard = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

@@ -92,6 +92,44 @@ class SimilaritySpec extends SparkSpec {
     assert(run(data) == run(data.repartition(7)))
   }
 
+  test("semDedup: within-cell duplicates point at their smallest kept neighbour; distinct vectors keep") {
+    // two tight direction groups + one singleton; nLists = 2 puts each
+    // group in one cell, so the ε-ball decision is exercised in-cell
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),    // exact dup of 0  → dup_of 0
+      (2L, Array(0.99f, 0.01f, 0.0f)),  // near-dup of 0   → dup_of 0
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f)),    // exact dup of 3  → dup_of 3
+      (5L, Array(0.0f, 0.0f, 1.0f))     // orthogonal to everything
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(data, "vec_id", "embedding",
+        minCosine = 0.9, nLists = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3),
+          r.getBoolean(4)))).toMap
+    assert(got(0L) == ((-1L, true, false)))
+    assert(got(1L) == ((0L, false, false)))
+    assert(got(2L) == ((0L, false, false)))
+    // 3/4/5's fate depends on the cell split of the 2-means, but the
+    // dup laws must hold: 4 dups 3 IF they share a cell (they are
+    // identical vectors, so they always quantize to the same cell)
+    assert(got(4L) == ((3L, false, false)))
+    assert(got(3L)._2 && got(5L)._2, "non-duplicated vectors must keep")
+    assert(got.size == 6)
+  }
+
+  test("semDedup: an over-cap cell is excluded from pair formation and audited, never half-deduped") {
+    val data = (0L to 5L).map(i => (i, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(data, "vec_id", "embedding",
+        minCosine = 0.9, nLists = 2, maxCellSize = 3)
+      .collect().map(r => (r.getLong(0), r.isNullAt(2), r.getBoolean(3), r.getBoolean(4)))
+    // all six identical vectors land in one cell of size 6 > 3: every
+    // row keeps (no silent partial dedup) and carries the audit flag
+    assert(got.forall { case (_, dupNull, keep, capped) => dupNull && keep && capped })
+    assert(got.length == 6)
+  }
+
   // deterministic pseudo-random corpus: 60 distinct 16-dim originals plus
   // 30 planted near-dup clones (one coordinate nudged → cos ≈ 0.95)
   private val plantedDim = 16

@@ -311,6 +311,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gotChars == totalChars, s"char mass $gotChars != $totalChars")
   }
 
+  test("bpeFertility: per-stratum tokens-per-word under a hand-checked merge table") {
+    import spark.implicits._
+    // one merge on this corpus: distinct multi-char terms {aa(×2), ab}
+    // → pair (a,a) count 2 beats (a,b) count 1 → merge a+a
+    val docs = Seq(
+      ("s1", "aa aa ab"), // aa→1 piece, aa→1, ab→2 → 4 tokens / 3 words
+      ("s2", "b"),        // 1-char word encodes to itself → 1 / 1
+      ("s3", null.asInstanceOf[String])
+    ).toDF("source", "text").where(col("text").isNotNull)
+    val merges = TextAnalysis.bpeTrain(docs, "text", merges = 1)
+    assert(merges.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      == Seq(("a", "a")))
+    val got = TextAnalysis.bpeFertility(docs, "text", "source", merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      "s1" -> ((3L, 4L, 4.0 / 3.0)),
+      "s2" -> ((1L, 1L, 1.0))))
+  }
+
   test("bpe merge cap is a two-sided contract: train refuses > 64 rounds, encode refuses an oversized merge table") {
     import spark.implicits._
     val docs = Seq("low lower").toDF("text")
