@@ -647,6 +647,53 @@ object Dedup {
         md5(concat_ws(" ", col("_keep"))).as("clean_md5"))
   }
 
+  /** WITHIN-doc repeated-span removal — [[spanDedupRewrite]]'s
+    * complement along the other axis (that op removes spans duplicated
+    * ACROSS docs; this one removes a doc's own internal repetition —
+    * the Gopher dup-n-gram signal t07 measures, applied as a
+    * transform). For every `spanN`-token span occurring more than once
+    * in a doc, the FIRST occurrence (min start) is kept; positions
+    * covered by later occurrences are dropped and the text is
+    * reconstructed. Returns (doc_id, n_tokens, n_kept, clean_md5).
+    *
+    * Scale shape: every stage is keyed by the doc (span hashing is
+    * narrow; the first-occurrence aggregate and the dropped-position
+    * fold both group on doc-prefixed keys, so partial aggregation
+    * absorbs them map-side and a single doc never concentrates more
+    * state than its own length). No corpus-wide frequency table at all
+    * — unlike the cross-doc rewrite this op needs no global pass, so it
+    * composes with d47 at scan-bandwidth cost. */
+  def selfDupRewrite(df: DataFrame, idCol: String, textCol: String,
+      spanN: Int = 8): DataFrame = {
+    require(spanN >= 2, s"spanN must be >= 2, got $spanN")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+    val spans = toks.where(size(col("_toks")) >= spanN)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("_toks")) - spanN),
+          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(spanN))))))
+          .as(Seq("start", "_h")))
+    val firstStart = spans.groupBy(col("doc_id"), col("_h"))
+      .agg(min(col("start")).as("_first"), count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .select(col("doc_id"), col("_h"), col("_first"))
+    val dropped = spans.join(firstStart, Seq("doc_id", "_h"))
+      .where(col("start") > col("_first"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (spanN - 1))).as("_pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("_pos"))).as("_drop"))
+    val idx = sequence(lit(0), size(col("_toks")) - 1)
+    val kept = array_except(idx, coalesce(col("_drop"),
+      array().cast("array<int>")))
+    toks.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
+        transform(kept, i => element_at(col("_toks"), i + 1)).as("_keep"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("_keep")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("_keep"))).as("clean_md5"))
+  }
+
   /** End-to-end minhash dedup: signatures → LSH candidates → clusters →
     * canonical keep decision (min doc id per cluster; docs with no
     * near-dup candidate keep themselves).

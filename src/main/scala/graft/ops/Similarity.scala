@@ -600,6 +600,17 @@ object Similarity {
     * dimensions (bounds the d² blow-up; pass the full width for the
     * whole matrix). */
   def covarianceMatrix(embeddings: DataFrame, embCol: String,
+      dims: Int): DataFrame =
+    covarianceCells(embeddings, embCol, dims)
+      .select(col("i"), col("j"), col("n"), col("sprod"),
+        ((col("n").cast("double") * col("sprod").cast("double")
+          - col("_si").cast("double") * col("_sj").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double"))).as("cov"))
+
+  /** The (i, j)-cell aggregate behind [[covarianceMatrix]] and
+    * [[pcaPowerProjection]]: exact long (n, Σqᵢqⱼ, Σqᵢ, Σqⱼ) per cell
+    * from ONE scan and ONE ≤d²-cell exchange. */
+  private def covarianceCells(embeddings: DataFrame, embCol: String,
       dims: Int): DataFrame = {
     require(dims >= 1 && dims <= 4096, s"dims must be in [1,4096], got $dims")
     val qArr = s"transform(CAST(slice($embCol, 1, $dims) AS ARRAY<DOUBLE>), " +
@@ -620,9 +631,64 @@ object Similarity {
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), sum(col("p")).as("sprod"),
         sum(col("x")).as("_si"), sum(col("y")).as("_sj"))
-      .select(col("i"), col("j"), col("n"), col("sprod"),
-        ((col("n").cast("double") * col("sprod").cast("double")
-          - col("_si").cast("double") * col("_sj").cast("double"))
-          / (col("n").cast("double") * col("n").cast("double"))).as("cov"))
+  }
+
+  /** Top principal component by ALL-INTEGER power iteration, applied as
+    * a per-vector projection — the PCA/whitening step SemDeDup-style
+    * pipelines run before clustering, with every arithmetic step exact
+    * so a second engine reproduces it bit for bit:
+    *
+    *   1. covariance cells (one scan, one ≤d² exchange — [[covarianceCells]]);
+    *   2. unnormalized covariance C'ᵢⱼ = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ as exact
+    *      longs (overflow budget: |C'| < 2⁶³ needs n·Σ|qᵢqⱼ| below
+    *      9.2·10¹⁸ — milli-quantized unit-scale embeddings keep that
+    *      safe past 10⁹ rows, the q97 budget rule);
+    *   3. rescale by ceil(max|C'|/1000) (floor division — never a
+    *      float), then `iters` rounds of u = C''v with v re-quantized
+    *      to ≤~1000 by floor division each round: the whole recurrence
+    *      is integer, so there is no normalization sqrt to drift;
+    *   4. project every vector onto the resulting direction:
+    *      pc1_proj = Σ qᵢvᵢ, an exact long.
+    *
+    * The matrix work runs on the DRIVER over the collected d² cells —
+    * bounded by DIMENSION, not data (64-dim → 4 096 rows ≈ the IVF
+    * centroid-literal contract), and the per-row projection is a NARROW
+    * codegen dot against the component literal: zero extra shuffles on
+    * the data side. Covariance is PSD so the dominant eigenvalue is
+    * non-negative and the iteration cannot sign-flip between rounds;
+    * ties/degenerate zero matrices resolve deterministically (divisors
+    * clamp at 1, a zero iterate stays zero). Null embedding elements
+    * follow [[covarianceMatrix]]'s per-cell exclusion contract; a null
+    * element makes that row's projection null. */
+  def pcaPowerProjection(embeddings: DataFrame, idCol: String, embCol: String,
+      dims: Int, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters must be in [1,16], got $iters")
+    val cells = covarianceCells(embeddings, embCol, dims)
+      .select(col("i"), col("j"), col("n"), col("sprod"), col("_si"), col("_sj"))
+      .collect()
+    val cp = Array.ofDim[Long](dims, dims)
+    cells.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      cp(i)(j) = r.getLong(2) * r.getLong(3) - r.getLong(4) * r.getLong(5)
+    }
+    def ceilDiv1000(x: Long): Long = math.max((x + 999L) / 1000L, 1L)
+    val d1 = ceilDiv1000(cp.map(_.map(math.abs).max).max)
+    val cs = cp.map(_.map(Math.floorDiv(_, d1)))
+    var v = Array.fill(dims)(1000L)
+    for (_ <- 0 until iters) {
+      val u = Array.tabulate(dims) { i =>
+        var s = 0L; var j = 0
+        while (j < dims) { s += cs(i)(j) * v(j); j += 1 }
+        s
+      }
+      val d2 = ceilDiv1000(u.map(math.abs).max)
+      v = u.map(Math.floorDiv(_, d2))
+    }
+    embeddings
+      .select(col(idCol).as("vec_id"),
+        quantize(slice(col(embCol), 1, dims)).as("_e"))
+      .select(col("vec_id"),
+        dot(col("_e"), array(v.toSeq.map(x => lit(x.toDouble)): _*))
+          .cast("long").as("pc1_proj"))
   }
 }

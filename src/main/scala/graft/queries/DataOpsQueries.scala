@@ -2121,6 +2121,97 @@ object DataOpsQueries {
            |       COALESCE(agg.clean_md5, md5('')) AS clean_md5
            |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin))
 
+  /** Top-principal-component projection (Similarity.pcaPowerProjection)
+    * — PCA by ALL-INTEGER power iteration over the d43 covariance
+    * cells, then a narrow per-vector projection. The matrix recurrence
+    * (rescale by ceil(max/1000) floor-division, 4 iterations) has no
+    * normalization sqrt, so the oracle replays it exactly: covariance
+    * cells → integer rescale → 4 unrolled matrix-vector CTE rounds →
+    * projection, every value a 64-bit integer in both engines. */
+  val d50PcaPower = NamedQuery(
+    "d50_pca_power",
+    (s, dir) => Similarity.pcaPowerProjection(Tables.embeddings(s, dir),
+      "vec_id", "embedding", dims = 16, iters = 4),
+    Some(pcaPowerOracleSql(16, 4)))
+
+  /** DuckDB replay of the integer power iteration. `//` on DuckDB
+    * truncates toward zero (the q88 finding), so floor division is
+    * spelled out: nonneg operands use `//` directly, negative dividends
+    * go through -((-x + d - 1) // d). */
+  private def pcaPowerOracleSql(dims: Int, iters: Int): String = {
+    def floorDiv(x: String, d: String) =
+      s"CASE WHEN $x >= 0 THEN $x // $d ELSE -((-($x) + $d - 1) // $d) END"
+    val sb = new StringBuilder
+    sb ++= s"""WITH quant AS (
+              |  SELECT vec_id,
+              |         list_transform(CAST(embedding[1:$dims] AS DOUBLE[]),
+              |                        x -> CAST(round(x * 1000) AS BIGINT)) AS q
+              |  FROM embeddings),
+              |cells AS (
+              |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+              |         CAST(SUM(q[i] * q[j]) AS BIGINT) AS sp,
+              |         CAST(SUM(q[i]) AS BIGINT) AS si,
+              |         CAST(SUM(q[j]) AS BIGINT) AS sj
+              |  FROM quant
+              |  CROSS JOIN generate_series(1, $dims) g1(i)
+              |  CROSS JOIN generate_series(1, $dims) g2(j)
+              |  WHERE q[i] IS NOT NULL AND q[j] IS NOT NULL
+              |  GROUP BY i, j),
+              |cp AS (SELECT i, j, n * sp - si * sj AS c FROM cells),
+              |s0 AS (SELECT GREATEST((MAX(ABS(c)) + 999) // 1000, 1) AS d FROM cp),
+              |cs AS (SELECT i, j, ${floorDiv("c", "(SELECT d FROM s0)")} AS cs FROM cp),
+              |v0 AS (SELECT unnest(generate_series(1, $dims)) AS j,
+              |              CAST(1000 AS BIGINT) AS v)""".stripMargin
+    for (r <- 1 to iters) {
+      sb ++= s""",
+               |u$r AS (SELECT s.i AS j, CAST(SUM(s.cs * v.v) AS BIGINT) AS u
+               |        FROM cs s JOIN v${r - 1} v ON v.j = s.j GROUP BY s.i),
+               |s$r AS (SELECT GREATEST((MAX(ABS(u)) + 999) // 1000, 1) AS d FROM u$r),
+               |v$r AS (SELECT j, ${floorDiv("u", s"(SELECT d FROM s$r)")} AS v FROM u$r)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT quant.vec_id,
+              |       CAST(SUM(q[v.j] * v.v) AS BIGINT) AS pc1_proj
+              |FROM quant CROSS JOIN v$iters v GROUP BY quant.vec_id""".stripMargin
+    sb.toString
+  }
+
+  /** Within-doc repeated-span removal (Dedup.selfDupRewrite) — the
+    * Gopher repetition signal (t07) applied as a TRANSFORM: later
+    * occurrences of any 8-token span repeated inside the same doc are
+    * removed, the first stays. No corpus-wide pass at all — every
+    * stage keys on the doc — so this is the scan-bandwidth rewrite
+    * that composes with d47's cross-doc pass. */
+  val d51SelfDupRewrite = NamedQuery(
+    "d51_selfdup_rewrite",
+    (s, dir) => Dedup.selfDupRewrite(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |           FROM documents WHERE text IS NOT NULL),
+           |sp AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS start, toks
+           |       FROM t WHERE len(toks) >= 8),
+           |sh AS (SELECT doc_id, start,
+           |              md5(array_to_string(toks[start + 1 : start + 8], ' ')) AS h
+           |       FROM sp),
+           |fs AS (SELECT doc_id, h, MIN(start) AS fst FROM sh
+           |       GROUP BY doc_id, h HAVING COUNT(*) > 1),
+           |drp AS (SELECT DISTINCT sh.doc_id, sh.start + g.o AS pos
+           |        FROM sh JOIN fs ON fs.doc_id = sh.doc_id AND fs.h = sh.h
+           |        CROSS JOIN generate_series(0, 7) g(o)
+           |        WHERE sh.start > fs.fst),
+           |tp AS (SELECT doc_id, p1 - 1 AS pos, toks[p1] AS tok
+           |       FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p1, toks
+           |             FROM t)),
+           |kp AS (SELECT tp.doc_id, tp.pos, tp.tok
+           |       FROM tp LEFT JOIN drp d ON d.doc_id = tp.doc_id AND d.pos = tp.pos
+           |       WHERE d.doc_id IS NULL),
+           |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |               md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+           |        FROM kp GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           |       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           |       COALESCE(agg.clean_md5, md5('')) AS clean_md5
+           |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin))
+
   /** SemDeDup-style semantic dedup (Similarity.semDedup): d10's
     * portable integer k-means cells + within-cell greedy
     * keep-one-per-ε-ball at cosine ≥ 0.8. The oracle reuses the SAME
@@ -2216,7 +2307,7 @@ object DataOpsQueries {
     d37EmbeddingStats, d38ClusterSizes, d39IncrementalDedup, d40OovRate,
     d41LeakSafeSplit, d43EmbeddingCovariance, d44NeardupAutoSized,
     d45SpanDupCoverage, d46QualityClassifier, d47DedupRewrite,
-    d48SemDedup, d49BpeFertility,
+    d48SemDedup, d49BpeFertility, d50PcaPower, d51SelfDupRewrite,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -334,6 +334,22 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((10L, 2L, md5hex("pre post"))))
   }
 
+  test("selfDupRewrite: later in-doc occurrences drop, the first stays; cross-doc repeats are untouched") {
+    val rep = "x x x x x x x x x x"          // 10 tokens, one repeated 8-span
+    val shared = "one two three four five six seven eight"
+    val fixture = Seq(
+      (1L, rep),                             // spans at 0/1/2 identical → keep pos 0 only
+      (2L, shared),                          // unique within doc
+      (3L, shared)                           // duplicate of doc 2 — but ACROSS docs: kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.selfDupRewrite(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((10L, 1L, md5hex("x"))))
+    assert(got(2L) == ((8L, 8L, md5hex(shared))))
+    assert(got(3L) == ((8L, 8L, md5hex(shared))))
+  }
+
   test("resolveMinhashDups keeps one canonical doc per near-dup cluster") {
     val resolved = Dedup.resolveMinhashDups(docs, "doc_id", "text", minEstJaccard = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

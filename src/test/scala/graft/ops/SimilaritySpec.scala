@@ -130,6 +130,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length == 6)
   }
 
+  test("pcaPowerProjection: recovers the dominant direction on a rank-1 fixture; partition-invariant") {
+    // all mass along (3, 1): projections must be proportional to the
+    // coefficient of each vector on that axis, sign fixed by the
+    // all-positive v0 (PSD covariance cannot flip it)
+    val data = Seq(
+      (1L, Array(3.0f, 1.0f)),
+      (2L, Array(-3.0f, -1.0f)),
+      (3L, Array(6.0f, 2.0f)),
+      (4L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pcaPowerProjection(df, "vec_id", "embedding", dims = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(data)
+    assert(got(1L) > 0, s"sign must follow the all-positive v0: $got")
+    assert(got(2L) == -got(1L) && got(3L) == 2 * got(1L) && got(4L) == 0L, got.toString)
+    // the recurrence is integer end to end → bit-identical under any
+    // input partitioning
+    assert(run(data.repartition(5)) == got)
+  }
+
   // deterministic pseudo-random corpus: 60 distinct 16-dim originals plus
   // 30 planted near-dup clones (one coordinate nudged → cos ≈ 0.95)
   private val plantedDim = 16
