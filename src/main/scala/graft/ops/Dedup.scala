@@ -833,6 +833,79 @@ object Dedup {
       .where(col("n_shared_grams") >= minSharedGrams)
   }
 
+  /** Decontamination APPLIED — [[contaminationScan]]'s removal twin
+    * (the scan reports colliding pairs; a training run needs the
+    * per-train-doc KEEP decision): every train doc sharing
+    * ≥ `minSharedGrams` distinct `shingleN`-grams with ANY eval doc is
+    * flagged, with its eval-hit count and worst collision strength.
+    * Returns one row per train doc: (doc_id, n_eval_hits,
+    * max_shared_grams, keep). Null-text docs carry no grams and always
+    * keep.
+    *
+    * Scale shape is the scan's (two gram projections, per-side df caps
+    * with audits, one hash-join on 16-byte gram hashes) plus one
+    * train-keyed aggregate and one left join back to the train ids —
+    * the per-doc fold is bounded by that doc's eval collisions, which
+    * the `maxGramDf` cap already bounds per gram. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 8,
+      minSharedGrams: Int = 2, maxGramDf: Int = 1000): DataFrame = {
+    val hits = contaminationScan(train, evalSet, idCol, textCol,
+        shingleN, minSharedGrams, maxGramDf)
+      // (train_id, eval_id) is unique from the scan's aggregate
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("n_shared_grams")).as("max_shared_grams"))
+    train.select(col(idCol).as("doc_id"))
+      .join(hits, col("doc_id") === col("train_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        coalesce(col("max_shared_grams"), lit(0L)).as("max_shared_grams"),
+        col("train_id").isNull.as("keep"))
+  }
+
+  /** Source-overlap duplication matrix — the dataset-card governance
+    * view of [[resolveMinhashDups]]'s clusters: for every ordered
+    * source pair (src_a, src_b), how many docs of src_a have a
+    * duplicate (same resolution cluster, different doc) in src_b; the
+    * diagonal counts docs with another copy in their OWN source.
+    * `share` = n_overlap / n_docs_a, one IEEE division of exact longs.
+    *
+    * Scale shape — NO doc-pair formation: clusters reduce to
+    * (cluster, source, count) first, so the cross join inside a cluster
+    * fans out by SOURCE CARDINALITY (≤ a few hundred in any real
+    * corpus), never by cluster size — a million-copy boilerplate
+    * cluster contributes |sources|² rows, not 10¹² pairs. */
+  def sourceOverlapMatrix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val resolved = resolveMinhashDups(docs.where(col(textCol).isNotNull),
+        idCol, textCol, minEstJaccard = 1.0)
+      .select(col("doc_id"), col("cluster_id"))
+    val withSrc = resolved.join(
+      docs.select(col(idCol).as("doc_id"), col(sourceCol).as("_src")), Seq("doc_id"))
+    val perClusterSrc = withSrc.groupBy(col("cluster_id"), col("_src"))
+      .agg(count(lit(1)).as("_n"))
+    val aSide = perClusterSrc.select(col("cluster_id"),
+      col("_src").as("src_a"), col("_n").as("_na"))
+    val bSide = perClusterSrc.select(col("cluster_id"),
+      col("_src").as("src_b"), col("_n").as("_nb"))
+    val overlap = aSide.join(bSide, Seq("cluster_id"))
+      // a doc of src_a has a dup in src_b iff the cluster holds another
+      // doc there: any b-doc when the sources differ, a second a-doc on
+      // the diagonal
+      .where((col("src_a") =!= col("src_b")) or (col("_na") >= 2))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("_na")).as("n_overlap"))
+    val totals = docs.where(col(textCol).isNotNull)
+      .groupBy(col(sourceCol).as("src_a"))
+      .agg(count(lit(1)).as("n_docs_a"))
+    overlap.join(totals, Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_docs_a"),
+        col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_docs_a").cast("double"))
+          .as("share"))
+  }
+
   /** Grams contaminationScan would drop at this cap (per side), with
     * their document frequencies. */
   def contaminationGramOverflow(df: DataFrame, idCol: String, textCol: String,

@@ -548,6 +548,75 @@ object DataOpsQueries {
            |FROM tr JOIN ev USING (gram)
            |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin))
 
+  /** Decontamination APPLIED (Dedup.decontaminate) — d11's removal
+    * twin: the per-train-doc keep decision with eval-hit count and
+    * worst collision strength. Same train/eval split and dials as d11,
+    * so the two queries are the measure/apply pair of one operation. */
+  val d52Decontaminate = NamedQuery(
+    "d52_decontaminate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 8, minSharedGrams = 2)
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |        generate_series(1, len(toks) - 7),
+           |        i -> array_to_string(toks[i : i+7], ' ')))) AS gram
+           |      FROM t WHERE len(toks) >= 8),
+           |tr0 AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 10 <> 0),
+           |ev0 AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 10 = 0),
+           |tr AS (SELECT train_id, gram FROM
+           |        (SELECT train_id, gram, COUNT(*) OVER (PARTITION BY gram) AS dfc FROM tr0)
+           |       WHERE dfc <= 1000),
+           |ev AS (SELECT eval_id, gram FROM
+           |        (SELECT eval_id, gram, COUNT(*) OVER (PARTITION BY gram) AS dfc FROM ev0)
+           |       WHERE dfc <= 1000),
+           |sc AS (SELECT train_id, eval_id, COUNT(*) AS nsg
+           |       FROM tr JOIN ev USING (gram)
+           |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |hits AS (SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           |                CAST(MAX(nsg) AS BIGINT) AS max_shared_grams
+           |         FROM sc GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(h.n_eval_hits, 0) AS n_eval_hits,
+           |       COALESCE(h.max_shared_grams, 0) AS max_shared_grams,
+           |       h.train_id IS NULL AS keep
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+           |LEFT JOIN hits h ON h.train_id = d.doc_id""".stripMargin))
+
+  /** Source-overlap duplication matrix (Dedup.sourceOverlapMatrix) —
+    * the dataset-card governance view of d09's clusters: for each
+    * ordered source pair, how many of src_a's docs have a duplicate in
+    * src_b (diagonal = another copy in the same source). The oracle
+    * reuses d09/d41's cluster CTE; NO doc-pair formation — the
+    * within-cluster cross fans out by source cardinality only. */
+  val d53SourceOverlap = NamedQuery(
+    "d53_source_overlap",
+    (s, dir) => Dedup.sourceOverlapMatrix(Tables.documents(s, dir),
+      "doc_id", "text", "source"),
+    Some(s"""WITH $minhashSigCte,
+            |keyed AS (
+            |  SELECT t.doc_id,
+            |         CASE WHEN s.doc_id IS NOT NULL THEN 'L:' || array_to_string(s.sig, ',')
+            |              ELSE 'S:' || t.text END AS k
+            |  FROM t LEFT JOIN sig s USING (doc_id)),
+            |cl AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY k) AS cluster_id
+            |       FROM keyed),
+            |ws AS (SELECT cl.cluster_id, d.source FROM cl JOIN documents d USING (doc_id)),
+            |cs AS (SELECT cluster_id, source, CAST(COUNT(*) AS BIGINT) AS n
+            |       FROM ws GROUP BY 1, 2),
+            |ov AS (SELECT a.source AS src_a, b.source AS src_b,
+            |              CAST(SUM(a.n) AS BIGINT) AS n_overlap
+            |       FROM cs a JOIN cs b USING (cluster_id)
+            |       WHERE a.source <> b.source OR a.n >= 2
+            |       GROUP BY 1, 2),
+            |tot AS (SELECT source AS src_a, CAST(COUNT(*) AS BIGINT) AS n_docs_a
+            |        FROM documents WHERE text IS NOT NULL GROUP BY 1)
+            |SELECT ov.src_a, ov.src_b, tot.n_docs_a, ov.n_overlap,
+            |       CAST(ov.n_overlap AS DOUBLE) / CAST(tot.n_docs_a AS DOUBLE) AS share
+            |FROM ov JOIN tot USING (src_a)""".stripMargin))
+
   /** Deterministic content-keyed stratified sample: downsample the
     * dominant language (en → 0.3), keep the tail. Hash-exact oracle —
     * the sampling uniform is FP-exact on both engines (see
@@ -2308,6 +2377,7 @@ object DataOpsQueries {
     d41LeakSafeSplit, d43EmbeddingCovariance, d44NeardupAutoSized,
     d45SpanDupCoverage, d46QualityClassifier, d47DedupRewrite,
     d48SemDedup, d49BpeFertility, d50PcaPower, d51SelfDupRewrite,
+    d52Decontaminate, d53SourceOverlap,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -350,6 +350,39 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((8L, 8L, md5hex(shared))))
   }
 
+  test("decontaminate: train docs sharing >= 2 grams with any eval doc are flagged; clean and null-text docs keep") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val train = Seq(
+      (1L, s"$passage lead tail"),                          // 2 shared 8-grams with eval 100
+      (2L, "clean text with no benchmark overlap at all whatsoever"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, passage)).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, evalSet, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((1L, 2L, false))) // one eval doc, two shared grams
+    assert(got(2L) == ((0L, 0L, true)))
+    assert(got(3L) == ((0L, 0L, true))) // no grams -> keeps, still listed
+  }
+
+  test("sourceOverlapMatrix: cluster-level counts, diagonal needs a second same-source copy") {
+    val t1 = "one two three four"
+    val fixture = Seq(
+      (1L, t1, "sA"), (2L, t1, "sB"), (3L, t1, "sA"),   // cluster of 3 across sA/sB
+      (4L, "unique text here now", "sB")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapMatrix(fixture, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // sA: both docs have a dup in sB's copy and in each other
+    assert(got(("sA", "sB")) == ((2L, 2L)))
+    assert(got(("sA", "sA")) == ((2L, 2L)))
+    // sB: doc 2 has dups in sA; doc 4 is a singleton → no sB/sB row
+    assert(got(("sB", "sA")) == ((2L, 1L)))
+    assert(!got.contains(("sB", "sB")))
+  }
+
   test("resolveMinhashDups keeps one canonical doc per near-dup cluster") {
     val resolved = Dedup.resolveMinhashDups(docs, "doc_id", "text", minEstJaccard = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
