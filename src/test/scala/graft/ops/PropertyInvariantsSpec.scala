@@ -222,4 +222,153 @@ class PropertyInvariantsSpec extends SparkSpec {
       assert(got == expect, s"seed=$seed got=$got expect=$expect")
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("spanDedupRewrite equals the brute-force owner-policy reference on random corpora") {
+    // spanN = 2 over a 6-letter alphabet: cross-doc 2-gram repeats are
+    // frequent, so the policy (drop positions covered by a dup span
+    // whose min-doc owner is smaller) is exercised heavily
+    for (seed <- 71L to 76L) {
+      val texts = sample(corpus, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val docs = texts.toDF("doc_id", "text")
+      val spanN = 2
+      val spans = for {
+        (id, t) <- texts; toks = t.split(" ") if toks.length >= spanN
+        s <- 0 to toks.length - spanN
+      } yield (id, s, toks.slice(s, s + spanN).mkString(" "))
+      val owners = spans.groupBy(_._3).collect {
+        case (g, occ) if occ.map(_._1).distinct.size >= 2 => g -> occ.map(_._1).min
+      }
+      val expect = texts.map { case (id, t) =>
+        val toks = t.split(" ")
+        val drop = spans.flatMap { case (i, s, g) =>
+          if (i == id && owners.get(g).exists(_ < id)) s until s + spanN else Nil
+        }.toSet
+        val kept = toks.zipWithIndex.collect { case (tk, ix) if !drop(ix) => tk }
+        id -> ((toks.length.toLong, kept.length.toLong, md5hex(kept.mkString(" "))))
+      }.toMap
+      val got = Dedup.spanDedupRewrite(docs, "doc_id", "text", spanN = spanN)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("selfDupRewrite equals the brute-force first-occurrence reference on random corpora") {
+    for (seed <- 81L to 86L) {
+      val texts = sample(corpus, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val docs = texts.toDF("doc_id", "text")
+      val spanN = 2
+      val expect = texts.map { case (id, t) =>
+        val toks = t.split(" ")
+        val spans = (0 to toks.length - spanN)
+          .map(s => s -> toks.slice(s, s + spanN).mkString(" "))
+        val first = spans.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+        val repeated = spans.groupBy(_._2).collect {
+          case (g, occ) if occ.size > 1 => g
+        }.toSet
+        val drop = spans.flatMap { case (s, g) =>
+          if (repeated(g) && s > first(g)) s until s + spanN else Nil
+        }.toSet
+        val kept = toks.zipWithIndex.collect { case (tk, ix) if !drop(ix) => tk }
+        id -> ((toks.length.toLong, kept.length.toLong, md5hex(kept.mkString(" "))))
+      }.toMap
+      val got = Dedup.selfDupRewrite(docs, "doc_id", "text", spanN = spanN)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("semDedup keep/dup_of laws hold against the brute-force in-cell reference") {
+    // random 4-dim vectors with planted exact duplicates; the reference
+    // recomputes quantized cosines with the identical double ops, so
+    // the >= tau comparison cannot diverge
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-100, 100))
+      .map(_.map(_ / 100.0f).toArray)
+    val corpusGen = Gen.chooseNum(8, 20).flatMap(n => Gen.listOfN(n, vecGen))
+    for (seed <- 91L to 94L) {
+      val base = sample(corpusGen, seed)
+        .filter(_.exists(_ != 0.0f)) // zero vectors have no cosine
+      val planted = base ++ base.take(3) // exact dups -> cos 1.0
+      val data = planted.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val tau = 0.9
+      val rows = Similarity.semDedup(data, "vec_id", "embedding",
+          minCosine = tau, nLists = 2, maxCellSize = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+      val q = planted.map(_.map(x => math.round(x * 1000.0).toDouble))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        def dot(x: Array[Double], y: Array[Double]) =
+          x.zip(y).map { case (p, r) => p * r }.sum
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      }
+      val cellOf = rows.map(r => r._1 -> r._2).toMap
+      rows.foreach { case (id, cell, dupOf, keep) =>
+        val smaller = rows.map(_._1).filter(o => o < id && cellOf(o) == cell &&
+          cos(q(o.toInt), q(id.toInt)) >= tau)
+        val expectDup = if (smaller.isEmpty) None else Some(smaller.min)
+        assert(dupOf == expectDup, s"seed=$seed id=$id")
+        assert(keep == expectDup.isEmpty, s"seed=$seed id=$id")
+      }
+    }
+  }
+
+  test("decontaminate keep decision equals the brute-force shared-gram reference") {
+    for (seed <- 101L to 105L) {
+      val texts = sample(corpus, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (ev, tr) = texts.partition(_._1 % 3 == 0)
+      val trainDf = tr.toDF("doc_id", "text")
+      val evalDf = ev.toDF("doc_id", "text")
+      def grams(t: String) = {
+        val toks = t.split(" ")
+        if (toks.length < 2) Set.empty[String]
+        else (0 to toks.length - 2).map(s => toks.slice(s, s + 2).mkString(" ")).toSet
+      }
+      val evalGrams = ev.map { case (id, t) => id -> grams(t) }
+      val expect = tr.map { case (id, t) =>
+        val g = grams(t)
+        val hits = evalGrams.map { case (eid, eg) => eid -> (g & eg).size }
+          .filter(_._2 >= 2)
+        id -> ((hits.size.toLong,
+          (if (hits.isEmpty) 0L else hits.map(_._2).max.toLong), hits.isEmpty))
+      }.toMap
+      val got = Dedup.decontaminate(trainDf, evalDf, "doc_id", "text",
+          shingleN = 2, minSharedGrams = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("bpeFertility conservation: source totals sum to the corpus, pieces mass equals the encoder's") {
+    // multi-char words so merges actually fire (1-char terms are
+    // excluded from BPE training by construction)
+    val bpeWord = Gen.oneOf("aa", "ab", "ba", "abc", "ccc", "b", "cab")
+    val bpeDoc = Gen.chooseNum(1, 9)
+      .flatMap(n => Gen.listOfN(n, bpeWord).map(_.mkString(" ")))
+    val srcDoc = for { s <- Gen.oneOf("s1", "s2", "s3"); d <- bpeDoc } yield (s, d)
+    val srcCorpus = Gen.chooseNum(8, 20).flatMap(n => Gen.listOfN(n, srcDoc))
+    for (seed <- 111L to 113L) {
+      val texts = sample(srcCorpus, seed)
+      val docs = texts.toDF("source", "text")
+      val merges = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+      val fert = TextAnalysis.bpeFertility(docs, "text", "source", merges)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val totalWords = texts.map(_._2.split(" ").length.toLong).sum
+      assert(fert.map(_._2).sum == totalWords, s"seed=$seed")
+      // every word encodes to >= 1 piece and <= its length
+      fert.foreach { case (s, w, bpe, f) =>
+        assert(bpe >= w && f >= 1.0, s"seed=$seed source=$s")
+      }
+      // cross-op conservation: Σ cnt·pieces == the encoder's total token mass
+      val encMass = TextAnalysis.bpeEncode(docs, "text", merges)
+        .agg(sum(col("n_occ"))).collect()(0).getLong(0)
+      assert(fert.map(_._3).sum == encMass, s"seed=$seed")
+    }
+  }
 }
