@@ -461,4 +461,39 @@ class PlanPropertiesSpec extends SparkSpec {
     // live inside one stage over one table read
     assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
   }
+
+  test("d50 (PCA projection): the data-side plan is scan + project — zero shuffles, zero joins") {
+    // the covariance collect and the matrix recurrence happen at BUILD
+    // time (driver-bounded by dimension); the returned frame must be a
+    // pure narrow projection against the component literal
+    val plan = executedPlan("d50_pca_power")
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("d48 (semDedup): every consumer reads the one eager checkpoint — zero parquet re-scans") {
+    // without the localCheckpoint the four consumers of the cell
+    // assignment re-derived it from parquet independently (6 scans,
+    // plan-audited in round 10)
+    val plan = executedPlan("d48_semdedup")
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+  }
+
+  test("d47/d51 (span rewrites): exactly three table reads — the two-pass frequency minimum plus the base") {
+    // a regression to the left-join-chain shape re-derives the span
+    // projection per branch (d45's 4-pass draft, BASELINE.md)
+    for (name <- Seq("d47_dedup_rewrite", "d51_selfdup_rewrite")) {
+      val plan = executedPlan(name)
+      assert("Scan parquet".r.findAllIn(plan).length == 3, s"$name:\n$plan")
+    }
+  }
+
+  test("d49 (fertility): per-term pieces join back as a broadcast; two corpus reads") {
+    val plan = executedPlan("d49_bpe_fertility")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 2, plan)
+  }
 }
