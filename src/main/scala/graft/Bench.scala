@@ -78,48 +78,44 @@ object Bench {
     // overall total plus the headline (most expensive / flagship) queries —
     // guaranteed to fit in the tail window, while the full per-query map goes
     // to bench_result.json for anyone who wants it.
-    val headline = Seq(
-      "q01_gold_agg", "q38_tpch3", "q39_tpch5", "q15_window_topk",
-      "q29_sessionize", "d03_minhash_pairs", "d07_ann_lsh",
-      "d08_embedding_neardup", "d09_dedup_resolve", "d10_ann_ivf",
-      "d11_contamination", "d15_jaccard_verify", "d13_sequence_pack",
-      "t06_top_terms", "m02_media_decode", "d22_domain_kl",
-      "q60_recursive_cte", "d29_bpe_train", "d30_bpe_encode",
-      "d36_keep_best", "g01_triangle_census", "g02_pagerank",
-      "g04_components", "g05_components_contract",
-      "q99_hdr_quantiles", "q100_hdr_by_group", "d42_weighted_quantile",
-      "d44_neardup_autosized", "d45_span_dup_coverage")
+    // Headline = the 25 most expensive queries of THIS run ∪ the
+    // flagship — derived, not hand-maintained (the round-10 hand list
+    // had gone stale: it omitted d47/d53, two of the ten most expensive,
+    // while carrying a 0.13 s multimodal row).
+    val headline = (results.sortBy(-_._2).take(25).map(_._1) :+ "q01_gold_agg").toSet
     val headlineQs = results.filter { case (k, _) => headline.contains(k) }
     // Per-query drift check vs the previous round's full map
     // (BENCH_full_prev.json, refreshed at each round close): flag any
-    // query at >= 1.5x its previous time AND above a 0.3 s floor (below
-    // that, scheduling jitter dominates and a "regression" is noise).
+    // query at >= 1.5x its previous time AND above a 0.3 s floor.
     // This is what catches a d11-style anomaly per-query — the total
-    // only catches regressions big enough to move a 160-query sum.
+    // only catches regressions big enough to move a 170-query sum.
+    // Parse + flag live in BenchDrift (spec-proven to fire on a
+    // pretty-printed baseline — the round-10 inline regex never matched
+    // one and silently disarmed the gate for a whole round).
     val prevPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_full_prev.json"))
+    val baselineDead =
+      java.nio.file.Files.exists(prevPath) && {
+        val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+        BenchDrift.parseBaseline(txt).isEmpty
+      }
+    if (baselineDead)
+      System.err.println(s"[bench] ERROR: drift baseline $prevPath exists but parsed to ZERO " +
+        "query entries — the drift gate is DEAD this run; fix the baseline or the parser. " +
+        "drift_flagged is reported as -1, never 0, so this cannot read as a pass.")
     val drift: Seq[(String, Double, Double)] =
-      if (!java.nio.file.Files.exists(prevPath)) Nil
+      if (!java.nio.file.Files.exists(prevPath) || baselineDead) Nil
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
-        val kv = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
-        val meta = Set("value", "n_queries", "n", "rc", "cpus", "sf", "drift_flagged")
-        val prev = kv.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filterNot { case (k, _) => meta(k) }.toMap
-        results.flatMap { case (k, v) =>
-          prev.get(k) match {
-            case Some(p) if p > 0 && v >= 1.5 * p && v >= 0.3 => Some((k, p, v))
-            case _ => None
-          }
-        }
+        BenchDrift.flag(results, BenchDrift.parseBaseline(txt))
       }
     drift.foreach { case (k, p, v) => System.err.println(
       f"[bench] DRIFT $k: $p%.3f -> $v%.3f s (${v / p}%.2fx prev)") }
     val driftJson = drift
       .map { case (k, p, v) => "\"" + k + "\":{\"prev\":" + num(p) + ",\"cur\":" + num(v) + "}" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(headlineQs)},"n_queries":${results.size},"drift_flagged":${drift.size},"sf":"$sfDir"}"""
+    val driftFlagged = if (baselineDead) -1 else drift.size
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(headlineQs)},"n_queries":${results.size},"drift_flagged":$driftFlagged,"sf":"$sfDir"}"""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"drift":$driftJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       (fullLine + "\n").getBytes("UTF-8"))

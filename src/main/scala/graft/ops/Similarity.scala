@@ -393,9 +393,12 @@ object Similarity {
       .select(col("_m"), col("_e")).collect()
       .sortBy(_.getString(0))
       .map(_.getSeq[Double](1).toArray)
-    require(train.length >= nLists,
-      s"need at least nLists=$nLists training vectors, got ${train.length}")
-    var centroids: Array[Array[Double]] = train.take(nLists).map(_.clone())
+    require(train.nonEmpty, "need at least one training vector")
+    // fewer training vectors than lists → fewer lists, exactly like the
+    // oracle's `rn <= nl` filter over a shorter tr (a throw here would
+    // diverge from the oracle on a tiny corpus)
+    val effLists = math.min(nLists, train.length)
+    var centroids: Array[Array[Double]] = train.take(effLists).map(_.clone())
     def sqDist(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var j = 0
       while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }
@@ -404,12 +407,12 @@ object Similarity {
     for (_ <- 0 until iters) {
       // argmin cell per training vector; ties break on the cell id
       // because the scan takes the FIRST strictly-smaller distance
-      val sums = Array.fill(nLists)(new Array[Double](
+      val sums = Array.fill(effLists)(new Array[Double](
         if (train.isEmpty) 0 else train(0).length))
-      val counts = new Array[Long](nLists)
+      val counts = new Array[Long](effLists)
       train.foreach { v =>
         var best = 0; var bestD = sqDist(v, centroids(0)); var i = 1
-        while (i < nLists) {
+        while (i < effLists) {
           val d = sqDist(v, centroids(i))
           if (d < bestD) { best = i; bestD = d }
           i += 1
@@ -480,12 +483,28 @@ object Similarity {
     * k-means cells, then inside each cell mark every vector that has a
     * smaller-id neighbour with cosine ≥ `minCosine` as a semantic
     * duplicate of its SMALLEST such neighbour. Returns one row per
-    * vector: (vec_id, cell, dup_of nullable, keep) — the greedy
-    * keep-one-per-ε-ball decision a curation pipeline applies before
-    * training (near-dup text never shares tokens with a paraphrase;
-    * embedding-cosine d08 catches lexical overlap — THIS op catches
-    * meaning-level duplication across the whole corpus through the
-    * cluster structure, at cells² ≪ n² cost).
+    * vector: (vec_id, cell, dup_of nullable, keep).
+    *
+    * POLICY — non-transitive min-id, NOT a greedy keep-set: a vector
+    * drops when ANY smaller-id in-cell neighbour is within the cosine
+    * ball, whether or not that neighbour itself survives. In a chain
+    * a~b, b~c with cos(a,c) < `minCosine`, c is dropped although no
+    * KEPT vector is within its ball, and c's `dup_of` (= b) is itself
+    * a dropped row — follow `dup_of` transitively to reach the kept
+    * representative. This is the single-pass decision the SemDeDup
+    * recipe applies (one scan over pairs, no iteration); a greedy
+    * keep-set would need a sequential pass per cell. The oracle and
+    * the property tests encode exactly this policy. Zero-norm
+    * QUANTIZED vectors (every |element| < 0.0005 rounds to 0) are
+    * excluded from pair formation on both sides — their cosine is
+    * 0/0 — so they always KEEP with null dup_of, identically in both
+    * engines, rather than riding engine-specific NaN/NULL division.
+    *
+    * A curation pipeline applies this before training (near-dup text
+    * never shares tokens with a paraphrase; embedding-cosine d08
+    * catches lexical overlap — THIS op catches meaning-level
+    * duplication across the whole corpus through the cluster
+    * structure, at cells² ≪ n² cost).
     *
     * Scale shape: the cluster assignment is the IVF narrow projection
     * (zero data-side shuffles against driver-literal centroids); pair
@@ -524,8 +543,12 @@ object Similarity {
     val b = inPlay.where(col("_ok"))
       .select(col("cell"), col("vec_id").as("_idb"), col("_e").as("_eb"),
         col("_n").as("_nb"))
+    // the zero-norm guard runs BEFORE the cosine: 0/0 is NaN in Spark
+    // but NULL-or-inf depending on DuckDB's ieee setting — pin the
+    // semantics (always keep) instead of riding engine defaults
     val dupOf = a.join(b, Seq("cell"))
       .where(col("_ida") < col("_idb") &&
+        col("_na") > 0 && col("_nb") > 0 &&
         dot(col("_ea"), col("_eb")) / (col("_na") * col("_nb")) >= minCosine)
       .groupBy(col("_idb"))
       .agg(min(col("_ida")).as("dup_of"))
@@ -534,6 +557,41 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("dup_of"), col("dup_of").isNull.as("keep"),
         not(col("_ok")).as("cell_capped"))
+  }
+
+  /** [[semDedup]] with `nLists` derived from the corpus cardinality —
+    * the 100 TB form, and the d44 lesson applied to the OTHER fixed
+    * dial: at nLists = 8 a 500 k-vector corpus puts ~62 k vectors in
+    * every cell, every cell trips `maxCellSize`, and the dedup decision
+    * disengages entirely (ALL rows keep, `cell_capped = true` — audited
+    * but useless). Sizing nLists = ceil(n / targetCellSize) holds
+    * expected cell size constant, so pair volume stays ≈ n ·
+    * targetCellSize — linear in n — and cells stay under the cap at any
+    * corpus size. The one driver action is an exact count() (the d10
+    * trainCap class of bounded probe); pass `nRows` to skip it when the
+    * caller already knows the cardinality. */
+  def semDedupAutoSized(embeddings: DataFrame, idCol: String, embCol: String,
+      minCosine: Double, targetCellSize: Int = 2000, iters: Int = 3,
+      trainCap: Int = 10000, maxCellSize: Int = 10000,
+      nRows: Option[Long] = None): DataFrame = {
+    require(targetCellSize >= 1, s"targetCellSize must be >= 1, got $targetCellSize")
+    val n = nRows.getOrElse(embeddings.count())
+    semDedup(embeddings, idCol, embCol, minCosine,
+      autoLists(n, targetCellSize), iters, trainCap, maxCellSize)
+  }
+
+  /** ceil(n / targetCellSize) clamped to [8, 1024] — 8 keeps tiny
+    * corpora from degenerating to one cell, 1024 bounds the driver-side
+    * k-means (trainCap × nLists × iters × dim multiply-adds; at the
+    * clamp ≈ 2·10⁹, a few seconds once per job) and the centroid
+    * literal the distance projection carries. Pure integer ceil-divide
+    * so a DuckDB oracle reproduces the count bit-for-bit (the d44
+    * autoPlanes rule: never floating log/division for a dial both
+    * engines must agree on). Past the clamp, grow `targetCellSize`
+    * instead — cell size, not cell count, is the pair-volume dial. */
+  def autoLists(n: Long, targetCellSize: Int): Int = {
+    val raw = (n + targetCellSize - 1) / targetCellSize
+    math.max(8L, math.min(1024L, raw)).toInt
   }
 
   /** LSH-bucketed ANN: shuffle both sides once on the (table, bucket)
@@ -658,8 +716,11 @@ object Similarity {
     * non-negative and the iteration cannot sign-flip between rounds;
     * ties/degenerate zero matrices resolve deterministically (divisors
     * clamp at 1, a zero iterate stays zero). Null embedding elements
-    * follow [[covarianceMatrix]]'s per-cell exclusion contract; a null
-    * element makes that row's projection null. */
+    * follow [[covarianceMatrix]]'s per-cell exclusion contract in the
+    * covariance pass; in the projection pass a null element contributes
+    * 0 (the graft_dot skip-null contract, matched by the oracle's SUM
+    * which also skips nulls) — the row's projection is the PARTIAL sum
+    * over its non-null elements, never null. */
   def pcaPowerProjection(embeddings: DataFrame, idCol: String, embCol: String,
       dims: Int, iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters must be in [1,16], got $iters")

@@ -544,11 +544,18 @@ object TextAnalysis {
     * (the q97 rule).
     *
     * Scale shape: the merge chain applies over DISTINCT terms only
-    * (vocab-bounded, the d29/d30 contract) and per-term piece counts
-    * join back as a BROADCAST (the d19/d40 pattern); the corpus-side
-    * work is one explode + one (stratum, term) hash-agg whose partial
-    * aggregation absorbs the explode map-side. Two corpus passes — the
-    * global-frequency-then-join-back minimum. */
+    * (the d29/d30 contract) and per-term piece counts join back on the
+    * term key; the corpus-side work is one explode + one
+    * (stratum, term) hash-agg whose partial aggregation absorbs the
+    * explode map-side. Two corpus passes — the
+    * global-frequency-then-join-back minimum. Unlike d19/d40's CLOSED
+    * vocab tables, `termPieces` is the corpus's full DISTINCT
+    * whitespace-term vocabulary — OPEN, 10⁸+ terms on a web corpus —
+    * so the join is deliberately NOT hint-forced to broadcast: the
+    * planner broadcasts it when its measured size is under the
+    * threshold and falls back to a term-keyed shuffle when it isn't
+    * (both sides are already aggregated, so the shuffle carries the
+    * vocab + the (stratum, term) counts, never raw text). */
   def bpeFertility(docs: org.apache.spark.sql.DataFrame, textCol: String,
       stratumCol: String,
       merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -565,7 +572,7 @@ object TextAnalysis {
       .where(length(col("term")) >= 1)
       .groupBy(col("stratum"), col("term"))
       .agg(count(lit(1)).as("_cnt"))
-    perTerm.join(broadcast(termPieces), Seq("term"))
+    perTerm.join(termPieces, Seq("term"))
       .groupBy(col("stratum"))
       .agg(sum(col("_cnt")).as("n_words"),
         sum(col("_cnt") * col("_pieces")).as("n_bpe_tokens"))

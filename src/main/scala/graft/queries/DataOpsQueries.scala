@@ -411,8 +411,14 @@ object DataOpsQueries {
        |    (SELECT list, list(cv ORDER BY d) AS c FROM m$i GROUP BY list) mm
        |    USING (list))""".stripMargin
 
-  /** WITH-prefix ending at `af` = every vector's final cell. */
-  private def ivfCellCtes(iters: Int): String = {
+  /** WITH-prefix ending at `af` = every vector's final cell. `nlExpr`
+    * is the list count as a SQL expression — "8" for the fixed-dial
+    * d10, a params scalar subquery for the auto-sized d48 (the clamp
+    * arithmetic must live in SQL so the oracle re-derives the dial from
+    * the same corpus the engine counted — the d44 rule). `extraCtes`
+    * is spliced between `tr` and `c0` for that params block. */
+  private def ivfCellCtes(iters: Int, nlExpr: String = "8",
+      extraCtes: String = ""): String = {
     val iterations = (1 to iters)
       .map(i => ivfAssign(s"a$i", "tr", s"c${i - 1}") + ",\n" + ivfUpdate(i))
       .mkString(",\n")
@@ -421,9 +427,10 @@ object DataOpsQueries {
        |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS e
        |  FROM embeddings),
        |tr AS (SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS m
-       |       FROM quant ORDER BY m LIMIT 10000),
-       |c0 AS (SELECT (row_number() OVER (ORDER BY m)) - 1 AS list, e AS c
-       |       FROM (SELECT * FROM tr ORDER BY m LIMIT 8)),
+       |       FROM quant ORDER BY m LIMIT 10000),$extraCtes
+       |c0 AS (SELECT rn - 1 AS list, e AS c FROM (
+       |         SELECT e, row_number() OVER (ORDER BY m) AS rn FROM tr)
+       |       WHERE rn <= $nlExpr),
        |$iterations,
        |${ivfAssign("af", "quant", s"c$iters")}""".stripMargin
   }
@@ -2281,29 +2288,40 @@ object DataOpsQueries {
            |       COALESCE(agg.clean_md5, md5('')) AS clean_md5
            |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin))
 
-  /** SemDeDup-style semantic dedup (Similarity.semDedup): d10's
-    * portable integer k-means cells + within-cell greedy
-    * keep-one-per-ε-ball at cosine ≥ 0.8. The oracle reuses the SAME
-    * unrolled k-means CTEs as d10 (ivfCellCtes — two queries, one
-    * clustering replay), then derives the identical pair set and
-    * min-smaller-neighbour decision; the 10 000 cell cap is encoded in
-    * the oracle (the d24/d44 rule: caps live in BOTH engines or the
-    * gate can't see them). */
+  /** SemDeDup-style semantic dedup (Similarity.semDedupAutoSized):
+    * d10's portable integer k-means cells + within-cell non-transitive
+    * min-id drop at cosine ≥ 0.8, with the cell COUNT derived from the
+    * corpus cardinality — nLists = clamp(ceil(n / 2000), 8, 1024) — so
+    * the dedup decision stays ENGAGED at every scale (at the round-10
+    * fixed dial of 8, the 100× corpus put every cell over the 10 000
+    * cap and all rows kept: audited, but a no-op — the d44 lesson).
+    * The oracle reuses the SAME unrolled k-means CTEs as d10
+    * (ivfCellCtes — two queries, one clustering replay) with the clamp
+    * re-derived in integer SQL (params CTE), the identical pair set,
+    * the min-smaller-neighbour decision, the 10 000 cell cap, AND the
+    * zero-norm exclusion (a vector quantizing to all-zero never forms
+    * pairs — 0/0 cosine is engine-defined, so both engines exclude it
+    * up front). Caps and dials live in BOTH engines or the gate can't
+    * see them (the d24/d44 rule). */
   val d48SemDedup = NamedQuery(
     "d48_semdedup",
-    (s, dir) => Similarity.semDedup(Tables.embeddings(s, dir),
+    (s, dir) => Similarity.semDedupAutoSized(Tables.embeddings(s, dir),
       "vec_id", "embedding", minCosine = 0.8),
     Some {
       val cosAb = "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))" +
         " * sqrt(list_dot_product(b.e, b.e)))"
-      s"""${ivfCellCtes(3)},
+      val params = """
+        |params AS (SELECT GREATEST(8, LEAST(1024, (COUNT(*) + 1999) // 2000)) AS nl
+        |           FROM embeddings),""".stripMargin
+      s"""${ivfCellCtes(3, "(SELECT nl FROM params)", params)},
          |cells AS (SELECT list, COUNT(*) AS cn FROM af GROUP BY list),
          |ok AS (SELECT list FROM cells WHERE cn <= 10000),
          |pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM af a JOIN af b ON a.list = b.list AND a.vec_id < b.vec_id
          |  JOIN ok ON ok.list = a.list
-         |  WHERE $cosAb >= 0.8),
+         |  WHERE list_dot_product(a.e, a.e) > 0 AND list_dot_product(b.e, b.e) > 0
+         |    AND $cosAb >= 0.8),
          |dup AS (SELECT id_b AS vec_id, MIN(id_a) AS dup_of FROM pairs GROUP BY id_b)
          |SELECT af.vec_id, CAST(af.list AS BIGINT) AS cell,
          |       CAST(dup.dup_of AS BIGINT) AS dup_of,

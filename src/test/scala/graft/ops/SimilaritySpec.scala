@@ -92,7 +92,7 @@ class SimilaritySpec extends SparkSpec {
     assert(run(data) == run(data.repartition(7)))
   }
 
-  test("semDedup: within-cell duplicates point at their smallest kept neighbour; distinct vectors keep") {
+  test("semDedup: within-cell duplicates point at their smallest in-cell neighbour; distinct vectors keep") {
     // two tight direction groups + one singleton; nLists = 2 puts each
     // group in one cell, so the ε-ball decision is exercised in-cell
     val data = Seq(
@@ -117,6 +117,66 @@ class SimilaritySpec extends SparkSpec {
     assert(got(4L) == ((3L, false, false)))
     assert(got(3L)._2 && got(5L)._2, "non-duplicated vectors must keep")
     assert(got.size == 6)
+  }
+
+  test("semDedup: the min-id policy is NON-transitive — a chain's tail drops via an itself-dropped dup_of") {
+    // a~b and b~c within the ball, a~c outside it: c drops because b
+    // (a smaller id, itself dropped) is within c's ball — dup_of points
+    // at a DROPPED row by design; the kept representative is reached by
+    // following dup_of transitively. cos(a,b)=cos(b,c)≈0.9848,
+    // cos(a,c)≈0.9397 < 0.95.
+    import math.{cos => mcos, sin => msin}
+    def unit(deg: Double) = Array(
+      (1000 * mcos(deg.toRadians)).toFloat / 1000f,
+      (1000 * msin(deg.toRadians)).toFloat / 1000f)
+    val data = Seq(
+      (0L, unit(0)), (1L, unit(10)), (2L, unit(20))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(data, "vec_id", "embedding",
+        minCosine = 0.95, nLists = 1) // one cell: the policy, not the clustering
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(0L) == ((-1L, true)))
+    assert(got(1L) == ((0L, false)))
+    // the policy under test: 2 drops pointing at 1, which is itself dropped
+    assert(got(2L) == ((1L, false)))
+  }
+
+  test("semDedup: a zero-quantizing vector never forms pairs — always keeps, on both sides") {
+    // 0.0002 rounds to 0 at milli quantization → zero norm; without the
+    // guard its cosine vs anything is 0/0. It must keep, and it must
+    // not drag its identical zero-quantizing twin into a pair either.
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),         // real dup of 0
+      (2L, Array(0.0002f, 0.0002f)),   // quantizes to (0, 0)
+      (3L, Array(0.0002f, 0.0002f))    // identical zero-quantizer
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(data, "vec_id", "embedding",
+        minCosine = 0.9, nLists = 8)
+      .collect().map(r => r.getLong(0) -> ((r.isNullAt(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((false, false)), "real dups still dedup")
+    assert(got(2L) == ((true, true)) && got(3L) == ((true, true)),
+      "zero-norm quantized vectors keep unconditionally")
+  }
+
+  test("autoLists: integer ceil-divide with the [8, 1024] clamp") {
+    assert(Similarity.autoLists(0L, 2000) == 8)
+    assert(Similarity.autoLists(500L, 2000) == 8)       // sf0.01 gate shape
+    assert(Similarity.autoLists(16000L, 2000) == 8)     // boundary: exactly 8
+    assert(Similarity.autoLists(16001L, 2000) == 9)     // ceil engages
+    assert(Similarity.autoLists(500000L, 2000) == 250)  // the 100x corpus re-dials
+    assert(Similarity.autoLists(10000000L, 2000) == 1024) // clamp
+  }
+
+  test("semDedupAutoSized: derives the dial from the corpus and still dedups") {
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semDedupAutoSized(data, "vec_id", "embedding",
+        minCosine = 0.9) // n = 3 → nLists = 8 via the clamp
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> true))
   }
 
   test("semDedup: an over-cap cell is excluded from pair formation and audited, never half-deduped") {

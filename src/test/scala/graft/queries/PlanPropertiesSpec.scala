@@ -490,10 +490,16 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
-  test("d49 (fertility): per-term pieces join back as a broadcast; two corpus reads") {
+  test("d49 (fertility): pieces join back broadcast BY SIZE, not by hint; two corpus reads") {
+    // termPieces is the OPEN distinct-term vocabulary (10^8+ terms on a
+    // web corpus) — round 10 hint-forced the broadcast, which would
+    // bypass the threshold and OOM at that scale. The hint is gone; at
+    // THIS corpus size the planner must still choose broadcast on its
+    // own size estimate (the small-side fast path survives), and the
+    // fallback for an over-threshold vocab is a term-keyed shuffle of
+    // two already-aggregated sides.
     val plan = executedPlan("d49_bpe_fertility")
     assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
     assert("Scan parquet".r.findAllIn(plan).length == 2, plan)
   }
 }
