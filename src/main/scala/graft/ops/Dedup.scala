@@ -405,6 +405,63 @@ object Dedup {
     * memory. */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 20, strict: Boolean = true): DataFrame = {
+    val (labels, converged) = propagateMinLabels(pairs, aCol, bCol, maxIter)
+    if (!converged && strict) {
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds — a component has " +
+          s"diameter > $maxIter; raise maxIter, pass strict = false, or use " +
+          "dupClustersAuto (budgeted propagation with contraction fallover)")
+    }
+    labels
+  }
+
+  /** ONE front door over the two component algorithms: min-label
+    * propagation ([[dupClusters]] — O(diameter) rounds, each round ONE
+    * edge join, the cheapest path for the shallow components near-dup
+    * graphs actually have) with a round BUDGET, falling over to
+    * large-star/small-star contraction ([[dupClustersContract]] —
+    * O(log diameter) rounds of heavier alternating steps) when the
+    * budget exhausts. The caller no longer chooses an algorithm by
+    * guessing the graph's diameter:
+    *
+    *   - diameter ≤ `propagationBudget` (near-dup clusters, baskets):
+    *     propagation converges and its labels return as-is — the
+    *     fallover costs nothing;
+    *   - deeper graphs (chained boilerplate, long co-purchase paths):
+    *     the budgeted rounds are abandoned and contraction restarts
+    *     from the ORIGINAL edge list (its rounds don't compose with
+    *     half-propagated labels; the wasted work is ≤ budget cheap
+    *     rounds, bounded by construction, and logged to stderr so a
+    *     pipeline that ALWAYS falls over gets tuned to call
+    *     contraction directly).
+    *
+    * Both fixpoints are "label = min reachable id" (DedupSpec asserts
+    * equivalence), so the dispatch never changes the answer — only the
+    * round count. Default budget 5: ≥ 2 hops beyond the diameter-≤-2
+    * typical near-dup component (propagation seeds one hop ahead), yet
+    * small enough that the deep-graph detour stays negligible next to
+    * contraction's own O(log d) rounds. */
+  def dupClustersAuto(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", propagationBudget: Int = 5,
+      maxIter: Int = 30, strict: Boolean = true): DataFrame = {
+    require(propagationBudget >= 1,
+      s"propagationBudget must be >= 1, got $propagationBudget")
+    val (labels, converged) = propagateMinLabels(pairs, aCol, bCol, propagationBudget)
+    if (converged) labels
+    else {
+      System.err.println(s"[graft] dupClustersAuto: propagation budget " +
+        s"($propagationBudget rounds) exhausted — falling over to " +
+        "large-star/small-star contraction; call dupClustersContract directly " +
+        "if this graph is always deep")
+      dupClustersContract(pairs, aCol, bCol, maxIter, strict)
+    }
+  }
+
+  /** The [[dupClusters]] propagation loop, returning (labels,
+    * converged) so [[dupClustersAuto]] can dispatch on budget
+    * exhaustion instead of throwing. */
+  private def propagateMinLabels(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int): (DataFrame, Boolean) = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -436,12 +493,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    if (!converged && strict) {
-      throw new IllegalStateException(
-        s"dupClusters did not converge in $maxIter rounds — a component has " +
-          s"diameter > $maxIter; raise maxIter or pass strict = false")
-    }
-    labels
+    (labels, converged)
   }
 
   /** [[dupClusters]] by alternating large-star/small-star contraction

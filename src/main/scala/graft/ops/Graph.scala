@@ -194,4 +194,20 @@ object Graph {
       strict: Boolean = true): DataFrame =
     Dedup.dupClustersContract(edges, "u", "v", maxIter, strict)
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+
+  /** THE front door ([[Dedup.dupClustersAuto]]): budgeted min-label
+    * propagation, contraction fallover on budget exhaustion — callers
+    * stop choosing an algorithm by guessing the diameter. Decision
+    * table, for callers who do want to pin one:
+    *
+    *   | graph shape                      | direct call                     |
+    *   |----------------------------------|---------------------------------|
+    *   | near-dup clusters (diameter ≤ 2) | [[connectedComponents]]         |
+    *   | unknown / mixed                  | THIS                            |
+    *   | known deep (chains, long paths)  | [[connectedComponentsContract]] |
+    */
+  def connectedComponentsAuto(edges: DataFrame, propagationBudget: Int = 5,
+      maxIter: Int = 30, strict: Boolean = true): DataFrame =
+    Dedup.dupClustersAuto(edges, "u", "v", propagationBudget, maxIter, strict)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
 }

@@ -179,7 +179,32 @@ object GraphQueries {
             |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS component
             |FROM l$ccRounds""".stripMargin))
 
+  /** The components FRONT DOOR (Graph.connectedComponentsAuto):
+    * budgeted propagation with contraction fallover — the API a user
+    * who can't predict the graph's diameter actually calls, registered
+    * so the dispatch path itself carries a correctness row. On this
+    * co-purchase graph the budget suffices and propagation's labels
+    * return; the fallover leg is certified by g05's oracle row plus
+    * the deep-chain dispatch spec (GraphSpec) — both fixpoints are
+    * "label = min reachable node", so the same unrolled min-label
+    * oracle certifies whichever leg ran. */
+  val g06ComponentsAuto = NamedQuery(
+    "g06_components_auto",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.connectedComponentsAuto(e)
+        .select(col("node").cast("long").as("node"),
+          col("component").cast("long").as("component"))
+    },
+    Some(s"""WITH $edgeCte,
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
+            |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM deg),
+            |$ccUnrolled
+            |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS component
+            |FROM l$ccRounds""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
-    g04ConnectedComponents, g05ComponentsContract)
+    g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto)
 }
