@@ -94,6 +94,28 @@ object ExtendedQueries {
            |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
            |GROUP BY s_name""".stripMargin))
 
+  /** q33's AUTO-dialed twin (SkewJoin.saltedInnerAuto): the salt factor
+    * comes from skewReport's suggested_salt for the heaviest key
+    * instead of a fixed 4 — on uniform data it probes to 1 (the plain
+    * join, no explode), on the 40%-head skew corpus it probes to the
+    * factor that levels the hub onto mean-sized reducers. Same oracle
+    * as q33: salting must never change the result, only the partition
+    * profile. */
+  val q102SaltedAuto = NamedQuery(
+    "q102_salted_auto",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      SkewJoin.saltedInnerAuto(li, sup, key = "l_suppkey",
+          saltSource = Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"), Exact.centsSum(col("l_quantity")).as("qty_cents"))
+    },
+    Some("""SELECT s_name, COUNT(*) AS n,
+           |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |GROUP BY s_name""".stripMargin))
+
   /** Array explode / unnest: token frequencies over documents (the
     * generic flatten primitive every text pipeline leans on). */
   val q34Explode = NamedQuery(
@@ -1395,7 +1417,7 @@ object ExtendedQueries {
   val all: Seq[NamedQuery] = Seq(
     q70SkewReport, q71JoinSizeEst, q72HeavyByGroup, q75PromoRatio,
     q76Histogram, q77Division,
-    q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q34Explode,
+    q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q102SaltedAuto, q34Explode,
     q35UnionAll, q36ScalarSubq, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,

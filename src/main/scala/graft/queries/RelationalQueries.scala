@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Exact, Tables}
-import graft.ops.{AsOfJoin, EventAnalytics}
+import graft.ops.{AsOfJoin, EventAnalytics, Ranking}
 
 /** The general relational surface (SURVEY.md §2.7): joins (broadcast /
   * shuffled / semi / anti / outer / as-of), window functions, sort+limit
@@ -123,6 +123,28 @@ object RelationalQueries {
       Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"),
           sum(Exact.cents(col("o_totalprice"))).over(w).as("run_cents"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+           |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+           |FROM orders""".stripMargin))
+
+  /** q16's SKEW-RESILIENT twin (Ranking.segmentedRunningSum): the same
+    * per-customer running total computed as a two-level prefix sum —
+    * within-day running sums on (custkey, day) partitions plus an
+    * exclusive per-day offset ladder — so a Zipf-head customer's slice
+    * never lands in one sorted task (q16's plain window funnels 1.69×
+    * on the 10× skew corpus and grows linearly from there). Registered
+    * against q16's UNSEGMENTED oracle: the gate certifies the two
+    * plans compute the identical result. */
+  val q101RunningSegmented = NamedQuery(
+    "q101_running_segmented",
+    (s, dir) => {
+      Ranking.segmentedRunningSum(Tables.orders(s, dir),
+          "o_custkey", "o_orderdate", Seq(col("o_orderkey")),
+          Exact.cents(col("o_totalprice")), "run_cents")
+        .select(col("o_custkey"), col("o_orderkey"), col("run_cents"))
     },
     Some("""SELECT o_custkey, o_orderkey,
            |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -572,7 +594,7 @@ object RelationalQueries {
 
   val all: Seq[NamedQuery] = Seq(
     q10JoinDims, q11JoinFact, q12SemiJoin, q13AntiJoin, q14OuterJoin,
-    q15WindowTopk, q16WindowRunning, q17Top100, q18Rollup, q19Cube,
+    q15WindowTopk, q16WindowRunning, q101RunningSegmented, q17Top100, q18Rollup, q19Cube,
     q20GroupingSets, q21SetOps, q22Distinct, q23StringFuncs, q24DateFuncs,
     q25CaseMath, q26CorrelatedSubq, q27AsofJoin, q28Tumbling, q29Sessionize,
     q40WindowNav, q41ArrayAgg, q42MultiDistinct, q43NullGroup, q46RangeFrame,

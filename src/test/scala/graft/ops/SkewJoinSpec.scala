@@ -66,4 +66,30 @@ class SkewJoinSpec extends SparkSpec {
     // warm2 exactly fills one mean reducer -> salt 1 (no widening needed)
     assert(got("warm2") == ((100L, 3L, 100000L, 1L)))
   }
+
+  test("saltedInnerAuto: probes the factor from the data, equals the plain join in both regimes") {
+    import spark.implicits._
+    val small = Seq(("hot", "H"), ("cold1", "C1"), ("cold2", "C2"))
+      .toDF("k", "name")
+    def plainSorted(big: org.apache.spark.sql.DataFrame) =
+      big.join(small, Seq("k")).groupBy(col("name"))
+        .agg(count(lit(1)).as("n")).orderBy("name")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def autoSorted(big: org.apache.spark.sql.DataFrame, maxFactor: Int = 64) =
+      SkewJoin.saltedInnerAuto(big, small, "k", Seq("id"), maxFactor)
+        .groupBy(col("name")).agg(count(lit(1)).as("n")).orderBy("name")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // skewed: 800 hot + 200 cold rows — the probe must widen and the
+    // result must still equal the plain join
+    val skewed = ((1 to 800).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => ("cold1", i.toLong)) ++
+      (1 to 100).map(i => ("cold2", i.toLong))).toDF("k", "id")
+    assert(autoSorted(skewed) == plainSorted(skewed))
+    // uniform: every key at mean size probes to factor 1 — no explode
+    val uniform = (1 to 300).map(i =>
+      (Seq("hot", "cold1", "cold2")(i % 3), i.toLong)).toDF("k", "id")
+    assert(autoSorted(uniform) == plainSorted(uniform))
+    // the clamp bounds the small-side amplification
+    assert(autoSorted(skewed, maxFactor = 2) == plainSorted(skewed))
+  }
 }
