@@ -509,9 +509,10 @@ object Similarity {
     * Scale shape: the cluster assignment is the IVF narrow projection
     * (zero data-side shuffles against driver-literal centroids); pair
     * formation is confined WITHIN cells — one self-join on the cell key
-    * — so candidate volume is Σ|cell|², controlled by nLists (size
-    * nLists ∝ n/targetCellSize, exactly the d44 auto-width argument —
-    * at fixed nLists a growing corpus crosses a quadratic regime).
+    * — so candidate volume is Σ|cell|², controlled by nLists (at a
+    * fixed nLists a growing corpus crosses a quadratic regime — use
+    * [[semDedupAutoSized]], which sizes nLists = ceil(√n), the
+    * assignment/pair cost balance point; see [[autoLists]]).
     * `maxCellSize` excludes degenerate cells from pair formation
     * entirely (their members all KEEP, audited via the `cell_capped`
     * column, never silently half-deduped) — the same cap+audit contract
@@ -564,33 +565,47 @@ object Similarity {
     * dial: at nLists = 8 a 500 k-vector corpus puts ~62 k vectors in
     * every cell, every cell trips `maxCellSize`, and the dedup decision
     * disengages entirely (ALL rows keep, `cell_capped = true` — audited
-    * but useless). Sizing nLists = ceil(n / targetCellSize) holds
-    * expected cell size constant, so pair volume stays ≈ n ·
-    * targetCellSize — linear in n — and cells stay under the cap at any
-    * corpus size. The one driver action is an exact count() (the d10
+    * but useless). The one driver action is an exact count() (the d10
     * trainCap class of bounded probe); pass `nRows` to skip it when the
     * caller already knows the cardinality. */
   def semDedupAutoSized(embeddings: DataFrame, idCol: String, embCol: String,
-      minCosine: Double, targetCellSize: Int = 2000, iters: Int = 3,
+      minCosine: Double, iters: Int = 3,
       trainCap: Int = 10000, maxCellSize: Int = 10000,
       nRows: Option[Long] = None): DataFrame = {
-    require(targetCellSize >= 1, s"targetCellSize must be >= 1, got $targetCellSize")
     val n = nRows.getOrElse(embeddings.count())
     semDedup(embeddings, idCol, embCol, minCosine,
-      autoLists(n, targetCellSize), iters, trainCap, maxCellSize)
+      autoLists(n), iters, trainCap, maxCellSize)
   }
 
-  /** ceil(n / targetCellSize) clamped to [8, 1024] — 8 keeps tiny
-    * corpora from degenerating to one cell, 1024 bounds the driver-side
-    * k-means (trainCap × nLists × iters × dim multiply-adds; at the
-    * clamp ≈ 2·10⁹, a few seconds once per job) and the centroid
-    * literal the distance projection carries. Pure integer ceil-divide
-    * so a DuckDB oracle reproduces the count bit-for-bit (the d44
-    * autoPlanes rule: never floating log/division for a dial both
-    * engines must agree on). Past the clamp, grow `targetCellSize`
-    * instead — cell size, not cell count, is the pair-volume dial. */
-  def autoLists(n: Long, targetCellSize: Int): Int = {
-    val raw = (n + targetCellSize - 1) / targetCellSize
+  /** ceil(√n) clamped to [8, 1024] — the cost-BALANCED cell count, not
+    * an arbitrary target size. The op has two data-side stages whose
+    * costs pull in opposite directions: cluster assignment is
+    * n · L · d (every row scores every centroid) and within-cell pair
+    * formation is n · (n/L) · d (every row meets its cellmates), so a
+    * fixed cell SIZE leaves assignment quadratic in n and a fixed cell
+    * COUNT leaves pairs quadratic; L* = √n equalizes them and the total
+    * is 2 · n^1.5 · d — the floor for this exhaustive-within-cell
+    * family (measured at the 100× corpus: 143 s at the n/2000 sizing →
+    * balanced sizing cuts pair volume 4.4×). The 8 floor keeps tiny
+    * corpora from degenerating to one cell; the 1024 clamp bounds the
+    * driver-side k-means and the centroid literal the distance
+    * projection carries (past it, cells grow beyond √n and the
+    * maxCellSize audit takes over — at d=64 that is a ≥1M-vector
+    * corpus per... 1024² = 1M: shard the corpus or raise the clamp
+    * deliberately).
+    *
+    * Portability: IEEE-754 requires sqrt to be CORRECTLY ROUNDED (a
+    * hardware instruction on every platform — unlike log/exp, which
+    * are only faithfully rounded and genuinely diverge across libm
+    * implementations, the reason d44's autoPlanes uses integer bit
+    * length). n ≤ 2^53 is exact as a double, so
+    * `CEIL(SQRT(CAST(n AS DOUBLE)))` in DuckDB and
+    * `math.ceil(math.sqrt(n.toDouble))` here are bit-identical for any
+    * real corpus size, and the oracle re-derives the dial from the
+    * same COUNT(*). */
+  def autoLists(n: Long): Int = {
+    require(n >= 0 && n <= (1L << 53), s"n out of exact-double range: $n")
+    val raw = math.ceil(math.sqrt(n.toDouble)).toLong
     math.max(8L, math.min(1024L, raw)).toInt
   }
 

@@ -2291,7 +2291,8 @@ object DataOpsQueries {
   /** SemDeDup-style semantic dedup (Similarity.semDedupAutoSized):
     * d10's portable integer k-means cells + within-cell non-transitive
     * min-id drop at cosine ≥ 0.8, with the cell COUNT derived from the
-    * corpus cardinality — nLists = clamp(ceil(n / 2000), 8, 1024) — so
+    * corpus cardinality — nLists = clamp(ceil(√n), 8, 1024), the
+    * assignment/pair cost-balanced sizing (Similarity.autoLists) — so
     * the dedup decision stays ENGAGED at every scale (at the round-10
     * fixed dial of 8, the 100× corpus put every cell over the 10 000
     * cap and all rows kept: audited, but a no-op — the d44 lesson).
@@ -2311,7 +2312,8 @@ object DataOpsQueries {
       val cosAb = "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))" +
         " * sqrt(list_dot_product(b.e, b.e)))"
       val params = """
-        |params AS (SELECT GREATEST(8, LEAST(1024, (COUNT(*) + 1999) // 2000)) AS nl
+        |params AS (SELECT GREATEST(8, LEAST(1024,
+        |             CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS nl
         |           FROM embeddings),""".stripMargin
       s"""${ivfCellCtes(3, "(SELECT nl FROM params)", params)},
          |cells AS (SELECT list, COUNT(*) AS cn FROM af GROUP BY list),

@@ -160,13 +160,15 @@ class SimilaritySpec extends SparkSpec {
       "zero-norm quantized vectors keep unconditionally")
   }
 
-  test("autoLists: integer ceil-divide with the [8, 1024] clamp") {
-    assert(Similarity.autoLists(0L, 2000) == 8)
-    assert(Similarity.autoLists(500L, 2000) == 8)       // sf0.01 gate shape
-    assert(Similarity.autoLists(16000L, 2000) == 8)     // boundary: exactly 8
-    assert(Similarity.autoLists(16001L, 2000) == 9)     // ceil engages
-    assert(Similarity.autoLists(500000L, 2000) == 250)  // the 100x corpus re-dials
-    assert(Similarity.autoLists(10000000L, 2000) == 1024) // clamp
+  test("autoLists: ceil(sqrt(n)) with the [8, 1024] clamp — the assignment/pair balance point") {
+    assert(Similarity.autoLists(0L) == 8)
+    assert(Similarity.autoLists(64L) == 8)        // exactly the floor
+    assert(Similarity.autoLists(500L) == 23)      // sf0.01 gate: ceil(22.36)
+    assert(Similarity.autoLists(2000L) == 45)     // sf0.1: ceil(44.72)
+    assert(Similarity.autoLists(20000L) == 142)   // 10x gate: ceil(141.42)
+    assert(Similarity.autoLists(160000L) == 400)  // perfect square: exact
+    assert(Similarity.autoLists(200000L) == 448)  // the 100x corpus
+    assert(Similarity.autoLists(10000000L) == 1024) // clamp
   }
 
   test("semDedupAutoSized: derives the dial from the corpus and still dedups") {
