@@ -1414,7 +1414,93 @@ object ExtendedQueries {
            |HAVING COUNT(DISTINCT year(CAST(o_orderdate AS DATE))) =
            |       (SELECT COUNT(DISTINCT year(CAST(o_orderdate AS DATE))) FROM orders)""".stripMargin))
 
+  /** Per-(corpus, format) scratch dir for the connector round-trip
+    * queries — under java.io.tmpdir, keyed by an md5 of the corpus path
+    * so concurrent suites over different corpora never collide, and
+    * overwritten on every invocation so a stale write can never satisfy
+    * the read. On a cluster this would be a shared-FS/object-store
+    * staging path; the connector semantics under test are identical. */
+  private def rtDir(dir: String, fmt: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${fmt}_$key"
+  }
+
+  /** CSV sink + source round-trip, oracle-gated for FIDELITY, not just
+    * rows: the corpus text contains no delimiter characters, so the
+    * query derives a `tricky` column embedding a comma and a double
+    * quote (the two characters the writer must quote/escape) and
+    * injects nulls into an int column (written as the empty field,
+    * which the typed reader must map back to null, not 0). The DuckDB
+    * oracle recomputes the same aggregate straight from parquet — any
+    * quoting, escaping, null-vs-empty, or double-text-precision loss in
+    * the round trip hash-mismatches. Embedded NEWLINES are deliberately
+    * excluded: parsing them needs multiLine=true, which makes each file
+    * a single split — the non-splittable scan is the wrong default for
+    * a 100 TB corpus, so the registered query pins the splittable form
+    * (documented trade-off, not an oversight). */
+  val q103CsvRoundtrip = NamedQuery(
+    "q103_csv_roundtrip",
+    (s, dir) => {
+      val path = rtDir(dir, "csv")
+      Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_mktsegment"),
+          concat(col("c_name"), lit(",\""), col("c_mktsegment")).as("tricky"),
+          when(col("c_custkey") % 97 === 0, lit(null).cast("int"))
+            .otherwise(col("c_nationkey")).as("nat_or_null"),
+          col("c_acctbal"))
+        .write.mode("overwrite").option("header", true).csv(path)
+      s.read
+        .schema("c_custkey LONG, c_mktsegment STRING, tricky STRING, nat_or_null INT, c_acctbal DOUBLE")
+        .option("header", true).csv(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.centsSum(col("c_acctbal")).as("acctbal_cents"),
+          sum(length(col("tricky"))).as("tricky_chars"),
+          sum(when(col("nat_or_null").isNull, 1L).otherwise(0L)).as("n_null_nation"),
+          sum(col("nat_or_null")).as("nat_sum"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n,
+           |       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+           |       CAST(SUM(length(c_name || ',"' || c_mktsegment)) AS BIGINT) AS tricky_chars,
+           |       CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_nation,
+           |       CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_nationkey END) AS BIGINT) AS nat_sum
+           |FROM customer GROUP BY c_mktsegment""".stripMargin))
+
+  /** ORC sink + source round-trip over every orders type (BIGINT,
+    * VARCHAR, DOUBLE, TIMESTAMP), oracle-gated the same way as q103 —
+    * the timestamp min/max is the sharp edge (ORC timestamps are
+    * writer-timezone-sensitive; the session pins UTC, and a shift would
+    * move first/last_date and mismatch the oracle). ORC scans are
+    * splittable with predicate pushdown, so the connector is
+    * cluster-clean by construction. */
+  val q104OrcRoundtrip = NamedQuery(
+    "q104_orc_roundtrip",
+    (s, dir) => {
+      val path = rtDir(dir, "orc")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.centsSum(col("o_totalprice")).as("price_cents"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"),
+          sum(col("o_orderkey")).as("key_sum"))
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+           |       MIN(o_orderdate) AS first_date,
+           |       MAX(o_orderdate) AS last_date,
+           |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+           |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
+    q103CsvRoundtrip, q104OrcRoundtrip,
     q70SkewReport, q71JoinSizeEst, q72HeavyByGroup, q75PromoRatio,
     q76Histogram, q77Division,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q102SaltedAuto, q34Explode,

@@ -14,6 +14,40 @@ class ExtendedQueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("q103/q104: connector round-trips are lossless vs the direct parquet plan") {
+    // same aggregate, no round trip — if the CSV writer/reader mangles
+    // quoting, null-vs-empty, or double text precision (q103), or the
+    // ORC path shifts a timestamp (q104), the frames differ
+    import graft.Exact
+    val csvDirect = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        concat(col("c_name"), lit(",\""), col("c_mktsegment")).as("tricky"),
+        when(col("c_custkey") % 97 === 0, lit(null).cast("int"))
+          .otherwise(col("c_nationkey")).as("nat_or_null"),
+        col("c_acctbal"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        Exact.centsSum(col("c_acctbal")).as("acctbal_cents"),
+        sum(length(col("tricky"))).as("tricky_chars"),
+        sum(when(col("nat_or_null").isNull, 1L).otherwise(0L)).as("n_null_nation"),
+        sum(col("nat_or_null")).as("nat_sum"))
+    val csvRt = ExtendedQueries.q103CsvRoundtrip.run(spark, dir)
+    assert(csvRt.exceptAll(csvDirect).isEmpty && csvDirect.exceptAll(csvRt).isEmpty)
+    // the null injection must actually fire, or the null-fidelity leg
+    // of the check is vacuous
+    assert(csvRt.agg(sum(col("n_null_nation"))).head.getLong(0) > 0)
+
+    val orcDirect = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Exact.centsSum(col("o_totalprice")).as("price_cents"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"),
+        sum(col("o_orderkey")).as("key_sum"))
+    val orcRt = ExtendedQueries.q104OrcRoundtrip.run(spark, dir)
+    assert(orcRt.exceptAll(orcDirect).isEmpty && orcDirect.exceptAll(orcRt).isEmpty)
+  }
+
   test("q44: from_json typed parse agrees with get_json_object extraction") {
     val typed = ExtendedQueries.q44JsonFuncs.run(spark, dir)
     val strings = Tables.events(spark, dir)
