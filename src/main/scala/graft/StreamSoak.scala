@@ -65,10 +65,18 @@ object StreamSoak {
       val q = mkQuery(mem).start()
       val t0 = System.nanoTime()
       val ladder = (0 until days).map { d =>
-        // one event per key per day, ts inside day d (epoch days) —
-        // plus one max-ts row that drags the watermark to day d's end
-        // so day d-1-horizon seals during batch d
-        val dayMs = d.toLong * 86400000L
+        // one event per key per day, ts inside epoch day d+1 — plus one
+        // max-ts row that drags the watermark to the day's end so the
+        // day horizon+1 back seals during this batch. Days are 1-ORIGIN
+        // deliberately: an event at exactly epoch 0 TIES the engine's
+        // initial watermark and the stateful late-row filter drops
+        // eventTime <= watermark — at 200 k keys the generator's
+        // (k % 86400) offset puts g86400/g172800's only day-0 event at
+        // ts 0, silently shaving 2 states off the day-0 ladder (found
+        // by this soak's own eviction assertion). Real pipelines never
+        // carry epoch-0 event times; the shift keeps the expectation
+        // exact instead of special-casing the degenerate boundary.
+        val dayMs = (d + 1).toLong * 86400000L
         val batch = (0 until keys).map { k =>
           StreamOps.TimedValue(s"g$k",
             new java.sql.Timestamp(dayMs + (k % 86400) * 1000L),
@@ -114,7 +122,9 @@ object StreamSoak {
         .outputMode("append").start()
       val t0 = System.nanoTime()
       val ladder = (0 until days).map { d =>
-        val dayMs = d.toLong * 86400000L
+        // 1-origin days for the same epoch-0-ties-the-watermark reason
+        // as the zscore generator above
+        val dayMs = (d + 1).toLong * 86400000L
         val batch = (0 until keys).map { k =>
           StreamOps.TimedItem(s"g$k",
             new java.sql.Timestamp(dayMs + (k % 86400) * 1000L), s"item${k % 31}")
