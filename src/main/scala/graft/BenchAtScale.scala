@@ -58,9 +58,15 @@ object BenchAtScale {
     // table's own presence gates too
     val liPath = java.nio.file.Paths.get(s"$outDir/lineitem.parquet")
     val evPath = java.nio.file.Paths.get(s"$outDir/events.parquet")
+    // supplier/customer joined in round 11 (q102's salted join and
+    // q103's CSV round trip reference them) — same presence gating
+    val supPath = java.nio.file.Paths.get(s"$outDir/supplier.parquet")
+    val custPath = java.nio.file.Paths.get(s"$outDir/customer.parquet")
     if (!java.nio.file.Files.exists(donePath) ||
         !java.nio.file.Files.exists(liPath) ||
-        !java.nio.file.Files.exists(evPath)) {
+        !java.nio.file.Files.exists(evPath) ||
+        !java.nio.file.Files.exists(supPath) ||
+        !java.nio.file.Files.exists(custPath)) {
       System.err.println(s"[scale] building ${copies}x corpus at $outDir from $srcDir")
       scaleDocuments(Tables.documents(spark, srcDir), copies)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -76,6 +82,16 @@ object BenchAtScale {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       scaleEvents(Tables.table(spark, srcDir, "events"), copies)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      // supplier stays UNSCALED: scaleLineitem leaves l_suppkey in the
+      // original range (suppliers are a shared dimension — each copy's
+      // lineitems fan onto the same suppliers, the real-TPC-H shape for
+      // a dim that grows sublinearly), so the matching supplier table is
+      // the original. customer scales K× (a per-SF fact in TPC-H; q103
+      // measures connector throughput over it and joins nothing).
+      Tables.supplier(spark, srcDir)
+        .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+      scaleCustomer(Tables.customer(spark, srcDir), copies)
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
       java.nio.file.Files.write(donePath, s"copies=$copies\n".getBytes("UTF-8"))
     }
 
@@ -153,6 +169,14 @@ object BenchAtScale {
     (0 until copies).map { i =>
       events.withColumn("event_id", col("event_id") + lit(i * maxEv))
         .withColumn("user_id", col("user_id") + lit(i * maxUser))
+    }.reduce(_ unionByName _)
+  }
+
+  /** K copies with shifted customer keys; balances/segments untouched. */
+  def scaleCustomer(cust: DataFrame, copies: Int): DataFrame = {
+    val maxId = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0) + 1
+    (0 until copies).map { i =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(i * maxId))
     }.reduce(_ unionByName _)
   }
 

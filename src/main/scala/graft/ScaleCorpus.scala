@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Full-consistency scaled corpus for the ORACLE GATE at sf1-equivalent
   * scale (sf0.1 × 10 ≈ TPC-H sf1: ~6M lineitem rows).
   *
-  * `BenchAtScale` scales five tables independently — enough for timing
+  * `BenchAtScale` scales seven tables independently — enough for timing
   * single-table plans, but its per-table max-id shift bases break
   * cross-table joins (max(l_orderkey) need not equal max(o_orderkey),
   * so copy i of lineitem lands on different keys than copy i of
