@@ -94,21 +94,19 @@ object Bench {
     // one and silently disarmed the gate for a whole round).
     val prevPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_full_prev.json"))
-    val baselineDead =
-      java.nio.file.Files.exists(prevPath) && {
-        val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
-        BenchDrift.parseBaseline(txt).isEmpty
-      }
+    // read + parse ONCE: the dead-check and the flag computation must
+    // judge the same bytes
+    val baseline: Option[Map[String, Double]] =
+      if (!java.nio.file.Files.exists(prevPath)) None
+      else Some(BenchDrift.parseBaseline(
+        new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")))
+    val baselineDead = baseline.exists(_.isEmpty)
     if (baselineDead)
       System.err.println(s"[bench] ERROR: drift baseline $prevPath exists but parsed to ZERO " +
         "query entries — the drift gate is DEAD this run; fix the baseline or the parser. " +
         "drift_flagged is reported as -1, never 0, so this cannot read as a pass.")
     val drift: Seq[(String, Double, Double)] =
-      if (!java.nio.file.Files.exists(prevPath) || baselineDead) Nil
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
-        BenchDrift.flag(results, BenchDrift.parseBaseline(txt))
-      }
+      baseline.filter(_.nonEmpty).map(BenchDrift.flag(results, _)).getOrElse(Nil)
     drift.foreach { case (k, p, v) => System.err.println(
       f"[bench] DRIFT $k: $p%.3f -> $v%.3f s (${v / p}%.2fx prev)") }
     val driftJson = drift

@@ -30,10 +30,16 @@ object Probe {
     df.select(xxhash64(struct(df.columns.map(col): _*)).as("_h"))
       .agg(expr("bit_xor(_h)")).collect()
     val sec = (System.nanoTime() - t0) / 1e9
-    val rows = fn(spark, dir).count()
+    // ONE more execution, materialized: the count and every summary
+    // column read the checkpointed result instead of re-running the
+    // whole pipeline (2 + |summaryCols| times — for the heavy scale
+    // probes this tool exists for, each rerun is minutes, and for the
+    // connector round-trips each rerun rewrites the sink)
+    val out = fn(spark, dir).localCheckpoint(true)
+    val rows = out.count()
     println(f"[probe] $name on $dir: ${sec}%.2f s, $rows rows")
     summaryCols.foreach { c =>
-      val top = fn(spark, dir).groupBy(col(c)).agg(count(lit(1)).as("n"))
+      val top = out.groupBy(col(c)).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc).limit(10).collect()
         .map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", ")
       println(s"[probe]   $c: $top")

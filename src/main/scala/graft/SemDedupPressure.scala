@@ -77,10 +77,13 @@ object SemDedupPressure {
       ("originals_all_keep", originalsDropped == 0L),
       ("no_capped_cells", capped == 0L))
     val failed = checks.filterNot(_._2).map(_._1)
+    // Locale.ROOT: the f interpolator is locale-sensitive — a comma
+    // decimal separator would break the parseable line (the Bench rule)
+    val secStr = String.format(java.util.Locale.ROOT, "%.1f", Double.box(sec))
     println(s"""{"metric":"semdedup_planted","dir":"$dir","n":$n,""" +
       s""""planted":$nPlanted,"dropped":$plantedDropped,""" +
       s""""dup_of_exact":$plantedExact,"originals_dropped":$originalsDropped,""" +
-      s""""capped":$capped,"sec":${f"$sec%.1f"},""" +
+      s""""capped":$capped,"sec":$secStr,""" +
       s""""ok":${failed.isEmpty}${
         if (failed.isEmpty) "" else s""","failed":"${failed.mkString(",")}""""}}""")
     spark.stop()

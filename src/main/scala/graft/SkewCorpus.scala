@@ -76,7 +76,9 @@ object SkewCorpus {
     require(head.length == 3 && head.sum <= 40 && head.forall(_ >= 1),
       s"SPARK_GRAFT_SKEW_HEAD must be 3 positive fortieths summing <= 40, got $head")
     headCuts = (head(0), head(0) + head(1), head(0) + head(1) + head(2))
-    val headTag = if (head == Seq(4, 2, 1)) "" else s"h${head.sum}"
+    // tag carries the FULL profile, not its sum: "16,4,2" and "12,8,2"
+    // both sum to 22 and must never silently share a corpus dir
+    val headTag = if (head == Seq(4, 2, 1)) "" else s"h${head.mkString("-")}"
     val copies = if (args.length > 0) args(0).toInt else 10
     val names =
       if (args.length > 1) args.drop(1).toSeq
@@ -109,7 +111,12 @@ object SkewCorpus {
     // ---- uniform corpus (BenchAtScale construction + the two dims the
     // target queries join) ----
     val uDone = java.nio.file.Paths.get(s"$uniformDir/_SKEWSET_COMPLETE")
-    if (!java.nio.file.Files.exists(uDone)) {
+    // a BenchAtScale-complete dir (its _COMPLETE covers a superset of
+    // the four tables this harness needs) is reusable as-is — don't
+    // rebuild identical bytes into the shared target/sfscale<K>
+    val uDoneBench = java.nio.file.Paths.get(s"$uniformDir/_COMPLETE")
+    if (!java.nio.file.Files.exists(uDone) &&
+        !java.nio.file.Files.exists(uDoneBench)) {
       System.err.println(s"[skew] building uniform ${copies}x corpus at $uniformDir")
       write(BenchAtScale.scaleLineitem(Tables.lineitem(spark, srcDir), copies),
         uniformDir, "lineitem")

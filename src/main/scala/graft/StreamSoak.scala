@@ -42,12 +42,23 @@ object StreamSoak {
     val keys = if (args.length > 0) args(0).toInt else 200000
     val days = if (args.length > 1) args(1).toInt else 8
     val horizonDays = if (args.length > 2) args(2).toInt else 1
+    // the assertions index rowsByDay(horizonDays + 1) — fail in
+    // milliseconds, not after minutes of soak
+    require(days >= horizonDays + 2,
+      s"need days >= horizonDays + 2 for the plateau/seal assertions, " +
+        s"got days=$days horizonDays=$horizonDays")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "false") // streaming: AQE is inert, keep plans stable
+      // removedTotal sums numRowsRemoved over recentProgress, which
+      // retains only the last N progress reports (default 100 — a
+      // >~50-day soak would silently undercount eviction and FAIL the
+      // assertion against the engine); retain every batch of the run
+      // (2 per day per op, plus slack)
+      .config("spark.sql.streaming.numRecentProgressUpdates", (days * 2 + 8).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,92 +69,78 @@ object StreamSoak {
         removedTotal: Long, peakRows: Long, finalRows: Long,
         peakMemBytes: Long, wallSec: Double)
 
-    /** Drive one op day-by-day; return the state ladder + metrics. */
-    def soak(name: String)(
-        mkQuery: (MemoryStream[StreamOps.TimedValue]) => org.apache.spark.sql.streaming.DataStreamWriter[_]): OpReport = {
-      val mem = MemoryStream[StreamOps.TimedValue](spark, 1)
-      val q = mkQuery(mem).start()
+    /** Drive one op day-by-day; return the state ladder + metrics. ONE
+      * loop for every soaked op (a per-op copy of this loop diverged
+      * once already — in whether removals were read before or after
+      * stop()): the op supplies its MemoryStream, started query, and
+      * two row builders; the loop owns the generator and the metric
+      * reads.
+      *
+      * Generator contract: one event per key per day, ts inside epoch
+      * day d+1 — plus one max-ts sentinel that drags the watermark to
+      * the day's end so the day horizon+1 back seals during this batch,
+      * and an empty-ish follow-up batch so the event-time timeout sweep
+      * runs against the advanced watermark. Days are 1-ORIGIN
+      * deliberately: an event at exactly epoch 0 TIES the engine's
+      * initial watermark and the stateful late-row filter drops
+      * eventTime <= watermark — at 200 k keys the (k % 86400) offset
+      * puts g86400/g172800's only day-0 event at ts 0, silently shaving
+      * 2 states off the day-0 ladder (found by this soak's own eviction
+      * assertion). Real pipelines never carry epoch-0 event times; the
+      * shift keeps the expectation exact instead of special-casing the
+      * degenerate boundary. */
+    def soak[T](name: String, mem: MemoryStream[T],
+        q: org.apache.spark.sql.streaming.StreamingQuery,
+        mkRow: (Long, Int) => T, sentinel: Long => T): OpReport = {
       val t0 = System.nanoTime()
       val ladder = (0 until days).map { d =>
-        // one event per key per day, ts inside epoch day d+1 — plus one
-        // max-ts row that drags the watermark to the day's end so the
-        // day horizon+1 back seals during this batch. Days are 1-ORIGIN
-        // deliberately: an event at exactly epoch 0 TIES the engine's
-        // initial watermark and the stateful late-row filter drops
-        // eventTime <= watermark — at 200 k keys the generator's
-        // (k % 86400) offset puts g86400/g172800's only day-0 event at
-        // ts 0, silently shaving 2 states off the day-0 ladder (found
-        // by this soak's own eviction assertion). Real pipelines never
-        // carry epoch-0 event times; the shift keeps the expectation
-        // exact instead of special-casing the degenerate boundary.
         val dayMs = (d + 1).toLong * 86400000L
-        val batch = (0 until keys).map { k =>
-          StreamOps.TimedValue(s"g$k",
-            new java.sql.Timestamp(dayMs + (k % 86400) * 1000L),
-            java.lang.Long.valueOf((k % 97).toLong))
-        } :+ StreamOps.TimedValue("g0",
-          new java.sql.Timestamp(dayMs + 86399999L),
-          java.lang.Long.valueOf(1L))
+        val batch = (0 until keys).map(k => mkRow(dayMs, k)) :+ sentinel(dayMs)
         mem.addData(batch: _*)
         q.processAllAvailable()
-        // an empty follow-up batch lets the event-time timeout sweep run
-        // against the watermark the previous batch advanced
-        mem.addData(StreamOps.TimedValue("g0",
-          new java.sql.Timestamp(dayMs + 86399999L), java.lang.Long.valueOf(1L)))
+        mem.addData(sentinel(dayMs))
         q.processAllAvailable()
         val so = q.lastProgress.stateOperators
-        (so.map(_.numRowsTotal).sum, so.map(_.numRowsRemoved).sum,
-          so.map(_.memoryUsedBytes).sum)
+        (so.map(_.numRowsTotal).sum, so.map(_.memoryUsedBytes).sum)
       }
-      q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
-      val removed = {
-        // numRowsRemoved is per-batch; re-walk recentProgress for the sum
-        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
-      }
+      // numRowsRemoved is per-batch; sum the retained progress reports
+      // BEFORE stop() (numRecentProgressUpdates is sized above to
+      // retain every batch of this run)
+      val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      q.stop()
       OpReport(name, ladder.map(_._1), removed,
-        ladder.map(_._1).max, ladder.last._1, ladder.map(_._3).max, wall)
+        ladder.map(_._1).max, ladder.last._1, ladder.map(_._2).max, wall)
     }
 
-    val zscore = soak("zscore_by_day") { mem =>
-      StreamOps.zscoreStreamByDay(spark, mem.toDS(), s"$horizonDays day")
+    def checkpoint(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"soak-$tag").toString
+
+    val zscore = {
+      val mem = MemoryStream[StreamOps.TimedValue](spark, 1)
+      val q = StreamOps.zscoreStreamByDay(spark, mem.toDS(), s"$horizonDays day")
         .writeStream.format("noop")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("soak-z").toString)
-        .outputMode("append")
+        .option("checkpointLocation", checkpoint("z"))
+        .outputMode("append").start()
+      soak[StreamOps.TimedValue]("zscore_by_day", mem, q,
+        (dayMs, k) => StreamOps.TimedValue(s"g$k",
+          new java.sql.Timestamp(dayMs + (k % 86400) * 1000L),
+          java.lang.Long.valueOf((k % 97).toLong)),
+        dayMs => StreamOps.TimedValue("g0",
+          new java.sql.Timestamp(dayMs + 86399999L), java.lang.Long.valueOf(1L)))
     }
 
     val hll = {
       val mem = MemoryStream[StreamOps.TimedItem](spark, 1)
       val q = StreamOps.hllDistinctStreamByDay(spark, mem.toDS(), s"$horizonDays day", p = 9)
         .writeStream.format("noop")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("soak-h").toString)
+        .option("checkpointLocation", checkpoint("h"))
         .outputMode("append").start()
-      val t0 = System.nanoTime()
-      val ladder = (0 until days).map { d =>
-        // 1-origin days for the same epoch-0-ties-the-watermark reason
-        // as the zscore generator above
-        val dayMs = (d + 1).toLong * 86400000L
-        val batch = (0 until keys).map { k =>
-          StreamOps.TimedItem(s"g$k",
-            new java.sql.Timestamp(dayMs + (k % 86400) * 1000L), s"item${k % 31}")
-        } :+ StreamOps.TimedItem("g0",
-          new java.sql.Timestamp(dayMs + 86399999L), "item0")
-        mem.addData(batch: _*)
-        q.processAllAvailable()
-        mem.addData(StreamOps.TimedItem("g0",
+      soak[StreamOps.TimedItem]("hll_by_day", mem, q,
+        (dayMs, k) => StreamOps.TimedItem(s"g$k",
+          new java.sql.Timestamp(dayMs + (k % 86400) * 1000L), s"item${k % 31}"),
+        dayMs => StreamOps.TimedItem("g0",
           new java.sql.Timestamp(dayMs + 86399999L), "item0"))
-        q.processAllAvailable()
-        val so = q.lastProgress.stateOperators
-        (so.map(_.numRowsTotal).sum, so.map(_.numRowsRemoved).sum,
-          so.map(_.memoryUsedBytes).sum)
-      }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
-      q.stop()
-      OpReport("hll_by_day", ladder.map(_._1), removed,
-        ladder.map(_._1).max, ladder.last._1, ladder.map(_._3).max, wall)
     }
 
     // ---- assertions: plateau, eviction, bound ----

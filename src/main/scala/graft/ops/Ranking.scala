@@ -134,7 +134,10 @@ object Ranking {
     * values contribute 0 and the output is never null (pinned here;
     * the plain window instead yields NULL until a key's first non-null
     * — segment offsets cannot reproduce that bit, so this operator
-    * pins the useful semantics rather than the accidental one).
+    * pins the useful semantics rather than the accidental one). Null
+    * KEYS and null SEGMENTS are first-class partition values exactly as
+    * the plain window treats them (the offset join is null-safe — a
+    * plain equi-join would silently drop those rows).
     *
     * Dial, not default: on uniform keys the plain window is one
     * exchange + one sort while this is two window stages and a join —
@@ -151,15 +154,22 @@ object Ranking {
         org.apache.spark.sql.expressions.Window.currentRow)
     val v = coalesce(valueCol, lit(0L))
     val within = df.withColumn("_run_in_seg", sum(v).over(w1))
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col(segmentCol))
+    val w2r = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_seg_k")).orderBy(col("_seg_s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = df.groupBy(col(keyCol), col(segmentCol))
+    val offsets = df.groupBy(col(keyCol).as("_seg_k"), col(segmentCol).as("_seg_s"))
       .agg(sum(v).as("_seg_sum"))
-      .select(col(keyCol), col(segmentCol),
-        coalesce(sum(col("_seg_sum")).over(w2), lit(0L)).as("_seg_off"))
-    within.join(offsets, Seq(keyCol, segmentCol))
+      .select(col("_seg_k"), col("_seg_s"),
+        coalesce(sum(col("_seg_sum")).over(w2r), lit(0L)).as("_seg_off"))
+    // NULL-SAFE equi-join: the plain window forms partitions for null
+    // keys and sorts null segments first, so the decomposition must
+    // carry them too — a plain equi-join (null never equals null) would
+    // silently DROP every null-key/null-segment row while the scaladoc
+    // promises window-equivalence. <=> keys still plan as a hash join
+    // on the same (key, segment) exchange (spec-pinned).
+    within.join(offsets,
+        col(keyCol) <=> col("_seg_k") && col(segmentCol) <=> col("_seg_s"))
       .withColumn(outCol, col("_seg_off") + col("_run_in_seg"))
-      .drop("_run_in_seg", "_seg_off")
+      .drop("_run_in_seg", "_seg_off", "_seg_k", "_seg_s")
   }
 }

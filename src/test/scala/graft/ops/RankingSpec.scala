@@ -93,6 +93,33 @@ class RankingSpec extends SparkSpec {
     assert(got == Seq(0L, 5L, 5L))
   }
 
+  test("segmentedRunningSum: null keys and null segments are carried, matching the plain window's partitions") {
+    import spark.implicits._
+    // a null KEY forms its own window partition and a null SEGMENT
+    // sorts first within a key — a plain equi-join on (key, segment)
+    // would drop all four null-bearing rows (null never equals null)
+    val df = Seq(
+      (null.asInstanceOf[String], Integer.valueOf(0), 1L, 3L),
+      (null.asInstanceOf[String], Integer.valueOf(0), 2L, 4L),
+      (null.asInstanceOf[String], Integer.valueOf(1), 3L, 5L),
+      ("k", null.asInstanceOf[Integer], 1L, 7L),
+      ("k", Integer.valueOf(2), 2L, 11L))
+      .toDF("k", "seg", "ord", "v")
+    val got = Ranking.segmentedRunningSum(df, "k", "seg", Seq(col("ord")),
+      col("v"), "run")
+    assert(got.count() == 5, "null-key/segment rows must not be dropped")
+    val byRow = got.collect()
+      .map(r => (Option(r.getString(0)), Option(r.getAs[Integer]("seg")),
+        r.getLong(2)) -> r.getAs[Long]("run")).toMap
+    assert(byRow((None, Some(0), 1L)) == 3L)
+    assert(byRow((None, Some(0), 2L)) == 7L)
+    assert(byRow((None, Some(1), 3L)) == 12L)
+    // null segment sorts FIRST (Spark asc nulls-first), so it is the
+    // key's prefix and the later segment stacks on top of it
+    assert(byRow((Some("k"), None, 1L)) == 7L)
+    assert(byRow((Some("k"), Some(2), 2L)) == 18L)
+  }
+
   test("segmentedRunningSum plan: raw rows shuffle on (key, segment), never on key alone") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val plan = Ranking.segmentedRunningSum(orders, "o_custkey", "o_orderdate",
