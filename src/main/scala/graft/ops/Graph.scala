@@ -129,6 +129,13 @@ object Graph {
     * The edge list and degree frame materialize once via eager
     * localCheckpoint (each is referenced every iteration; the managed-
     * lifetime rule — no cache-registry entry survives the call).
+    * Long-range bound (the count-min |A|·|B| rule, applied here): a
+    * node's damping step computes 85 · s_in, and s_in is at most the
+    * total graph mass n · 10⁶ — so the arithmetic is exact while
+    * n < 2^63 / 85e6 ≈ 1.08 · 10¹¹ nodes. Beyond that a universal hub
+    * would WRAP in Spark (long arithmetic is unchecked) while a checked
+    * oracle errors; at 100 B+ nodes, move the ladder to decimal(38,0)
+    * — documented, not defended, the same contract as countMinJoinSize.
     * Returns (node, pr: long). */
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

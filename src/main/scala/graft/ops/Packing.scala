@@ -82,7 +82,10 @@ object Packing {
     require(budgetTokens > 0, "budgetTokens must be positive")
     layoutOffsets(df, idCol, textCol, stratumCol, buckets)
       .select(col(idCol), col(stratumCol), col("n_tokens"),
-        floor(col("start_offset") / budgetTokens).cast("long").as("bin_id"))
+        // integer div, not floor(double /): a double quotient is exact
+        // only below 2^53 — the file's integer-exact contract, applied
+        // to its own bin id
+        expr(s"start_offset div ${budgetTokens}L").as("bin_id"))
   }
 
   /** (id, stratum, n_tokens, start_offset): each doc's exclusive running
@@ -95,10 +98,24 @@ object Packing {
   def layoutOffsets(df: DataFrame, idCol: String, textCol: String,
       stratumCol: String, buckets: Int = 256): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // NULL text = a zero-token document, not a vanishing row: it hashes
+    // as the empty string (deterministic placement) and contributes 0
+    // to every offset. Without the coalesces, hashUniform(NULL) -> NULL
+    // _u -> NULL _bkt and the offset join dropped the row silently —
+    // the same row-loss class as the segmentedRunningSum null-key bug
+    // (null STRATA, by contrast, were always preserved as their own
+    // layout group).
+    // eager localCheckpoint: base feeds TWO consumers (the per-bucket
+    // running-sum window and the bucket-totals aggregate) — without it
+    // each branch re-scans the corpus and re-tokenizes + re-md5-hashes
+    // every text (plan-audited: 2 FileScans at sf0.001). The
+    // materialized frame is NARROW — id, stratum, and three numbers,
+    // never the text — the semDedup/g01 managed-lifetime rule.
     val base = df.select(col(idCol), col(stratumCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
-        Sampling.hashUniform(col(textCol)).as("_u"))
+        coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L)).as("n_tokens"),
+        Sampling.hashUniform(coalesce(col(textCol), lit(""))).as("_u"))
       .withColumn("_bkt", floor(col("_u") * buckets).cast("int"))
+      .localCheckpoint(true)
     // local running sum within each balanced (stratum, bucket) group
     val wLocal = Window.partitionBy(col(stratumCol), col("_bkt"))
       .orderBy(col("_u"), col(idCol))
@@ -112,13 +129,14 @@ object Packing {
       .agg(sum(col("n_tokens")).as("_tot"))
       .withColumn("_base", sum(col("_tot")).over(wBase) - col("_tot"))
       .select(col(stratumCol), col("_bkt"), col("_base"))
-    // null-safe on the stratum: a null stratum is a legitimate window
-    // group, and a plain equi-join would silently drop those rows
+    // null-safe on BOTH keys: a null stratum is a legitimate window
+    // group (and _bkt, though non-null by construction now, costs
+    // nothing to join null-safely)
     val off = offsets
       .withColumnRenamed(stratumCol, "_off_stratum")
       .withColumnRenamed("_bkt", "_off_bkt")
     local.join(broadcast(off),
-        col(stratumCol) <=> col("_off_stratum") && col("_bkt") === col("_off_bkt"))
+        col(stratumCol) <=> col("_off_stratum") && col("_bkt") <=> col("_off_bkt"))
       .select(col(idCol), col(stratumCol), col("n_tokens"),
         (col("_base") + col("_cum_local") - col("n_tokens")).as("start_offset"))
   }

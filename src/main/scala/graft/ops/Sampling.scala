@@ -25,10 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0,1) derived from a string column's content. */
+  /** Uniform [0,1) derived from a column's content. The key is cast to
+    * string INSIDE (md5Upper strictly requires StringType): string keys
+    * hash unchanged (string→string cast is identity), numeric keys hash
+    * as their decimal rendering — the same bytes DuckDB's
+    * CAST(x AS VARCHAR) feeds md5_number_upper, so every caller gets
+    * oracle-identical draws without remembering the cast (assignSplit's
+    * long-key contract, made uniform). A NULL key yields a NULL u —
+    * callers decide whether null rows are observations. */
   def hashUniform(key: Column): Column =
     call_function("shiftrightunsigned",
-      graft.functions.TextHashExpressions.md5Upper(key), lit(11))
+      graft.functions.TextHashExpressions.md5Upper(key.cast("string")), lit(11))
       .cast("double") / lit(9007199254740992.0) // 2^53
 
   /** Content-keyed Bernoulli sample: keep rows with u(key) < rate. */

@@ -213,23 +213,29 @@ object Sketches {
   }
 
   /** Frequency estimates for the keys of `keys` (all its columns are
-    * carried through): est_n = MIN over the key's depth counters, with
-    * untouched counters counting as ZERO — the exact count-min
-    * estimator, so every probe key survives (keys absent from the
-    * sketch input estimate 0 unless every cell collided) and the
-    * one-sided guarantee est_n ≥ true count holds unconditionally. */
+    * carried through, ROW-PRESERVING: N probe rows in, N rows out —
+    * duplicate probe rows each get their estimate, discriminated by a
+    * transient row id through the depth-min fold; a bare groupBy over
+    * the carried columns would silently merge identical rows and
+    * return fewer rows than probed): est_n = MIN over the key's depth
+    * counters, with untouched counters counting as ZERO — the exact
+    * count-min estimator, so every probe key survives (keys absent
+    * from the sketch input estimate 0 unless every cell collided) and
+    * the one-sided guarantee est_n ≥ true count holds unconditionally. */
   def countMinEstimate(keys: DataFrame, sketch: CountMinSketch,
       keyCol: String): DataFrame = {
     val carried = keys.columns.map(col)
     val (a, b0) = kmHalves(col(keyCol))
     keys
-      .select(carried :+ a.as("_a") :+ b0.as("_b0"): _*)
-      .select(carried :+ col("_a") :+ col("_b0") :+
+      .withColumn("_row", monotonically_increasing_id())
+      .select(carried :+ col("_row") :+ a.as("_a") :+ b0.as("_b0"): _*)
+      .select(carried :+ col("_row") :+ col("_a") :+ col("_b0") :+
         explode(sequence(lit(0), lit(sketch.depth - 1))).as("_r"): _*)
       .withColumn("_b", cmCell(sketch.width))
       .join(sketch.counters, Seq("_r", "_b"), "left")
-      .groupBy(carried: _*)
+      .groupBy(carried :+ col("_row"): _*)
       .agg(min(coalesce(col("_n"), lit(0L))).as("est_n"))
+      .drop("_row")
   }
 
   /** Equi-join SIZE estimation from two count-min sketches — the
@@ -329,10 +335,18 @@ object Sketches {
   def bloomMightContain(keys: DataFrame, filter: BloomFilter,
       keyCol: String, as: String = "might_contain"): DataFrame = {
     val words = new Array[Long](math.max(filter.numBits / 64, 1))
-    filter.bits.collect().foreach { r =>
-      val b = r.getLong(0)
-      words((b >> 6).toInt) |= (1L << (b & 63)) // & 63 == mod 64 for the in-word bit
-    }
+    // densify EXECUTOR-SIDE before collecting: a well-filled 2^22-bit
+    // filter has up to ~4M set-bit rows, and collecting them as Row
+    // objects to OR on the driver is a few hundred MB of transient
+    // driver allocation for a 512 KB bitmap; the word-level bit_or agg
+    // collects at most numBits/64 = 65536 rows instead
+    val bitCol = col(filter.bits.columns(0))
+    filter.bits
+      .select(shiftright(bitCol, 6).cast("int").as("_w"),
+        call_function("shiftleft", lit(1L),
+          bitCol.bitwiseAND(lit(63L)).cast("int")).as("_m"))
+      .groupBy(col("_w")).agg(expr("bit_or(_m)").as("_word"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
     val bitmap = typedlit(words.toSeq)
     val (a, b0) = kmHalves(col(keyCol))
     val checks = (0 until filter.numHashes).map { r =>
@@ -390,7 +404,16 @@ object Sketches {
     require(pctMicro >= 1, s"pct must be >= 1e-6, got $pct")
     import org.apache.spark.sql.expressions.Window
     val wCap = Window.partitionBy(col("_g")).orderBy(col("_k"))
-    df.select(col(groupCol).as("_g"), value.as("_c"), md5(tieKey).as("_k"))
+    // NULL values are not observations (the sketch-family rule, same as
+    // logHistCounts/hllDistinct): a NULL _c struct would sort FIRST in
+    // sort_array and occupy rank positions, shifting the percentile.
+    // The tieKey is cast to string (md5 requires it; numeric keys hash
+    // as their decimal rendering, the hashUniform rule) and coalesced
+    // so a null tieKey cannot hash to NULL and preferentially consume
+    // the reservoir cap.
+    df.select(col(groupCol).as("_g"), value.as("_c"),
+        md5(coalesce(tieKey.cast("string"), lit(""))).as("_k"))
+      .where(col("_c").isNotNull)
       .withColumn("_rk", row_number().over(wCap))
       .where(col("_rk") <= cap)
       .groupBy(col("_g"))
@@ -604,7 +627,12 @@ object Sketches {
 
   def sampledMedian(df: DataFrame, value: Column, tieKey: Column,
       cap: Int, as: String): DataFrame = {
-    val samp = df.select(value.as("_c"), md5(tieKey).as("_k"))
+    // null-value filter + string-cast/coalesced tieKey: the
+    // sampledPercentileByGroup rules (see there), applied to the
+    // global form
+    val samp = df.select(value.as("_c"),
+        md5(coalesce(tieKey.cast("string"), lit(""))).as("_k"))
+      .where(col("_c").isNotNull)
       .orderBy(col("_k")).limit(cap)
     // One windowless agg over the ≤cap-row sample: sort_array orders by
     // (_c, _k) exactly like the ORDER BY the previous row_number form

@@ -39,6 +39,24 @@ class PackingSpec extends SparkSpec {
     assert(nullBins.nonEmpty && nullBins.head == 0L)       // binned from offset 0
   }
 
+  test("packByOffset keeps null-TEXT rows as zero-token documents") {
+    // hashUniform(NULL) is NULL — before the coalesces, null-text rows
+    // got a null bucket and the offset join dropped them silently
+    val withNulls = docs.withColumn("text",
+      when(col("doc_id") % 7 === 0, lit(null: String)).otherwise(col("text")))
+    val packed = Packing.packByOffset(withNulls, "doc_id", "text", "lang", budgetTokens = 100)
+    assert(packed.count() == 120, "null-text rows must not be dropped")
+    val nullRows = packed.join(withNulls.where(col("text").isNull).select("doc_id"), "doc_id")
+    assert(nullRows.count() > 0)
+    assert(nullRows.where(col("n_tokens") =!= 0).count() == 0,
+      "null text is a zero-token document")
+    // offsets still contiguous: total tokens unchanged by the null rows
+    val total = packed.agg(sum(col("n_tokens"))).head.getLong(0)
+    val expected = withNulls.where(col("text").isNotNull)
+      .select(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(total == expected)
+  }
+
   test("bins start at 0 per stratum and cover contiguous token offsets") {
     val packed = Packing.packByOffset(docs, "doc_id", "text", "lang", budgetTokens = 100)
     val byStratum = packed.collect()

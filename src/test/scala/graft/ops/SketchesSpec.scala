@@ -173,6 +173,37 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("countMinEstimate is row-preserving: duplicate probe rows each get an estimate") {
+    import spark.implicits._
+    val sketch = Sketches.countMinCounters(
+      Seq("a", "a", "b").toDF("k"), "k", depth = 2, width = 64)
+    val probes = Seq("a", "a", "b", "zz").toDF("k") // duplicate probe rows
+    val est = Sketches.countMinEstimate(probes, sketch, "k")
+    assert(est.count() == 4, "N probe rows in, N rows out — no silent merge")
+    assert(est.columns.toSeq == Seq("k", "est_n"), "transient row id must not leak")
+  }
+
+  test("sampledMedian/sampledPercentileByGroup: NULL values are not observations; null tieKey cannot crowd the cap") {
+    import spark.implicits._
+    // null _c structs would sort FIRST in sort_array and shift the
+    // percentile (or return null); the family rule filters them
+    val rows = Seq(("g", null: java.lang.Long, "t1"), ("g", null: java.lang.Long, "t2"),
+      ("g", java.lang.Long.valueOf(5L), "t3")).toDF("g", "v", "t")
+    val med = Sketches.sampledMedianByGroup(rows, "g", col("v"), col("t"), cap = 10, "med")
+      .collect()
+    assert(med.length == 1 && med(0).getLong(1) == 5L,
+      s"nulls are not observations: ${med.mkString}")
+    val global = Sketches.sampledMedian(rows, col("v"), col("t"), cap = 10, "med")
+      .collect()
+    assert(global.length == 1 && global(0).getLong(0) == 5L)
+    // numeric tieKeys now hash as their decimal string instead of
+    // throwing (the hashUniform cast rule applied to md5)
+    val numericTie = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L)).toDF("g", "v", "t")
+    val m2 = Sketches.sampledMedianByGroup(numericTie, "g", col("v"), col("t"), cap = 10, "med")
+      .collect()
+    assert(m2.length == 1)
+  }
+
   test("sampledPercentileByGroup: p25/p75 bracket the median; pct bounds enforced") {
     val rows = (1 to 300).map(i => ("g", (i % 100).toLong, s"id$i")).toDF("g", "v", "id")
     def pctOf(p: Double) = Sketches.sampledPercentileByGroup(

@@ -210,6 +210,14 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("d13 (sequence pack): the corpus is scanned and hashed ONCE (checkpointed base, no second branch)") {
+    // layoutOffsets' window and totals branches both read the eager
+    // checkpoint — before round 11 each branch re-scanned the parquet
+    // and re-md5'd every text (2 FileScans)
+    val plan = executedPlan("d13_sequence_pack")
+    assert("Scan parquet".r.findAllIn(plan).length == 0, plan)
+  }
+
   test("d33 (curriculum): global rank is the two-phase range exchange, never a single-partition window") {
     val plan = executedPlan("d33_curriculum")
     assert(!plan.contains("Window"), plan)
