@@ -1499,8 +1499,114 @@ object ExtendedQueries {
            |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
            |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin))
 
+  /** JDBC sink + source round-trip against an embedded Derby database —
+    * the relational-connector leg of the format matrix (parquet/JSON/
+    * CSV/ORC/JDBC/XML). The WRITE goes through Spark's JDBC sink
+    * (prepared-statement batching, so apostrophes and quotes in the
+    * `tricky` column need no escaping logic — fidelity is the driver's
+    * job and this query gates it); the READ uses the PARTITIONED jdbc
+    * path (partitionColumn/lower/upper/numPartitions = 4) so the scan
+    * shape under test is the one a cluster uses against a real
+    * warehouse — N concurrent range-predicate queries, not one serial
+    * cursor. The bounds come from a one-row min/max aggregate on the
+    * parquet source (bounded driver work, the documented JDBC-read
+    * recipe). Embedded in-memory Derby stands in for the network
+    * database: same dialect plumbing, same type mapping
+    * (createTableColumnTypes pins VARCHAR over Derby's CLOB default,
+    * which would otherwise refuse GROUP BY). Null round-trip rides
+    * `nat_or_null` (SQL NULL in, SQL NULL out), money as DOUBLE, and
+    * the oracle recomputes everything straight from parquet — any
+    * truncation, charset, or null-vs-empty loss hash-mismatches. */
+  val q105JdbcRoundtrip = NamedQuery(
+    "q105_jdbc_roundtrip",
+    (s, dir) => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val url = s"jdbc:derby:memory:graft_rt_jdbc_$key;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      val src = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_mktsegment"),
+        concat(col("c_name"), lit("','\""), col("c_mktsegment")).as("tricky"),
+        when(col("c_custkey") % 97 === 0, lit(null).cast("int"))
+          .otherwise(col("c_nationkey")).as("nat_or_null"),
+        col("c_acctbal"))
+      src.write.format("jdbc").mode("overwrite")
+        .option("url", url).option("driver", driver)
+        .option("dbtable", "customer_rt")
+        .option("createTableColumnTypes",
+          "c_mktsegment VARCHAR(32), tricky VARCHAR(256)")
+        .save()
+      val b = Tables.customer(s, dir)
+        .agg(min(col("c_custkey")).as("lo"), max(col("c_custkey")).as("hi"))
+        .collect()(0)
+      s.read.format("jdbc")
+        .option("url", url).option("driver", driver)
+        .option("dbtable", "customer_rt")
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", b.getLong(0)).option("upperBound", b.getLong(1))
+        .option("numPartitions", 4)
+        .load()
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.centsSum(col("c_acctbal")).as("acctbal_cents"),
+          sum(length(col("tricky"))).as("tricky_chars"),
+          sum(when(col("nat_or_null").isNull, 1L).otherwise(0L)).as("n_null_nation"),
+          sum(col("nat_or_null")).as("nat_sum"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n,
+           |       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+           |       CAST(SUM(length(c_name || ''',''"' || c_mktsegment)) AS BIGINT) AS tricky_chars,
+           |       CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_nation,
+           |       CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_nationkey END) AS BIGINT) AS nat_sum
+           |FROM customer GROUP BY c_mktsegment""".stripMargin))
+
+  /** XML sink + source round-trip (Spark 4's native xml data source) —
+    * the document-interchange leg of the format matrix. The `tricky`
+    * column embeds the three characters the writer must entity-escape
+    * (`<`, `&`, `"`); a null int column checks element-omission →
+    * typed-null mapping; doubles check text-serialization precision.
+    * The read passes an EXPLICIT schema (no inference job — inference
+    * over 100 TB of XML is a full extra scan). Scale note, documented
+    * trade-off: XML files are not block-splittable (a row can span
+    * block boundaries and tags need context), so scan parallelism
+    * comes from FILE COUNT — the write keeps the source's partitioning
+    * (one file per task), which is exactly how a large XML exchange
+    * corpus should be laid out. */
+  val q106XmlRoundtrip = NamedQuery(
+    "q106_xml_roundtrip",
+    (s, dir) => {
+      val path = rtDir(dir, "xml")
+      Tables.part(s, dir).select(
+          col("p_partkey"), col("p_brand"),
+          concat(col("p_name"), lit("<&\">"), col("p_type")).as("tricky"),
+          when(col("p_partkey") % 89 === 0, lit(null).cast("int"))
+            .otherwise(col("p_size")).as("size_or_null"),
+          col("p_retailprice"))
+        .write.mode("overwrite")
+        .option("rowTag", "part").option("rootTag", "parts")
+        .format("xml").save(path)
+      s.read
+        .schema("p_partkey LONG, p_brand STRING, tricky STRING, size_or_null INT, p_retailprice DOUBLE")
+        .option("rowTag", "part")
+        .format("xml").load(path)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.centsSum(col("p_retailprice")).as("price_cents"),
+          sum(length(col("tricky"))).as("tricky_chars"),
+          sum(when(col("size_or_null").isNull, 1L).otherwise(0L)).as("n_null_size"),
+          sum(col("size_or_null")).as("size_sum"))
+    },
+    Some("""SELECT p_brand, COUNT(*) AS n,
+           |       CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+           |       CAST(SUM(length(p_name || '<&">' || p_type)) AS BIGINT) AS tricky_chars,
+           |       CAST(SUM(CASE WHEN p_partkey % 89 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_size,
+           |       CAST(SUM(CASE WHEN p_partkey % 89 = 0 THEN NULL ELSE p_size END) AS BIGINT) AS size_sum
+           |FROM part GROUP BY p_brand""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
-    q103CsvRoundtrip, q104OrcRoundtrip,
+    q103CsvRoundtrip, q104OrcRoundtrip, q105JdbcRoundtrip, q106XmlRoundtrip,
     q70SkewReport, q71JoinSizeEst, q72HeavyByGroup, q75PromoRatio,
     q76Histogram, q77Division,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q102SaltedAuto, q34Explode,

@@ -48,6 +48,45 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(orcRt.exceptAll(orcDirect).isEmpty && orcDirect.exceptAll(orcRt).isEmpty)
   }
 
+  test("q105/q106: JDBC and XML round-trips are lossless vs the direct parquet plan") {
+    import graft.Exact
+    // JDBC (embedded Derby, partitioned read): prepared-statement write
+    // + 4-partition range read must reproduce the direct aggregate —
+    // apostrophes/quotes in `tricky`, SQL NULLs, and double precision
+    val jdbcDirect = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        concat(col("c_name"), lit("','\""), col("c_mktsegment")).as("tricky"),
+        when(col("c_custkey") % 97 === 0, lit(null).cast("int"))
+          .otherwise(col("c_nationkey")).as("nat_or_null"),
+        col("c_acctbal"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        Exact.centsSum(col("c_acctbal")).as("acctbal_cents"),
+        sum(length(col("tricky"))).as("tricky_chars"),
+        sum(when(col("nat_or_null").isNull, 1L).otherwise(0L)).as("n_null_nation"),
+        sum(col("nat_or_null")).as("nat_sum"))
+    val jdbcRt = ExtendedQueries.q105JdbcRoundtrip.run(spark, dir)
+    assert(jdbcRt.exceptAll(jdbcDirect).isEmpty && jdbcDirect.exceptAll(jdbcRt).isEmpty)
+    assert(jdbcRt.agg(sum(col("n_null_nation"))).head.getLong(0) > 0)
+
+    // XML: entity escaping (< & "), element-omission→null, doubles
+    val xmlDirect = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"),
+        concat(col("p_name"), lit("<&\">"), col("p_type")).as("tricky"),
+        when(col("p_partkey") % 89 === 0, lit(null).cast("int"))
+          .otherwise(col("p_size")).as("size_or_null"),
+        col("p_retailprice"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        Exact.centsSum(col("p_retailprice")).as("price_cents"),
+        sum(length(col("tricky"))).as("tricky_chars"),
+        sum(when(col("size_or_null").isNull, 1L).otherwise(0L)).as("n_null_size"),
+        sum(col("size_or_null")).as("size_sum"))
+    val xmlRt = ExtendedQueries.q106XmlRoundtrip.run(spark, dir)
+    assert(xmlRt.exceptAll(xmlDirect).isEmpty && xmlDirect.exceptAll(xmlRt).isEmpty)
+    assert(xmlRt.agg(sum(col("n_null_size"))).head.getLong(0) > 0)
+  }
+
   test("q44: from_json typed parse agrees with get_json_object extraction") {
     val typed = ExtendedQueries.q44JsonFuncs.run(spark, dir)
     val strings = Tables.events(spark, dir)
