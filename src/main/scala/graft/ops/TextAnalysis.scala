@@ -743,4 +743,88 @@ object TextAnalysis {
           (col("n_features").cast("double") * 1000.0)).as("logit"),
         (col("w_sum") >= 0L).as("keep"))
   }
+
+  /** DSIR-style importance weight per document (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its hashed-n-gram bag is
+    * under the TARGET distribution (rows whose `sourceCol` equals
+    * `targetSource`) than under the RAW distribution (every other row).
+    * log w(x) = Σ_f [ln p̂_target(bucket(f)) − ln p̂_raw(bucket(f))]
+    * with add-one smoothing over `nBuckets` hash buckets; selection
+    * keeps documents with log w > 0 (more target-like than raw-like).
+    * Features are d46's unigram+bigram bag, bucketed by the same md5
+    * hex-prefix hashing trick.
+    *
+    * Scale shape — ONE tokenize pass, bounded state: the exploded
+    * feature stream collapses immediately to per-(doc, bucket) counts
+    * (one shuffle, map-side combined); that SAME exchange feeds both
+    * the global bucket table (second shuffle, ≤nBuckets rows per
+    * partition after partial agg) and the per-doc scoring join
+    * (ReusedExchange — the tokenization never runs twice). The bucket
+    * λ-table is ≤nBuckets rows and joins back broadcast, so the corpus
+    * never shuffles on anything but its own keys. This is the DSIR
+    * paper's own 100 TB argument: the hashed generative model is a
+    * fixed-width table however large the corpus or vocabulary.
+    *
+    * Float determinism (the t10 contract): per-bucket counts and totals
+    * are exact integers; each λ_b applies IEEE ln to exact-integer
+    * arguments in a fixed parenthesization, then quantizes to integer
+    * MICROS (round×1e6 — the 6-decimal ulp absorber), so the per-doc
+    * sum Σ c_f·λ_b is an exact integer sum, order-free across any
+    * partitioning. `logw` is one exact-long divide at the end. The
+    * four-ln form (never ln of a products ratio) is deliberate:
+    * count×total products overflow long at web scale; ln arguments
+    * stay ≤ total+nBuckets. */
+  def dsirImportance(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sourceCol: String, targetSource: String,
+      nBuckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536,
+      s"nBuckets must be in [2, 65536] (md5 hex-prefix range), got $nBuckets")
+    val perDocBucket = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("_src"),
+        tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_src"), explode(concat(col("_toks"),
+        when(size(col("_toks")) >= 2,
+          transform(sequence(lit(1), size(col("_toks")) - 1),
+            i => concat_ws("_", element_at(col("_toks"), i),
+              element_at(col("_toks"), i + 1))))
+          .otherwise(array().cast("array<string>")))).as("_feat"))
+      .select(col("doc_id"), col("_src"),
+        (conv(substring(md5(col("_feat")), 1, 4), 16, 10).cast("long") %
+          nBuckets).as("_b"))
+      // vacuously true (md5 of a non-null feature), but stated HERE so
+      // the scoring join's inferred isnotnull(_b) is already present in
+      // the shared subtree — otherwise the optimizer pushes it below
+      // the exchange in the join branch only, the canonical forms
+      // diverge, and AQE re-runs the tokenize stage instead of reusing
+      // it (observed before this filter was added)
+      .where(col("_b").isNotNull)
+      .groupBy(col("doc_id"), col("_src"), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+    // null-safe split: a null source is RAW (not-target), pinned with
+    // <=> on both branches so the two partitions are exact complements.
+    // ROLLUP computes per-bucket counts AND the grand totals in ONE
+    // aggregation (the _b IS NULL row — _b itself is never null, it's
+    // an md5 of a non-null feature): a separate totals.agg would be a
+    // third plan branch whose collapsed aggregate no longer matches
+    // the shared exchange subtree, re-running the tokenize scan
+    // (observed in the AQE final plan before this shape was chosen).
+    val rolled = perDocBucket.rollup(col("_b")).agg(
+      sum(when(col("_src") <=> targetSource, col("_c")).otherwise(0L)).as("_tb"),
+      sum(when(!(col("_src") <=> targetSource), col("_c")).otherwise(0L)).as("_rb"))
+    val totals = rolled.where(col("_b").isNull)
+      .select(col("_tb").as("_t_tot"), col("_rb").as("_r_tot"))
+    val lambda = rolled.where(col("_b").isNotNull)
+      .crossJoin(broadcast(totals)).select(col("_b"),
+      round(((log(col("_tb") + 1) - log(col("_t_tot") + nBuckets)) -
+        (log(col("_rb") + 1) - log(col("_r_tot") + nBuckets))) * 1e6, 0)
+        .cast("long").as("_lam"))
+    perDocBucket.join(broadcast(lambda), Seq("_b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_c")).as("n_features"),
+        sum(col("_c") * col("_lam")).as("lw_micros"))
+      .select(col("doc_id"), col("n_features"), col("lw_micros"),
+        (col("lw_micros").cast("double") / 1e6).as("logw"),
+        (col("lw_micros") > 0L).as("keep"))
+  }
 }

@@ -624,6 +624,48 @@ object DataOpsQueries {
             |       CAST(ov.n_overlap AS DOUBLE) / CAST(tot.n_docs_a AS DOUBLE) AS share
             |FROM ov JOIN tot USING (src_a)""".stripMargin))
 
+  /** DSIR importance-resampling weights (TextAnalysis.dsirImportance,
+    * Xie et al. 2023): hashed unigram+bigram generative models for the
+    * target slice (source = src0) vs the rest of the corpus; per-doc
+    * log importance weight as an exact integer-micros sum, keep =
+    * more-target-like-than-raw. THE principled data-selection op next
+    * to d46's discriminative filter — d46 scores quality with fixed
+    * weights, this op scores domain match with corpus-fitted ones.
+    * Oracle replays the full chain: same md5 bucket hash, same add-one
+    * smoothing, same fixed four-ln parenthesization quantized to
+    * micros (the t10 ulp contract), so the gate is hash-exact at any
+    * corpus size. */
+  val d54DsirImportance = NamedQuery(
+    "d54_dsir_importance",
+    (s, dir) => TextAnalysis.dsirImportance(Tables.documents(s, dir),
+      "doc_id", "text", "source", "src0"),
+    Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           |           FROM documents WHERE text IS NOT NULL),
+           |f AS (SELECT doc_id, source, unnest(list_concat(toks,
+           |        list_transform(generate_series(1, len(toks) - 1),
+           |          i -> toks[i] || '_' || toks[i + 1]))) AS feat
+           |      FROM t),
+           |pb AS (SELECT doc_id, source,
+           |         CAST(CAST(concat('0x', substring(md5(feat), 1, 4)) AS BIGINT) % 1024 AS BIGINT) AS b,
+           |         CAST(COUNT(*) AS BIGINT) AS c
+           |       FROM f GROUP BY 1, 2, 3),
+           |cnt AS (SELECT b,
+           |          SUM(CASE WHEN source IS NOT DISTINCT FROM 'src0' THEN c ELSE 0 END) AS tb,
+           |          SUM(CASE WHEN source IS DISTINCT FROM 'src0' THEN c ELSE 0 END) AS rb
+           |        FROM pb GROUP BY b),
+           |tot AS (SELECT SUM(tb) AS t_tot, SUM(rb) AS r_tot FROM cnt),
+           |lam AS (SELECT b,
+           |          CAST(round(((ln(tb + 1) - ln(t_tot + 1024)) -
+           |            (ln(rb + 1) - ln(r_tot + 1024))) * 1e6) AS BIGINT) AS lam
+           |        FROM cnt CROSS JOIN tot),
+           |d AS (SELECT pb.doc_id, CAST(SUM(pb.c) AS BIGINT) AS n_features,
+           |             CAST(SUM(pb.c * lam.lam) AS BIGINT) AS lw_micros
+           |      FROM pb JOIN lam USING (b) GROUP BY 1)
+           |SELECT doc_id, n_features, lw_micros,
+           |       CAST(lw_micros AS DOUBLE) / 1e6 AS logw,
+           |       lw_micros > 0 AS keep
+           |FROM d""".stripMargin))
+
   /** Deterministic content-keyed stratified sample: downsample the
     * dominant language (en → 0.3), keep the tail. Hash-exact oracle —
     * the sampling uniform is FP-exact on both engines (see
@@ -2397,7 +2439,7 @@ object DataOpsQueries {
     d41LeakSafeSplit, d43EmbeddingCovariance, d44NeardupAutoSized,
     d45SpanDupCoverage, d46QualityClassifier, d47DedupRewrite,
     d48SemDedup, d49BpeFertility, d50PcaPower, d51SelfDupRewrite,
-    d52Decontaminate, d53SourceOverlap,
+    d52Decontaminate, d53SourceOverlap, d54DsirImportance,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -415,6 +415,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got.getDouble(2) - math.log(12.0)) < 0.01) // intercept ≈ ln 12
   }
 
+  test("dsirImportance: corpus-fitted log-ratio weights, null-safe source split, micro-exact sums") {
+    val df = Seq(
+      (1L, "apple banana", "src0"),
+      (2L, "apple cherry", "src0"),
+      (3L, "dog cat", "src1"),
+      (4L, "dog emu", null.asInstanceOf[String]), // null source = RAW
+      (5L, null.asInstanceOf[String], "src0")     // null text excluded
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dsirImportance(df, "doc_id", "text", "source", "src0")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+
+    // independent recomputation: same md5 hex-prefix bucket, same
+    // smoothing, same four-ln parenthesization, HALF_UP micro rounding
+    def bucket(f: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1024
+    }
+    def feats(text: String): Seq[String] = {
+      val t = text.split(" ").toSeq
+      t ++ t.sliding(2).filter(_.size == 2).map(_.mkString("_"))
+    }
+    val corpus = Seq((1L, "apple banana", Option("src0")),
+      (2L, "apple cherry", Option("src0")), (3L, "dog cat", Option("src1")),
+      (4L, "dog emu", Option.empty[String]))
+    val allF = corpus.flatMap { case (id, tx, src) =>
+      feats(tx).map(f => (id, src, bucket(f))) }
+    val tb = allF.filter(_._2.contains("src0")).groupBy(_._3)
+      .view.mapValues(_.size.toLong).toMap
+    val rb = allF.filter(!_._2.contains("src0")).groupBy(_._3)
+      .view.mapValues(_.size.toLong).toMap
+    val (tT, rT) = (tb.values.sum, rb.values.sum)
+    def lam(b: Long): Long = BigDecimal(
+      ((math.log(tb.getOrElse(b, 0L) + 1.0) - math.log(tT + 1024.0)) -
+        (math.log(rb.getOrElse(b, 0L) + 1.0) - math.log(rT + 1024.0))) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    corpus.foreach { case (id, tx, _) =>
+      val bs = feats(tx).map(bucket)
+      val exp = bs.map(lam).sum
+      assert(got(id) == ((bs.size.toLong, exp, exp > 0)),
+        s"doc $id: got ${got(id)}, expected (${bs.size}, $exp, ${exp > 0})")
+    }
+    assert(!got.contains(5L))
+    // with equal target/raw totals a target-only feature weighs
+    // ln(t+1) and a raw-only one −ln(r+1): target docs keep, raw drop
+    assert(got(1L)._3 && got(2L)._3 && !got(3L)._3 && !got(4L)._3)
+  }
+
   test("hashedLinearScore: unigram+bigram feature count, md5-derived weight fold, integer keep threshold") {
     // expected values derived independently in python (hashlib.md5 over
     // the same hex-prefix arithmetic): "the quick brown fox" → 7

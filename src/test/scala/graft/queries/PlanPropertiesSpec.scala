@@ -128,6 +128,10 @@ class PlanPropertiesSpec extends SparkSpec {
     assertOneExplodeMaterialization("t10_pmi")
   }
 
+  test("d54 (DSIR): the feature explode materializes once — scoring join and rollup λ-table reuse it") {
+    assertOneExplodeMaterialization("d54_dsir_importance")
+  }
+
   test("d22 (domain KL): two corpus explodes only (vocab + counts), total from the narrow scan") {
     val plan = executedPlan("d22_domain_kl")
     assert("Generate explode".r.findAllIn(plan).length == 2, plan)
