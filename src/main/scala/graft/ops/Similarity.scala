@@ -385,15 +385,31 @@ object Similarity {
     * output-ordering guarantee. Every step is exact integer sums plus
     * one IEEE divide+floor, so the recurrence is bit-identical to the
     * oracle's unrolled CTE form. */
+  /** The bounded training collect behind every portable trainer: the
+    * `trainCap` smallest-md5 vectors, re-sorted driver-side so the init
+    * order never depends on a plan's output-ordering guarantee. */
+  private def collectTrainVectors(data: DataFrame, idName: String,
+      trainCap: Int): Array[Array[Double]] = data
+    .withColumn("_m", md5(col(idName).cast("string")))
+    .orderBy(col("_m")).limit(trainCap)
+    .select(col("_m"), col("_e")).collect()
+    .sortBy(_.getString(0))
+    .map(_.getSeq[Double](1).toArray)
+
   private def trainPortableCentroids(data: DataFrame, idName: String,
       nLists: Int, iters: Int, trainCap: Int): Array[Array[Double]] = {
-    val train: Array[Array[Double]] = data
-      .withColumn("_m", md5(col(idName).cast("string")))
-      .orderBy(col("_m")).limit(trainCap)
-      .select(col("_m"), col("_e")).collect()
-      .sortBy(_.getString(0))
-      .map(_.getSeq[Double](1).toArray)
+    val train = collectTrainVectors(data, idName, trainCap)
     require(train.nonEmpty, "need at least one training vector")
+    kmeansLocal(train, nLists, iters)
+  }
+
+  /** The deterministic integer k-means recurrence itself, over an
+    * already-collected training sample (md5-sorted): exact integer
+    * sums plus one IEEE divide+floor per (cell, dim) per iteration —
+    * bit-identical to the oracle's unrolled CTE form. Shared by the
+    * full-vector trainers and [[pqTopK]]'s per-subspace codebooks. */
+  private[ops] def kmeansLocal(train: Array[Array[Double]], nLists: Int,
+      iters: Int): Array[Array[Double]] = {
     // fewer training vectors than lists → fewer lists, exactly like the
     // oracle's `rn <= nl` filter over a shorter tr (a throw here would
     // diverge from the oracle on a tiny corpus)
@@ -474,6 +490,78 @@ object Similarity {
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("data_id"))
+    scored.withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Product-quantization ANN (Jégou et al. 2011): split the embedding
+    * into `nSub` contiguous subspaces, learn an `nCentroids`-entry
+    * codebook per subspace with the SAME deterministic integer k-means
+    * as [[ivfTopKPortable]] (one shared md5-ranked training collect,
+    * sliced per subspace driver-side), encode every vector as nSub
+    * small codes, and answer queries by asymmetric distance: per query,
+    * ONE lookup table per subspace (nCentroids scores), then each
+    * candidate costs nSub element_at lookups + adds — never a full
+    * d-dim distance.
+    *
+    * THE memory-compressed ANN scale path: at 100 TB the raw float
+    * corpus cannot be rescanned per query, but the code table is
+    * dim·4bytes → nSub bytes per vector (64× here), small enough to
+    * keep hot. Encoding is a narrow zero-shuffle projection against
+    * driver-literal codebooks (the IVF discipline); the query scan is
+    * a broadcast of the (tiny) LUT-augmented query frame against the
+    * code table — no shuffle of the corpus, and the only per-pair work
+    * is integer-indexed lookups. Compose with d10's cells for
+    * IVF-PQ when even the code scan needs pruning.
+    *
+    * Determinism: scores rank on Σ_j (|c_j|² − 2·q_j·c_j), the
+    * monotone-shift trick of [[centroidDistStructs]] extended to sums:
+    * it differs from true ADC distance by Σ_j |q_j|², constant within
+    * a query's ranking, so order AND ties are identical to full d² —
+    * and every term is an exact integer-valued double (quantized
+    * inputs, integer centroids from floor-of-mean), so the sum is
+    * bit-exact in any order and the oracle reproduces it to the last
+    * bit. Ties break on data_id, the d10 contract. */
+  def pqTopK(embeddings: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int,
+      nSub: Int = 4, nCentroids: Int = 8, iters: Int = 2,
+      trainCap: Int = 10000): DataFrame = {
+    val data = embeddings.select(
+      col(idCol).as("data_id"), quantize(col(embCol)).as("_e"))
+    val train = collectTrainVectors(data, "data_id", trainCap)
+    require(train.nonEmpty, "need at least one training vector")
+    val dim = train(0).length
+    require(dim % nSub == 0, s"embedding dim $dim not divisible by nSub=$nSub")
+    val subDim = dim / nSub
+    val books: Array[Array[Array[Double]]] = Array.tabulate(nSub) { j =>
+      kmeansLocal(train.map(_.slice(j * subDim, (j + 1) * subDim)),
+        nCentroids, iters)
+    }
+    def sub(vec: Column, j: Int): Column = slice(vec, j * subDim + 1, subDim)
+    val codes = data.select(col("data_id") +: (0 until nSub).map { j =>
+      array_min(centroidDistStructs(books(j), sub(col("_e"), j)))
+        .getField("list").as(s"_c$j")
+    }: _*)
+    // per-query LUTs computed ONCE on the tiny query frame — the whole
+    // point of ADC is that the candidate scan never touches a vector
+    val qs = queries
+      .select(col(queryIdCol).as("query_id"), quantize(col(embCol)).as("_qe"))
+      .select(col("query_id") +: (0 until nSub).map { j =>
+        array(books(j).toSeq.map { c =>
+          val c2 = c.map(x => x * x).sum // exact: integer-valued doubles
+          lit(c2) - lit(2.0) * dot(sub(col("_qe"), j),
+            array(c.toSeq.map(lit): _*))
+        }: _*).as(s"_l$j")
+      }: _*)
+    val score = (0 until nSub)
+      .map(j => element_at(col(s"_l$j"), col(s"_c$j").cast("int") + 1))
+      .reduceLeft(_ + _)
+    val scored = codes.crossJoin(broadcast(qs))
+      .where(col("data_id") =!= col("query_id"))
+      .select(col("query_id"), col("data_id"), score.as("adc_score"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_score").asc, col("data_id"))
     scored.withColumn("rank", row_number().over(rankW).cast("long"))
       .where(col("rank") <= k)
   }

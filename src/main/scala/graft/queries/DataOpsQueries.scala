@@ -456,6 +456,96 @@ object DataOpsQueries {
        |WHERE rk <= 5""".stripMargin
   }
 
+  /** Product-quantization ANN (Similarity.pqTopK): per-subspace
+    * codebooks from the same deterministic integer k-means, vectors
+    * encoded to nSub codes, queries answered via per-query lookup
+    * tables — the memory-compressed third ANN path next to d07's
+    * SRP-LSH and d10's IVF. The oracle unrolls the k-means per
+    * subspace (4 × 2 iterations) and recomputes the monotone-shift ADC
+    * score Σ_j (|c_j|² − 2·q_j·c_j) with the same fixed addition
+    * order — exact integer-valued doubles end to end, so the gate is
+    * hash-exact. */
+  val d55PqAnn = NamedQuery(
+    "d55_pq_ann",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", k = 5,
+        nSub = 4, nCentroids = 8, iters = 2)
+    },
+    Some(pqOracleSql))
+
+  /** d55's oracle: the full per-subspace k-means unroll. Generated, not
+    * hand-written — 4 subspaces × (init + 2 assign/update rounds +
+    * final encode) share the one md5-ranked training CTE, exactly
+    * mirroring pqTopK's single training collect sliced per subspace. */
+  private lazy val pqOracleSql: String = {
+    val nSub = 4; val subDim = 16; val nCent = 8; val iters = 2
+    def lo(j: Int) = j * subDim + 1
+    def hi(j: Int) = (j + 1) * subDim
+    def d2(e: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, $subDim), " +
+        s"d -> ($e[d]-$c[d])*($e[d]-$c[d])))"
+    def assign(name: String, src: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, e, list FROM (
+         |    SELECT t.vec_id, t.e, c.list,
+         |           row_number() OVER (PARTITION BY t.vec_id
+         |             ORDER BY ${d2("t.e", "c.c")}, c.list) AS rk
+         |    FROM $src t CROSS JOIN $cents c) WHERE rk = 1)""".stripMargin
+    val subCtes = (0 until nSub).map { j =>
+      val iterCtes = (1 to iters).map { i =>
+        s"""${assign(s"a${i}_$j", s"t_$j", s"c${i - 1}_$j")},
+           |m${i}_$j AS (
+           |  SELECT list, d, CAST(floor(SUM(e[d]) / COUNT(*)) AS DOUBLE) AS cv
+           |  FROM a${i}_$j CROSS JOIN generate_series(1, $subDim) AS g(d)
+           |  GROUP BY list, d),
+           |c${i}_$j AS (
+           |  SELECT p.list, COALESCE(mm.c, p.c) AS c
+           |  FROM c${i - 1}_$j p LEFT JOIN
+           |    (SELECT list, list(cv ORDER BY d) AS c FROM m${i}_$j GROUP BY list) mm
+           |    USING (list))""".stripMargin
+      }.mkString(",\n")
+      s"""t_$j AS (SELECT vec_id, e[${lo(j)}:${hi(j)}] AS e, m FROM tr),
+         |c0_$j AS (SELECT rn - 1 AS list, e AS c FROM (
+         |           SELECT e, row_number() OVER (ORDER BY m) AS rn FROM t_$j)
+         |         WHERE rn <= $nCent),
+         |$iterCtes,
+         |q_$j AS (SELECT vec_id, e[${lo(j)}:${hi(j)}] AS e FROM quant),
+         |${assign(s"enc_$j", s"q_$j", s"c${iters}_$j")}""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until nSub)
+      .map(j => s"JOIN enc_$j e$j USING (vec_id)").mkString(" ")
+    val codeCols = (0 until nSub).map(j => s"e$j.list AS c$j").mkString(", ")
+    val centJoins = (0 until nSub)
+      .map(j => s"JOIN c${iters}_$j k$j ON k$j.list = cd.c$j").mkString("\n    ")
+    val terms = (0 until nSub).map { j =>
+      s"(list_sum(list_transform(generate_series(1, $subDim), " +
+        s"d -> k$j.c[d]*k$j.c[d])) - 2*list_dot_product(s.e[${lo(j)}:${hi(j)}], k$j.c))"
+    }.mkString(" + ")
+    s"""WITH quant AS (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS e
+       |  FROM embeddings),
+       |tr AS (SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS m
+       |       FROM quant ORDER BY m LIMIT 10000),
+       |$subCtes,
+       |codes AS (SELECT e0.vec_id, $codeCols
+       |          FROM enc_0 e0 $codeJoin),
+       |qs AS (SELECT vec_id AS query_id, e FROM quant WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT s.query_id, cd.vec_id AS data_id, $terms AS adc_score
+       |  FROM qs s CROSS JOIN codes cd
+       |    $centJoins
+       |  WHERE cd.vec_id <> s.query_id)
+       |SELECT query_id, data_id, adc_score, CAST(rk AS BIGINT) AS rank FROM (
+       |  SELECT query_id, data_id, adc_score,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc_score, data_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5""".stripMargin
+  }
+
   /** Full dedup resolution: minhash candidates → connected components →
     * canonical doc per cluster. Oracle-checked because at
     * minEstJaccard = 1.0 a candidate pair exists iff the two signatures
@@ -2439,7 +2529,7 @@ object DataOpsQueries {
     d41LeakSafeSplit, d43EmbeddingCovariance, d44NeardupAutoSized,
     d45SpanDupCoverage, d46QualityClassifier, d47DedupRewrite,
     d48SemDedup, d49BpeFertility, d50PcaPower, d51SelfDupRewrite,
-    d52Decontaminate, d53SourceOverlap, d54DsirImportance,
+    d52Decontaminate, d53SourceOverlap, d54DsirImportance, d55PqAnn,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -228,6 +228,47 @@ class SimilaritySpec extends SparkSpec {
     (originals ++ clones).toDF("vec_id", "embedding")
   }
 
+  test("pqTopK: with a lossless codebook the ADC ranking equals the exact quantized-d2 ranking") {
+    // 8 vectors of dim 8 (nSub=2, subDim=4), every subvector distinct and
+    // n == nCentroids == trainable set: k-means init holds all 8 patterns
+    // and floor-of-mean keeps each (singleton cells), so encoding is
+    // LOSSLESS and ADC must reproduce the exact d2 order bit-for-bit
+    val base = (0 until 8).map { i =>
+      val a = Array.tabulate(4)(d => (i * 7 + d * 3 + 1) * 0.001f)
+      val b = Array.tabulate(4)(d => (i * 11 + d * 5 + 2) * 0.001f)
+      (i.toLong, a ++ b)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, "vec_id", "embedding",
+        df.where(col("vec_id") < 2), "vec_id", k = 7,
+        nSub = 2, nCentroids = 8, iters = 2, trainCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // driver-side exact recomputation over quantized (x1000) ints
+    val q = base.map { case (id, v) => id -> v.map(x => math.round(x * 1000.0).toDouble) }.toMap
+    for (qid <- Seq(0L, 1L)) {
+      val expOrder = q.keys.filter(_ != qid).toSeq
+        .map { id =>
+          val d2 = q(id).zip(q(qid)).map { case (x, y) => (x - y) * (x - y) }.sum
+          (id, d2)
+        }.sortBy { case (id, d2) => (d2, id) }.map(_._1)
+      val gotOrder = got.filter(_._1 == qid).sortBy(_._4).map(_._2).toSeq
+      assert(gotOrder == expOrder, s"query $qid: got $gotOrder expected $expOrder")
+      // adc differs from d2 by the query-constant |q|^2: check the shift
+      val shift = q(qid).map(x => x * x).sum
+      got.filter(_._1 == qid).foreach { case (_, id, adc, _) =>
+        val d2 = q(id).zip(q(qid)).map { case (x, y) => (x - y) * (x - y) }.sum
+        assert(adc + shift == d2, s"ADC not exact for pair ($qid,$id)")
+      }
+    }
+    // compressed-scan plan: the corpus side never shuffles before the
+    // per-query ranking window; queries arrive broadcast
+    val plan = Similarity.pqTopK(df, "vec_id", "embedding",
+      df.where(col("vec_id") < 2), "vec_id", k = 7,
+      nSub = 2, nCentroids = 8, iters = 2, trainCap = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("planted near-dups: amplified LSH (tables + 1-bit probes) keeps recall high") {
     val pairs = Similarity.embeddingNearDups(planted, "vec_id", "embedding",
         minCosine = 0.9) // default dials: 12-bit codes x 4 tables x 1-bit probe
