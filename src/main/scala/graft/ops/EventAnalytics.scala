@@ -195,6 +195,43 @@ object EventAnalytics {
           col("gap_us") >= windowSeconds * 1000000L).as("kept"))
   }
 
+  /** Gaps-and-islands sessionization: group each user's events into
+    * sessions separated by ≥ `gapSeconds` of inactivity — the batch
+    * twin of [[graft.streaming.StreamOps.sessionAgg]]'s session_window,
+    * with IDENTICAL boundary semantics (a session's horizon is the
+    * CLOSED interval [first, last + gap] — an event at exactly
+    * last + gap still EXTENDS the session, which is what Spark's
+    * session_window does with touching windows; session_end = last
+    * event + gap) so the two forms are bit-comparable. The classic two-window shape: one lag() to flag
+    * breaks, one running sum to number sessions, then a per-(user,
+    * session) aggregate.
+    *
+    * Scale: ONE exchange keyed on the user — the lag window, the
+    * running-sum window, and the final aggregate all cluster on
+    * user-prefixed keys, so hashpartitioning(user) satisfies every
+    * stage and nothing reshuffles. Gap arithmetic is exact integer
+    * microseconds (the tsMicros seam); ties order on the event id
+    * (the debounce contract), so session numbering is total-order
+    * deterministic on both engines. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val w = Window.partitionBy(col(userCol)).orderBy(col("_us"), col(idCol))
+    events
+      .select(col(userCol), col(idCol), Tables.tsMicros(col(tsCol)).as("_us"))
+      .withColumn("_brk",
+        when(lag(col("_us"), 1).over(w).isNull ||
+          col("_us") - lag(col("_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("_brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        timestamp_micros(min(col("_us"))).as("session_start"),
+        timestamp_micros(max(col("_us")) + gapUs).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(col("_us")) - min(col("_us"))).as("span_us"))
+  }
+
   /** Forward fill (LOCF — last observation carried forward): repair
     * missing values in a per-key time series with the latest preceding
     * non-null observation — the sensor-dropout / sparse-telemetry

@@ -803,6 +803,31 @@ object ExtendedQueries {
            |       (gap_us = -1 OR gap_us >= 86400000000) AS kept
            |FROM g""".stripMargin))
 
+  /** Batch sessionization (EventAnalytics.sessionize): gaps-and-islands
+    * with a 30-minute inactivity gap, boundary-identical to the
+    * streaming session_window twin (StreamOpsSpec pins the equality).
+    * One user-keyed exchange serves both windows and the final
+    * aggregate. */
+  val q107Sessionize = NamedQuery(
+    "q107_sessionize",
+    (s, dir) => graft.ops.EventAnalytics.sessionize(
+      Tables.events(s, dir), "user_id", "ts", "event_id", gapSeconds = 1800L),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           |g AS (SELECT user_id, event_id, us,
+           |        CASE WHEN lag(us) OVER w IS NULL
+           |               OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+           |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |s AS (SELECT user_id, us,
+           |        SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |          ROWS UNBOUNDED PRECEDING) AS session_seq
+           |      FROM g)
+           |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |       make_timestamp(MIN(us)) AS session_start,
+           |       make_timestamp(MAX(us) + 1800000000) AS session_end,
+           |       CAST(COUNT(*) AS BIGINT) AS n_events,
+           |       CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+           |FROM s GROUP BY 1, 2""".stripMargin))
+
   /** Pearson correlation per group, integer-exact: built-in corr() sums
     * doubles in shuffle order (nondeterministic last bits), so the five
     * regression sums are accumulated as exact longs over quantized
@@ -1613,7 +1638,7 @@ object ExtendedQueries {
     q35UnionAll, q36ScalarSubq, q38Tpch3, q39Tpch5,
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
-    q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte,
+    q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte, q107Sessionize,
     q61VariantJson, q62CountMin, q63SketchMerge, q64BloomPrune,
     q65HllByGroup, q66Lateral, q68GroupedMedian, q73Tpch10, q74RankFunctions,
     q99HdrQuantiles, q100HdrByGroup, d42WeightedQuantile)

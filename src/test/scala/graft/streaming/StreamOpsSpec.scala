@@ -143,6 +143,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.sorted.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("batch sessionize == streaming session_window: same boundaries, including the exact-gap edge") {
+    val data = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 10:40:00")), // exactly last+gap → EXTENDS in BOTH forms (closed interval)
+      (1L, ts("2024-01-01 12:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    val mem = MemoryStream[(Long, Timestamp)](spark, 1)
+    mem.addData(data: _*)
+    mem.addData((99L, ts("2025-01-01 00:00:00"))) // watermark sentinel closes the rest
+    val streamGot = StreamOps.runToMemory(spark,
+        StreamOps.sessionAgg(mem.toDF.toDF("user_id", "ts"), "ts",
+          "10 minutes", "30 minutes", "user_id"),
+        "session_twin_t")
+      .where(col("user_id") =!= 99L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val batchGot = graft.ops.EventAnalytics.sessionize(
+        data.toDF("user_id", "ts"), "user_id", "ts", "ts", gapSeconds = 1800L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(streamGot == batchGot, s"stream $streamGot vs batch $batchGot")
+    // user 1: {10:00,10:10,10:40} (the 10:40 touch extends), {12:00};
+    // user 2: one session
+    assert(batchGot.size == 3)
+    assert(batchGot.contains((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:10:00"), 3L)))
+  }
+
   test("stateful debounce stream matches the batch adjacent-gap verdicts across batches") {
     val h = 3600L * 1000000 // one hour in micros
     val evs = Seq(
