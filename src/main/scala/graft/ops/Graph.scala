@@ -217,4 +217,54 @@ object Graph {
       maxIter: Int = 30, strict: Boolean = true): DataFrame =
     Dedup.dupClustersAuto(edges, "u", "v", propagationBudget, maxIter, strict)
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+
+  /** k-core extraction by iterative peeling: repeatedly drop nodes
+    * whose degree in the SURVIVING subgraph is < k until fixpoint —
+    * the standard dense-substructure filter (nodes outside the core
+    * are tree-ish periphery; inside, every member has ≥ k in-core
+    * neighbours). Output: (node, core_degree) for core members only —
+    * peeled nodes and isolated nodes are absent by construction.
+    *
+    * Scale shape: each round is one degree hash-agg plus two
+    * LEFT-SEMI joins of the edge list against the ≥k survivor set —
+    * all keyed on node ids, no pair formation beyond the existing
+    * edges — and the shrinking edge list is eagerly
+    * localCheckpointed per round (the g04/g05 discipline: constant
+    * plan size, no lineage chain, round N never recomputes rounds
+    * 1..N−1). Rounds are bounded by `maxIter` with a STRICT throw on
+    * budget exhaustion (the components contract — silently-partial
+    * cores are worse than failure): peeling converges in ≤ a few
+    * rounds on real degree distributions because each round must
+    * delete at least one node to continue. The driver-side work per
+    * round is one count() on a bounded frame.
+    *
+    * The round budget is part of the op's CONTRACT (an oracle replay
+    * unrolls exactly `maxIter` rounds; extra rounds past fixpoint are
+    * idempotent, so any successful run compares exactly). */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 10,
+      strict: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var ed = edges.select(col("u").as("s"), col("v").as("t"))
+      .union(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    var nEdges = ed.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val keep = ed.groupBy(col("s")).agg(count(lit(1)).as("_d"))
+        .where(col("_d") >= k).select(col("s").as("node"))
+      val next = ed
+        .join(keep, ed("s") === keep("node"), "left_semi")
+        .join(keep, ed("t") === keep("node"), "left_semi")
+        .localCheckpoint(true)
+      val nNext = next.count()
+      converged = nNext == nEdges
+      ed = next; nEdges = nNext; iter += 1
+    }
+    if (strict && !converged)
+      throw new IllegalStateException(
+        s"kCore did not reach fixpoint in $maxIter rounds — raise maxIter " +
+          "(the oracle unroll must move with it) or lower k")
+    ed.groupBy(col("s").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
 }

@@ -204,7 +204,53 @@ object GraphQueries {
             |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS component
             |FROM l$ccRounds""".stripMargin))
 
+  /** k-core extraction (Graph.kCore): the dense-substructure filter
+    * over the co-purchase graph at k = 80 — a dial that actually
+    * PEELS on this corpus (6 rounds to fixpoint at sf0.01/sf0.1;
+    * k = 3 would be a no-op on a graph this dense, and a no-op gate
+    * proves nothing). The oracle unrolls exactly `maxIter` = 10
+    * peeling rounds; rounds past fixpoint are idempotent (the filter
+    * only removes, so equal edge counts ⟹ identical sets), and the
+    * engine throws strictly if fixpoint needs more — the round budget
+    * is part of the contract, like g04's. */
+  // declared BEFORE g07KCore: NamedQuery's Some(kcoreOracle) forces the
+  // oracle at object init, and a later-declared val would still be 0
+  private val kcoreRounds = 10
+
+  val g07KCore = NamedQuery(
+    "g07_kcore",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.kCore(e, k = 80, maxIter = kcoreRounds)
+        .select(col("node").cast("long").as("node"), col("core_degree"))
+    },
+    Some(kcoreOracle))
+
+  private lazy val kcoreOracle: String = {
+    val k = 80
+    val sb = new StringBuilder
+    sb.append(s"WITH $edgeCte,\n")
+    // every e_i MUST materialize: each round references the previous
+    // round twice (edges + the k-filter derived from them), so inlined
+    // CTEs would expand 2^rounds times (the g06 edm lesson)
+    sb.append("e0 AS MATERIALIZED (SELECT s, t FROM ed),\n")
+    sb.append(s"k0 AS (SELECT node FROM deg WHERE d >= $k)")
+    for (i <- 1 to kcoreRounds) {
+      val esrc = s"e${i - 1}"
+      sb.append(s""",
+e$i AS MATERIALIZED (SELECT $esrc.s, $esrc.t FROM $esrc
+        JOIN k${i - 1} a ON $esrc.s = a.node
+        JOIN k${i - 1} b ON $esrc.t = b.node),
+d$i AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e$i GROUP BY 1),
+k$i AS (SELECT node FROM d$i WHERE d >= $k)""")
+    }
+    sb.append(s"\nSELECT CAST(node AS BIGINT) AS node, d AS core_degree FROM d$kcoreRounds")
+    sb.toString
+  }
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
-    g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto)
+    g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
+    g07KCore)
 }

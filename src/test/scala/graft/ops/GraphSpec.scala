@@ -96,4 +96,25 @@ class GraphSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "connectedComponents leaked a cached plan into the registry")
   }
+
+  test("kCore: K4 plus a pendant chain — the chain peels, the clique survives with its in-core degrees") {
+    // K4 on {1,2,3,4} (all degrees 3) + chain 4-5, 5-6, 6-7
+    val e = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+      .toDF("u", "v")
+      .unionByName(Seq((4L, 5L), (5L, 6L), (6L, 7L)).toDF("u", "v"))
+    val got3 = Graph.kCore(e, k = 3).as[(Long, Long)].collect().toMap
+    assert(got3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must be exactly the K4: $got3")
+    // k=2: the chain still peels (sequentially: 7, then 6, then 5) —
+    // three peel rounds plus the fixpoint confirmation
+    val got2 = Graph.kCore(e, k = 2).as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a too-small round budget throws strictly instead of returning a
+    // partially peeled core
+    intercept[IllegalStateException] {
+      Graph.kCore(e, k = 2, maxIter = 2).collect()
+    }
+    // everything peels → empty core, clean fixpoint
+    assert(Graph.kCore(e, k = 4).count() == 0L)
+  }
 }
