@@ -812,8 +812,13 @@ object TextAnalysis {
     val rolled = perDocBucket.rollup(col("_b")).agg(
       sum(when(col("_src") <=> targetSource, col("_c")).otherwise(0L)).as("_tb"),
       sum(when(!(col("_src") <=> targetSource), col("_c")).otherwise(0L)).as("_rb"))
+    // the grand-total row, re-wrapped in a grouping-free aggregate:
+    // value-identical (it aggregates exactly one row), and a provably
+    // one-row frame for the unbounded-cross-join guard — a bare filter
+    // over the GROUPED rollup is table-sized as far as any bound
+    // analysis can tell
     val totals = rolled.where(col("_b").isNull)
-      .select(col("_tb").as("_t_tot"), col("_rb").as("_r_tot"))
+      .agg(sum(col("_tb")).as("_t_tot"), sum(col("_rb")).as("_r_tot"))
     val lambda = rolled.where(col("_b").isNotNull)
       .crossJoin(broadcast(totals)).select(col("_b"),
       round(((log(col("_tb") + 1) - log(col("_t_tot") + nBuckets)) -
