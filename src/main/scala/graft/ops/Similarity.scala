@@ -522,6 +522,54 @@ object Similarity {
     * inputs, integer centroids from floor-of-mean), so the sum is
     * bit-exact in any order and the oracle reproduces it to the last
     * bit. Ties break on data_id, the d10 contract. */
+  /** Per-subspace codebooks from an already-collected training sample:
+    * (subDim, books(nSub)(nCentroids)(subDim)). */
+  private def pqBooks(train: Array[Array[Double]], nSub: Int,
+      nCentroids: Int, iters: Int): (Int, Array[Array[Array[Double]]]) = {
+    require(train.nonEmpty, "need at least one training vector")
+    val dim = train(0).length
+    require(dim % nSub == 0, s"embedding dim $dim not divisible by nSub=$nSub")
+    val subDim = dim / nSub
+    (subDim, Array.tabulate(nSub) { j =>
+      kmeansLocal(train.map(_.slice(j * subDim, (j + 1) * subDim)),
+        nCentroids, iters)
+    })
+  }
+
+  private def pqSub(vec: Column, j: Int, subDim: Int): Column =
+    slice(vec, j * subDim + 1, subDim)
+
+  /** Code columns _c0.._cN for a data row's quantized vector `_e`. */
+  private def pqCodeCols(books: Array[Array[Array[Double]]],
+      subDim: Int): Seq[Column] = books.indices.map { j =>
+    array_min(centroidDistStructs(books(j), pqSub(col("_e"), j, subDim)))
+      .getField("list").as(s"_c$j")
+  }
+
+  /** LUT columns _l0.._lN for a query row's quantized vector `_qe` —
+    * computed ONCE per query; the candidate scan only indexes them. */
+  private def pqLutCols(books: Array[Array[Array[Double]]],
+      subDim: Int): Seq[Column] = books.indices.map { j =>
+    array(books(j).toSeq.map { c =>
+      val c2 = c.map(x => x * x).sum // exact: integer-valued doubles
+      lit(c2) - lit(2.0) * dot(pqSub(col("_qe"), j, subDim),
+        array(c.toSeq.map(lit): _*))
+    }: _*).as(s"_l$j")
+  }
+
+  /** Σ_j LUT[code_j] in fixed left-assoc order (the oracle's order). */
+  private def pqScore(nSub: Int): Column = (0 until nSub)
+    .map(j => element_at(col(s"_l$j"), col(s"_c$j").cast("int") + 1))
+    .reduceLeft(_ + _)
+
+  private def pqRank(scored: DataFrame, k: Int): DataFrame = {
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_score").asc, col("data_id"))
+    scored.withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   def pqTopK(embeddings: DataFrame, idCol: String, embCol: String,
       queries: DataFrame, queryIdCol: String, k: Int,
       nSub: Int = 4, nCentroids: Int = 8, iters: Int = 2,
@@ -529,41 +577,59 @@ object Similarity {
     val data = embeddings.select(
       col(idCol).as("data_id"), quantize(col(embCol)).as("_e"))
     val train = collectTrainVectors(data, "data_id", trainCap)
-    require(train.nonEmpty, "need at least one training vector")
-    val dim = train(0).length
-    require(dim % nSub == 0, s"embedding dim $dim not divisible by nSub=$nSub")
-    val subDim = dim / nSub
-    val books: Array[Array[Array[Double]]] = Array.tabulate(nSub) { j =>
-      kmeansLocal(train.map(_.slice(j * subDim, (j + 1) * subDim)),
-        nCentroids, iters)
-    }
-    def sub(vec: Column, j: Int): Column = slice(vec, j * subDim + 1, subDim)
-    val codes = data.select(col("data_id") +: (0 until nSub).map { j =>
-      array_min(centroidDistStructs(books(j), sub(col("_e"), j)))
-        .getField("list").as(s"_c$j")
-    }: _*)
-    // per-query LUTs computed ONCE on the tiny query frame — the whole
-    // point of ADC is that the candidate scan never touches a vector
+    val (subDim, books) = pqBooks(train, nSub, nCentroids, iters)
+    val codes = data.select(col("data_id") +: pqCodeCols(books, subDim): _*)
     val qs = queries
       .select(col(queryIdCol).as("query_id"), quantize(col(embCol)).as("_qe"))
-      .select(col("query_id") +: (0 until nSub).map { j =>
-        array(books(j).toSeq.map { c =>
-          val c2 = c.map(x => x * x).sum // exact: integer-valued doubles
-          lit(c2) - lit(2.0) * dot(sub(col("_qe"), j),
-            array(c.toSeq.map(lit): _*))
-        }: _*).as(s"_l$j")
-      }: _*)
-    val score = (0 until nSub)
-      .map(j => element_at(col(s"_l$j"), col(s"_c$j").cast("int") + 1))
-      .reduceLeft(_ + _)
+      .select(col("query_id") +: pqLutCols(books, subDim): _*)
     val scored = codes.crossJoin(broadcast(qs))
       .where(col("data_id") =!= col("query_id"))
-      .select(col("query_id"), col("data_id"), score.as("adc_score"))
-    val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("adc_score").asc, col("data_id"))
-    scored.withColumn("rank", row_number().over(rankW).cast("long"))
-      .where(col("rank") <= k)
+      .select(col("query_id"), col("data_id"), pqScore(nSub).as("adc_score"))
+    pqRank(scored, k)
+  }
+
+  /** IVF-PQ: [[ivfTopKPortable]]'s cell pruning composed with
+    * [[pqTopK]]'s compressed ADC scan — the full production ANN shape
+    * (Jégou et al. 2011 §IV): the coarse quantizer prunes the corpus
+    * to nProbe cells per query, and within the probed cells candidates
+    * are scored by code lookups, never by touching a vector. At 100 TB
+    * the cell index bounds the scan and the code table bounds the
+    * bytes — the two dials compose multiplicatively.
+    *
+    * ONE training collect feeds both quantizers (cell centroids from
+    * the full vectors, per-subspace codebooks from the same sample
+    * sliced), mirroring the oracle's single `tr` CTE. The candidate
+    * join keys on the cell id with the tiny LUT-augmented probe frame
+    * broadcast — the corpus side stays unshuffled. Same monotone-shift
+    * exactness contract as pqTopK (ties on data_id). */
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int,
+      nLists: Int = 8, nProbe: Int = 2, cellIters: Int = 3,
+      nSub: Int = 4, nCentroids: Int = 8, pqIters: Int = 2,
+      trainCap: Int = 10000): DataFrame = {
+    val data = embeddings.select(
+      col(idCol).as("data_id"), quantize(col(embCol)).as("_e"))
+    val train = collectTrainVectors(data, "data_id", trainCap)
+    require(train.nonEmpty, "need at least one training vector")
+    val cellCents = kmeansLocal(train, nLists, cellIters)
+    val (subDim, books) = pqBooks(train, nSub, nCentroids, pqIters)
+    val codes = data.select(
+      col("data_id") +:
+        array_min(centroidDistStructs(cellCents, col("_e")))
+          .getField("list").as("_list") +:
+        pqCodeCols(books, subDim): _*)
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"), quantize(col(embCol)).as("_qe"))
+      .select(col("query_id") +:
+        explode(slice(array_sort(centroidDistStructs(cellCents, col("_qe"))),
+          1, nProbe)).as("_p") +:
+        pqLutCols(books, subDim): _*)
+      .select(col("query_id") +: col("_p.list").as("_list") +:
+        books.indices.map(j => col(s"_l$j")): _*)
+    val scored = codes.join(broadcast(probes), Seq("_list"))
+      .where(col("data_id") =!= col("query_id"))
+      .select(col("query_id"), col("data_id"), pqScore(nSub).as("adc_score"))
+    pqRank(scored, k)
   }
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster the

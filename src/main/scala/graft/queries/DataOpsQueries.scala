@@ -479,26 +479,77 @@ object DataOpsQueries {
     * hand-written — 4 subspaces × (init + 2 assign/update rounds +
     * final encode) share the one md5-ranked training CTE, exactly
     * mirroring pqTopK's single training collect sliced per subspace. */
-  private lazy val pqOracleSql: String = {
-    val nSub = 4; val subDim = 16; val nCent = 8; val iters = 2
-    def lo(j: Int) = j * subDim + 1
-    def hi(j: Int) = (j + 1) * subDim
-    def d2(e: String, c: String) =
-      s"list_sum(list_transform(generate_series(1, $subDim), " +
-        s"d -> ($e[d]-$c[d])*($e[d]-$c[d])))"
-    def assign(name: String, src: String, cents: String) =
-      s"""$name AS (
-         |  SELECT vec_id, e, list FROM (
-         |    SELECT t.vec_id, t.e, c.list,
-         |           row_number() OVER (PARTITION BY t.vec_id
-         |             ORDER BY ${d2("t.e", "c.c")}, c.list) AS rk
-         |    FROM $src t CROSS JOIN $cents c) WHERE rk = 1)""".stripMargin
-    val subCtes = (0 until nSub).map { j =>
-      val iterCtes = (1 to iters).map { i =>
-        s"""${assign(s"a${i}_$j", s"t_$j", s"c${i - 1}_$j")},
+  /** IVF-PQ composition (Similarity.ivfPqTopK): d10's cell pruning ×
+    * d55's compressed ADC scan — the production ANN shape, registered
+    * so the COMPOSITION itself carries a correctness row (both halves
+    * passing separately does not prove the probe-then-lookup join
+    * keeps ids, cells, and tie order straight). Oracle = d10's
+    * unrolled cell CTEs + d55's per-subspace codebook CTEs off the
+    * SAME training CTE, probes and ADC terms recomputed per pair. */
+  val d56IvfPq = NamedQuery(
+    "d56_ivfpq",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", k = 5)
+    },
+    Some(ivfPqOracleSql))
+
+  private lazy val ivfPqOracleSql: String =
+    s"""${ivfCellCtes(3)},
+       |$pqSubCtes,
+       |qs AS (SELECT vec_id AS query_id, e FROM quant WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, e, list FROM (
+       |    SELECT q.query_id, q.e, c.list,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${ivfD2("q.e", "c.c")}, c.list) AS rk
+       |    FROM qs q CROSS JOIN c3 c) WHERE rk <= 2),
+       |scored AS (
+       |  SELECT s.query_id, a.vec_id AS data_id, $pqScoreTerms AS adc_score
+       |  FROM probes s JOIN af a ON a.list = s.list
+       |    JOIN codes cd ON cd.vec_id = a.vec_id
+       |    $pqCentJoins
+       |  WHERE a.vec_id <> s.query_id)
+       |SELECT query_id, data_id, adc_score, CAST(rk AS BIGINT) AS rank FROM (
+       |  SELECT query_id, data_id, adc_score,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc_score, data_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5""".stripMargin
+
+  // shared PQ oracle machinery (d55 standalone + d56's IVF-PQ compose):
+  // dials mirror pqTopK's defaults. FINAL literal vals — constant-folded
+  // at compile time, so the lazy oracle builders above can force them
+  // before this point in object-init order (the g07 kcoreRounds lesson)
+  private final val pqNSub = 4; private final val pqSubDim = 16
+  private final val pqNCent = 8; private final val pqIters = 2
+
+  private def pqLo(j: Int) = j * pqSubDim + 1
+  private def pqHi(j: Int) = (j + 1) * pqSubDim
+
+  private def pqD2(e: String, c: String) =
+    s"list_sum(list_transform(generate_series(1, $pqSubDim), " +
+      s"d -> ($e[d]-$c[d])*($e[d]-$c[d])))"
+
+  private def pqAssign(name: String, src: String, cents: String) =
+    s"""$name AS (
+       |  SELECT vec_id, e, list FROM (
+       |    SELECT t.vec_id, t.e, c.list,
+       |           row_number() OVER (PARTITION BY t.vec_id
+       |             ORDER BY ${pqD2("t.e", "c.c")}, c.list) AS rk
+       |    FROM $src t CROSS JOIN $cents c) WHERE rk = 1)""".stripMargin
+
+  /** The per-subspace codebook/encode CTE block (references `quant` and
+    * `tr` from the surrounding WITH): t_j slices, c{i}_j iterations,
+    * enc_j final codes, then `codes` assembling one row per vector. */
+  private lazy val pqSubCtes: String = {
+    val subs = (0 until pqNSub).map { j =>
+      val iterCtes = (1 to pqIters).map { i =>
+        s"""${pqAssign(s"a${i}_$j", s"t_$j", s"c${i - 1}_$j")},
            |m${i}_$j AS (
            |  SELECT list, d, CAST(floor(SUM(e[d]) / COUNT(*)) AS DOUBLE) AS cv
-           |  FROM a${i}_$j CROSS JOIN generate_series(1, $subDim) AS g(d)
+           |  FROM a${i}_$j CROSS JOIN generate_series(1, $pqSubDim) AS g(d)
            |  GROUP BY list, d),
            |c${i}_$j AS (
            |  SELECT p.list, COALESCE(mm.c, p.c) AS c
@@ -506,37 +557,46 @@ object DataOpsQueries {
            |    (SELECT list, list(cv ORDER BY d) AS c FROM m${i}_$j GROUP BY list) mm
            |    USING (list))""".stripMargin
       }.mkString(",\n")
-      s"""t_$j AS (SELECT vec_id, e[${lo(j)}:${hi(j)}] AS e, m FROM tr),
+      s"""t_$j AS (SELECT vec_id, e[${pqLo(j)}:${pqHi(j)}] AS e, m FROM tr),
          |c0_$j AS (SELECT rn - 1 AS list, e AS c FROM (
          |           SELECT e, row_number() OVER (ORDER BY m) AS rn FROM t_$j)
-         |         WHERE rn <= $nCent),
+         |         WHERE rn <= $pqNCent),
          |$iterCtes,
-         |q_$j AS (SELECT vec_id, e[${lo(j)}:${hi(j)}] AS e FROM quant),
-         |${assign(s"enc_$j", s"q_$j", s"c${iters}_$j")}""".stripMargin
+         |q_$j AS (SELECT vec_id, e[${pqLo(j)}:${pqHi(j)}] AS e FROM quant),
+         |${pqAssign(s"enc_$j", s"q_$j", s"c${pqIters}_$j")}""".stripMargin
     }.mkString(",\n")
-    val codeJoin = (1 until nSub)
+    val codeJoin = (1 until pqNSub)
       .map(j => s"JOIN enc_$j e$j USING (vec_id)").mkString(" ")
-    val codeCols = (0 until nSub).map(j => s"e$j.list AS c$j").mkString(", ")
-    val centJoins = (0 until nSub)
-      .map(j => s"JOIN c${iters}_$j k$j ON k$j.list = cd.c$j").mkString("\n    ")
-    val terms = (0 until nSub).map { j =>
-      s"(list_sum(list_transform(generate_series(1, $subDim), " +
-        s"d -> k$j.c[d]*k$j.c[d])) - 2*list_dot_product(s.e[${lo(j)}:${hi(j)}], k$j.c))"
-    }.mkString(" + ")
+    val codeCols = (0 until pqNSub).map(j => s"e$j.list AS c$j").mkString(", ")
+    s"""$subs,
+       |codes AS (SELECT e0.vec_id, $codeCols
+       |          FROM enc_0 e0 $codeJoin)""".stripMargin
+  }
+
+  /** ADC score terms against the final codebooks, `s` = query row with
+    * full vector `e`, `cd` = codes row. Fixed left-assoc + order — the
+    * same order pqTopK's reduceLeft emits. */
+  private lazy val pqScoreTerms: String = (0 until pqNSub).map { j =>
+    s"(list_sum(list_transform(generate_series(1, $pqSubDim), " +
+      s"d -> k$j.c[d]*k$j.c[d])) - 2*list_dot_product(s.e[${pqLo(j)}:${pqHi(j)}], k$j.c))"
+  }.mkString(" + ")
+
+  private lazy val pqCentJoins: String = (0 until pqNSub)
+    .map(j => s"JOIN c${pqIters}_$j k$j ON k$j.list = cd.c$j").mkString("\n    ")
+
+  private lazy val pqOracleSql: String =
     s"""WITH quant AS (
        |  SELECT vec_id,
        |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS e
        |  FROM embeddings),
        |tr AS (SELECT vec_id, e, md5(CAST(vec_id AS VARCHAR)) AS m
        |       FROM quant ORDER BY m LIMIT 10000),
-       |$subCtes,
-       |codes AS (SELECT e0.vec_id, $codeCols
-       |          FROM enc_0 e0 $codeJoin),
+       |$pqSubCtes,
        |qs AS (SELECT vec_id AS query_id, e FROM quant WHERE vec_id < 5),
        |scored AS (
-       |  SELECT s.query_id, cd.vec_id AS data_id, $terms AS adc_score
+       |  SELECT s.query_id, cd.vec_id AS data_id, $pqScoreTerms AS adc_score
        |  FROM qs s CROSS JOIN codes cd
-       |    $centJoins
+       |    $pqCentJoins
        |  WHERE cd.vec_id <> s.query_id)
        |SELECT query_id, data_id, adc_score, CAST(rk AS BIGINT) AS rank FROM (
        |  SELECT query_id, data_id, adc_score,
@@ -544,7 +604,6 @@ object DataOpsQueries {
        |           ORDER BY adc_score, data_id) AS rk
        |  FROM scored)
        |WHERE rk <= 5""".stripMargin
-  }
 
   /** Full dedup resolution: minhash candidates → connected components →
     * canonical doc per cluster. Oracle-checked because at
@@ -2530,6 +2589,7 @@ object DataOpsQueries {
     d45SpanDupCoverage, d46QualityClassifier, d47DedupRewrite,
     d48SemDedup, d49BpeFertility, d50PcaPower, d51SelfDupRewrite,
     d52Decontaminate, d53SourceOverlap, d54DsirImportance, d55PqAnn,
+    d56IvfPq,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

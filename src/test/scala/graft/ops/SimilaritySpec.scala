@@ -269,6 +269,32 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("ivfPqTopK: probing every cell recovers pqTopK exactly — pruning bounds candidates, never bends scores") {
+    val base = (0 until 8).map { i =>
+      val a = Array.tabulate(4)(d => (i * 7 + d * 3 + 1) * 0.001f)
+      val b = Array.tabulate(4)(d => (i * 11 + d * 5 + 2) * 0.001f)
+      (i.toLong, a ++ b)
+    }
+    val df = base.toDF("vec_id", "embedding")
+    def rows(got: org.apache.spark.sql.DataFrame) = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val pq = rows(Similarity.pqTopK(df, "vec_id", "embedding",
+      df.where(col("vec_id") < 2), "vec_id", k = 7,
+      nSub = 2, nCentroids = 8, iters = 2))
+    val ivfpq = rows(Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      df.where(col("vec_id") < 2), "vec_id", k = 7,
+      nLists = 4, nProbe = 4, cellIters = 3,
+      nSub = 2, nCentroids = 8, pqIters = 2))
+    assert(ivfpq == pq, s"full-probe IVF-PQ diverged:\n$ivfpq\nvs\n$pq")
+    // and with real pruning the output is a subset of the full ranking's
+    // candidates (ranks re-pack per query, so compare (query, data) pairs)
+    val pruned = rows(Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      df.where(col("vec_id") < 2), "vec_id", k = 7,
+      nLists = 4, nProbe = 1, cellIters = 3,
+      nSub = 2, nCentroids = 8, pqIters = 2))
+    assert(pruned.map(t => (t._1, t._2)).subsetOf(pq.map(t => (t._1, t._2))))
+  }
+
   test("planted near-dups: amplified LSH (tables + 1-bit probes) keeps recall high") {
     val pairs = Similarity.embeddingNearDups(planted, "vec_id", "embedding",
         minCosine = 0.9) // default dials: 12-bit codes x 4 tables x 1-bit probe
