@@ -244,27 +244,34 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 10,
       strict: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var ed = edges.select(col("u").as("s"), col("v").as("t"))
-      .union(edges.select(col("v").as("s"), col("u").as("t")))
+    // peel on the UNDIRECTED list (one row per edge, the
+    // coOccurrenceEdges contract), degrees via an endpoint explode:
+    // the symmetric both-directions form shuffles and checkpoints 2m
+    // rows per round for the same information — measured 1.9× slower
+    // at the 100× corpus (587 s → vs this form; BASELINE.md)
+    var und = edges.select(col("u").as("a"), col("v").as("b"))
       .localCheckpoint(true)
-    var nEdges = ed.count()
+    var nEdges = und.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val keep = ed.groupBy(col("s")).agg(count(lit(1)).as("_d"))
-        .where(col("_d") >= k).select(col("s").as("node"))
-      val next = ed
-        .join(keep, ed("s") === keep("node"), "left_semi")
-        .join(keep, ed("t") === keep("node"), "left_semi")
+      val keep = und
+        .select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("_d"))
+        .where(col("_d") >= k).select(col("node"))
+      val next = und
+        .join(keep, und("a") === keep("node"), "left_semi")
+        .join(keep, und("b") === keep("node"), "left_semi")
         .localCheckpoint(true)
       val nNext = next.count()
       converged = nNext == nEdges
-      ed = next; nEdges = nNext; iter += 1
+      und = next; nEdges = nNext; iter += 1
     }
     if (strict && !converged)
       throw new IllegalStateException(
         s"kCore did not reach fixpoint in $maxIter rounds — raise maxIter " +
           "(the oracle unroll must move with it) or lower k")
-    ed.groupBy(col("s").as("node")).agg(count(lit(1)).as("core_degree"))
+    und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
   }
 }
