@@ -394,8 +394,13 @@ object RelationalQueries {
            |FROM events GROUP BY 1, 2""".stripMargin))
 
   /** Session windows (30-min gap) in batch; oracle mirrors Spark's
-    * session semantics (new session iff gap >= 30 min; session end =
-    * last event + gap). */
+    * session semantics: touching windows MERGE — an event at exactly
+    * last + gap still extends the session, so a new session starts
+    * only on a STRICTLY greater gap (proven against the streaming
+    * session_window in StreamOpsSpec's exact-gap-edge test; the
+    * original `>=` oracle passed only because microsecond event
+    * streams make exact 30-minute gaps measure-zero). Session end =
+    * last event + gap. */
   val q29Sessionize = NamedQuery(
     "q29_sessionize",
     (s, dir) => {
@@ -408,7 +413,7 @@ object RelationalQueries {
     Some("""WITH g AS (
            |  SELECT user_id, ts, event_id,
            |         CASE WHEN lag(ts) OVER w IS NULL
-           |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+           |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
            |              THEN 1 ELSE 0 END AS new_s
            |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
            |     sess AS (
