@@ -779,6 +779,76 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Duplicate-aware SOFT dedup: keep every row, downweight each by
+    * 1/|cluster| so a document duplicated k times contributes ~one
+    * document of total loss mass in training — the curation alternative
+    * to hard dropping (near-dups sometimes carry the only clean copy of
+    * a passage; soft weights preserve it while killing the
+    * memorization-pressure of the repeats). Clusters come from
+    * [[resolveMinhashDups]] (exact-text ∪ signature-identity ∪ LSH
+    * pairs at `minEstJaccard`); the weight is ONE IEEE division of two
+    * exact longs (the q97 bit-portability rule).
+    *
+    * Scale shape: everything up to the weights is the d09 plan; the
+    * member count is a window over the cluster key — one keyed
+    * exchange, no join back, no driver state. Returns
+    * (doc_id, cluster_id, n_members, weight). */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 1.0, maxBucketSize: Int = 10000): DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    resolveMinhashDups(df, idCol, textCol, shingleN, numHashes, bands,
+        minEstJaccard, maxBucketSize)
+      .select(col("doc_id"), col("cluster_id"),
+        count(lit(1)).over(byCluster).as("n_members"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        (lit(1.0) / col("n_members").cast("double")).as("weight"))
+  }
+
+  /** The LSH banding dial derived from a TARGET Jaccard threshold —
+    * the d44/d48 auto-dial lesson applied to the (bands, rowsPerBand)
+    * pair, which every fixed-dial caller today guesses by hand. The
+    * detection S-curve for b bands of r rows has its knee at
+    * t* = (1/b)^(1/r); this picks the LARGEST r dividing `numHashes`
+    * with t* ≤ `targetJaccard` — the most selective banding (fewest
+    * false-positive candidates, the cost driver of the verify stage)
+    * that still catches pairs at the target similarity with at least
+    * the knee probability. Falls back to r = 1 (bands = numHashes, the
+    * highest-recall banding) when even one-row bands overshoot.
+    *
+    * Exactness: t* ≤ t  ⇔  1/b ≤ t^r  ⇔  b·T^r ≥ 100^r with
+    * T = round(100·t), evaluated in BigInt — no pow(), no libm
+    * divergence (the autoPlanes integer-bit-length rule; the target is
+    * centi-quantized so 100^r stays in 128 bits for every divisor of a
+    * ≤64-hash signature). The dial depends only on CONSTANTS, so an
+    * oracle inlines the resulting bands value and the derivation itself
+    * is property-tested (DedupSpec) rather than re-derived per row.
+    * Returns the bands count b = numHashes / r. */
+  def autoBands(numHashes: Int, targetJaccard: Double): Int = {
+    require(numHashes >= 1 && numHashes <= 64,
+      s"numHashes must be in [1,64], got $numHashes")
+    val t = math.round(targetJaccard * 100).toInt
+    require(t >= 1 && t <= 99,
+      s"targetJaccard must round into [0.01, 0.99], got $targetJaccard")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    val rBest = divisors.reverse.find { r =>
+      val b = numHashes / r
+      BigInt(b) * BigInt(t).pow(r) >= BigInt(100).pow(r)
+    }.getOrElse(1)
+    numHashes / rBest
+  }
+
+  /** [[minhashCandidates]] with the banding derived from the target
+    * threshold ([[autoBands]]) and the estimated-Jaccard floor set AT
+    * the target — one dial (the similarity you care about) instead of
+    * three (bands × rows × floor) that silently disagree. */
+  def minhashCandidatesAtThreshold(df: DataFrame, idCol: String,
+      textCol: String, targetJaccard: Double, shingleN: Int = 3,
+      numHashes: Int = 16, maxBucketSize: Int = 10000): DataFrame =
+    minhashCandidates(df, idCol, textCol, shingleN, numHashes,
+      autoBands(numHashes, targetJaccard), targetJaccard, maxBucketSize)
+
   /** Incremental dedup — the APPEND-time form of the dedup family: a
     * crawl increment is deduped against an existing corpus without
     * re-clustering the world. Each incoming doc gets a verdict:

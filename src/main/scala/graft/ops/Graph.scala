@@ -274,4 +274,65 @@ object Graph {
     und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    * list (src, dst), in exact long arithmetic so a DuckDB oracle
+    * unrolling the same rounds matches bit-for-bit (the g02 rule).
+    *
+    * Integer recurrence: auth₀ = 1_000_000 for every node; each round
+    * computes hub(u) = Σ_{u→v} auth(v) then auth(v) = Σ_{u→v} hub(u),
+    * rescaling each half-step by the FLOOR-divisor
+    * `greatest(1, (max + 999_999) div 1_000_000)` — division by a
+    * positive scalar, so the rescale preserves the ranking exactly and
+    * keeps every score ≤ 10⁶ (where classical HITS L2-normalizes with a
+    * sqrt that no two engines round alike). Overflow budget: a
+    * half-step sum is ≤ degree · 10⁶, exact while max in/out degree
+    * < 9.2 · 10¹² — the pageRank documented-not-defended contract.
+    *
+    * Nodes = edge endpoints; a node with no out-edges has hub 0, no
+    * in-edges auth 0 (pure hubs and pure authorities are the POINT on
+    * a bipartite graph — customers score as hubs, parts as
+    * authorities). Returns (node, hub, auth) as exact longs.
+    *
+    * Scale shape: per round two keyed joins + two grouped sums over the
+    * edge list — linear in edges, no quadratic step, so no cap needed
+    * (the d45 no-pair-formation family). The edge list materializes
+    * once (localCheckpoint — referenced 2·iters times); the per-round
+    * max is a one-row agg broadcast back (the mixtureWeights pattern).
+    * Score joins are PINNED shuffle_hash for the same measured reason
+    * as pageRank: AQE would broadcast a node-count-sized frame per
+    * round off a stats-less checkpoint scan. */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"iters must be in [1,8], got $iters — each round is two joins and " +
+        "two global maxes, and the oracle unroll must move with it")
+    val ed = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = ed.select(col("src").as("node"))
+      .unionByName(ed.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    def rescaled(scores: DataFrame, scoreCol: String): DataFrame = {
+      val mx = scores.agg(max(col(scoreCol)).as("_mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"$scoreCol div greatest(1L, (_mx + 999999L) div 1000000L)")
+            .as(scoreCol))
+    }
+    var auth = nodes.select(col("node"), lit(1000000L).as("auth"))
+    var hub: DataFrame = null
+    for (_ <- 1 to iters) {
+      hub = rescaled(
+        ed.join(auth.hint("shuffle_hash"), ed("dst") === auth("node"))
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub")),
+        "hub")
+      auth = rescaled(
+        ed.join(hub.hint("shuffle_hash"), ed("src") === hub("node"))
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth")),
+        "auth")
+    }
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+  }
 }

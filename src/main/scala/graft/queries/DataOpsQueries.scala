@@ -2574,6 +2574,57 @@ object DataOpsQueries {
     sb.toString
   }
 
+  /** MinHash-LSH candidates with the banding DERIVED from the target
+    * Jaccard (Dedup.autoBands — the d44/d48 auto-dial lesson applied to
+    * the last hand-guessed LSH dial). At numHashes = 16, target 0.5 the
+    * integer rule selects rowsPerBand = 2 / bands = 8 (knee
+    * (1/8)^(1/2) ≈ 0.354 ≤ 0.5; the next-sharper banding's knee
+    * (1/4)^(1/4) ≈ 0.707 overshoots) — the oracle inlines that derived
+    * banding (the dial depends only on constants; DedupSpec
+    * property-tests the derivation) and replays the bucket join with
+    * the est-Jaccard floor AT the target. */
+  val d57AutoBandPairs = NamedQuery(
+    "d57_autoband_pairs",
+    (s, dir) => {
+      Dedup.minhashCandidatesAtThreshold(Tables.documents(s, dir),
+        "doc_id", "text", targetJaccard = 0.5, shingleN = 3, numHashes = 16)
+    },
+    Some(s"""WITH $minhashSigCte,
+            |bands AS (
+            |  SELECT doc_id, b AS band,
+            |         md5(array_to_string(sig[b*2+1 : b*2+2], ',')) AS bucket, sig
+            |  FROM sig CROSS JOIN generate_series(0, 7) bb(b)),
+            |bc AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 10000)
+            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |       CAST(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 16 AS est_jaccard
+            |FROM bands a JOIN bands b
+            |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            |JOIN bc ON a.band = bc.band AND a.bucket = bc.bucket
+            |WHERE CAST(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 16 >= 0.5""".stripMargin))
+
+  /** Duplicate-aware SOFT dedup (keep everything, weight = 1/|cluster|)
+    * — the training-loss alternative to d09's hard keep decision, on
+    * the same threshold-1.0 cluster structure, so the oracle is d09's
+    * signature-identity partition plus a window count and ONE IEEE
+    * division of exact longs. */
+  val d58SoftDedup = NamedQuery(
+    "d58_soft_dedup",
+    (s, dir) => {
+      Dedup.softDedupWeights(Tables.documents(s, dir).where(col("text").isNotNull),
+        "doc_id", "text", minEstJaccard = 1.0)
+    },
+    Some(s"""WITH $minhashSigCte,
+            |keyed AS (
+            |  SELECT t.doc_id,
+            |         CASE WHEN s.doc_id IS NOT NULL THEN 'L:' || array_to_string(s.sig, ',')
+            |              ELSE 'S:' || t.text END AS k
+            |  FROM t LEFT JOIN sig s USING (doc_id)),
+            |cl AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY k) AS cluster_id FROM keyed)
+            |SELECT doc_id, cluster_id,
+            |       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+            |       CAST(1 AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS DOUBLE) AS weight
+            |FROM cl""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -2589,7 +2640,7 @@ object DataOpsQueries {
     d45SpanDupCoverage, d46QualityClassifier, d47DedupRewrite,
     d48SemDedup, d49BpeFertility, d50PcaPower, d51SelfDupRewrite,
     d52Decontaminate, d53SourceOverlap, d54DsirImportance, d55PqAnn,
-    d56IvfPq,
+    d56IvfPq, d57AutoBandPairs, d58SoftDedup,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

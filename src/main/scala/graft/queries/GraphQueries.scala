@@ -249,8 +249,63 @@ k$i AS (SELECT node FROM d$i WHERE d >= $k)""")
     sb.toString
   }
 
+  /** HITS hubs/authorities over the DIRECTED customer→part purchase
+    * graph (which customers are broad buyers, which parts anchor
+    * demand) — the bipartite centrality the undirected co-purchase
+    * PageRank (g02) cannot express. Part ids are offset by 10⁹ so the
+    * two node namespaces cannot collide (both engines apply the same
+    * literal shift). Exact integer recurrence with a floor-divisor
+    * rescale per half-step — the oracle unrolls the identical two
+    * rounds, so the top-20 is hash-exact (the g02 relearn rule).
+    * Top-20 plans as TakeOrderedAndProject with (auth desc, hub desc,
+    * node) a total order. */
+  val g08Hits = NamedQuery(
+    "g08_hits",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .where(col("o_custkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("o_custkey").as("src"),
+          (col("l_partkey") + lit(1000000000L)).as("dst"))
+        .distinct()
+      Graph.hits(edges, iters = 2)
+        .orderBy(col("auth").desc, col("hub").desc, col("node"))
+        .limit(20)
+    },
+    Some(hitsOracle))
+
+  private lazy val hitsOracle: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH bed AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey + 1000000000 AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL),
+        |nd AS MATERIALIZED (SELECT src AS node FROM bed UNION SELECT dst FROM bed),
+        |a0 AS (SELECT node, CAST(1000000 AS BIGINT) AS auth FROM nd)""".stripMargin)
+    for (i <- 1 to 2) {
+      // each half-step: keyed sum, then floor-divisor rescale off the
+      // round max (the *r frames materialize — each is referenced by
+      // both its max subquery and its rescale)
+      sb.append(s""",
+h${i}r AS MATERIALIZED (SELECT bed.src AS node, CAST(SUM(a.auth) AS BIGINT) AS hub
+        FROM bed JOIN a${i - 1} a ON bed.dst = a.node GROUP BY 1),
+h$i AS MATERIALIZED (SELECT node, hub // GREATEST(1, ((SELECT MAX(hub) FROM h${i}r) + 999999) // 1000000) AS hub FROM h${i}r),
+a${i}r AS MATERIALIZED (SELECT bed.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS auth
+        FROM bed JOIN h$i h ON bed.src = h.node GROUP BY 1),
+a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a${i}r) + 999999) // 1000000) AS auth FROM a${i}r)""")
+    }
+    sb.append(
+      """
+        |SELECT nd.node, COALESCE(h2.hub, 0) AS hub, COALESCE(a2.auth, 0) AS auth
+        |FROM nd LEFT JOIN h2 ON nd.node = h2.node LEFT JOIN a2 ON nd.node = a2.node
+        |ORDER BY auth DESC, hub DESC, nd.node LIMIT 20""".stripMargin)
+    sb.toString
+  }
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
-    g07KCore)
+    g07KCore, g08Hits)
 }

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState, MapState}
+
+/** Stateful streaming ops on the `transformWithState` API (Spark 4's
+  * arbitrary-state processor — SPARK-46815), the successor to the
+  * `(flat)mapGroupsWithState` forms in [[StreamOps]].
+  *
+  * Why a 100 TB pipeline cares about the API change: `mapGroupsWithState`
+  * models a grouping key's state as ONE opaque value — every micro-batch
+  * that touches the key deserializes the ENTIRE state, mutates it on the
+  * JVM heap, and writes the whole blob back. For the constant-size states
+  * in [[StreamOps]] (HLL registers, a debounce timestamp) that is fine;
+  * for a GROWING per-key collection (the seen-set of a first-seen dedup)
+  * it is O(|set|) serialization per batch and an eventual heap wall.
+  * `transformWithState` exposes composite state primitives instead —
+  * [[MapState]] here is per-ELEMENT point reads/writes against the
+  * RocksDB state store, so a batch touching k items of an n-item
+  * seen-set costs O(k), never O(n), and the set lives off-heap. State
+  * TTL is declarative per state variable ([[TTLConfig]]) instead of
+  * hand-rolled timeout plumbing.
+  *
+  * Backend contract: `transformWithState` REQUIRES the RocksDB state
+  * store provider — call [[StreamOps.withRocksDBStateStore]] before
+  * `.start()` (the HDFS-backed default provider fails the query at
+  * start). That requirement is exactly the scale posture this library
+  * already assumes for keyed state (see the StreamSoak numbers in
+  * BASELINE.md).
+  *
+  * Each op here is the TWS re-expression of an operator that already has
+  * a batch and/or mGWS form, and the spec asserts bit-equality against
+  * those twins on the same rows — the unified-API contract the rest of
+  * the streaming file follows.
+  */
+object TwsOps {
+
+  final case class FirstSeen(group: String, item: String)
+
+  /** Per-group exact first-seen filter: emits each (group, item) the
+    * first time it arrives, drops every repeat — the streaming form of
+    * `SELECT DISTINCT group, item` (and the exact-state cousin of
+    * [[StreamOps.bloomDedupStream]], which spends 512 KB for an
+    * approximate answer; this one spends one MapState entry per distinct
+    * item for an exact one).
+    *
+    * State: `MapState[item, 1L]` per group — membership is the map key
+    * itself. A micro-batch with k rows for a group performs at most k
+    * point lookups + at most k point writes regardless of how many items
+    * the group has accumulated; the mGWS formulation would read and
+    * rewrite the full seen-set per batch (the scaladoc's O(n)-vs-O(k)
+    * argument, asserted indirectly by the restart spec: state survives
+    * a stop/start through the changelog, so it is genuinely in the
+    * store, not replayed).
+    *
+    * `ttl`: optional processing-time TTL per seen-entry (e.g. "24 hours"
+    * dedup horizon — the TWS analogue of dropDuplicatesWithinWatermark's
+    * bounded-state contract, but per ELEMENT rather than per row-event).
+    * None keeps entries for the query lifetime: exact global dedup,
+    * state = one entry per distinct item, the caller owns the
+    * cardinality budget (the d01 exact-dedup contract, streamed). */
+  def firstSeenStream(spark: SparkSession, items: Dataset[StreamOps.KeyedItem],
+      ttl: Option[java.time.Duration] = None): Dataset[FirstSeen] = {
+    import spark.implicits._
+    val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    items.filter(_.item != null) // null is "no item", the sketch-family rule
+      .groupByKey(_.group)
+      .transformWithState(new FirstSeenProcessor(ttlConf),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  private final class FirstSeenProcessor(ttlConf: TTLConfig)
+      extends StatefulProcessor[String, StreamOps.KeyedItem, FirstSeen] {
+    @transient private var seen: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[String, Long](
+        "seen", Encoders.STRING, Encoders.scalaLong, ttlConf)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[StreamOps.KeyedItem],
+        timers: TimerValues): Iterator[FirstSeen] =
+      // strict evaluation: the rows iterator is only valid inside this
+      // call, and the seen-state reads must happen in arrival order
+      // (two copies of an item in ONE batch must emit exactly once)
+      rows.flatMap { r =>
+        if (seen.containsKey(r.item)) None
+        else {
+          seen.updateValue(r.item, 1L)
+          Some(FirstSeen(key, r.item))
+        }
+      }.toVector.iterator
+  }
+
+  /** Running per-key (count, sum) — the [[StreamOps.runningTotals]]
+    * operator re-expressed on ValueState. Emits the updated running
+    * total for every key touched by the micro-batch (update semantics,
+    * same contract as the mGWS form, asserted bit-equal in the spec).
+    * `idleTtl` evicts state for keys idle longer than the duration —
+    * declaratively, where the mGWS form hand-rolls
+    * ProcessingTimeTimeout + hasTimedOut plumbing. */
+  def runningTotalsTws(spark: SparkSession,
+      events: Dataset[StreamOps.KeyedEvent],
+      idleTtl: Option[java.time.Duration] = Some(java.time.Duration.ofHours(1)))
+      : Dataset[StreamOps.RunningTotal] = {
+    import spark.implicits._
+    val ttlConf = idleTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor(ttlConf),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  private final class RunningTotalProcessor(ttlConf: TTLConfig)
+      extends StatefulProcessor[Long, StreamOps.KeyedEvent, StreamOps.RunningTotal] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        ttlConf)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[StreamOps.KeyedEvent],
+        timers: TimerValues): Iterator[StreamOps.RunningTotal] = {
+      val (n0, total0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var n = n0
+      var total = total0
+      rows.foreach { e => n += 1; total += e.value }
+      totals.update((n, total))
+      Iterator.single(StreamOps.RunningTotal(key, n, total))
+    }
+  }
+}

@@ -556,4 +556,39 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (("changed", 3L)))
     assert(got(5L) == (("added", 3L)))
   }
+
+  test("autoBands: integer S-curve rule — knife edges, fallback, monotone in the target") {
+    // (1/4)^(1/4) = 0.70710678…: target 0.71 admits 4-row bands, 0.70
+    // does not — the centi-quantized BigInt comparison resolves the
+    // knife edge exactly where IEEE pow() could land on either side
+    assert(Dedup.autoBands(16, 0.71) == 4)
+    assert(Dedup.autoBands(16, 0.70) == 8)
+    assert(Dedup.autoBands(16, 0.5) == 8)   // knee (1/8)^(1/2) ≈ 0.354
+    assert(Dedup.autoBands(16, 0.99) == 2)  // knee (1/2)^(1/8) ≈ 0.917
+    // even r=1 overshoots a very low target → highest-recall fallback
+    assert(Dedup.autoBands(16, 0.05) == 16)
+    // more bands = more recall: as the target rises the rule must move
+    // monotonically toward fewer, longer bands — for every hash budget
+    for (k <- Seq(4, 8, 16, 32, 64)) {
+      val seq = (1 to 99).map(t => Dedup.autoBands(k, t / 100.0))
+      assert(seq.zip(seq.tail).forall { case (a, b) => b <= a },
+        s"bands not monotone for numHashes=$k: $seq")
+      assert(seq.forall(b => k % b == 0))
+    }
+  }
+
+  test("softDedupWeights: 1/|cluster| over the threshold-1.0 structure; short docs fold by exact text") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"), // sig-identical triple
+      (4L, "x y"), (5L, "x y"),                                // short: exact-text pair
+      (6L, "p q r s t u")                                      // unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1L, 3L, 1.0 / 3)) && got(2L) == ((1L, 3L, 1.0 / 3))
+      && got(3L) == ((1L, 3L, 1.0 / 3)))
+    assert(got(4L) == ((4L, 2L, 0.5)) && got(5L) == ((4L, 2L, 0.5)))
+    assert(got(6L) == ((6L, 1L, 1.0)))
+  }
 }

@@ -117,4 +117,24 @@ class GraphSpec extends SparkSpec {
     // everything peels → empty core, clean fixpoint
     assert(Graph.kCore(e, k = 4).count() == 0L)
   }
+
+  test("hits: replays the exact integer recurrence on a bipartite buyer/part graph") {
+    // customers 1,2,3 → parts 11,12,13; hand-walked two rounds:
+    //   h1r: c1=2e6 c2=1e6 c3=1e6; max 2e6 → div 2 → c1=1e6 c2=c3=5e5
+    //   a1r: p1=1.5e6 p2=1e6 p3=5e5; max 1.5e6 → div 2 → 75e4/5e5/25e4
+    //   h2r: c1=1.25e6 c2=75e4 c3=25e4; div 2 → 625e3/375e3/125e3
+    //   a2r: p1=1e6 p2=625e3 p3=125e3; max 1e6 → div 1 → unchanged
+    val e = Seq((1L, 11L), (1L, 12L), (2L, 11L), (3L, 13L)).toDF("src", "dst")
+    val got = Graph.hits(e, iters = 2).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> (625000L, 0L), 2L -> (375000L, 0L), 3L -> (125000L, 0L),
+      11L -> (0L, 1000000L), 12L -> (0L, 625000L), 13L -> (0L, 125000L)))
+  }
+
+  test("hits: a 2-cycle is its own fixpoint — every node hub = auth = 1e6") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.hits(e, iters = 3).as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1000000L, 1000000L), (2L, 1000000L, 1000000L)))
+  }
 }
