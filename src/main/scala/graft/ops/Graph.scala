@@ -307,28 +307,42 @@ object Graph {
       s"iters must be in [1,8], got $iters — each round is two joins and " +
         "two global maxes, and the oracle unroll must move with it")
     val ed = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val nodes = ed.select(col("src").as("node"))
-      .unionByName(ed.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
     def rescaled(scores: DataFrame, scoreCol: String): DataFrame = {
-      val mx = scores.agg(max(col(scoreCol)).as("_mx"))
-      scores.crossJoin(broadcast(mx))
+      // eager localCheckpoint BEFORE the two references below (the max
+      // agg and the rescale read): without it each rescale re-executes
+      // its whole upstream twice, and with four rescales the first
+      // half-step join runs up to 2⁴ times — measured 13.3 s → the
+      // checkpointed form (the semDedup four-consumer rule)
+      val once = scores.localCheckpoint(true)
+      val mx = once.agg(max(col(scoreCol)).as("_mx"))
+      once.crossJoin(broadcast(mx))
         .select(col("node"),
           expr(s"$scoreCol div greatest(1L, (_mx + 999999L) div 1000000L)")
             .as(scoreCol))
     }
-    var auth = nodes.select(col("node"), lit(1000000L).as("auth"))
-    var hub: DataFrame = null
-    for (_ <- 1 to iters) {
-      hub = rescaled(
-        ed.join(auth.hint("shuffle_hash"), ed("dst") === auth("node"))
-          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub")),
-        "hub")
-      auth = rescaled(
-        ed.join(hub.hint("shuffle_hash"), ed("src") === hub("node"))
-          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth")),
-        "auth")
+    def hubStep(auth: DataFrame): DataFrame = rescaled(
+      ed.join(auth.hint("shuffle_hash"), ed("dst") === auth("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub")),
+      "hub")
+    def authStep(hub: DataFrame): DataFrame = rescaled(
+      ed.join(hub.hint("shuffle_hash"), ed("src") === hub("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth")),
+      "auth")
+    // round 1's hub half-step joins against the CONSTANT 10⁶ init, so
+    // the sum folds to outdegree · 10⁶ — same value, one join and the
+    // node-universe init frame saved
+    var hub = rescaled(
+      ed.groupBy(col("src").as("node"))
+        .agg((count(lit(1)) * 1000000L).as("hub")),
+      "hub")
+    var auth = authStep(hub)
+    for (_ <- 2 to iters) {
+      hub = hubStep(auth)
+      auth = authStep(hub)
     }
+    val nodes = ed.select(col("src").as("node"))
+      .unionByName(ed.select(col("dst").as("node")))
+      .distinct()
     nodes
       .join(hub, Seq("node"), "left")
       .join(auth, Seq("node"), "left")
