@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState, MapState}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
+  ValueState, MapState}
 
 /** Stateful streaming ops on the `transformWithState` API (Spark 4's
   * arbitrary-state processor — SPARK-46815), the successor to the
@@ -70,13 +71,44 @@ object TwsOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streamed incremental dedup — the live form of d39: the seen-map
+    * is BOOTSTRAPPED from an existing batch corpus (via
+    * transformWithState's initial-state channel, loaded once at query
+    * start straight into the state store), so the stream emits only
+    * items novel against corpus ∪ stream-so-far. A crawl front-end
+    * dedups against yesterday's corpus without replaying it through the
+    * stream. Corpus items themselves are never emitted — they are
+    * PRIOR state, not arrivals. */
+  def firstSeenStreamWithCorpus(spark: SparkSession,
+      items: Dataset[StreamOps.KeyedItem],
+      corpus: Dataset[StreamOps.KeyedItem],
+      ttl: Option[java.time.Duration] = None): Dataset[FirstSeen] = {
+    import spark.implicits._
+    val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    val init = corpus.filter(_.item != null).groupByKey(_.group)
+    items.filter(_.item != null)
+      .groupByKey(_.group)
+      .transformWithState(new FirstSeenProcessor(ttlConf),
+        TimeMode.None(), OutputMode.Append(), init)
+  }
+
+  /** One processor, two front doors: with no initial state it is the
+    * exact first-seen filter; with a corpus as initial state it is the
+    * streamed d39 ([[firstSeenStreamWithCorpus]]). */
   private final class FirstSeenProcessor(ttlConf: TTLConfig)
-      extends StatefulProcessor[String, StreamOps.KeyedItem, FirstSeen] {
+      extends StatefulProcessorWithInitialState[String, StreamOps.KeyedItem,
+        FirstSeen, StreamOps.KeyedItem] {
     @transient private var seen: MapState[String, Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       seen = getHandle.getMapState[String, Long](
         "seen", Encoders.STRING, Encoders.scalaLong, ttlConf)
+
+    override def handleInitialState(key: String,
+        initialState: StreamOps.KeyedItem, timers: TimerValues): Unit =
+      // called once per corpus row at query start: mark seen, emit
+      // nothing (the corpus is prior knowledge, not an arrival)
+      seen.updateValue(initialState.item, 1L)
 
     override def handleInputRows(key: String,
         rows: Iterator[StreamOps.KeyedItem],

@@ -50,6 +50,39 @@ class TwsOpsSpec extends SparkSpec {
     }
   }
 
+  test("firstSeenStreamWithCorpus: corpus items suppress, never emit — the streamed d39") {
+    withRocks {
+      val corpus = Seq(StreamOps.KeyedItem("g1", "a"), StreamOps.KeyedItem("g1", "b"),
+        StreamOps.KeyedItem("g2", "a"), StreamOps.KeyedItem("g2", null)).toDS()
+      val b1 = Seq(StreamOps.KeyedItem("g1", "a"), StreamOps.KeyedItem("g1", "c"))
+      val b2 = Seq(StreamOps.KeyedItem("g1", "b"), StreamOps.KeyedItem("g1", "c"),
+        StreamOps.KeyedItem("g2", "a"), StreamOps.KeyedItem("g2", "d"),
+        StreamOps.KeyedItem("g3", "a"))
+      val mem = MemoryStream[StreamOps.KeyedItem](spark, 1)
+      val out = TwsOps.firstSeenStreamWithCorpus(spark, mem.toDS(), corpus)
+      val ckpt = tmpDir("tws-corp-ckpt")
+      val outDir = tmpDir("tws-corp-out")
+      def start() = out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData(b1: _*)
+      q1.processAllAvailable()
+      q1.stop()
+      // restart: both the corpus bootstrap AND batch-1 arrivals must
+      // stay suppressed (b, a are corpus; c arrived in batch 1)
+      mem.addData(b2: _*)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.parquet(outDir).as[TwsOps.FirstSeen].collect()
+        .map(f => (f.group, f.item)).sorted.toSeq
+      // novel vs corpus ∪ stream-so-far: g1/c (batch 1), g2/d, g3/a —
+      // g3 has NO initial state, its first arrival emits
+      assert(got == Seq(("g1", "c"), ("g2", "d"), ("g3", "a")))
+    }
+  }
+
   test("runningTotalsTws final per-key totals match the mGWS twin and the batch aggregate") {
     withRocks {
       val rows = Seq(
