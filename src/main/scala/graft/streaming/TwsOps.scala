@@ -1,9 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
-  ValueState, MapState}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
+  StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode,
+  TimerValues, ValueState, MapState}
 
 /** Stateful streaming ops on the `transformWithState` API (Spark 4's
   * arbitrary-state processor — SPARK-46815), the successor to the
@@ -123,6 +124,110 @@ object TwsOps {
           Some(FirstSeen(key, r.item))
         }
       }.toVector.iterator
+  }
+
+  final case class SessEvent(user_id: Long, event_id: Long, ts_us: Long,
+      ts: java.sql.Timestamp)
+  final case class SessionEmit(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** Gap-based sessionization on EVENT-TIME TIMERS — the
+    * transformWithState feature the mGWS walks in [[StreamOps]]
+    * hand-roll with sentinel "event wakes": a session emits exactly
+    * when the watermark passes its end (last event + gap), because a
+    * registered timer fires then — no polling, no per-batch re-walk of
+    * pending state.
+    *
+    * Semantics twin [[graft.ops.EventAnalytics.sessionize]] (q107) and
+    * `session_window` (q29): events ≤ `gapSeconds` apart merge
+    * (touching merges), `session_end = last + gap`. Out-of-order
+    * arrivals are handled with FULL session-merge semantics: each open
+    * session is kept in a ListState; an event can extend a session,
+    * open a new one, or BRIDGE two neighbours into one (their timers
+    * are deleted, the merged session registers its own) — so any
+    * arrival order within the watermark horizon produces the batch
+    * boundaries, not just in-order replay. Rows older than the
+    * watermark are dropped explicitly (the pinned late-row rule; the
+    * session they would have joined may already have emitted). Note the
+    * ENGINE's own late filter runs first and is strict —
+    * eventTime ≤ watermark drops — so an event at exactly epoch 0 ties
+    * the initial watermark and never reaches the processor (the
+    * StreamSoak 1-origin rule; real pipelines never carry epoch-0
+    * event times).
+    *
+    * State: open sessions per user — bounded by the watermark horizon
+    * divided by the gap, NOT by history (emitted sessions leave the
+    * store); one event-time timer per open session. Timer values are
+    * ms-rounded session ends; two sessions of one user are > gap ≥ 1 s
+    * apart, so timer values cannot collide (the require below). */
+  def sessionizeTws(spark: SparkSession, events: Dataset[StreamOps.TypedEvent],
+      gapSeconds: Long, watermark: String = "10 seconds"): Dataset[SessionEmit] = {
+    import spark.implicits._
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds " +
+      "(sub-second gaps would collide ms-rounded session timers)")
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .as[SessEvent]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  private final class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessionEmit] {
+    // (startUs, lastUs, nEvents) per open session, unordered in the store
+    @transient private var sessions: ListState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[(Long, Long, Long)]("sessions",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    /** Timer strictly after the session end: fires once the watermark
+      * PASSES end (the session_window emission rule), never at a tying
+      * watermark that a still-mergeable event could share. */
+    private def timerMs(lastUs: Long): Long = (lastUs + gapUs) / 1000 + 1
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+        timers: TimerValues): Iterator[SessionEmit] = {
+      val wmMs = timers.getCurrentWatermarkInMs
+      val incoming = rows.toVector
+        .filter(_.ts_us / 1000 >= wmMs) // pinned late-row rule
+        .sortBy(e => (e.ts_us, e.event_id))
+      if (incoming.isEmpty) return Iterator.empty
+      var open = sessions.get().toVector
+      val dead = scala.collection.mutable.LinkedHashSet.empty[Long]
+      incoming.foreach { e =>
+        val t = e.ts_us
+        // mergeable iff the event's gap-window touches the session's:
+        // start − gap ≤ t ≤ last + gap (≤ both sides — touching merges)
+        val (merge, keep) = open.partition(s => t >= s._1 - gapUs && t <= s._2 + gapUs)
+        if (merge.isEmpty) open = keep :+ ((t, t, 1L))
+        else {
+          merge.foreach(s => dead += timerMs(s._2))
+          open = keep :+ ((math.min(t, merge.map(_._1).min),
+            math.max(t, merge.map(_._2).max), merge.map(_._3).sum + 1L))
+        }
+      }
+      sessions.clear()
+      open.foreach(sessions.appendValue)
+      dead.foreach(getHandle.deleteTimer)
+      // re-registering an unchanged timer is idempotent; a deleted value
+      // that an open session still needs is re-registered right here
+      open.foreach(s => getHandle.registerTimer(timerMs(s._2)))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionEmit] = {
+      val wmMs = timers.getCurrentWatermarkInMs
+      val (due, remain) = sessions.get().toVector.partition(s => timerMs(s._2) <= wmMs)
+      sessions.clear()
+      remain.foreach(sessions.appendValue)
+      due.sortBy(_._1)
+        .map(s => SessionEmit(key, s._1, s._2 + gapUs, s._3)).iterator
+    }
   }
 
   /** Running per-key (count, sum) — the [[StreamOps.runningTotals]]

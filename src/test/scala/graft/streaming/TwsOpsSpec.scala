@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, timestamp_micros, unix_micros}
 
 /** transformWithState ops: each asserted bit-equal to its batch and/or
   * mapGroupsWithState twin on the same rows, plus checkpoint-restart
@@ -133,6 +134,91 @@ class TwsOpsSpec extends SparkSpec {
       val last = spark.read.parquet(outDir).as[StreamOps.RunningTotal]
         .collect().maxBy(_.n)
       assert(last == StreamOps.RunningTotal(7L, 3L, 7.0))
+    }
+  }
+
+  test("sessionizeTws: timer emission matches batch boundaries, bridges across a restart") {
+    withRocks {
+      def ev(id: Long, user: Long, sec: Long) =
+        StreamOps.TypedEvent(id, user, "e", sec * 1000000L)
+      // gap 10 s; watermark 1 h so nothing below is late. Times are
+      // 1000-origin: an event at exactly epoch 0 TIES the engine's
+      // initial watermark and the engine's eventTime <= watermark
+      // filter silently drops it (the StreamSoak 1-origin rule).
+      // user 1: t=1000 and t=1018 (two open sessions), then t=1009
+      // BRIDGES them; user 2: singleton; user 3: out-of-order in batch.
+      val b1 = Seq(ev(1, 1, 1000), ev(2, 1, 1018), ev(4, 2, 1005))
+      val b2 = Seq(ev(3, 1, 1009), ev(6, 3, 1105), ev(5, 3, 1100))
+      val sentinel = Seq(ev(99, 99, 10000))
+      val mem = MemoryStream[StreamOps.TypedEvent](spark, 1)
+      val out = TwsOps.sessionizeTws(spark, mem.toDS(), gapSeconds = 10,
+        watermark = "1 hour")
+      val ckpt = tmpDir("tws-sess-ckpt")
+      val outDir = tmpDir("tws-sess-out")
+      def start() = out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData(b1: _*)
+      q1.processAllAvailable()
+      q1.stop()
+      // restart across a checkpoint: open sessions AND their timers must
+      // recover for the bridge-merge and the final emission to work
+      mem.addData(b2: _*)
+      val q2 = start()
+      q2.processAllAvailable()
+      mem.addData(sentinel: _*)
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.parquet(outDir).as[TwsOps.SessionEmit].collect()
+        .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val expected = Seq(
+        (1L, 1000000000L, 1028000000L, 3L), // bridged: 1000,1009,1018 → end 1018+10
+        (2L, 1005000000L, 1015000000L, 1L),
+        (3L, 1100000000L, 1115000000L, 2L)) // sentinel's own session stays open
+      assert(got == expected)
+
+      // and the batch formulation agrees on the same rows (user 99
+      // excluded — its session is still open on the stream side)
+      val batch = graft.ops.EventAnalytics.sessionize(
+          (b1 ++ b2).toDS().toDF()
+            .select(col("user_id"), col("event_id"),
+              timestamp_micros(col("ts_us")).as("ts")),
+          "user_id", "ts", "event_id", gapSeconds = 10)
+        .select(col("user_id"), unix_micros(col("session_start")),
+          unix_micros(col("session_end")), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+      assert(batch == expected)
+    }
+  }
+
+  test("sessionizeTws: rows older than the watermark are dropped (pinned late-row rule)") {
+    withRocks {
+      def ev(id: Long, user: Long, sec: Long) =
+        StreamOps.TypedEvent(id, user, "e", sec * 1000000L)
+      val mem = MemoryStream[StreamOps.TypedEvent](spark, 1)
+      val out = TwsOps.sessionizeTws(spark, mem.toDS(), gapSeconds = 10,
+        watermark = "5 seconds")
+      val ckpt = tmpDir("tws-late-ckpt")
+      val outDir = tmpDir("tws-late-out")
+      val q = out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      mem.addData(ev(1, 1, 100), ev(9, 9, 200)) // wm after batch: 195 s
+      q.processAllAvailable()
+      mem.addData(ev(2, 1, 50), ev(3, 1, 300)) // t=50 < wm → dropped
+      q.processAllAvailable()
+      mem.addData(ev(99, 9, 1000)) // drive wm past 310
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(outDir).as[TwsOps.SessionEmit].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start_us, s.session_end_us, s.n_events))
+        .sortBy(_._1).toSeq
+      // the 50 s event appears NOWHERE (batch would give it a session —
+      // the documented stream-side divergence); 100 s and 300 s emit
+      assert(got == Seq((100000000L, 110000000L, 1L), (300000000L, 310000000L, 1L)))
     }
   }
 
