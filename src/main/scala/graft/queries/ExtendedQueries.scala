@@ -1630,8 +1630,53 @@ object ExtendedQueries {
            |       CAST(SUM(CASE WHEN p_partkey % 89 = 0 THEN NULL ELSE p_size END) AS BIGINT) AS size_sum
            |FROM part GROUP BY p_brand""".stripMargin))
 
+  /** Avro sink + source round-trip over the events table — the
+    * row-oriented binary leg of the format matrix. This build bundles
+    * the Avro FileFormat inside spark-sql but does NOT service-register
+    * the `avro` short name (the lookup reserves it for the external
+    * module and throws a deploy hint), so the query loads the
+    * implementation by fully-qualified class name — Spark's documented
+    * fallback for any unregistered source. Exercises the
+    * sharp Avro edges: TIMESTAMP (logical timestamp-micros — a
+    * lost-precision or timezone shift moves first/last_ts and
+    * hash-mismatches), nullable DOUBLE (Avro unions null via branch
+    * index, not sentinel), and free-form JSON text in `props`. The
+    * oracle recomputes the same exact-cents aggregate straight from
+    * parquet. Avro files are block-splittable with sync markers, so the
+    * connector scan is cluster-clean by construction. */
+  val q108AvroRoundtrip = NamedQuery(
+    "q108_avro_roundtrip",
+    (s, dir) => {
+      val path = rtDir(dir, "avro")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"),
+          when(col("event_id") % 101 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("val_or_null"),
+          col("props"))
+        .write.mode("overwrite")
+        .format("org.apache.spark.sql.avro.AvroFileFormat").save(path)
+      s.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(path)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.centsSum(col("val_or_null")).as("value_cents"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          sum(when(col("val_or_null").isNull, 1L).otherwise(0L)).as("n_null_value"),
+          sum(length(col("props"))).as("props_chars"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |       CAST(SUM(CAST(round(CASE WHEN event_id % 101 = 0 THEN NULL ELSE value END * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           |       MIN(ts) AS first_ts,
+           |       MAX(ts) AS last_ts,
+           |       CAST(SUM(CASE WHEN event_id % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+           |       CAST(SUM(length(props)) AS BIGINT) AS props_chars
+           |FROM events GROUP BY event_type""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q103CsvRoundtrip, q104OrcRoundtrip, q105JdbcRoundtrip, q106XmlRoundtrip,
+    q108AvroRoundtrip,
     q70SkewReport, q71JoinSizeEst, q72HeavyByGroup, q75PromoRatio,
     q76Histogram, q77Division,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q102SaltedAuto, q34Explode,
