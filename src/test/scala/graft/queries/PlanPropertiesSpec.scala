@@ -252,6 +252,25 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("g08 (HITS): top-20 is TakeOrderedAndProject; no cartesian product on the final assembly") {
+    // the per-round ShuffledHashJoins live inside eagerly-executed
+    // checkpoint stages (invisible here — their pin is the measured
+    // factor table in BASELINE.md); the FINAL plan's contract is the
+    // bounded top-k and left-join fill over checkpoint scans
+    val plan = executedPlan("g08_hits")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the assembly's SortMergeJoin sorts are LOCAL (global=false) — a
+    // global Sort of the full node table would be the q17 regression
+    assert(!"Sort \\[[^\\]]+\\], true".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("d58 (soft dedup): ONE cluster-keyed window computes the weights — no join-back, no second exchange") {
+    val plan = executedPlan("d58_soft_dedup")
+    assert("Window ".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("cluster_id"), plan)
+  }
+
   test("ALL queries: no single-partition shuffle of unaggregated data anywhere in any plan") {
     // The fleet-wide scale-killer guard: a ShuffleExchange to
     // SinglePartition is only ever acceptable when its input is already
