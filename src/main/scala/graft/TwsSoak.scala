@@ -31,7 +31,9 @@ object TwsSoak {
   def main(args: Array[String]): Unit = {
     val batches = if (args.length > 0) args(0).toInt else 20
     val newPerBatch = if (args.length > 1) args(1).toInt else 10000
-    require(batches >= 8, s"need >= 8 batches for the early/late windows, got $batches")
+    // early window = batches 3..5, late = last 3: DISJOINT needs >= 9
+    // (at 8 they would share batch 5 and self-correlate the growth ratio)
+    require(batches >= 9, s"need >= 9 batches for disjoint early/late windows, got $batches")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

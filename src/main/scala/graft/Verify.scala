@@ -13,6 +13,14 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length == 3) Some(args(2).split(",").toSet) else None
+    // a typo'd name would filter to NOTHING and verify_local would print
+    // "0 oracle-pass, 0 fail" exit 0 — the silent-hole failure mode the
+    // round-7 NO_OUTPUT fix was about, so unknown names fail loudly here
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

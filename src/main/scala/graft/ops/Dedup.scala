@@ -819,9 +819,12 @@ object Dedup {
     *
     * Exactness: t* ≤ t  ⇔  1/b ≤ t^r  ⇔  b·T^r ≥ 100^r with
     * T = round(100·t), evaluated in BigInt — no pow(), no libm
-    * divergence (the autoPlanes integer-bit-length rule; the target is
-    * centi-quantized so 100^r stays in 128 bits for every divisor of a
-    * ≤64-hash signature). The dial depends only on CONSTANTS, so an
+    * divergence (the autoPlanes integer-bit-length rule). BigInt is
+    * arbitrary-precision, so the comparison is exact at ANY divisor
+    * (100^64 is ~426 bits — do NOT "optimize" this to a fixed 128-bit
+    * representation); centi-quantization exists to make the rule a
+    * pure integer comparison, not to bound its width. The dial depends
+    * only on CONSTANTS, so an
     * oracle inlines the resulting bands value and the derivation itself
     * is property-tested (DedupSpec) rather than re-derived per row.
     * Returns the bands count b = numHashes / r. */

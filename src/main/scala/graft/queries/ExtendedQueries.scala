@@ -1670,7 +1670,7 @@ object ExtendedQueries {
            |       CAST(SUM(CAST(round(CASE WHEN event_id % 101 = 0 THEN NULL ELSE value END * 100) AS BIGINT)) AS BIGINT) AS value_cents,
            |       MIN(ts) AS first_ts,
            |       MAX(ts) AS last_ts,
-           |       CAST(SUM(CASE WHEN event_id % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+           |       CAST(SUM(CASE WHEN event_id % 101 = 0 OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
            |       CAST(SUM(length(props)) AS BIGINT) AS props_chars
            |FROM events GROUP BY event_type""".stripMargin))
 

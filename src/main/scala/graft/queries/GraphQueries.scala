@@ -252,9 +252,13 @@ k$i AS (SELECT node FROM d$i WHERE d >= $k)""")
   /** HITS hubs/authorities over the DIRECTED customer→part purchase
     * graph (which customers are broad buyers, which parts anchor
     * demand) — the bipartite centrality the undirected co-purchase
-    * PageRank (g02) cannot express. Part ids are offset by 10⁹ so the
-    * two node namespaces cannot collide (both engines apply the same
-    * literal shift). Exact integer recurrence with a floor-divisor
+    * PageRank (g02) cannot express. Part ids are offset by 10⁹ to keep
+    * the two node namespaces disjoint — VALID WHILE max custkey < 10⁹
+    * (TPC-H custkey ≈ 150k·SF, so the budget holds to SF ≈ 6,700; past
+    * it raise the offset — the pageRank documented-not-defended
+    * contract, stated as a bound rather than an impossibility). Both
+    * engines apply the same literal shift, BIGINT on both sides.
+    * Exact integer recurrence with a floor-divisor
     * rescale per half-step — the oracle unrolls the identical two
     * rounds, so the top-20 is hash-exact (the g02 relearn rule).
     * Top-20 plans as TakeOrderedAndProject with (auth desc, hub desc,
@@ -279,7 +283,8 @@ k$i AS (SELECT node FROM d$i WHERE d >= $k)""")
     val sb = new StringBuilder
     sb.append(
       """WITH bed AS MATERIALIZED (
-        |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey + 1000000000 AS dst
+        |  SELECT DISTINCT o.o_custkey AS src,
+        |                  l.l_partkey + CAST(1000000000 AS BIGINT) AS dst
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |  WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL),
         |nd AS MATERIALIZED (SELECT src AS node FROM bed UNION SELECT dst FROM bed),

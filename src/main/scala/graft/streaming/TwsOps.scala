@@ -62,6 +62,18 @@ object TwsOps {
     * None keeps entries for the query lifetime: exact global dedup,
     * state = one entry per distinct item, the caller owns the
     * cardinality budget (the d01 exact-dedup contract, streamed). */
+  /** TTL needs a clock: Spark 4.1 rejects a non-zero TTLConfig under any
+    * TimeMode but ProcessingTime (StatefulProcessorHandleImpl
+    * .validateTTLConfig throws at query START) — so the mode is derived
+    * from whether a TTL was asked for, never hardcoded. Caveat that
+    * follows: ProcessingTime mode triggers micro-batches CONTINUOUSLY
+    * (each batch runs the TTL sweep even with no input), so
+    * `processAllAvailable` livelocks and `Trigger.AvailableNow` does
+    * not self-terminate — drive TTL'd queries with an interval trigger
+    * or poll the sink (the spec does the latter). */
+  private def modeFor(ttl: Option[java.time.Duration]): TimeMode =
+    if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+
   def firstSeenStream(spark: SparkSession, items: Dataset[StreamOps.KeyedItem],
       ttl: Option[java.time.Duration] = None): Dataset[FirstSeen] = {
     import spark.implicits._
@@ -69,7 +81,7 @@ object TwsOps {
     items.filter(_.item != null) // null is "no item", the sketch-family rule
       .groupByKey(_.group)
       .transformWithState(new FirstSeenProcessor(ttlConf),
-        TimeMode.None(), OutputMode.Append())
+        modeFor(ttl), OutputMode.Append())
   }
 
   /** Streamed incremental dedup — the live form of d39: the seen-map
@@ -90,7 +102,7 @@ object TwsOps {
     items.filter(_.item != null)
       .groupByKey(_.group)
       .transformWithState(new FirstSeenProcessor(ttlConf),
-        TimeMode.None(), OutputMode.Append(), init)
+        modeFor(ttl), OutputMode.Append(), init)
   }
 
   /** One processor, two front doors: with no initial state it is the
@@ -245,7 +257,7 @@ object TwsOps {
     val ttlConf = idleTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalProcessor(ttlConf),
-        TimeMode.None(), OutputMode.Update())
+        modeFor(idleTtl), OutputMode.Update())
   }
 
   private final class RunningTotalProcessor(ttlConf: TTLConfig)

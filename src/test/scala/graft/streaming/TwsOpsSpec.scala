@@ -137,6 +137,48 @@ class TwsOpsSpec extends SparkSpec {
     }
   }
 
+  test("TTL-enabled forms run and stay correct (TTL requires ProcessingTime mode — regression)") {
+    // Spark 4.1 throws STATEFUL_PROCESSOR_CANNOT_ASSIGN_TTL_IN_TIME_MODE
+    // at query start if a non-zero TTL is paired with TimeMode.None —
+    // the ops must derive the mode from the TTL argument. The generous
+    // TTLs here cannot expire inside the test, so values are unchanged.
+    // ProcessingTime mode triggers batches CONTINUOUSLY (each runs the
+    // TTL sweep), which livelocks processAllAvailable (noNewData resets
+    // every trigger) and keeps AvailableNow from terminating — so these
+    // tests poll the sink to a deadline instead of either blocking call
+    def awaitRows(table: String, atLeast: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table(table).count() < atLeast) {
+        assert(System.nanoTime() < deadline, s"$table never reached $atLeast rows")
+        Thread.sleep(100)
+      }
+    }
+    withRocks {
+      val mem = MemoryStream[StreamOps.KeyedEvent](spark, 1)
+      // DEFAULT idleTtl = Some(1 hour) — the advertised default must start
+      val out = TwsOps.runningTotalsTws(spark, mem.toDS())
+      val q = out.writeStream.format("memory").queryName("tws_ttl_t")
+        .outputMode("update").start()
+      mem.addData(StreamOps.KeyedEvent(1L, 2.0), StreamOps.KeyedEvent(1L, 3.0))
+      try awaitRows("tws_ttl_t", 1) finally q.stop()
+      val got = spark.table("tws_ttl_t")
+        .as[StreamOps.RunningTotal].collect().maxBy(_.n)
+      assert(got == StreamOps.RunningTotal(1L, 2L, 5.0))
+
+      val mem2 = MemoryStream[StreamOps.KeyedItem](spark, 1)
+      val seen = TwsOps.firstSeenStream(spark, mem2.toDS(),
+        ttl = Some(java.time.Duration.ofHours(24)))
+      val q2 = seen.writeStream.format("memory").queryName("tws_ttl_seen_t")
+        .outputMode("append").start()
+      mem2.addData(StreamOps.KeyedItem("g", "a"), StreamOps.KeyedItem("g", "a"),
+        StreamOps.KeyedItem("g", "b"))
+      try awaitRows("tws_ttl_seen_t", 2) finally q2.stop()
+      val emitted = spark.table("tws_ttl_seen_t")
+        .as[TwsOps.FirstSeen].collect().map(_.item).sorted.toSeq
+      assert(emitted == Seq("a", "b"))
+    }
+  }
+
   test("sessionizeTws: timer emission matches batch boundaries, bridges across a restart") {
     withRocks {
       def ev(id: Long, user: Long, sec: Long) =
