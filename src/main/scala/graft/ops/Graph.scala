@@ -275,6 +275,53 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Link prediction over an undirected (u < v, distinct) edge list:
+    * for every NON-adjacent pair sharing ≥ `minCommonNeighbors`
+    * neighbours, the common-neighbour count and the resource-allocation
+    * index (Zhou et al. 2009) RA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w) —
+    * the score families entity-resolution uses to propose dup-cluster
+    * links the candidate generators missed. RA is computed as the exact
+    * integer Σ (10¹² div deg(w)) (`ra_x1e12`) — one floor division per
+    * wedge, no float accumulation, so a DuckDB oracle replays it
+    * bit-for-bit (Adamic-Adar's 1/log deg is NOT portable across libm;
+    * RA is the published alternative that needs no log).
+    *
+    * Scale shape: wedges form per CENTER w, so candidate volume is
+    * Σ_{deg(w) ≤ cap} deg(w)² ≤ cap · 2m — `maxCenterDegree` excludes
+    * hub centers from pair formation entirely (cap + audit via
+    * [[linkPredictionOverflow]], the d24 rule: a hub's wedges are the
+    * quadratic regime AND the least informative links). One shuffle on
+    * the center key, one on the (u, v) aggregate, one anti-join against
+    * the existing edges (prediction means MISSING links only).
+    * Overflow: Σ per pair ≤ cap · 10¹² ≪ 2⁶³ for any cap ≤ 9·10⁶.
+    * Returns (u, v, common_neighbors, ra_x1e12). */
+  def linkPrediction(edges: DataFrame, maxCenterDegree: Int = 256,
+      minCommonNeighbors: Long = 2L): DataFrame = {
+    require(maxCenterDegree >= 1 && maxCenterDegree <= 9000000,
+      s"maxCenterDegree must be in [1, 9e6], got $maxCenterDegree")
+    val adj = edges.select(col("u").as("w"), col("v").as("x"))
+      .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
+    val ok = adj.groupBy(col("w")).agg(count(lit(1)).as("_d"))
+      .where(col("_d") <= maxCenterDegree)
+    val a = adj.join(ok, Seq("w")).select(col("w"), col("_d"), col("x").as("u"))
+    val b = adj.join(ok.select(col("w")), Seq("w")).select(col("w"), col("x").as("v"))
+    a.join(b, Seq("w"))
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000000000L div _d")).as("ra_x1e12"))
+      .where(col("common_neighbors") >= minCommonNeighbors)
+      .join(edges, Seq("u", "v"), "left_anti")
+  }
+
+  /** Hub centers linkPrediction would exclude at this cap, with degrees
+    * — the audit twin (never silently half-predicted). */
+  def linkPredictionOverflow(edges: DataFrame, maxCenterDegree: Int = 256): DataFrame =
+    edges.select(col("u").as("w"))
+      .unionByName(edges.select(col("v").as("w")))
+      .groupBy(col("w")).agg(count(lit(1)).as("degree"))
+      .where(col("degree") > maxCenterDegree)
+
   /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
     * list (src, dst), in exact long arithmetic so a DuckDB oracle
     * unrolling the same rounds matches bit-for-bit (the g02 rule).

@@ -309,8 +309,36 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
     sb.toString
   }
 
+  /** Link prediction on the co-purchase graph: non-adjacent part pairs
+    * ranked by common neighbours + the exact-integer resource-allocation
+    * index — the "propose missing dup links" op of an entity-resolution
+    * pass. Center cap 64 (the basket-cap dial) encoded in the oracle;
+    * hub exclusions audited via Graph.linkPredictionOverflow. RA rides
+    * Σ (10¹² div deg(w)) so the DuckDB twin is hash-exact. */
+  val g09LinkPrediction = NamedQuery(
+    "g09_link_prediction",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.linkPrediction(e, maxCenterDegree = 64, minCommonNeighbors = 2L) // cn>=2: 20 rows at sf0.01 — a non-empty gate
+        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+          col("common_neighbors"), col("ra_x1e12"))
+    },
+    Some(s"""WITH $edgeCte,
+            |ok AS (SELECT node, d FROM deg WHERE d <= 64),
+            |pr AS (SELECT a.t AS u, b.t AS v,
+            |              CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+            |              CAST(SUM(1000000000000 // o.d) AS BIGINT) AS ra_x1e12
+            |       FROM ed a JOIN ed b ON a.s = b.s AND a.t < b.t
+            |       JOIN ok o ON a.s = o.node
+            |       GROUP BY 1, 2)
+            |SELECT CAST(pr.u AS BIGINT) AS u, CAST(pr.v AS BIGINT) AS v,
+            |       common_neighbors, ra_x1e12
+            |FROM pr LEFT JOIN e ON pr.u = e.u AND pr.v = e.v
+            |WHERE e.u IS NULL AND common_neighbors >= 2""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
-    g07KCore, g08Hits)
+    g07KCore, g08Hits, g09LinkPrediction)
 }

@@ -137,4 +137,29 @@ class GraphSpec extends SparkSpec {
     val got = Graph.hits(e, iters = 3).as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 1000000L, 1000000L), (2L, 1000000L, 1000000L)))
   }
+
+  test("linkPrediction: square's diagonals predicted with exact RA; existing edges excluded; hub cap audited") {
+    // square 1-2-3-4-1: the diagonals (1,3) and (2,4) each have two
+    // degree-2 common neighbours → cn = 2, ra = 2 · (1e12 div 2) = 1e12
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val got = Graph.linkPrediction(square, minCommonNeighbors = 1L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 2L, 1000000000000L), (2L, 4L, 2L, 1000000000000L)))
+
+    // path 1-2-3: (1,3) via center 2 (deg 2): cn = 1, ra = 5e11; and
+    // NO pair for adjacent (1,2)/(2,3)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val gotPath = Graph.linkPrediction(path, minCommonNeighbors = 1L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(gotPath == Seq((1L, 3L, 1L, 500000000000L)))
+
+    // star center 9 over 5 leaves: cap 4 excludes it from pair formation
+    // (no predictions), and the audit names it with its degree
+    val star = (1L to 5L).map(i => (math.min(9L, i), math.max(9L, i)))
+      .map { case (a, b) => (a, b) }.toDF("u", "v")
+    assert(Graph.linkPrediction(star, maxCenterDegree = 4, minCommonNeighbors = 1L).isEmpty)
+    val ovf = Graph.linkPredictionOverflow(star, maxCenterDegree = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(ovf == Seq((9L, 5L)))
+  }
 }
