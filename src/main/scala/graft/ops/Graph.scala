@@ -396,4 +396,61 @@ object Graph {
       .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
   }
+
+  /** Per-node local clustering coefficient over an undirected (u < v,
+    * distinct) edge list: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) where
+    * T(v) is the number of triangles through v — the node-level "how
+    * clique-like is my neighbourhood" profile the global census (g01)
+    * aggregates away (Watts–Strogatz 1998). Emitted as the exact
+    * integer `lcc_x1e6` = (2·T·10⁶) div (deg·(deg−1)) — one floor
+    * division of exact longs, hash-exact in any engine; deg-1 nodes
+    * get 0 (no possible wedge, the conventional value).
+    *
+    * Scale shape: rides the SAME degree-oriented engine as
+    * [[triangleCount]] — oriented adjacency sets bounded at O(√2m)
+    * per node regardless of hub degree, one exploded-edge join, and
+    * the per-edge common-out-neighbour set computed by the codegen'd
+    * sorted intersection. The only addition over the census is
+    * ATTRIBUTION: each closed triangle {u, v, w} (found once, on its
+    * unique counting edge u→v) credits all three corners — the u/v
+    * credits ride the per-edge intersection SIZE (no extra rows) and
+    * the w credits explode the intersection VALUES, 1 row per
+    * triangle. Credit volume is 2m + T rows into one node-keyed
+    * hash-agg with map-side combine — linear in edges + triangles,
+    * never a wedge materialization. Overflow: 2·T(v)·10⁶ needs
+    * T(v) < 4.6·10¹²; T(v) ≤ C(deg, 2), so any deg ≤ 3·10⁶ node is
+    * exact — the pageRank documented-not-defended contract.
+    * Returns (node, degree, n_triangles, lcc_x1e6). */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val adj = orient(edges.select(col("u"), col("v")))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("_nbrs"))
+      .localCheckpoint(true)
+    // per counting edge (u→v): the common out-neighbour VALUES — kept
+    // as an array column so size() credits the endpoints without a
+    // second pass and explode() credits the third corners
+    val perEdge = adj
+      .select(col("src").as("_u"), col("_nbrs").as("_nu"),
+        explode(col("_nbrs")).as("_v"))
+      .join(adj.select(col("src").as("_sv"), col("_nbrs").as("_nv"))
+        .hint("shuffle_hash"), col("_v") === col("_sv"))
+      .select(col("_u"), col("_v"),
+        array_intersect(col("_nu"), col("_nv")).as("_ws"))
+      .where(size(col("_ws")) > 0)
+    val credits = perEdge
+      .select(col("_u").as("node"), size(col("_ws")).cast("long").as("_c"))
+      .unionByName(perEdge
+        .select(col("_v").as("node"), size(col("_ws")).cast("long").as("_c")))
+      .unionByName(perEdge
+        .select(explode(col("_ws")).as("node"), lit(1L).as("_c")))
+    val tri = credits.groupBy(col("node")).agg(sum(col("_c")).as("_t"))
+    degrees(edges)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("_t"), lit(0L)).as("n_triangles"))
+      .select(col("node"), col("degree"), col("n_triangles"),
+        when(col("degree") >= 2,
+          expr("(2L * n_triangles * 1000000L) div (degree * (degree - 1L))"))
+          .otherwise(lit(0L)).as("lcc_x1e6"))
+  }
 }

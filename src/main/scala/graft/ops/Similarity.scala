@@ -921,4 +921,67 @@ object Similarity {
         dot(col("_e"), array(v.toSeq.map(x => lit(x.toDouble)): _*))
           .cast("long").as("pc1_proj"))
   }
+
+  /** Scalar-quantization (int8) ANN: corpus-calibrated per-dimension
+    * symmetric quantization to [−127, 127], integer-code dot-product
+    * scan for the top-`candidates`, exact cosine rescore of those for
+    * the top-`k` — the third point of the compression-ANN triangle
+    * (d10 IVF prunes CELLS, d55 PQ compresses via CODEBOOKS, THIS
+    * compresses each dimension independently — the simplest form, no
+    * trained model at all, and the one vector stores ship as
+    * "int8/SQ8"). Per-dim scale = max |value| over the corpus (floor 1
+    * so an all-zero dimension divides by 1, not 0); code =
+    * sign(x) · floor((|x|·127) / scale) — floor of an IEEE division of
+    * exact integers ≪ 2⁵³, which is EXACTLY integer floor division on
+    * both engines (the quotient can't sit within an ulp of an integer
+    * unless it IS one — |a − k·s| ≥ 1 for a ≠ k·s), and sign-split so
+    * floor-vs-trunc divergence on negatives never arises. Code dots
+    * are exact sums of |q|≤127² terms — hash-portable.
+    *
+    * Scale shape: the calibration pass is one posexplode + a
+    * dim-keyed max (map-side combined, dim rows out) assembled into a
+    * one-row array and BROADCAST back (the mixtureWeights pattern —
+    * never a driver literal, never a shuffle of the data side); the
+    * scan computes the int8 codes per row (at rest a production store
+    * would persist them — this op IS the write-path transform) and
+    * the top-`candidates` rides TakeOrderedAndProject carrying the
+    * quantized vector only for those rows; the exact rescore touches
+    * `candidates` rows, one IEEE division each (the d06 contract).
+    * Returns (vec_id, q_score: long, cos_sim) — top-k by
+    * (cos_sim desc, vec_id). */
+  def sqTopK(embeddings: DataFrame, idCol: String, embCol: String,
+      query: DataFrame, queryIdCol: String,
+      candidates: Int = 50, k: Int = 10): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val data = embeddings.select(
+      col(idCol).as("vec_id"), quantize(col(embCol)).as("_e"))
+    val scales = data
+      .select(posexplode(col("_e")).as(Seq("_d", "_x")))
+      .groupBy(col("_d")).agg(greatest(max(abs(col("_x"))), lit(1.0)).as("_m"))
+      .agg(sort_array(collect_list(struct(col("_d"), col("_m")))).as("_sm"))
+      .select(transform(col("_sm"), s => s.getField("_m")).as("_sc"))
+    def codes(e: Column): Column = zip_with(e, col("_sc"), (x, m) =>
+      when(x < 0, -floor(((-x) * 127) / m)).otherwise(floor((x * 127) / m))
+        .cast("double"))
+    val q = broadcast(query
+      .select(col(queryIdCol).as("_qid"), quantize(col(embCol)).as("_qe"))
+      .crossJoin(broadcast(scales))
+      .select(col("_qid"), col("_qe"), norm(col("_qe")).as("_qn"),
+        codes(col("_qe")).as("_qc")))
+    val scored = data
+      .crossJoin(broadcast(scales))
+      .select(col("vec_id"), col("_e"), codes(col("_e")).as("_c"))
+      .crossJoin(q)
+      .where(col("vec_id") =!= col("_qid"))
+      .select(col("vec_id"), col("_e"), col("_qe"), col("_qn"),
+        dot(col("_c"), col("_qc")).cast("long").as("q_score"))
+      .orderBy(col("q_score").desc, col("vec_id"))
+      .limit(candidates)
+    scored
+      .select(col("vec_id"), col("q_score"),
+        (dot(col("_e"), col("_qe")) / (norm(col("_e")) * col("_qn")))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

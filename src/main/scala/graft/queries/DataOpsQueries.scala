@@ -2625,6 +2625,94 @@ object DataOpsQueries {
             |       CAST(1 AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS DOUBLE) AS weight
             |FROM cl""".stripMargin))
 
+  /** Scalar-quantization (int8) ANN against vec 0: corpus-calibrated
+    * per-dim scales, integer-code dot scan for the top-50, exact
+    * cosine rescore for the top-10 (Similarity.sqTopK — the
+    * no-trained-model point of the IVF/PQ/SQ compression triangle).
+    * The oracle replays the calibration (per-dim max |milli value|,
+    * floor 1), the sign-split floor quantization, and both rank
+    * stages; code dots are exact integers and the final cosine is the
+    * d06 contract, so the gate is hash-exact. */
+  val d59SqAnn = NamedQuery(
+    "d59_sq_ann",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.sqTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "vec_id", candidates = 50, k = 10)
+    },
+    Some("""WITH quant AS (
+           |  SELECT vec_id,
+           |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS e
+           |  FROM embeddings),
+           |scd AS (SELECT d, GREATEST(MAX(ABS(x)), 1.0) AS m
+           |        FROM (SELECT unnest(e) AS x,
+           |                     unnest(generate_series(1, len(e))) AS d
+           |              FROM quant)
+           |        GROUP BY d),
+           |scl AS (SELECT list(m ORDER BY d) AS s FROM scd),
+           |codes AS (
+           |  SELECT vec_id, e,
+           |         list_transform(generate_series(1, len(e)),
+           |           i -> CASE WHEN e[i] < 0 THEN -FLOOR((-e[i] * 127) / s[i])
+           |                     ELSE FLOOR((e[i] * 127) / s[i]) END) AS c
+           |  FROM quant, scl),
+           |qr AS (SELECT e AS qe, c AS qc FROM codes WHERE vec_id = 0),
+           |cand AS (
+           |  SELECT vec_id, e, qe,
+           |         CAST(list_dot_product(c, qc) AS BIGINT) AS q_score
+           |  FROM codes, qr WHERE vec_id <> 0
+           |  ORDER BY q_score DESC, vec_id LIMIT 50)
+           |SELECT vec_id, q_score,
+           |       list_dot_product(e, qe)
+           |         / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS cos_sim
+           |FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin))
+
+  /** Edit-distance-verified near-dup pairs (Dedup.editVerifiedPairs):
+    * the d03 LSH candidate stage verified by EXACT Levenshtein — the
+    * character-level verify word-shingle Jaccard (d15) is too coarse
+    * for. Keep decision is the pure-integer milli comparison; both
+    * engines run the textbook DP, and the cap + audit contract
+    * (`verified` = false above maxChars) is encoded in the oracle. */
+  val d60EditVerify = NamedQuery(
+    "d60_edit_verify",
+    (s, dir) => {
+      Dedup.editVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+        minSimMilli = 800, shingleN = 3, numHashes = 16, bands = 4,
+        maxBucketSize = 10000, maxChars = 10000)
+    },
+    Some(s"""WITH $minhashSigCte,
+            |bands AS (
+            |  SELECT doc_id, b AS band,
+            |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+            |  FROM sig CROSS JOIN generate_series(0, 3) bb(b)),
+            |bc AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            |  JOIN bc ON a.band = bc.band AND a.bucket = bc.bucket),
+            |tx AS (SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS len
+            |       FROM documents WHERE text IS NOT NULL),
+            |pr AS (
+            |  SELECT doc_a, doc_b,
+            |         GREATEST(ta.len, tb.len) AS max_len,
+            |         GREATEST(ta.len, tb.len) <= 10000 AS verified,
+            |         ta.text AS t_a, tb.text AS t_b
+            |  FROM cand JOIN tx ta ON cand.doc_a = ta.doc_id
+            |            JOIN tx tb ON cand.doc_b = tb.doc_id),
+            |lv AS (
+            |  SELECT doc_a, doc_b,
+            |         CASE WHEN verified THEN CAST(levenshtein(t_a, t_b) AS BIGINT) END AS lev,
+            |         max_len, verified
+            |  FROM pr)
+            |SELECT doc_a, doc_b, lev, max_len,
+            |       CASE WHEN verified
+            |            THEN CAST(max_len - lev AS DOUBLE) / max_len END AS edit_sim,
+            |       CASE WHEN verified
+            |            THEN (max_len - lev) * 1000 >= max_len * 800 END AS is_dup,
+            |       verified
+            |FROM lv""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -2640,7 +2728,7 @@ object DataOpsQueries {
     d45SpanDupCoverage, d46QualityClassifier, d47DedupRewrite,
     d48SemDedup, d49BpeFertility, d50PcaPower, d51SelfDupRewrite,
     d52Decontaminate, d53SourceOverlap, d54DsirImportance, d55PqAnn,
-    d56IvfPq, d57AutoBandPairs, d58SoftDedup,
+    d56IvfPq, d57AutoBandPairs, d58SoftDedup, d59SqAnn, d60EditVerify,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

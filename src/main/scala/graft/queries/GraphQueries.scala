@@ -337,8 +337,46 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |FROM pr LEFT JOIN e ON pr.u = e.u AND pr.v = e.v
             |WHERE e.u IS NULL AND common_neighbors >= 2""".stripMargin))
 
+  /** Local clustering coefficient per node (Watts–Strogatz): the
+    * node-level clique-ness profile g01's census aggregates away —
+    * which parts sit in tightly cross-purchased pockets vs star hubs.
+    * lcc as the exact integer (2·T·10⁶) div (deg·(deg−1)), so the
+    * oracle — g01's oriented wedge-closure with the triangle's three
+    * corners kept and exploded — is hash-exact per node, the
+    * strongest per-row gate shape (the g04 rule). */
+  val g10ClusteringCoeff = NamedQuery(
+    "g10_clustering_coeff",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.clusteringCoefficients(e)
+        .select(col("node").cast("long").as("node"), col("degree"),
+          col("n_triangles"), col("lcc_x1e6"))
+    },
+    Some(s"""WITH $edgeCte,
+            |o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+            |                  THEN e.u ELSE e.v END AS src,
+            |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+            |                  THEN e.v ELSE e.u END AS dst
+            |      FROM e JOIN deg du ON e.u = du.node
+            |             JOIN deg dv ON e.v = dv.node),
+            |tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+            |        FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst
+            |        JOIN e ON a.dst = e.u AND b.dst = e.v),
+            |tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            |         SELECT x AS node FROM tri
+            |         UNION ALL SELECT y FROM tri
+            |         UNION ALL SELECT z FROM tri)
+            |       GROUP BY 1)
+            |SELECT CAST(deg.node AS BIGINT) AS node, deg.d AS degree,
+            |       COALESCE(tc.t, 0) AS n_triangles,
+            |       CASE WHEN deg.d >= 2
+            |            THEN (2 * COALESCE(tc.t, 0) * 1000000) // (deg.d * (deg.d - 1))
+            |            ELSE 0 END AS lcc_x1e6
+            |FROM deg LEFT JOIN tc ON deg.node = tc.node""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
-    g07KCore, g08Hits, g09LinkPrediction)
+    g07KCore, g08Hits, g09LinkPrediction, g10ClusteringCoeff)
 }

@@ -591,4 +591,44 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((4L, 2L, 0.5)) && got(5L) == ((4L, 2L, 0.5)))
     assert(got(6L) == ((6L, 1L, 1.0)))
   }
+
+  test("editVerifiedPairs: exact dup verifies at lev 0; one-char typo at lev 1; integer keep rule") {
+    // docs 1/2 byte-identical (candidate guaranteed: identical
+    // signatures), doc 3 one substitution away — LSH recall for the
+    // near pair is checked below with the generous 16-band dial
+    val got = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+        minSimMilli = 900, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5),
+          r.getBoolean(6)))).toMap
+    // "the quick brown fox jumps over the lazy dog" = 43 chars
+    assert(got((1L, 2L)) == ((0L, 43L, 1.0, true, true)))
+    // lazy -> sleepy: lev 4 vs max_len 45; sim = 41/45 ≈ 0.911 ≥ 0.9
+    val near12 = got.get((1L, 3L)).orElse(got.get((2L, 3L)))
+    assert(near12.exists(v => v._1 == 4L && v._2 == 45L && v._4 && v._5),
+      s"near pair must verify as a dup at 900 milli: $got")
+    // at 950 milli the same pair fails the integer keep rule:
+    // (45-4)*1000 = 41000 < 45*950 = 42750
+    val strict = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+        minSimMilli = 950, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(5)).toMap
+    assert(strict((1L, 2L)) && near12.isDefined &&
+      !strict.getOrElse((1L, 3L), strict((2L, 3L))))
+  }
+
+  test("editVerifiedPairs: the maxChars cap emits verified=false with NULL lev, never a silent verdict") {
+    val long = ("tok " * 2000).trim // 4 tokens * 2000 = 7999 chars
+    val docs2 = Seq((1L, long), (2L, long)).toDF("doc_id", "text")
+    val capped = Dedup.editVerifiedPairs(docs2, "doc_id", "text",
+        maxChars = 100).collect()
+    assert(capped.length == 1)
+    val r = capped.head
+    assert(!r.getBoolean(6) && r.isNullAt(2) && r.isNullAt(4) && r.isNullAt(5),
+      s"over-cap pair must be explicitly unverified: $r")
+    assert(r.getLong(3) == 7999L)
+    // under a big-enough cap the same pair verifies at lev 0
+    val ok = Dedup.editVerifiedPairs(docs2, "doc_id", "text",
+        maxChars = 8000).collect().head
+    assert(ok.getBoolean(6) && ok.getLong(2) == 0L && ok.getBoolean(5))
+  }
 }

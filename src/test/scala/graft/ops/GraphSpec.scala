@@ -138,6 +138,36 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((1L, 1000000L, 1000000L), (2L, 1000000L, 1000000L)))
   }
 
+  test("clusteringCoefficients: pendant-triangle graph — exact per-node credits and floor-division lcc") {
+    // triangle {1,2,3} + pendant edge 3-4: T(1)=T(2)=T(3)=1, T(4)=0;
+    // lcc: 1,2 → 2·1e6/(2·1)=1e6; 3 → 2·1e6/(3·2)=333333; 4 → deg 1 → 0
+    val got = Graph.clusteringCoefficients(edges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      1L -> (2L, 1L, 1000000L), 2L -> (2L, 1L, 1000000L),
+      3L -> (3L, 1L, 333333L), 4L -> (1L, 0L, 0L)))
+  }
+
+  test("clusteringCoefficients: K4 — every node closes all its wedges (lcc = 1e6, 3 triangles each)") {
+    val k4 = (for { u <- 1L to 4L; v <- (u + 1) to 4L } yield (u, v)).toDF("u", "v")
+    val got = Graph.clusteringCoefficients(k4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == (1L to 4L).map(_ -> ((3L, 3L, 1000000L))).toMap)
+    // total credits = 3 · the census count (each triangle credits 3 nodes)
+    assert(got.values.map(_._2).sum == 3L * 4L)
+    // a path has no triangles anywhere: every node 0, degree-1 ends lcc 0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val gotPath = Graph.clusteringCoefficients(path)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(gotPath == Map(1L -> (1L, 0L, 0L), 2L -> (2L, 0L, 0L),
+      3L -> (1L, 0L, 0L)))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "clusteringCoefficients leaked a cached plan into the registry")
+  }
+
   test("linkPrediction: square's diagonals predicted with exact RA; existing edges excluded; hub cap audited") {
     // square 1-2-3-4-1: the diagonals (1,3) and (2,4) each have two
     // degree-2 common neighbours → cn = 2, ra = 2 · (1e12 div 2) = 1e12

@@ -395,6 +395,37 @@ class SimilaritySpec extends SparkSpec {
     assert(auto == explicit && auto.nonEmpty, s"auto=$auto explicit=$explicit")
   }
 
+  test("sqTopK: sign-split int8 codes, integer candidate scan, exact rescore ordering") {
+    // millis: v0/v1=(1000,0,0) v2=(0,1000,0) v3=(700,700,0) v4=(-1000,0,0)
+    // per-dim max|.|: (1000, 1000, 0→floor 1)
+    // codes: v0/v1=(127,0,0) v2=(0,127,0) v3=(88,88,0) v4=(-127,0,0)
+    // q_score vs v0: v1=16129 v3=11176 v2=0 v4=-16129
+    val got = Similarity.sqTopK(vecs, "vec_id", "embedding",
+        vecs.where(col("vec_id") === 0), "vec_id", candidates = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L, 4L))
+    assert(got.map(_._2).toSeq == Seq(16129L, 11176L, 0L, -16129L),
+      "integer code dots must be exact (127 and 88 = floor(700*127/1000))")
+    // the negative side must quantize by sign-split floor: -127, never
+    // the floor-division -128 a naive floor((-1000*127)/1000) would give
+    assert(got.last._2 == -16129L)
+    // exact rescore equals the brute-force cosines
+    assert(got(0)._3 == 1.0)
+    assert(math.abs(got(1)._3 - math.sqrt(0.5)) < 1e-9)
+    assert(got(2)._3 == 0.0 && got(3)._3 == -1.0)
+  }
+
+  test("sqTopK: the candidate stage prunes — a tight candidate budget drops the tail before rescore") {
+    val got = Similarity.sqTopK(vecs, "vec_id", "embedding",
+        vecs.where(col("vec_id") === 0), "vec_id", candidates = 2, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L), s"only the top-2 by code score may survive: $got")
+    intercept[IllegalArgumentException] {
+      Similarity.sqTopK(vecs, "vec_id", "embedding",
+        vecs.where(col("vec_id") === 0), "vec_id", candidates = 2, k = 4)
+    }
+  }
+
   test("covarianceMatrix: a null element drops that row from the affected cells only — n matches the sums everywhere") {
     // row 3's dim-1 is null: cells touching dim 1 see n=2, dim-0-only
     // cells still see n=3. Counting the row while sum() skipped it
