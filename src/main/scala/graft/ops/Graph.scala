@@ -413,11 +413,14 @@ object Graph {
     * sorted intersection. The only addition over the census is
     * ATTRIBUTION: each closed triangle {u, v, w} (found once, on its
     * unique counting edge u→v) credits all three corners — the u/v
-    * credits ride the per-edge intersection SIZE (no extra rows) and
-    * the w credits explode the intersection VALUES, 1 row per
-    * triangle. Credit volume is 2m + T rows into one node-keyed
-    * hash-agg with map-side combine — linear in edges + triangles,
-    * never a wedge materialization. Overflow: 2·T(v)·10⁶ needs
+    * credits ride the per-edge intersection SIZE and the w credits the
+    * intersection VALUES, all three emitted from ONE explode of a
+    * per-edge credit array (a 3-branch union would re-execute the
+    * intersection join per branch — plan-audited: 3 ShuffledHashJoins
+    * for one logical join). Credit volume is 2m + T rows into one
+    * node-keyed hash-agg with map-side combine — linear in edges +
+    * triangles, never a wedge materialization. Overflow: 2·T(v)·10⁶
+    * needs
     * T(v) < 4.6·10¹²; T(v) ≤ C(deg, 2), so any deg ≤ 3·10⁶ node is
     * exact — the pageRank documented-not-defended contract.
     * Returns (node, degree, n_triangles, lcc_x1e6). */
@@ -438,11 +441,13 @@ object Graph {
         array_intersect(col("_nu"), col("_nv")).as("_ws"))
       .where(size(col("_ws")) > 0)
     val credits = perEdge
-      .select(col("_u").as("node"), size(col("_ws")).cast("long").as("_c"))
-      .unionByName(perEdge
-        .select(col("_v").as("node"), size(col("_ws")).cast("long").as("_c")))
-      .unionByName(perEdge
-        .select(explode(col("_ws")).as("node"), lit(1L).as("_c")))
+      .select(explode(concat(
+        array(
+          struct(col("_u").as("node"), size(col("_ws")).cast("long").as("_c")),
+          struct(col("_v").as("node"), size(col("_ws")).cast("long").as("_c"))),
+        transform(col("_ws"), w => struct(w.as("node"), lit(1L).as("_c")))))
+        .as("_cr"))
+      .select(col("_cr.node").as("node"), col("_cr._c").as("_c"))
     val tri = credits.groupBy(col("node")).agg(sum(col("_c")).as("_t"))
     degrees(edges)
       .join(tri, Seq("node"), "left")

@@ -955,11 +955,17 @@ object Similarity {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val data = embeddings.select(
       col(idCol).as("vec_id"), quantize(col(embCol)).as("_e"))
+    // eager localCheckpoint: the one-row scales frame feeds BOTH
+    // crossJoin consumers (query codes + data codes) — without it each
+    // re-runs the full-corpus calibration scan (plan-audited: 2 scans);
+    // the checkpoint is one row holding a dim-length array (the
+    // mixtureWeights bounded-frame class)
     val scales = data
       .select(posexplode(col("_e")).as(Seq("_d", "_x")))
       .groupBy(col("_d")).agg(greatest(max(abs(col("_x"))), lit(1.0)).as("_m"))
       .agg(sort_array(collect_list(struct(col("_d"), col("_m")))).as("_sm"))
       .select(transform(col("_sm"), s => s.getField("_m")).as("_sc"))
+      .localCheckpoint(true)
     def codes(e: Column): Column = zip_with(e, col("_sc"), (x, m) =>
       when(x < 0, -floor(((-x) * 127) / m)).otherwise(floor((x * 127) / m))
         .cast("double"))

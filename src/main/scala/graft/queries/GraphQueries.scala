@@ -347,8 +347,12 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
   val g10ClusteringCoeff = NamedQuery(
     "g10_clustering_coeff",
     (s, dir) => {
+      // checkpoint the edge list (the g01 pattern): the op reads it
+      // twice — oriented adjacency AND final degrees — and each read
+      // would otherwise re-run the basket expansion from parquet
       val e = Graph.coOccurrenceEdges(
         Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+        .localCheckpoint(true)
       Graph.clusteringCoefficients(e)
         .select(col("node").cast("long").as("node"), col("degree"),
           col("n_triangles"), col("lcc_x1e6"))

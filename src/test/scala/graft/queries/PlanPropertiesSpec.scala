@@ -533,4 +533,32 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert("Scan parquet".r.findAllIn(plan).length == 2, plan)
   }
+
+  test("g10 (clustering coeff): ONE intersection join — the credit fan-out is a single explode, not a union") {
+    // the 3-branch union draft re-executed the adjacency closure per
+    // branch (3 ShuffledHashJoins for one logical join, plan-audited);
+    // the credit-array explode keeps it at exactly one
+    val plan = executedPlan("g10_clustering_coeff")
+    assert("ShuffledHashJoin".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // edge list checkpointed at the call site: no parquet re-scan
+    assert(!plan.contains("Scan parquet"), plan)
+  }
+
+  test("d59 (SQ ANN): one calibration pass, both rank stages as TakeOrderedAndProject") {
+    val plan = executedPlan("d59_sq_ann")
+    // scans: data codes + query row — calibration is checkpointed once
+    // (the draft ran the full-corpus calibration per crossJoin side)
+    assert("Scan parquet".r.findAllIn(plan).length == 2, plan)
+    assert("Scan ExistingRDD".r.findAllIn(plan).length >= 1, plan)
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length == 2, plan)
+    // a global Sort would shuffle the whole corpus for 50 candidate rows
+    assert(!"(?m)^\\s*:?\\+?-? ?\\*?\\(?\\d*\\)? ?Sort ".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("d60 (edit verify): pair formation stays inside the capped LSH band join — no cartesian, no nested loop") {
+    val plan = executedPlan("d60_edit_verify")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
