@@ -292,6 +292,37 @@ object Dedup {
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
   }
 
+  /** Candidates → exact CONTAINMENT verify: the asymmetric twin of
+    * [[verifyJaccard]]. Jaccard misses inclusion — a tweet quoted
+    * inside a long article scores near 0 Jaccard (the union is huge)
+    * but containment |A∩B| / min(|A|,|B|) ≈ 1. That is the signal a
+    * curation pass needs for quote/boilerplate/near-superset
+    * detection, where the right action is usually "keep the superset,
+    * drop the contained copy". Rides the IDENTICAL gram machinery as
+    * verifyJaccard (same pair-restricted set arithmetic, work ∝
+    * candidates — no new scan shape); the keep decision is the
+    * pure-integer comparison n_shared·1000 ≥ milli·min(n_a, n_b), and
+    * `contained_doc` names the smaller-gram-set side (ties → doc_a)
+    * only when the flag fires. `containment` itself is one IEEE
+    * division of exact longs (the q97 rule). Empty-gram docs never
+    * reach pair formation (candidates require shingles), so the min
+    * is ≥ 1 and the division is total. */
+  def containmentVerify(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      shingleN: Int = 3, minContainMilli: Int = 900): DataFrame = {
+    require(minContainMilli >= 0 && minContainMilli <= 1000,
+      s"minContainMilli must be in [0,1000], got $minContainMilli")
+    verifyJaccardManaged(df, idCol, textCol, pairs, aCol, bCol, shingleN)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"),
+        (col("n_shared") * 1000L >= least(col("n_a"), col("n_b")) * minContainMilli)
+          .as("is_contained"))
+      .withColumn("contained_doc",
+        when(col("is_contained"),
+          when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))))
+  }
+
   /** (doc, fp): 64-bit SimHash fingerprints via the native one-pass
     * expression — md5 chain (portable): bit i of fp is the sign of the
     * sum over tokens of (bit i of the token's first md5 half ? +1 : -1). */

@@ -397,6 +397,54 @@ object Graph {
         coalesce(col("auth"), lit(0L)).as("auth"))
   }
 
+  /** Personalized PageRank (Jeh & Widom 2003) over an undirected edge
+    * list: the teleport mass lands ONLY on the `seeds` set, so scores
+    * measure proximity TO the seeds — the "related items" / "expand
+    * this dup cluster" query global PageRank (g02) cannot express
+    * (g02 ranks global importance; a PPR from a seed basket ranks
+    * what is CLOSE to it). Exact integer recurrence (the g02 rule):
+    * pr₀ = 10⁶·[v ∈ S]; pr_{i+1}(v) = 150 000·[v ∈ S] +
+    * (85 · Σ_{s→v} pr_i(s) div deg(s)) div 100 — every op an exact
+    * long op, so a DuckDB oracle unrolling the same rounds matches
+    * bit-for-bit. Non-seed nodes unreachable from S stay exactly 0.
+    *
+    * Scale shape: identical to pageRank (one pinned shuffle-hash
+    * contribution join + one incoming-sum exchange per iteration)
+    * plus one node-keyed join per iteration against the checkpointed
+    * seed-flag frame (both sides hash-partitioned on node — AQE
+    * reuses the agg's exchange). Seeds are a DataFrame, never a
+    * driver literal — a dup-cluster seed set can be millions of rows.
+    * Returns (node, ppr: long). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ed = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    val deg = ed.groupBy(col("s").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // (node, d, _s): degree + seed flag, one frame so the per-iteration
+    // contribution join and the base-term join read the same checkpoint
+    val seeded = deg
+      .join(seeds.select(col("node")).distinct()
+        .select(col("node"), lit(1L).as("_s")), Seq("node"), "left")
+      .select(col("node"), col("d"), coalesce(col("_s"), lit(0L)).as("_s"))
+      .localCheckpoint(true)
+    var pr = seeded.select(col("node"), (col("_s") * 1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(seeded, "node")
+        .select(col("node"), expr("pr div d").as("c"))
+        .hint("shuffle_hash")
+      pr = ed.join(contrib, ed("s") === contrib("node"))
+        .groupBy(col("t").as("node"))
+        .agg(sum(col("c")).as("s_in"))
+        .join(seeded.hint("shuffle_hash"), "node")
+        .select(col("node"),
+          expr("_s * 150000L + (85L * s_in) div 100L").as("pr"))
+    }
+    pr
+  }
+
   /** Per-node local clustering coefficient over an undirected (u < v,
     * distinct) edge list: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) where
     * T(v) is the number of triangles through v — the node-level "how

@@ -2713,6 +2713,49 @@ object DataOpsQueries {
             |       verified
             |FROM lv""".stripMargin))
 
+  /** Containment verify over the d15 candidate set: the asymmetric
+    * measure Jaccard misses — a short doc quoted inside a long one
+    * scores near-0 Jaccard but containment ≈ 1 (Dedup.containmentVerify;
+    * keep rule n_shared·1000 ≥ 900·min(n_a,n_b), pure-integer;
+    * contained_doc names the smaller side only when the flag fires). */
+  val d61Containment = NamedQuery(
+    "d61_containment",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minEstJaccard = 0.0)
+      Dedup.containmentVerify(docs, "doc_id", "text", pairs,
+        minContainMilli = 900)
+    },
+    Some(s"""WITH $minhashSigCte,
+            |bands AS (
+            |  SELECT doc_id, b AS band,
+            |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket
+            |  FROM sig CROSS JOIN generate_series(0, 3) bb(b)),
+            |bc AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            |  JOIN bc ON a.band = bc.band AND a.bucket = bc.bucket),
+            |gd AS (SELECT doc_id, list_distinct(list_transform(
+            |         generate_series(1, len(toks) - 2),
+            |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+            |       FROM t WHERE len(toks) >= 3),
+            |vr AS (SELECT doc_a, doc_b,
+            |              CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_shared,
+            |              CAST(len(ga.grams) AS BIGINT) AS n_a,
+            |              CAST(len(gb.grams) AS BIGINT) AS n_b
+            |       FROM cand JOIN gd ga ON ga.doc_id = cand.doc_a
+            |                 JOIN gd gb ON gb.doc_id = cand.doc_b)
+            |SELECT doc_a, doc_b, n_shared, n_a, n_b,
+            |       CAST(n_shared AS DOUBLE) / LEAST(n_a, n_b) AS containment,
+            |       n_shared * 1000 >= LEAST(n_a, n_b) * 900 AS is_contained,
+            |       CASE WHEN n_shared * 1000 >= LEAST(n_a, n_b) * 900
+            |            THEN CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END
+            |       END AS contained_doc
+            |FROM vr""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -2729,6 +2772,7 @@ object DataOpsQueries {
     d48SemDedup, d49BpeFertility, d50PcaPower, d51SelfDupRewrite,
     d52Decontaminate, d53SourceOverlap, d54DsirImportance, d55PqAnn,
     d56IvfPq, d57AutoBandPairs, d58SoftDedup, d59SqAnn, d60EditVerify,
+    d61Containment,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -379,8 +379,52 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |            ELSE 0 END AS lcc_x1e6
             |FROM deg LEFT JOIN tc ON deg.node = tc.node""".stripMargin))
 
+  /** Personalized PageRank from the 3 smallest part ids as the seed
+    * basket: proximity-to-seeds ranking (the "related items" query) —
+    * teleport mass lands only on seeds, so the top-20 is the seeds'
+    * neighbourhood, not g02's global ranking. Exact integer recurrence
+    * unrolled in the oracle (the g02 rule); seeds derived by the same
+    * ORDER BY node LIMIT 3 on both sides, so the gate is valid on any
+    * regenerated corpus (the d24 rule — no hardcoded ids). */
+  val g11PersonalizedPr = NamedQuery(
+    "g11_personalized_pr",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+        .localCheckpoint(true)
+      val seeds = Graph.degrees(e).select(col("node"))
+        .orderBy(col("node")).limit(3)
+      Graph.personalizedPageRank(e, seeds, iters = 3)
+        .select(col("node").cast("long").as("node"), col("pr").as("ppr"))
+        .orderBy(col("ppr").desc, col("node"))
+        .limit(20)
+    },
+    Some(s"""WITH $edgeCte,
+            |sd AS (SELECT node FROM deg ORDER BY node LIMIT 3),
+            |sn AS (SELECT deg.node, CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS sf
+            |       FROM deg LEFT JOIN sd ON deg.node = sd.node),
+            |p0 AS (SELECT node, CAST(sf * 1000000 AS BIGINT) AS pr FROM sn),
+            |c1 AS (SELECT p.node, p.pr // d.d AS c FROM p0 p JOIN deg d ON p.node = d.node),
+            |s1 AS (SELECT t AS node, CAST(SUM(c1.c) AS BIGINT) AS sm
+            |       FROM ed JOIN c1 ON ed.s = c1.node GROUP BY 1),
+            |p1 AS (SELECT s1.node, sn.sf * 150000 + (85 * sm) // 100 AS pr
+            |       FROM s1 JOIN sn ON s1.node = sn.node),
+            |c2 AS (SELECT p.node, p.pr // d.d AS c FROM p1 p JOIN deg d ON p.node = d.node),
+            |s2 AS (SELECT t AS node, CAST(SUM(c2.c) AS BIGINT) AS sm
+            |       FROM ed JOIN c2 ON ed.s = c2.node GROUP BY 1),
+            |p2 AS (SELECT s2.node, sn.sf * 150000 + (85 * sm) // 100 AS pr
+            |       FROM s2 JOIN sn ON s2.node = sn.node),
+            |c3 AS (SELECT p.node, p.pr // d.d AS c FROM p2 p JOIN deg d ON p.node = d.node),
+            |s3 AS (SELECT t AS node, CAST(SUM(c3.c) AS BIGINT) AS sm
+            |       FROM ed JOIN c3 ON ed.s = c3.node GROUP BY 1),
+            |p3 AS (SELECT s3.node, sn.sf * 150000 + (85 * sm) // 100 AS pr
+            |       FROM s3 JOIN sn ON s3.node = sn.node)
+            |SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS ppr FROM p3
+            |ORDER BY ppr DESC, node LIMIT 20""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
-    g07KCore, g08Hits, g09LinkPrediction, g10ClusteringCoeff)
+    g07KCore, g08Hits, g09LinkPrediction, g10ClusteringCoeff,
+    g11PersonalizedPr)
 }

@@ -592,6 +592,38 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) == ((6L, 1L, 1.0)))
   }
 
+  test("containmentVerify: a contained doc scores 1.0 where Jaccard is diluted; direction named; integer rule") {
+    // doc 2 = doc 1 plus a trailing token: grams(1) ⊂ grams(2), so
+    // containment = 1.0 while jaccard = 3/4; doc 3 shares nothing
+    val qdocs = Seq(
+      (1L, "a b c d e"),           // 3 shingles
+      (2L, "a b c d e z"),         // 4 shingles, superset of doc 1's
+      (3L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(qdocs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 16, minEstJaccard = 0.0)
+    val got = Dedup.containmentVerify(qdocs, "doc_id", "text", pairs,
+        minContainMilli = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getBoolean(6), if (r.isNullAt(7)) -1L else r.getLong(7)))).toMap
+    val p12 = got((1L, 2L))
+    assert(p12 == ((3L, 3L, 4L, 1.0, true, 1L)),
+      s"doc 1 is fully contained in doc 2 and must be named: $got")
+    // at 900 milli a 2/3 overlap must NOT flag: integer rule
+    // 2*1000 < 3*900
+    val qdocs2 = Seq((1L, "a b c d e"), (2L, "a b c d f z")).toDF("doc_id", "text")
+    val pairs2 = Dedup.minhashCandidates(qdocs2, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 16, minEstJaccard = 0.0)
+    val got2 = Dedup.containmentVerify(qdocs2, "doc_id", "text", pairs2,
+        minContainMilli = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(6), r.isNullAt(7)))).toMap
+    got2.get((1L, 2L)).foreach { case (flag, nullDoc) =>
+      assert(!flag && nullDoc, s"partial overlap must not flag at 900: $got2")
+    }
+  }
+
   test("editVerifiedPairs: exact dup verifies at lev 0; one-char typo at lev 1; integer keep rule") {
     // docs 1/2 byte-identical (candidate guaranteed: identical
     // signatures), doc 3 one substitution away — LSH recall for the

@@ -138,6 +138,37 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((1L, 1000000L, 1000000L), (2L, 1000000L, 1000000L)))
   }
 
+  test("personalizedPageRank: replays the exact seeded recurrence; unreachable nodes stay exactly 0") {
+    // hand-rolled replica on the pendant-triangle graph, seeded at {1}
+    val edgeList = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val nbrs = edgeList.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    val seedSet = Set(1L)
+    var pr = nbrs.keys.map(n => n -> (if (seedSet(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val c = pr.map { case (n, p) => n -> p / deg(n) }
+      pr = nbrs.map { case (n, ns) =>
+        n -> ((if (seedSet(n)) 150000L else 0L) + 85L * ns.map(c).sum / 100L)
+      }
+    }
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPageRank(edges, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == pr)
+    // proximity, not global importance: the seed's 1-hop ball outranks
+    // the 2-hop pendant (the seed itself can legitimately rank below
+    // its hub neighbour once its initial mass has spread)
+    assert(got(1L) > got(4L) && got(3L) > got(4L) && got(4L) > 0L)
+    // a component disconnected from the seeds scores exactly 0
+    val e2 = edges.unionByName(Seq((8L, 9L)).toDF("u", "v"))
+    val got2 = Graph.personalizedPageRank(e2, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got2(8L) == 0L && got2(9L) == 0L && got2(1L) == got(1L))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "personalizedPageRank leaked a cached plan into the registry")
+  }
+
   test("clusteringCoefficients: pendant-triangle graph — exact per-node credits and floor-division lcc") {
     // triangle {1,2,3} + pendant edge 3-4: T(1)=T(2)=T(3)=1, T(4)=0;
     // lcc: 1,2 → 2·1e6/(2·1)=1e6; 3 → 2·1e6/(3·2)=333333; 4 → deg 1 → 0
