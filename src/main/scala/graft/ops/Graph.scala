@@ -408,13 +408,17 @@ object Graph {
     * long op, so a DuckDB oracle unrolling the same rounds matches
     * bit-for-bit. Non-seed nodes unreachable from S stay exactly 0.
     *
-    * Scale shape: identical to pageRank (one pinned shuffle-hash
-    * contribution join + one incoming-sum exchange per iteration)
-    * plus one node-keyed join per iteration against the checkpointed
-    * seed-flag frame (both sides hash-partitioned on node — AQE
-    * reuses the agg's exchange). Seeds are a DataFrame, never a
-    * driver literal — a dup-cluster seed set can be millions of rows.
-    * Returns (node, ppr: long). */
+    * Scale shape: EXACTLY pageRank's per-round cost — one pinned
+    * shuffle-hash contribution join + one incoming-sum exchange — by
+    * folding the seed base term INTO the next round's contribution
+    * join, which already carries the seed flag and the degree: the
+    * score frame holds only the damped sum, and pr = base + damp is
+    * reassembled lazily (inside each contribution and once at the
+    * end). The naive third per-round join against the node-sized
+    * seed-flag frame measured 52× at the 100× corpus vs g02's 25× —
+    * this form removes it (A/B in BASELINE.md). Seeds are a
+    * DataFrame, never a driver literal — a dup-cluster seed set can
+    * be millions of rows. Returns (node, pr: long). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -423,26 +427,31 @@ object Graph {
       .localCheckpoint(true)
     val deg = ed.groupBy(col("s").as("node")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
-    // (node, d, _s): degree + seed flag, one frame so the per-iteration
-    // contribution join and the base-term join read the same checkpoint
+    // (node, d, _s): degree + seed flag in ONE node-sized checkpoint —
+    // every contribution join reads it (pinned shuffle_hash: it is a
+    // stats-less checkpoint scan, the g02 AQE-broadcast trap)
     val seeded = deg
       .join(seeds.select(col("node")).distinct()
         .select(col("node"), lit(1L).as("_s")), Seq("node"), "left")
       .select(col("node"), col("d"), coalesce(col("_s"), lit(0L)).as("_s"))
       .localCheckpoint(true)
-    var pr = seeded.select(col("node"), (col("_s") * 1000000L).as("pr"))
+    // _acc = the damped-sum component only; full pr_i = 150000·_s + _acc
+    // for i ≥ 1 (round 0's full score IS the init, no base to add)
+    var acc = seeded.select(col("node"), (col("_s") * 1000000L).as("_acc"))
+    var first = true
     for (_ <- 1 to iters) {
-      val contrib = pr.join(seeded, "node")
-        .select(col("node"), expr("pr div d").as("c"))
+      val cExpr = if (first) "_acc div d" else "(_s * 150000L + _acc) div d"
+      val contrib = acc.join(seeded.hint("shuffle_hash"), "node")
+        .select(col("node"), expr(cExpr).as("c"))
         .hint("shuffle_hash")
-      pr = ed.join(contrib, ed("s") === contrib("node"))
+      acc = ed.join(contrib, ed("s") === contrib("node"))
         .groupBy(col("t").as("node"))
         .agg(sum(col("c")).as("s_in"))
-        .join(seeded.hint("shuffle_hash"), "node")
-        .select(col("node"),
-          expr("_s * 150000L + (85L * s_in) div 100L").as("pr"))
+        .select(col("node"), expr("(85L * s_in) div 100L").as("_acc"))
+      first = false
     }
-    pr
+    acc.join(seeded.hint("shuffle_hash"), "node")
+      .select(col("node"), expr("_s * 150000L + _acc").as("pr"))
   }
 
   /** Per-node local clustering coefficient over an undirected (u < v,

@@ -561,4 +561,19 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("g11 (personalized PR): top-20 is TakeOrderedAndProject over the iterated frame — no cartesian, no global sort") {
+    // per-round pinned ShuffledHashJoins live inside checkpoint stages
+    // (the g08 rule — their pin is the factor table in BASELINE.md)
+    val plan = executedPlan("g11_personalized_pr")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!"Sort \\[[^\\]]+\\], true".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("d61 (containment): rides the d15 verify plan — pair formation only in the banded join, no cartesian") {
+    val plan = executedPlan("d61_containment")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
