@@ -82,8 +82,13 @@ object SessionSoak {
     val wall = (System.nanoTime() - t0) / 1e9
     q.stop()
 
-    val emitted = spark.read.parquet(outDir)
-      .where($"user_id" >= 0).count()
+    // total AND distinct (user, session_start): equal totals alone
+    // would let a double-emit cancel a missed emission — "exactly
+    // once each" needs the distinct count to match the total too
+    val emittedRows = spark.read.parquet(outDir).where($"user_id" >= 0)
+    val emitted = emittedRows.count()
+    val emittedDistinct = emittedRows
+      .select($"user_id", $"session_start_us").distinct().count()
     spark.stop()
 
     // a user's day-d session ends ≤ 80,599 s into day d (event offset
@@ -96,12 +101,12 @@ object SessionSoak {
     val settleDay = horizonDays + 2
     val settled = ladder(settleDay)._1
     val plateauOk = ladder.drop(settleDay).forall(_._1 <= (settled * 1.25).toLong + 1)
-    val emitOk = emitted == expectedEmitted
+    val emitOk = emitted == expectedEmitted && emittedDistinct == emitted
     val peak = ladder.map(_._1).max
     val boundOk = peak <= keys.toLong * (horizonDays + 3) * 2
     val ok = plateauOk && emitOk && boundOk
     System.err.println(s"[sess-soak] rowsByDay=${ladder.map(_._1).mkString(",")} " +
-      s"emitted=$emitted expected=$expectedEmitted peak=$peak " +
+      s"emitted=$emitted distinct=$emittedDistinct expected=$expectedEmitted peak=$peak " +
       s"plateau=$plateauOk emit=$emitOk bound=$boundOk wall=${f"$wall%.1f"}s")
     println(s"""{"metric":"session_soak","keys":$keys,"days":$days,""" +
       s""""horizon_days":$horizonDays,"rows_by_day":[${ladder.map(_._1).mkString(",")}],""" +

@@ -293,18 +293,27 @@ object Graph {
     * quadratic regime AND the least informative links). One shuffle on
     * the center key, one on the (u, v) aggregate, one anti-join against
     * the existing edges (prediction means MISSING links only).
-    * Overflow: Σ per pair ≤ cap · 10¹² ≪ 2⁶³ for any cap ≤ 9·10⁶.
+    * Overflow: each RA term is ≤ 10¹² div 2 (a center is adjacent to
+    * both endpoints, deg ≥ 2), so Σ per pair is exact while the pair's
+    * COMMON-NEIGHBOUR count stays < 2·2⁶³/10¹² ≈ 1.8·10⁷ — the cap
+    * bounds the center's degree, NOT the endpoints', so a pair of
+    * mega-hubs sharing >10⁷ capped centers would wrap: endpoint
+    * degree ≥ 1.8·10⁷ is the documented-not-defended bound (the
+    * pageRank contract; at that shape, cap the ENDPOINTS upstream).
     * Returns (u, v, common_neighbors, ra_x1e12). */
   def linkPrediction(edges: DataFrame, maxCenterDegree: Int = 256,
       minCommonNeighbors: Long = 2L): DataFrame = {
-    require(maxCenterDegree >= 1 && maxCenterDegree <= 9000000,
-      s"maxCenterDegree must be in [1, 9e6], got $maxCenterDegree")
+    require(maxCenterDegree >= 1,
+      s"maxCenterDegree must be >= 1, got $maxCenterDegree")
     val adj = edges.select(col("u").as("w"), col("v").as("x"))
       .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
     val ok = adj.groupBy(col("w")).agg(count(lit(1)).as("_d"))
       .where(col("_d") <= maxCenterDegree)
     val a = adj.join(ok, Seq("w")).select(col("w"), col("_d"), col("x").as("u"))
-    val b = adj.join(ok.select(col("w")), Seq("w")).select(col("w"), col("x").as("v"))
+    // the b side is the a side reprojected — deriving it independently
+    // (adj ⋈ ok again) costs a second join of the 2m-row adjacency
+    // against the degree frame and blocks subtree reuse
+    val b = a.select(col("w"), col("u").as("v"))
     a.join(b, Seq("w"))
       .where(col("u") < col("v"))
       .groupBy(col("u"), col("v"))
@@ -407,6 +416,11 @@ object Graph {
     * (85 · Σ_{s→v} pr_i(s) div deg(s)) div 100 — every op an exact
     * long op, so a DuckDB oracle unrolling the same rounds matches
     * bit-for-bit. Non-seed nodes unreachable from S stay exactly 0.
+    * An EDGELESS seed (a listed node with no edges at all) keeps its
+    * row with pr = its base term 150 000 — a caller expanding a dup
+    * cluster must never lose a member silently (where pageRank's
+    * "isolated node never enters the graph" contract is fine for
+    * GLOBAL ranking, it is wrong for a caller-supplied seed list).
     *
     * Scale shape: EXACTLY pageRank's per-round cost — one pinned
     * shuffle-hash contribution join + one incoming-sum exchange — by
@@ -429,18 +443,27 @@ object Graph {
       .localCheckpoint(true)
     // (node, d, _s): degree + seed flag in ONE node-sized checkpoint —
     // every contribution join reads it (pinned shuffle_hash: it is a
-    // stats-less checkpoint scan, the g02 AQE-broadcast trap)
+    // stats-less checkpoint scan, the g02 AQE-broadcast trap). FULL
+    // join: an EDGELESS seed must not vanish — it keeps its base mass
+    // (d = 0: it contributes nothing — its contrib divides by zero to
+    // NULL and matches no edge — and receives nothing, but the caller
+    // who listed it gets its row back, never a silent drop)
     val seeded = deg
       .join(seeds.select(col("node")).distinct()
-        .select(col("node"), lit(1L).as("_s")), Seq("node"), "left")
-      .select(col("node"), col("d"), coalesce(col("_s"), lit(0L)).as("_s"))
+        .select(col("node"), lit(1L).as("_s")), Seq("node"), "full")
+      .select(col("node"), coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("_s"), lit(0L)).as("_s"))
       .localCheckpoint(true)
     // _acc = the damped-sum component only; full pr_i = 150000·_s + _acc
     // for i ≥ 1 (round 0's full score IS the init, no base to add)
     var acc = seeded.select(col("node"), (col("_s") * 1000000L).as("_acc"))
     var first = true
     for (_ <- 1 to iters) {
-      val cExpr = if (first) "_acc div d" else "(_s * 150000L + _acc) div d"
+      // d = 0 only for an edgeless seed, whose contribution matches no
+      // edge — the 0 branch exists to satisfy ANSI div, not semantics
+      val cExpr =
+        if (first) "if(d > 0L, _acc div d, 0L)"
+        else "if(d > 0L, (_s * 150000L + _acc) div d, 0L)"
       val contrib = acc.join(seeded.hint("shuffle_hash"), "node")
         .select(col("node"), expr(cExpr).as("c"))
         .hint("shuffle_hash")
@@ -450,8 +473,12 @@ object Graph {
         .select(col("node"), expr("(85L * s_in) div 100L").as("_acc"))
       first = false
     }
-    acc.join(seeded.hint("shuffle_hash"), "node")
-      .select(col("node"), expr("_s * 150000L + _acc").as("pr"))
+    // LEFT from seeded: a node with no incoming contribution (an
+    // edgeless seed — every edge endpoint has incoming on an
+    // undirected graph) still closes with its base term
+    seeded.join(acc.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"),
+        expr("_s * 150000L + coalesce(_acc, 0L)").as("pr"))
   }
 
   /** Per-node local clustering coefficient over an undirected (u < v,

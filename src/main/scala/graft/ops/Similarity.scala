@@ -947,6 +947,13 @@ object Similarity {
     * the top-`candidates` rides TakeOrderedAndProject carrying the
     * quantized vector only for those rows; the exact rescore touches
     * `candidates` rows, one IEEE division each (the d06 contract).
+    * `query` must be a ONE-ROW DataFrame (the bruteForceTopK
+    * contract): the output carries no query id, and the single global
+    * top-`candidates` would interleave multiple queries' scores into
+    * one meaningless ranking — for a query SET, loop per query or use
+    * the bucketed family (lshBucketed shuffles both sides once).
+    * A zero query vector has no direction: every cosine is NaN and
+    * the top-k is the id-order tie-break — filter upstream.
     * Returns (vec_id, q_score: long, cos_sim) — top-k by
     * (cos_sim desc, vec_id). */
   def sqTopK(embeddings: DataFrame, idCol: String, embCol: String,

@@ -40,6 +40,20 @@ object TwsOps {
 
   final case class FirstSeen(group: String, item: String)
 
+  /** TTL needs a clock: Spark 4.1 rejects a non-zero TTLConfig under any
+    * TimeMode but ProcessingTime (StatefulProcessorHandleImpl
+    * .validateTTLConfig throws at query START) — so the mode is derived
+    * from whether a TTL was asked for, never hardcoded. Caveat that
+    * follows: ProcessingTime mode triggers micro-batches CONTINUOUSLY
+    * (each batch runs the TTL sweep even with no input), so
+    * `processAllAvailable` livelocks and `Trigger.AvailableNow` does
+    * not self-terminate — drive TTL'd queries with an interval trigger
+    * or poll the sink (the spec does the latter). Every public op that
+    * takes a TTL repeats this caveat — a hang is a worse failure mode
+    * than the loud start-time throw this helper replaced. */
+  private def modeFor(ttl: Option[java.time.Duration]): TimeMode =
+    if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+
   /** Per-group exact first-seen filter: emits each (group, item) the
     * first time it arrives, drops every repeat — the streaming form of
     * `SELECT DISTINCT group, item` (and the exact-state cousin of
@@ -61,19 +75,10 @@ object TwsOps {
     * bounded-state contract, but per ELEMENT rather than per row-event).
     * None keeps entries for the query lifetime: exact global dedup,
     * state = one entry per distinct item, the caller owns the
-    * cardinality budget (the d01 exact-dedup contract, streamed). */
-  /** TTL needs a clock: Spark 4.1 rejects a non-zero TTLConfig under any
-    * TimeMode but ProcessingTime (StatefulProcessorHandleImpl
-    * .validateTTLConfig throws at query START) — so the mode is derived
-    * from whether a TTL was asked for, never hardcoded. Caveat that
-    * follows: ProcessingTime mode triggers micro-batches CONTINUOUSLY
-    * (each batch runs the TTL sweep even with no input), so
-    * `processAllAvailable` livelocks and `Trigger.AvailableNow` does
-    * not self-terminate — drive TTL'd queries with an interval trigger
-    * or poll the sink (the spec does the latter). */
-  private def modeFor(ttl: Option[java.time.Duration]): TimeMode =
-    if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-
+    * cardinality budget (the d01 exact-dedup contract, streamed).
+    * Some(ttl) switches the query to ProcessingTime TimeMode —
+    * `processAllAvailable`/`AvailableNow` will NOT terminate (see
+    * [[modeFor]]); drive with an interval trigger or poll the sink. */
   def firstSeenStream(spark: SparkSession, items: Dataset[StreamOps.KeyedItem],
       ttl: Option[java.time.Duration] = None): Dataset[FirstSeen] = {
     import spark.implicits._
@@ -248,7 +253,14 @@ object TwsOps {
     * same contract as the mGWS form, asserted bit-equal in the spec).
     * `idleTtl` evicts state for keys idle longer than the duration —
     * declaratively, where the mGWS form hand-rolls
-    * ProcessingTimeTimeout + hasTimedOut plumbing. */
+    * ProcessingTimeTimeout + hasTimedOut plumbing.
+    *
+    * The DEFAULT (Some(1 hour)) selects ProcessingTime TimeMode, under
+    * which micro-batches trigger continuously: `processAllAvailable`
+    * livelocks and `Trigger.AvailableNow` does not self-terminate (see
+    * [[modeFor]]) — drive with an interval trigger or poll the sink,
+    * or pass `idleTtl = None` (TimeMode.None, unbounded state) for the
+    * drive-to-quiescence test pattern. */
   def runningTotalsTws(spark: SparkSession,
       events: Dataset[StreamOps.KeyedEvent],
       idleTtl: Option[java.time.Duration] = Some(java.time.Duration.ofHours(1)))

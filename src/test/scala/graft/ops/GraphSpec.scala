@@ -165,6 +165,14 @@ class GraphSpec extends SparkSpec {
     val got2 = Graph.personalizedPageRank(e2, seeds, iters = 3)
       .as[(Long, Long)].collect().toMap
     assert(got2(8L) == 0L && got2(9L) == 0L && got2(1L) == got(1L))
+    // an EDGELESS seed keeps its row with exactly the base term — a
+    // caller-supplied seed must never vanish silently
+    val got3 = Graph.personalizedPageRank(edges,
+        Seq(1L, 77L).toDF("node"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got3(77L) == 150000L, s"edgeless seed must keep base mass: $got3")
+    assert(got3(1L) == got(1L),
+      "an edgeless seed must not perturb the connected scores")
     assert(spark.sharedState.cacheManager.isEmpty,
       "personalizedPageRank leaked a cached plan into the registry")
   }
