@@ -542,4 +542,182 @@ object Graph {
           expr("(2L * n_triangles * 1000000L) div (degree * (degree - 1L))"))
           .otherwise(lit(0L)).as("lcc_x1e6"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, the deterministic synchronous variant): lbl_0(v) = v;
+    * each round every node adopts the most frequent label among its
+    * neighbours' PREVIOUS-round labels, ties broken by smallest label
+    * — a total order, so the whole run is deterministic and an oracle
+    * can unroll it round for round (the g02 rule; the classic
+    * ASYNCHRONOUS variant with random visit order is deliberately not
+    * offered: its output is an RNG artifact no second engine can
+    * reproduce). `rounds` is part of the CONTRACT, not a convergence
+    * budget — synchronous LPA can 2-cycle on bipartite structures, so
+    * "run to fixpoint" is not well-defined; a fixed even/odd horizon
+    * is, and both engines run exactly `rounds`.
+    *
+    * Communities differ from [[connectedComponents]]: a bridge edge
+    * joins two cliques into one COMPONENT, but each clique's internal
+    * majority vote keeps its own label — density, not reachability.
+    *
+    * Scale shape: per round one pinned shuffle-hash join of the edge
+    * list against the n-row label frame (the g02 stats-less-checkpoint
+    * AQE trap), one (node, label) count agg, one per-node min-struct
+    * agg — all keyed exchanges, volume ≤ 2m rows, no pair formation;
+    * each round localCheckpoints (constant plan size). A node's vote
+    * multiset is its degree, so hub cost is degree-linear, never
+    * quadratic — hot keys funnel the (node, label) agg exactly like a
+    * groupBy on a skewed key, which partial aggregation absorbs.
+    * Output: (node, community) for every edge endpoint. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val ed = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    var lbl = ed.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      lbl = ed
+        .join(lbl.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
+        .groupBy(col("t").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("_c"))
+        // argmax by (count desc, label asc) as one min-struct agg —
+        // no per-node window, no second shuffle beyond the node key
+        .groupBy(col("node"))
+        .agg(min(struct((-col("_c")).as("_nc"), col("lbl").as("_l"))).as("_m"))
+        .select(col("node"), col("_m._l").as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** [[pageRank]] over a WEIGHTED undirected edge list (u, v, w) —
+    * the TextRank/co-occurrence form (Mihalcea & Tarau 2004), where an
+    * edge observed k times should pull k times the mass of one seen
+    * once. Exact integer micros: contribution of s along an edge of
+    * weight w is (pr(s) · w) div wdeg(s) with wdeg = Σ incident
+    * weights, then pr' = 150000 + (85 · Σ in) div 100 — every op a
+    * long op, so the oracle unrolls the rounds as CTEs hash-exact.
+    * With all weights 1 this IS pageRank bit for bit ((pr · 1) div
+    * deg = pr div deg) — spec-asserted.
+    *
+    * Scale shape: pageRank's, with the per-NODE division becoming a
+    * per-EDGE multiply-divide (weights differ per edge, so the
+    * division cannot be hoisted): per round one pinned shuffle-hash
+    * join of the 2m-row edge list against the n-row (pr, wdeg) frame
+    * and one incoming-sum exchange. Overflow: each term is
+    * pr(s) · w < 2⁶³, i.e. max pr × max weight ≤ 9.2·10¹⁸ — mass
+    * conservation keeps Σ pr ≈ 10⁶ · n, so this binds only when one
+    * node concentrates the graph's whole mass AND carries a ≥10⁶-count
+    * edge; cap upstream weights if both can hold (the linkPrediction
+    * documented-not-defended rule). */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ed = edges.select(col("u").as("s"), col("v").as("t"), col("w"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t"), col("w")))
+      .localCheckpoint(true)
+    val wdeg = ed.groupBy(col("s").as("node")).agg(sum(col("w")).as("wd"))
+      .localCheckpoint(true)
+    var pr = wdeg.select(col("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val prw = pr.join(wdeg, "node")
+        .withColumnRenamed("node", "s").hint("shuffle_hash")
+      pr = ed.join(prw, "s")
+        .select(col("t"), expr("(pr * w) div wd").as("_c"))
+        .groupBy(col("t").as("node"))
+        .agg(sum(col("_c")).as("s_in"))
+        .select(col("node"), expr("150000L + (85L * s_in) div 100L").as("pr"))
+    }
+    pr
+  }
+
+  /** Deterministic uniform random walks — the node2vec/DeepWalk corpus
+    * generator (one walk per node, `steps` hops), with the repo's
+    * content-keyed-randomness rule in place of RNG state: the step-i
+    * choice at node v is neighbour number md5(walk_id ":" i) mod
+    * deg(v) over v's neighbours ranked by id. Same corpus in, same
+    * walks out, on any cluster at any parallelism — and a DuckDB
+    * oracle replays every hop (no seed to ship, no partition-order
+    * dependence, the d12/d18 sampling rule applied to graph walks).
+    *
+    * Scale shape: the adjacency is ranked ONCE (per-node window — the
+    * partition is a node's edge list, bounded by max degree; the
+    * GuardRails unpartitioned-window rejection does not apply) and
+    * checkpointed; each hop is two n-row keyed joins (frontier ×
+    * degree, then × adjacency on (node, rank) — both equi-joins,
+    * pinned shuffle-hash against the stats-less checkpoint). Walks
+    * never leave the executor plane; output is (walk_id, step, node)
+    * rows, n · (steps+1) total. */
+  def randomWalks(edges: DataFrame, steps: Int = 3): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    import org.apache.spark.sql.expressions.Window
+    val ed = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+    val adj = ed
+      .withColumn("idx", row_number()
+        .over(Window.partitionBy(col("s")).orderBy(col("t")))
+        .cast("long") - 1L)
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("s").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    var frontier = deg
+      .select(col("node").as("walk_id"), lit(0).as("step"), col("node"))
+    var out = frontier
+    for (i <- 1 to steps) {
+      val mask = lit((1L << 52) - 1)
+      val pick = frontier
+        .join(deg.withColumnRenamed("node", "_n"), col("node") === col("_n"))
+        .select(col("walk_id"), col("node"),
+          (graft.functions.TextHashExpressions
+            .md5Upper(concat_ws(":", col("walk_id"), lit(i)))
+            .bitwiseAND(mask) % col("d")).as("_pick"))
+      frontier = pick
+        .join(adj.hint("shuffle_hash"),
+          pick("node") === adj("s") && pick("_pick") === adj("idx"))
+        .select(col("walk_id"), lit(i).as("step"), col("t").as("node"))
+        .localCheckpoint(true)
+      out = out.unionByName(frontier)
+    }
+    out
+  }
+
+  /** HyperBall (Boldi & Vigna 2013): per-node estimate of the r-hop
+    * ball size |{u : dist(u, v) ≤ r}| via iterated HLL register
+    * max-merge — THE published way to compute neighbourhood functions
+    * / effective diameters on graphs too big for per-node BFS.
+    * Register rows, not arrays: each node's ball sketch is ≤ 2^p
+    * sparse (node, _reg, _M) rows ([[Sketches.registersByGroup]] —
+    * the repo's portable md5 register arithmetic, so the estimate is
+    * oracle-exact), and a round is
+    * regs' = maxMerge(regs, regs shipped along every edge) — union +
+    * (node, _reg) max-agg. Because register max IS set union, after r
+    * rounds a node's rows equal the registers of its TRUE r-ball
+    * built directly — exact equality, spec-asserted, not approximate.
+    *
+    * Scale shape: per round one pinned shuffle-hash join of the 2m
+    * edge list against the ≤ n·2^p register table and one keyed
+    * max-agg — volume ≤ 2m · 2^p rows, linear in edges, NO pair
+    * formation; p trades estimate error (±1.04/√2^p) against that
+    * constant. Output: (node, ball_est: double round 6). */
+  def neighborhoodSizes(edges: DataFrame, radius: Int = 2, p: Int = 4): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val ed = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    val nodes = ed.select(col("s").as("node")).distinct()
+    var regs = Sketches.registersByGroup(
+        nodes.select(col("node"), col("node").as("_k")), "_k", p, Seq("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to radius) {
+      regs = regs
+        .unionByName(ed
+          .join(regs.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
+          .select(col("t").as("node"), col("_reg"), col("_M")))
+        .groupBy(col("node"), col("_reg"))
+        .agg(max(col("_M")).as("_M"))
+        .localCheckpoint(true)
+    }
+    Sketches.estimateRegistersBy(regs, Seq("node"), p, "ball_est")
+  }
 }

@@ -967,12 +967,18 @@ object Similarity {
     // re-runs the full-corpus calibration scan (plan-audited: 2 scans);
     // the checkpoint is one row holding a dim-length array (the
     // mixtureWeights bounded-frame class)
+    // limit(1) on the one-row checkpoint is a semantic no-op that
+    // re-marks it BOUNDED: a checkpoint is a stats-less LogicalRDD the
+    // UnboundedCrossJoinGuard cannot see inside, and an explicit Limit
+    // is that guard's documented "provably small" class — without it
+    // the two condition-free crossJoins below trip the engine guard
     val scales = data
       .select(posexplode(col("_e")).as(Seq("_d", "_x")))
       .groupBy(col("_d")).agg(greatest(max(abs(col("_x"))), lit(1.0)).as("_m"))
       .agg(sort_array(collect_list(struct(col("_d"), col("_m")))).as("_sm"))
       .select(transform(col("_sm"), s => s.getField("_m")).as("_sc"))
       .localCheckpoint(true)
+      .limit(1)
     def codes(e: Column): Column = zip_with(e, col("_sc"), (x, m) =>
       when(x < 0, -floor(((-x) * 127) / m)).otherwise(floor((x * 127) / m))
         .cast("double"))

@@ -83,6 +83,34 @@ object Sketches {
       ps.head)
   }
 
+  /** Grouped register build, public form: one sparse (groupCols...,
+    * _reg, _M) table per group for `keyCol`'s values — the primitive a
+    * caller composes when the GROUPS are the unit of merging (e.g.
+    * HyperBall's per-node neighbourhood registers in
+    * [[Graph.neighborhoodSizes]], where each graph round max-merges a
+    * neighbour's register rows into the node's). Same hash → register →
+    * rho arithmetic as [[hllRegisters]] — one implementation, so any
+    * register table this returns estimates via [[estimateRegistersBy]]
+    * and merges with plain groupBy(group, _reg).max(_M). */
+  def registersByGroup(df: DataFrame, keyCol: String, p: Int,
+      groupCols: Seq[String]): DataFrame =
+    registerTable(df, keyCol, p, groupCols)
+
+  /** Per-group estimate over an externally assembled register table
+    * (the read side of [[registersByGroup]]): `regs` is
+    * (groupCols..., _reg, _M) — possibly max-merged across many
+    * partial builds — and the output is one (groupCols..., `as`) row
+    * per group, computed by the SAME estimate arithmetic as
+    * [[hllEstimate]]. `p` must be the precision the registers were
+    * built with (register indices and rho widths are meaningless under
+    * any other p — the HllSketch handle makes this inexpressible for
+    * the unsparsed forms; here the caller owns the pairing). */
+  def estimateRegistersBy(regs: DataFrame, groupCols: Seq[String], p: Int,
+      as: String): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    estimateOver(regs, groupCols, p, as)
+  }
+
   /** Distinct-count estimate from a register table, as ONE row (`as`:
     * double, round 6). The Σ2^−M register sum is the EXACT integer
     * SUM(2^(rhoMax−M)) over present registers plus (m − V)·2^rhoMax for

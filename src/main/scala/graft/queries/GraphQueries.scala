@@ -422,9 +422,143 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS ppr FROM p3
             |ORDER BY ppr DESC, node LIMIT 20""".stripMargin))
 
+  /** The oracle's synchronous label-propagation rounds, unrolled
+    * programmatically (the g02/ccUnrolled precedent): round k's vote
+    * table counts each node's neighbours' round-(k−1) labels, and the
+    * winner is ROW_NUMBER over (count desc, label asc) — the same
+    * total order the engine's min-struct agg encodes, so ties are
+    * deterministic on both sides. */
+  private val lpRounds = 4
+  private def lpUnrolled: String = (1 to lpRounds).map { k =>
+    s"""v$k AS (SELECT edm.t AS node, l.lbl, COUNT(*) AS c
+       |       FROM edm JOIN lp${k - 1} l ON edm.s = l.node GROUP BY 1, 2),
+       |lp$k AS MATERIALIZED (SELECT node, lbl FROM (
+       |       SELECT node, lbl,
+       |              ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+       |       FROM v$k) WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
+  /** Label-propagation communities of the co-purchase graph: density
+    * clusters, not reachability classes — the catalog's "sections"
+    * where g04's components are its "islands" (a single bridge
+    * co-purchase merges two components but not two communities).
+    * Synchronous, 4 rounds, tie→min — fully deterministic, per-node
+    * output, so every label must agree cell-exact. */
+  val g12LabelCommunities = NamedQuery(
+    "g12_label_communities",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.labelPropagation(e, rounds = lpRounds)
+        .select(col("node").cast("long").as("node"),
+          col("community").cast("long").as("community"))
+    },
+    Some(s"""WITH $edgeCte,
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
+            |lp0 AS MATERIALIZED (SELECT node, node AS lbl FROM deg),
+            |$lpUnrolled
+            |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+            |FROM lp$lpRounds""".stripMargin))
+
+  /** The walk oracle's hops, unrolled: hop i picks neighbour number
+    * md5(walk_id ":" i) mod deg over the id-ranked adjacency — the
+    * identical md5_number_upper arithmetic as the engine, so every
+    * path is hash-exact (content-keyed randomness: no seed, no
+    * partition-order dependence). */
+  private val walkSteps = 3
+  private def walkUnrolled: String = (1 to walkSteps).map { i =>
+    s"""w$i AS MATERIALIZED (
+       |  SELECT w.walk_id, CAST($i AS INTEGER) AS step, a.t AS node
+       |  FROM w${i - 1} w
+       |  JOIN dg ON w.node = dg.node
+       |  JOIN adj a ON a.s = w.node
+       |   AND a.idx = (md5_number_upper(CAST(w.walk_id AS VARCHAR) || ':$i')
+       |                & ((1::BIGINT << 52) - 1)) % dg.d)""".stripMargin
+  }.mkString(",\n")
+
+  /** Deterministic random walks over the co-purchase graph — the
+    * node2vec/DeepWalk training-corpus generator (one 3-hop walk per
+    * node). Every hop of every walk is oracle-replayed, so the gate
+    * certifies the full corpus, not a sample. */
+  val g13RandomWalks = NamedQuery(
+    "g13_random_walks",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.randomWalks(e, steps = walkSteps)
+        .select(col("walk_id").cast("long").as("walk_id"), col("step"),
+          col("node").cast("long").as("node"))
+    },
+    Some(s"""WITH $edgeCte,
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
+            |adj AS MATERIALIZED (SELECT s, t,
+            |        CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY t) AS BIGINT) - 1 AS idx
+            |      FROM edm),
+            |dg AS MATERIALIZED (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS d
+            |      FROM edm GROUP BY 1),
+            |w0 AS (SELECT node AS walk_id, CAST(0 AS INTEGER) AS step, node FROM dg),
+            |$walkUnrolled
+            |SELECT CAST(walk_id AS BIGINT) AS walk_id, step, CAST(node AS BIGINT) AS node
+            |FROM (SELECT * FROM w0 ${(1 to walkSteps).map(i => s"UNION ALL SELECT * FROM w$i").mkString(" ")})""".stripMargin))
+
+  /** The HyperBall oracle's max-merge rounds, unrolled: round k's
+    * register table is the (node, reg)-max of round k−1's own rows
+    * plus every neighbour's rows shipped along the edges — register
+    * max IS set union, so round k holds exactly the k-ball's
+    * registers. p = 4: reg = hp & 15, w = hp >> 4, rhoMax = 53−4 = 49
+    * (the q59 arithmetic at a different precision). */
+  private val hbRadius = 2
+  private def hbUnrolled: String = (1 to hbRadius).map { k =>
+    s"""r$k AS MATERIALIZED (SELECT node, reg, MAX(M) AS M FROM (
+       |  SELECT node, reg, M FROM r${k - 1}
+       |  UNION ALL
+       |  SELECT edm.t AS node, r.reg, r.M FROM edm JOIN r${k - 1} r ON edm.s = r.node)
+       |  GROUP BY 1, 2)""".stripMargin
+  }.mkString(",\n")
+
+  /** HyperBall 2-hop neighbourhood sizes over the co-purchase graph
+    * (Boldi & Vigna 2013): per-part estimate of "how much of the
+    * catalog is within two co-purchases" — the neighbourhood-function
+    * primitive behind effective-diameter and spid profiling. p = 4
+    * keeps the register exchange at 16 rows/node; the estimate is the
+    * q59 portable-HLL arithmetic, so it is hash-exact, not
+    * approximately-equal (the ESTIMATE is approximate; both engines
+    * compute the identical estimate). */
+  val g14NeighborhoodHll = NamedQuery(
+    "g14_neighborhood_hll",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.neighborhoodSizes(e, radius = hbRadius, p = 4)
+        .select(col("node").cast("long").as("node"), col("ball_est"))
+    },
+    Some(s"""WITH $edgeCte,
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
+            |r0 AS MATERIALIZED (
+            |  SELECT node, hp & 15 AS reg,
+            |         CASE WHEN (hp >> 4) = 0 THEN 49
+            |              ELSE 49 - length(bin(hp >> 4)) END AS M
+            |  FROM (SELECT node, md5_number_upper(CAST(node AS VARCHAR))
+            |                     & ((1::BIGINT << 52) - 1) AS hp
+            |        FROM deg)),
+            |$hbUnrolled,
+            |agg AS (SELECT node,
+            |          CAST(SUM(1::BIGINT << CAST(49 - M AS INT)) AS BIGINT) AS sp,
+            |          CAST(COUNT(*) AS BIGINT) AS v
+            |        FROM r$hbRadius GROUP BY 1),
+            |fin AS (SELECT node, sp + (16 - v) * (1::BIGINT << 49) AS s,
+            |               16 - v AS zeros FROM agg)
+            |SELECT CAST(node AS BIGINT) AS node,
+            |       round(CASE WHEN 0.673::DOUBLE * 16.0 * 16.0 * 562949953421312.0 / s <= 40.0
+            |                   AND zeros > 0
+            |                  THEN 16.0 * ln(16.0 / zeros)
+            |                  ELSE 0.673::DOUBLE * 16.0 * 16.0 * 562949953421312.0 / s END, 6) AS ball_est
+            |FROM fin""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
     g07KCore, g08Hits, g09LinkPrediction, g10ClusteringCoeff,
-    g11PersonalizedPr)
+    g11PersonalizedPr, g12LabelCommunities, g13RandomWalks,
+    g14NeighborhoodHll)
 }

@@ -412,8 +412,64 @@ object SignalQueries {
            |         / n_days AS intercept_dollars
            |FROM s""".stripMargin))
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): adjacent
+    * word pairs across the corpus form a weighted undirected
+    * co-occurrence graph (weight = pair frequency), weighted PageRank
+    * ranks the terms, top-20 are the corpus keywords — the
+    * graph-centrality alternative to t13's tf-idf (a term scores high
+    * for sitting between many well-connected terms, not for raw
+    * counts). Exact integer micros via Graph.pageRankWeighted, rounds
+    * unrolled in the oracle (the g02 rule); self-pairs (a word
+    * repeated back-to-back) and empty tokens are excluded on both
+    * sides. Scale shape: the bigram derivation is one pass + one
+    * (u, v) hash-agg — linear in tokens, never a doc self-join — and
+    * the PR rounds are pageRankWeighted's documented edge-linear
+    * exchanges. */
+  val t14Textrank = NamedQuery(
+    "t14_textrank",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val pairs = arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("a"),
+        slice(toks, lit(2), size(toks) - 1).as("b"))
+      val e = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(explode(pairs).as("p"))
+        .select(least(col("p.a"), col("p.b")).as("u"),
+          greatest(col("p.a"), col("p.b")).as("v"))
+        .where(col("u") =!= col("v") && col("u") =!= lit("") && col("v") =!= lit(""))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.Graph.pageRankWeighted(e, iters = 3)
+        .orderBy(col("pr").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("term"), col("pr"))
+    },
+    Some("""WITH tk AS (SELECT string_split(text, ' ') AS ts FROM documents
+           |            WHERE text IS NOT NULL),
+           |pos AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM tk),
+           |bg AS (SELECT least(ts[i], ts[i + 1]) AS u,
+           |              greatest(ts[i], ts[i + 1]) AS v FROM pos),
+           |e AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM bg
+           |      WHERE u <> v AND u <> '' AND v <> '' GROUP BY 1, 2),
+           |ed AS (SELECT u AS s, v AS t, w FROM e
+           |       UNION ALL SELECT v, u, w FROM e),
+           |wd AS (SELECT s AS node, CAST(SUM(w) AS BIGINT) AS wd FROM ed GROUP BY 1),
+           |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM wd),
+           |c1 AS (SELECT ed.t AS node, CAST(SUM((p.pr * ed.w) // d.wd) AS BIGINT) AS sm
+           |       FROM ed JOIN p0 p ON ed.s = p.node JOIN wd d ON ed.s = d.node GROUP BY 1),
+           |p1 AS (SELECT node, 150000 + (85 * sm) // 100 AS pr FROM c1),
+           |c2 AS (SELECT ed.t AS node, CAST(SUM((p.pr * ed.w) // d.wd) AS BIGINT) AS sm
+           |       FROM ed JOIN p1 p ON ed.s = p.node JOIN wd d ON ed.s = d.node GROUP BY 1),
+           |p2 AS (SELECT node, 150000 + (85 * sm) // 100 AS pr FROM c2),
+           |c3 AS (SELECT ed.t AS node, CAST(SUM((p.pr * ed.w) // d.wd) AS BIGINT) AS sm
+           |       FROM ed JOIN p2 p ON ed.s = p.node JOIN wd d ON ed.s = d.node GROUP BY 1),
+           |p3 AS (SELECT node, 150000 + (85 * sm) // 100 AS pr FROM c3)
+           |SELECT node AS term, CAST(pr AS BIGINT) AS pr FROM p3
+           |ORDER BY pr DESC, term LIMIT 20""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
-    t12Bm25, t13TfidfTerms, q87AnomalyDays, q88Ewma, q89RollingRange,
-    q90Streaks, q91ValueFunctions, q92SlidingDistinct, q97TrendRegression,
-    q98SlidingDistinctHll)
+    t12Bm25, t13TfidfTerms, t14Textrank, q87AnomalyDays, q88Ewma,
+    q89RollingRange, q90Streaks, q91ValueFunctions, q92SlidingDistinct,
+    q97TrendRegression, q98SlidingDistinctHll)
 }

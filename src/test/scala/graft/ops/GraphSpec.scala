@@ -177,6 +177,88 @@ class GraphSpec extends SparkSpec {
       "personalizedPageRank leaked a cached plan into the registry")
   }
 
+  test("labelPropagation: two cliques over a bridge split into two communities; ties break to min label") {
+    // cliques {1,2,3} and {4,5,6} bridged 3-4 — one COMPONENT, but the
+    // per-clique majority vote separates them; hand-unrolled 4 rounds
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val got = Graph.labelPropagation(e, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
+    // round-count is contractual: after round 1 every label is the
+    // min NEIGHBOUR id (all vote counts are 1 on this graph, tie→min)
+    val r1 = Graph.labelPropagation(e, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L), s"got $r1")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "labelPropagation leaked a cached plan into the registry")
+  }
+
+  test("pageRankWeighted: all-ones weights reproduce pageRank bit for bit; a heavy edge pulls mass") {
+    val e1 = edges.select(col("u"), col("v"), lit(1L).as("w"))
+    val want = Graph.pageRank(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val got = Graph.pageRankWeighted(e1, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "w=1 must be exactly pageRank")
+    // path 1-2-3 with the 1-2 edge 10x heavier: node 1 receives
+    // 10/11ths of 2's mass, node 3 one 11th
+    val e2 = Seq((1L, 2L, 10L), (2L, 3L, 1L)).toDF("u", "v", "w")
+    val g2 = Graph.pageRankWeighted(e2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(g2(1L) > g2(3L), s"heavy edge must outrank: $g2")
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("randomWalks: every hop follows an existing edge, walks are deterministic, and a chain is forced") {
+    val walks = Graph.randomWalks(edges, steps = 3)
+    val rows = walks.as[(Long, Int, Long)].collect()
+    val n = Graph.degrees(edges).count()
+    assert(rows.length == n * 4, "one walk per node, steps+1 rows each")
+    // every consecutive (step i-1 -> i) pair of a walk is an edge
+    val undirected = edges.as[(Long, Long)].collect()
+      .flatMap(e => Seq(e, e.swap)).toSet
+    val byWalk = rows.groupBy(_._1)
+    byWalk.values.foreach { steps =>
+      val path = steps.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach { case Array(a, b) =>
+        assert(undirected.contains((a, b)), s"hop $a->$b is not an edge")
+      }
+    }
+    // deterministic: a second run is identical
+    val again = Graph.randomWalks(edges, steps = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._2)).sameElements(
+      again.sortBy(r => (r._1, r._2))))
+    // a degree-1 chain has exactly one choice at every hop
+    val chain = Seq((1L, 2L)).toDF("u", "v")
+    val forced = Graph.randomWalks(chain, steps = 2)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (w, ss) => w -> ss.sortBy(_._2).map(_._3).toSeq }
+    assert(forced == Map(1L -> Seq(1L, 2L, 1L), 2L -> Seq(2L, 1L, 2L)))
+  }
+
+  test("neighborhoodSizes: HyperBall registers equal the true r-ball's registers — estimates match exactly") {
+    // path 1-2-3-4-5: 2-balls are {1,2,3}, {1..4}, {1..5}, {2..5}, {3,4,5}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val balls = Map(
+      1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L, 3L, 4L),
+      3L -> Seq(1L, 2L, 3L, 4L, 5L), 4L -> Seq(2L, 3L, 4L, 5L),
+      5L -> Seq(3L, 4L, 5L))
+    val ballDf = balls.toSeq.flatMap { case (v, ms) => ms.map(v -> _) }
+      .toDF("node", "_k")
+    val want = Sketches.estimateRegistersBy(
+        Sketches.registersByGroup(ballDf, "_k", p = 4, Seq("node")),
+        Seq("node"), p = 4, as = "ball_est")
+      .as[(Long, Double)].collect().toMap
+    val got = Graph.neighborhoodSizes(path, radius = 2, p = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(got == want, s"got $got want $want")
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("clusteringCoefficients: pendant-triangle graph — exact per-node credits and floor-division lcc") {
     // triangle {1,2,3} + pendant edge 3-4: T(1)=T(2)=T(3)=1, T(4)=0;
     // lcc: 1,2 → 2·1e6/(2·1)=1e6; 3 → 2·1e6/(3·2)=333333; 4 → deg 1 → 0

@@ -576,4 +576,39 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("g12 (label communities): the close is a pure projection over the final checkpoint — zero exchanges") {
+    // per-round pinned ShuffledHashJoins live inside checkpoint stages
+    // (the g11 rule); the returned frame must add nothing on top
+    val plan = executedPlan("g12_label_communities")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Scan parquet"), plan)
+  }
+
+  test("g13 (random walks): the corpus is a narrow union of the checkpointed hops — no exchange, no join") {
+    val plan = executedPlan("g13_random_walks")
+    assert(plan.contains("Union"), plan)
+    // step-0 frontier projects off the degree checkpoint; hops 1..3
+    // are their own checkpoints — 4 RDD scans, nothing recomputed
+    assert("Scan ExistingRDD".r.findAllIn(plan).length == 4, plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Scan parquet"), plan)
+  }
+
+  test("g14 (neighborhood HLL): the estimate is ONE keyed aggregate over the final register checkpoint") {
+    val plan = executedPlan("g14_neighborhood_hll")
+    assert("Scan ExistingRDD".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Scan parquet"), plan)
+  }
+
+  test("t14 (textrank): top-20 is TakeOrderedAndProject over the iterated frame — no cartesian, no global sort") {
+    val plan = executedPlan("t14_textrank")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!"Sort \\[[^\\]]+\\], true".r.findFirstIn(plan).isDefined, plan)
+  }
 }
