@@ -720,4 +720,132 @@ object Graph {
     }
     Sketches.estimateRegistersBy(regs, Seq("node"), p, "ball_est")
   }
+
+  /** Per-edge triangle SUPPORT of a canonical (u < v, distinct) edge
+    * list: support(u,v) = #triangles containing the edge — the edge
+    * statistic [[kTruss]] peels on, factored out so its plan is
+    * testable alone. Rides the g01/g10 degree-oriented intersection
+    * engine (adjacency arrays bounded O(√2m) regardless of hub
+    * degree); each triangle found once at its counting edge credits
+    * its THREE undirected edges from one explode of a per-edge credit
+    * array (the g10 corner-credit pattern applied to edges instead of
+    * nodes), then one (u,v)-keyed hash-agg folds the 3T credit rows.
+    * Edges in no triangle come back support 0 via the left join —
+    * peeling needs them visible, not absent. */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    val adj = orient(edges.select(col("u"), col("v")))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("_nbrs"))
+      .localCheckpoint(true)
+    val perEdge = adj
+      .select(col("src").as("_u"), col("_nbrs").as("_nu"),
+        explode(col("_nbrs")).as("_v"))
+      .join(adj.select(col("src").as("_sv"), col("_nbrs").as("_nv"))
+        .hint("shuffle_hash"), col("_v") === col("_sv"))
+      .select(col("_u"), col("_v"),
+        array_intersect(col("_nu"), col("_nv")).as("_ws"))
+      .where(size(col("_ws")) > 0)
+    val credits = perEdge
+      .select(explode(concat(
+        array(struct(
+          least(col("_u"), col("_v")).as("u"),
+          greatest(col("_u"), col("_v")).as("v"),
+          size(col("_ws")).cast("long").as("_c"))),
+        transform(col("_ws"), w => struct(
+          least(col("_u"), w).as("u"),
+          greatest(col("_u"), w).as("v"),
+          lit(1L).as("_c"))),
+        transform(col("_ws"), w => struct(
+          least(col("_v"), w).as("u"),
+          greatest(col("_v"), w).as("v"),
+          lit(1L).as("_c"))))).as("_cr"))
+      .select(col("_cr.u").as("u"), col("_cr.v").as("v"),
+        col("_cr._c").as("_c"))
+    val sup = credits.groupBy(col("u"), col("v"))
+      .agg(sum(col("_c")).as("support"))
+    edges.select(col("u"), col("v"))
+      .join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** k-truss extraction (Cohen 2008): the maximal subgraph in which
+    * every EDGE sits in ≥ k−2 triangles of the subgraph — the
+    * edge-level cohesion ladder where [[kCore]] is the node-level one
+    * (a k-core keeps a hub attached to k spokes; a k-truss demands the
+    * hub's neighbours also know each other — the community-core shape
+    * entity-resolution trusts over raw degree). Iterative peel:
+    * support via [[edgeSupport]], drop edges under k−2, recompute on
+    * the survivors, to fixpoint. `maxIter` is a CONTRACT like g07's:
+    * strict-throw on budget exhaustion (a silently-partial truss is
+    * worse than failure), and rounds past fixpoint are idempotent —
+    * peeling only removes, so a DuckDB oracle can unroll exactly
+    * `maxIter` rounds and match the early-stopping engine hash-exact.
+    *
+    * Scale shape: each round is one [[edgeSupport]] pass — the g01
+    * O(m·√m) intersection bound, 3T credit rows, all keyed exchanges,
+    * no pair formation beyond the orientation-bounded wedges — over a
+    * localCheckpointed survivor list (constant plan size across
+    * rounds, the kCore/dupClusters rule). Returns the surviving edges
+    * with their in-truss support: (u, v, support). */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 10,
+      strict: Boolean = true): DataFrame = {
+    require(k >= 3, s"k must be >= 3 for a non-trivial truss, got $k")
+    var cur = edges.select(col("u"), col("v")).localCheckpoint(true)
+    var nEdges = cur.count()
+    var kept = cur.withColumn("support", lit(0L))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      kept = edgeSupport(cur)
+        .where(col("support") >= lit((k - 2).toLong))
+        .localCheckpoint(true)
+      val nNext = kept.count()
+      converged = nNext == nEdges
+      cur = kept.select(col("u"), col("v"))
+      nEdges = nNext
+      iter += 1
+    }
+    if (strict && !converged)
+      throw new IllegalStateException(
+        s"kTruss did not reach fixpoint in $maxIter rounds — raise maxIter " +
+          "(the oracle unroll must move with it) or lower k")
+    kept
+  }
+
+  /** Multi-source BFS hop distances: dist(v) = min hops from any seed,
+    * explored to exactly `radius` rounds — the reachability-level /
+    * proximity primitive (expand a dup-cluster seed set outward, "how
+    * far is everything from the flagged nodes"). `radius` is the
+    * CONTRACT (the g14 rule): nodes beyond it are absent, not ∞, and
+    * both engines run the same horizon. Seeds are a DataFrame (a seed
+    * set can be millions of rows — the g11 rule); a seed not in the
+    * graph still reports dist 0 (it IS zero hops from itself — the
+    * caller's seed echo, spec-pinned).
+    *
+    * Scale shape: per round one pinned shuffle-hash join of the 2m
+    * edge list against the frontier-so-far and one node-keyed min-agg
+    * — volume ≤ 2m rows/round, linear in edges, the g14 register walk
+    * with MIN(dist) in place of register max; each round
+    * localCheckpoints (constant plan size). Returns (node, dist). */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      radius: Int = 4): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val ed = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to radius) {
+      dist = dist
+        .unionByName(ed
+          .join(dist.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
+          .select(col("t").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

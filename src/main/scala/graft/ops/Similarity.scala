@@ -1003,4 +1003,75 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
+    * at λ = 1/2: from the exact cosine top-`nCandidates` of one query
+    * vector, greedily select `k` results maximizing
+    * 2·MMR = rel(c) − max_{s ∈ selected} sim(c, s) — the
+    * diversity-aware selection step of retrieval/exemplar curation
+    * (near-identical top hits waste a few-shot budget; MMR trades
+    * relevance against redundancy). λ is fixed at 1/2 so the score is
+    * ONE subtraction of two IEEE quotients of exact quantized longs —
+    * no float λ-blend to diverge — and the first pick (empty selected
+    * set, penalty 0) is pure relevance, the published base case.
+    *
+    * Scale shape: the production rerank shape — candidate formation is
+    * the corpus-wide stage (one scan, TakeOrderedAndProject top-n, the
+    * d06 plan) and everything after operates on the ≤ nCandidates-row
+    * pool, localCheckpointed ONCE so the n²-pair frame and the k
+    * greedy rounds reread 20 rows, never the corpus. The greedy loop
+    * is inherently sequential (each pick changes the penalty of the
+    * rest); k bounds it by CONTRACT, and each round is a bounded
+    * anti-join + max-agg + top-1 — driver-side orchestration, executor
+    * data. Ties break by vec_id everywhere (total order, the d06
+    * rule). Returns (sel_rank 1..k, vec_id, cos_sim, mmr2x) with
+    * output rounding 6 (the ball_est/xent convention). */
+  def mmrRerank(embeddings: DataFrame, idCol: String, embCol: String,
+      query: DataFrame, queryIdCol: String,
+      nCandidates: Int = 20, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nCandidates >= k,
+      s"nCandidates ($nCandidates) must be >= k ($k)")
+    val q = broadcast(query
+      .select(col(queryIdCol).as("_qid"), quantize(col(embCol)).as("_qe"))
+      .select(col("_qid"), col("_qe"), norm(col("_qe")).as("_qn")))
+    val cand = embeddings
+      .select(col(idCol).as("vec_id"), quantize(col(embCol)).as("_e"))
+      .select(col("vec_id"), col("_e"), norm(col("_e")).as("_n"))
+      .crossJoin(q)
+      .where(col("vec_id") =!= col("_qid"))
+      .select(col("vec_id"), col("_e"), col("_n"),
+        (dot(col("_e"), col("_qe")) / (col("_n") * col("_qn"))).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(nCandidates)
+      .localCheckpoint(true)
+    val pairs = cand
+      .select(col("vec_id").as("_ca"), col("_e").as("_ea"), col("_n").as("_na"))
+      .join(broadcast(cand.select(col("vec_id").as("_cb"),
+        col("_e").as("_eb"), col("_n").as("_nb"))), col("_ca") =!= col("_cb"))
+      .select(col("_ca"), col("_cb"),
+        (dot(col("_ea"), col("_eb")) / (col("_na") * col("_nb"))).as("_sim"))
+      .localCheckpoint(true)
+    var sel = cand
+      .orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(lit(1).as("sel_rank"), col("vec_id"), col("rel"),
+        col("rel").as("mmr2x"))
+      .localCheckpoint(true)
+    for (i <- 2 to k) {
+      val pen = pairs
+        .join(sel.select(col("vec_id").as("_cb")), Seq("_cb"))
+        .groupBy(col("_ca")).agg(max(col("_sim")).as("_pen"))
+      val pick = cand
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(pen, col("vec_id") === col("_ca"), "left")
+        .select(col("vec_id"), col("rel"),
+          (col("rel") - coalesce(col("_pen"), lit(0.0))).as("mmr2x"))
+        .orderBy(col("mmr2x").desc, col("vec_id")).limit(1)
+        .select(lit(i).as("sel_rank"), col("vec_id"), col("rel"),
+          col("mmr2x"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.select(col("sel_rank"), col("vec_id"),
+      round(col("rel"), 6).as("cos_sim"), round(col("mmr2x"), 6).as("mmr2x"))
+  }
 }

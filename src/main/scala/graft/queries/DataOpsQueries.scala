@@ -2756,6 +2756,60 @@ object DataOpsQueries {
             |       END AS contained_doc
             |FROM vr""".stripMargin))
 
+  /** The MMR oracle's greedy steps, unrolled: step i scores every
+    * not-yet-selected candidate as rel − max sim to the selected set
+    * (λ = 1/2 scaled ×2 — one subtraction of IEEE quotients of exact
+    * quantized longs) and takes the (mmr2x desc, vec_id) top-1. */
+  private val mmrK = 5
+  private def mmrUnrolled: String = (2 to mmrK).map { i =>
+    s"""s$i AS (SELECT $i AS sel_rank, vec_id, rel, mmr2x FROM (
+       |    SELECT c.vec_id, c.rel,
+       |           c.rel - coalesce(MAX(CASE WHEN s.vec_id IS NOT NULL
+       |                                     THEN p.sim END), 0) AS mmr2x
+       |    FROM cand c
+       |    LEFT JOIN p ON p.ca = c.vec_id
+       |    LEFT JOIN a${i - 1} s ON p.cb = s.vec_id
+       |    WHERE c.vec_id NOT IN (SELECT vec_id FROM a${i - 1})
+       |    GROUP BY c.vec_id, c.rel)
+       |  ORDER BY mmr2x DESC, vec_id LIMIT 1),
+       |a$i AS (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+  }.mkString(",\n")
+
+  /** Diversity-aware re-rank of the d06 candidate pool: MMR at λ = 1/2
+    * over the exact cosine top-20 of vec 0, greedy top-5 (see
+    * Similarity.mmrRerank for the contract — candidate formation is
+    * the only corpus-wide stage; the greedy loop touches 20 rows). */
+  val d62MmrRerank = NamedQuery(
+    "d62_mmr_rerank",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrRerank(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "vec_id", nCandidates = 20, k = mmrK)
+    },
+    Some(s"""WITH quant AS (
+            |  SELECT vec_id,
+            |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS e
+            |  FROM embeddings),
+            |q AS (SELECT e AS qe, sqrt(list_dot_product(e, e)) AS qn
+            |      FROM quant WHERE vec_id = 0),
+            |cand AS MATERIALIZED (
+            |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n,
+            |         list_dot_product(e, qe)
+            |           / (sqrt(list_dot_product(e, e)) * qn) AS rel
+            |  FROM quant, q WHERE vec_id <> 0
+            |  ORDER BY rel DESC, vec_id LIMIT 20),
+            |p AS MATERIALIZED (
+            |  SELECT a.vec_id AS ca, b.vec_id AS cb,
+            |         list_dot_product(a.e, b.e) / (a.n * b.n) AS sim
+            |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+            |s1 AS (SELECT 1 AS sel_rank, vec_id, rel, rel AS mmr2x
+            |       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+            |a1 AS (SELECT * FROM s1),
+            |$mmrUnrolled
+            |SELECT sel_rank, vec_id, round(rel, 6) AS cos_sim,
+            |       round(mmr2x, 6) AS mmr2x
+            |FROM a$mmrK""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -2772,7 +2826,7 @@ object DataOpsQueries {
     d48SemDedup, d49BpeFertility, d50PcaPower, d51SelfDupRewrite,
     d52Decontaminate, d53SourceOverlap, d54DsirImportance, d55PqAnn,
     d56IvfPq, d57AutoBandPairs, d58SoftDedup, d59SqAnn, d60EditVerify,
-    d61Containment,
+    d61Containment, d62MmrRerank,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

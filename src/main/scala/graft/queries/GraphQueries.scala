@@ -555,10 +555,97 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |                  ELSE 0.673::DOUBLE * 16.0 * 16.0 * 562949953421312.0 / s END, 6) AS ball_est
             |FROM fin""".stripMargin))
 
+  /** The truss oracle's peel rounds, unrolled. Each round re-derives
+    * degrees on the surviving edges, DEGREE-orients (the g01 rule —
+    * id-ordered wedge enumeration explodes on id-adjacent hubs; degree
+    * orientation bounds the fan-out at O(√2m)), enumerates each
+    * triangle once at its apex, credits its three canonical edges,
+    * and keeps edges with support ≥ k−2. Rounds past fixpoint are
+    * idempotent (peeling only removes), so the fixed unroll matches
+    * the early-stopping engine. */
+  private val trussK = 10
+  private val trussRounds = 10
+  private def trussUnrolled: String = (0 until trussRounds).map { r =>
+    s"""dg$r AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |  SELECT u AS node FROM e$r UNION ALL SELECT v FROM e$r) GROUP BY 1),
+       |o$r AS MATERIALIZED (
+       |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND t.u < t.v)
+       |              THEN t.u ELSE t.v END AS src,
+       |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND t.u < t.v)
+       |              THEN t.v ELSE t.u END AS dst
+       |  FROM e$r t JOIN dg$r du ON t.u = du.node
+       |            JOIN dg$r dv ON t.v = dv.node),
+       |t$r AS MATERIALIZED (
+       |  SELECT a.src AS x, a.dst AS y, b.dst AS z
+       |  FROM o$r a JOIN o$r b ON a.src = b.src AND a.dst < b.dst
+       |  JOIN e$r c ON c.u = LEAST(a.dst, b.dst) AND c.v = GREATEST(a.dst, b.dst)),
+       |s$r AS MATERIALIZED (
+       |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+       |    SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v FROM t$r
+       |    UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM t$r
+       |    UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM t$r)
+       |  GROUP BY 1, 2),
+       |e${r + 1} AS MATERIALIZED (
+       |  SELECT u, v FROM s$r WHERE support >= ${trussK - 2})""".stripMargin
+  }.mkString(",\n")
+
+  /** k-truss of the co-purchase graph (k = 10: every surviving edge in
+    * ≥ 8 triangles of the truss — probed at sf0.01: peels 115.7k →
+    * 4,974 edges over 8 rounds, inside the 10-round contract). Edge-
+    * level cohesion where g07's k-core is node-level: the truss demands
+    * the neighbourhood KNOW EACH OTHER, not merely exist. */
+  val g15KTruss = NamedQuery(
+    "g15_ktruss",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.kTruss(e, k = trussK, maxIter = trussRounds)
+        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+          col("support"))
+    },
+    Some(s"""WITH $edgeCte,
+            |e0 AS MATERIALIZED (SELECT u, v FROM e),
+            |$trussUnrolled
+            |SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, support
+            |FROM s${trussRounds - 1} WHERE support >= ${trussK - 2}""".stripMargin))
+
+  /** The BFS oracle's min-merge rounds, unrolled (the g14 register walk
+    * with MIN(dist) in place of register max). */
+  private val bfsRadius = 4
+  private def bfsUnrolled: String = (1 to bfsRadius).map { i =>
+    s"""b$i AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+       |  SELECT node, dist FROM b${i - 1}
+       |  UNION ALL
+       |  SELECT ed.t AS node, d.dist + 1 FROM ed JOIN b${i - 1} d ON ed.s = d.node)
+       |  GROUP BY 1)""".stripMargin
+  }.mkString(",\n")
+
+  /** Multi-source BFS hop distances from the three smallest co-purchase
+    * nodes (seeds derived ORDER BY node LIMIT 3 on BOTH sides — the
+    * d24/g11 no-hardcoded-ids rule), horizon 4. The reachability-level
+    * primitive: "how many co-purchases away is everything from the
+    * flagged parts". */
+  val g16BfsDistances = NamedQuery(
+    "g16_bfs_distances",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+        .localCheckpoint(true)
+      val seeds = Graph.degrees(e).orderBy(col("node")).limit(3)
+        .select(col("node"))
+      Graph.bfsDistances(e, seeds, radius = bfsRadius)
+        .select(col("node").cast("long").as("node"), col("dist"))
+    },
+    Some(s"""WITH $edgeCte,
+            |b0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist
+            |  FROM (SELECT node FROM deg ORDER BY node LIMIT 3)),
+            |$bfsUnrolled
+            |SELECT CAST(node AS BIGINT) AS node, dist FROM b$bfsRadius""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
     g07KCore, g08Hits, g09LinkPrediction, g10ClusteringCoeff,
     g11PersonalizedPr, g12LabelCommunities, g13RandomWalks,
-    g14NeighborhoodHll)
+    g14NeighborhoodHll, g15KTruss, g16BfsDistances)
 }

@@ -313,4 +313,59 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(ovf == Seq((9L, 5L)))
   }
+
+  test("edgeSupport: K4 minus an edge — exact per-edge triangle counts, support-0 edges stay visible") {
+    // K4 on {1..4} without (3,4): triangles {1,2,3} and {1,2,4}; edge
+    // (1,2) sits in both, the four others in one each
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("u", "v")
+    val got = Graph.edgeSupport(e).as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 3L, 1L), (2L, 4L, 1L)))
+    // a pure path has no triangles: every edge visible at support 0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val gotPath = Graph.edgeSupport(path).as[(Long, Long, Long)].collect().toSet
+    assert(gotPath == Set((1L, 2L, 0L), (2L, 3L, 0L)))
+  }
+
+  test("kTruss: the peel cascades — K4-minus-an-edge at k=4 collapses to empty through the intermediate set") {
+    // round 1 on K4\{3,4}: only (1,2) has support 2 >= 2 -> survives
+    // alone; round 2: its support drops to 0 -> empty; round 3 is the
+    // empty fixpoint. A support-once filter would wrongly keep (1,2).
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("u", "v")
+    assert(Graph.kTruss(e, k = 4, maxIter = 5).isEmpty)
+    // k=3 keeps everything: every edge is in >= 1 triangle already
+    val k3 = Graph.kTruss(e, k = 3, maxIter = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(k3 == Set((1L, 2L, 2L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 3L, 1L), (2L, 4L, 1L)))
+    // K4 proper is its own 4-truss: every edge in exactly 2 triangles
+    val k4 = (for { u <- 1L to 4L; v <- (u + 1) to 4L } yield (u, v)).toDF("u", "v")
+    val gotK4 = Graph.kTruss(k4, k = 4, maxIter = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotK4.size == 6 && gotK4.forall(_._3 == 2L))
+  }
+
+  test("kTruss: strict budget exhaustion throws; non-strict returns the partial peel") {
+    // the cascade above needs 3 rounds to fixpoint; a 1-round budget
+    // must fail loudly, not hand back a silently-partial truss
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("u", "v")
+    val ex = intercept[IllegalStateException](Graph.kTruss(e, k = 4, maxIter = 1))
+    assert(ex.getMessage.contains("fixpoint"))
+    val partial = Graph.kTruss(e, k = 4, maxIter = 1, strict = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(partial == Set((1L, 2L, 2L)))
+  }
+
+  test("bfsDistances: min-hop over multiple seeds, the radius horizon cuts, and off-graph seeds echo at 0") {
+    // path 1-2-3-4-5-6 with seeds {1, 9}: 9 is not in the graph
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("u", "v")
+    val seeds = Seq(1L, 9L).toDF("node")
+    val got = Graph.bfsDistances(path, seeds, radius = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 9L -> 0L))
+    // two seeds meet in the middle: dist is the MIN over seeds
+    val both = Graph.bfsDistances(path, Seq(1L, 6L).toDF("node"), radius = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(both == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
+  }
 }

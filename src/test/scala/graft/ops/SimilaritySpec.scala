@@ -448,4 +448,50 @@ class SimilaritySpec extends SparkSpec {
     assert(m((0L, 1L)) == ((2L, 14000000L, (2 * 14e6 - 24e6) / 4)), m.toString)
     assert(m((0L, 1L)) == m((1L, 0L)), "null handling must stay symmetric")
   }
+
+  test("mmrRerank: replays the hand-rolled greedy — near-dup demoted below the diverse candidate") {
+    // q tilts off every candidate axis so rel(x) != sim(x, firstPick)
+    // (a query parallel to the first pick makes every round-2 mmr
+    // collapse to 0 — the degenerate case this fixture avoids)
+    val fix = Seq(
+      (0L, Array(1.0f, 0.2f)),    // the query
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f)),  // near-dup of 1
+      (3L, Array(0.5f, 0.5f))     // diverse, lower relevance
+    ).toDF("vec_id", "embedding")
+    // hand-rolled replica of the documented contract: milli-quantized
+    // dots, rel = cos to query, penalty = max sim to selected, ties by id
+    val qv = Seq(1000.0, 200.0)
+    val cs = Map(1L -> Seq(1000.0, 0.0), 2L -> Seq(1000.0, 1.0),
+      3L -> Seq(500.0, 500.0))
+    def dotp(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cosp(a: Seq[Double], b: Seq[Double]) =
+      dotp(a, b) / (math.sqrt(dotp(a, a)) * math.sqrt(dotp(b, b)))
+    val rel = cs.view.mapValues(cosp(_, qv)).toMap
+    var selected = Vector.empty[(Int, Long, Double, Double)]
+    for (i <- 1 to 3) {
+      val pick = cs.keys.filterNot(id => selected.exists(_._2 == id))
+        .map { id =>
+          val pen = selected.map(s => cosp(cs(id), cs(s._2)))
+            .maxOption.getOrElse(0.0)
+          (id, rel(id), rel(id) - pen)
+        }
+        .minBy { case (id, _, mmr) => (-mmr, id) }
+      selected :+= ((i, pick._1, pick._2, pick._3))
+    }
+    val got = Similarity.mmrRerank(fix, "vec_id", "embedding",
+        fix.where(col("vec_id") === 0), "vec_id", nCandidates = 3, k = 3)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1).toVector
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = selected.map { case (r, id, rl, m) => (r, id, r6(rl), r6(m)) }
+    assert(got == want, s"got $got want $want")
+    // the fixture exercises diversity: the greedy order is NOT the
+    // pure-relevance order (the near-dup of the first pick drops to last)
+    val relOrder = rel.toSeq.sortBy { case (id, r) => (-r, id) }.map(_._1)
+    assert(got.map(_._2) != relOrder, s"fixture degenerate: $relOrder")
+    // rank 1 is pure relevance: mmr2x == cos_sim there
+    assert(got.head._3 == got.head._4)
+  }
 }

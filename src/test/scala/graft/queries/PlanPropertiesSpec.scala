@@ -611,4 +611,30 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!"Sort \\[[^\\]]+\\], true".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("g15 (k-truss): the close is a pure projection over the final peel checkpoint — zero exchanges") {
+    // per-round support passes live inside checkpoint stages (the
+    // g12 rule); the returned (u, v, support) frame adds nothing
+    val plan = executedPlan("g15_ktruss")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Scan parquet"), plan)
+  }
+
+  test("g16 (BFS distances): the close is a pure projection over the final min-merge checkpoint — zero exchanges") {
+    val plan = executedPlan("g16_bfs_distances")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Scan parquet"), plan)
+  }
+
+  test("d62 (MMR rerank): the close is a pure projection over the final greedy checkpoint — zero exchanges, no corpus rescan") {
+    // candidate formation (the only corpus-wide stage) and the greedy
+    // rounds live inside checkpoint stages; the returned frame must
+    // not touch parquet again
+    val plan = executedPlan("d62_mmr_rerank")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Scan parquet"), plan)
+  }
 }
