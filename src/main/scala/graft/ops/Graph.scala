@@ -721,6 +721,51 @@ object Graph {
     Sketches.estimateRegistersBy(regs, Seq("node"), p, "ball_est")
   }
 
+  /** The neighbourhood FUNCTION N(r) = Σ_v |ball(v, r)| for
+    * r = 0..maxRadius — THE HyperBall application (Boldi & Vigna 2013):
+    * the curve whose growth profile gives effective diameter and spid,
+    * the dataset-card "how fast does reach saturate" answer that
+    * [[neighborhoodSizes]]'s single-radius per-node rows do not roll
+    * up. Same register walk; after every round the per-node estimates
+    * fold into one corpus row. Determinism: per-node estimates are the
+    * round-6 doubles of the q59 portable ladder (bit-identical on both
+    * engines), and the corpus fold quantizes each to exact integer
+    * MICROS before summing — a float Σ over n nodes would be
+    * addition-order-dependent, the t10 rule. Returns
+    * (radius, nf_x1e6: long), maxRadius+1 rows.
+    *
+    * Scale shape: [[neighborhoodSizes]]'s per round (one pinned
+    * shuffle-hash edge join + keyed max-agg, ≤ 2m·2^p rows) plus one
+    * bounded one-row aggregate per radius. */
+  def neighborhoodFunction(edges: DataFrame, maxRadius: Int = 3,
+      p: Int = 4): DataFrame = {
+    require(maxRadius >= 1, s"maxRadius must be >= 1, got $maxRadius")
+    val ed = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    val nodes = ed.select(col("s").as("node")).distinct()
+    var regs = Sketches.registersByGroup(
+        nodes.select(col("node"), col("node").as("_k")), "_k", p, Seq("node"))
+      .localCheckpoint(true)
+    def nfRow(r: Int, rg: DataFrame): DataFrame =
+      Sketches.estimateRegistersBy(rg, Seq("node"), p, "ball_est")
+        .agg(sum(expr("CAST(round(ball_est * 1000000) AS BIGINT)"))
+          .as("nf_x1e6"))
+        .select(lit(r.toLong).as("radius"), col("nf_x1e6"))
+    var out = nfRow(0, regs)
+    for (r <- 1 to maxRadius) {
+      regs = regs
+        .unionByName(ed
+          .join(regs.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
+          .select(col("t").as("node"), col("_reg"), col("_M")))
+        .groupBy(col("node"), col("_reg"))
+        .agg(max(col("_M")).as("_M"))
+        .localCheckpoint(true)
+      out = out.unionByName(nfRow(r, regs))
+    }
+    out
+  }
+
   /** Per-edge triangle SUPPORT of a canonical (u < v, distinct) edge
     * list: support(u,v) = #triangles containing the edge — the edge
     * statistic [[kTruss]] peels on, factored out so its plan is

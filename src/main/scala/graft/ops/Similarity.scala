@@ -1026,6 +1026,36 @@ object Similarity {
     * data. Ties break by vec_id everywhere (total order, the d06
     * rule). Returns (sel_rank 1..k, vec_id, cos_sim, mmr2x) with
     * output rounding 6 (the ball_est/xent convention). */
+  /** Cluster-balanced corpus sample: assign every vector to its
+    * deterministic k-means cell (the d10/d48 portable quantizer) and
+    * keep at most `perCell` per cell by content-keyed rank — the
+    * semantic-diversity draw of training-data curation (a uniform
+    * sample over-represents the corpus's dense modes; capping per
+    * SEMANTIC cluster flattens topical skew the way d14's per-key cap
+    * flattens per-source skew). Rank within a cell is
+    * (md5-uniform(vec_id), vec_id) — no RNG state, the d12/d18 rule,
+    * so the draw is stable across runs/engines and GROWS stably (new
+    * corpus rows displace old picks only within their own cell).
+    *
+    * Scale shape: assignment is one narrow projection against the
+    * driver-literal centroids (zero shuffle); the cap is ONE cell-keyed
+    * exchange whose per-key volume the map-side WindowGroupLimit bounds
+    * to perCell rows before the shuffle (the d14 plan property, pinned)
+    * — a hot cell ships perCell rows per map task, never its full
+    * population. Returns (vec_id, cell) for the kept rows. */
+  def clusterBalancedSample(embeddings: DataFrame, idCol: String,
+      embCol: String, perCell: Int, nLists: Int = 8, iters: Int = 3,
+      trainCap: Int = 10000): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val data = embeddings.select(
+      col(idCol).as("vec_id"), quantize(col(embCol)).as("_e"))
+    val centroids = trainPortableCentroids(data, "vec_id", nLists, iters, trainCap)
+    val assigned = data.select(col("vec_id"),
+      array_min(centroidDistStructs(centroids, col("_e")))
+        .getField("list").cast("long").as("cell"))
+    Sampling.capPerKey(assigned, "cell", "vec_id", "vec_id", perCell)
+  }
+
   def mmrRerank(embeddings: DataFrame, idCol: String, embCol: String,
       query: DataFrame, queryIdCol: String,
       nCandidates: Int = 20, k: Int = 5): DataFrame = {

@@ -832,4 +832,38 @@ object TextAnalysis {
         (col("lw_micros").cast("double") / 1e6).as("logw"),
         (col("lw_micros") > 0L).as("keep"))
   }
+
+  /** Vocabulary coverage curve: what fraction of corpus TOKENS the
+    * top-`sizes` most frequent TERMS cover — the "choose the tokenizer
+    * vocab budget" analysis (d40's OOV rate answers it for ONE fixed
+    * vocab; this sweeps the budget and shows where coverage
+    * saturates). Terms rank by (count desc, term) — a total order —
+    * via the two-phase global rank (one range exchange, no
+    * single-partition window: term cardinality is corpus-dependent,
+    * exactly what the q60-regression guard exists for); coverage at
+    * every breakpoint folds in ONE grouping-free aggregate (a CASE
+    * per size), so no running-sum window exists at all. coverage_ppm
+    * is the exact integer (covered·10⁶) div total. Returns one row per
+    * breakpoint: (vocab_size, covered_tokens, total_tokens,
+    * coverage_ppm). */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      sizes: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      s"sizes must be non-empty positive, got $sizes")
+    val tf = docs.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("_c"))
+    val ranked = Ranking.globalRowNumber(
+      tf, Seq(col("_c").desc, col("term").asc), "rank")
+    val covs = sizes.map(s =>
+      sum(when(col("rank") <= s, col("_c")).otherwise(lit(0L))).as(s"_cov$s"))
+    val one = ranked.agg(covs.head, (covs.tail :+ sum(col("_c")).as("_tot")): _*)
+    val rows = sizes.map(s => struct(
+      lit(s.toLong).as("vocab_size"), col(s"_cov$s").as("covered_tokens")))
+    one.select(explode(array(rows: _*)).as("_r"), col("_tot"))
+      .select(col("_r.vocab_size").as("vocab_size"),
+        col("_r.covered_tokens").as("covered_tokens"),
+        col("_tot").as("total_tokens"),
+        expr("_r.covered_tokens * 1000000L div _tot").as("coverage_ppm"))
+  }
 }

@@ -2756,6 +2756,54 @@ object DataOpsQueries {
             |       END AS contained_doc
             |FROM vr""".stripMargin))
 
+  /** Semantic-diversity corpus draw: k-means cells (the d10/d48
+    * portable quantizer) capped at 100 vectors each by content-keyed
+    * rank — the cluster-balanced sampling step of curation pipelines
+    * (flatten topical skew before mixing). The oracle re-derives the
+    * cells via the shared ivfCellCtes prefix and replays the
+    * md5-uniform in-cell rank. */
+  val d63ClusterSample = NamedQuery(
+    "d63_cluster_sample",
+    (s, dir) => {
+      Similarity.clusterBalancedSample(
+        Tables.embeddings(s, dir), "vec_id", "embedding", perCell = 100)
+    },
+    Some(s"""${ivfCellCtes(3)}
+            |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(list AS BIGINT) AS cell
+            |FROM (
+            |  SELECT vec_id, list,
+            |         row_number() OVER (PARTITION BY list
+            |           ORDER BY md5_number_upper(CAST(vec_id AS VARCHAR)) >> 11,
+            |                    vec_id) AS rk
+            |  FROM af) WHERE rk <= 100""".stripMargin))
+
+  /** Vocabulary-budget coverage curve (see TextAnalysis.vocabCoverage):
+    * token coverage of the top-{4,16,64,4096} terms — the sweep d40's
+    * single fixed vocab cannot answer; 4096 saturates on this corpus
+    * (coverage_ppm = 10⁶), demonstrating the knee. */
+  val d64VocabCoverage = NamedQuery(
+    "d64_vocab_coverage",
+    (s, dir) => {
+      TextAnalysis.vocabCoverage(
+        Tables.documents(s, dir).where(col("text").isNotNull),
+        "text", Seq(4, 16, 64, 4096))
+    },
+    Some {
+      val sizes = Seq(4, 16, 64, 4096)
+      s"""WITH tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS term
+         |  FROM documents WHERE text IS NOT NULL) GROUP BY 1),
+         |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM tf),
+         |a AS (SELECT CAST(SUM(c) AS BIGINT) AS tot,
+         |${sizes.map(s => s"  CAST(SUM(CASE WHEN rk <= $s THEN c ELSE 0 END) AS BIGINT) AS cov$s")
+            .mkString(",\n")}
+         |      FROM r)
+         |${sizes.map(s =>
+            s"""SELECT CAST($s AS BIGINT) AS vocab_size, cov$s AS covered_tokens,
+               |       tot AS total_tokens, cov$s * 1000000 // tot AS coverage_ppm
+               |FROM a""".stripMargin).mkString("\nUNION ALL\n")}""".stripMargin
+    })
+
   /** The MMR oracle's greedy steps, unrolled: step i scores every
     * not-yet-selected candidate as rel − max sim to the selected set
     * (λ = 1/2 scaled ×2 — one subtraction of IEEE quotients of exact
@@ -2826,7 +2874,7 @@ object DataOpsQueries {
     d48SemDedup, d49BpeFertility, d50PcaPower, d51SelfDupRewrite,
     d52Decontaminate, d53SourceOverlap, d54DsirImportance, d55PqAnn,
     d56IvfPq, d57AutoBandPairs, d58SoftDedup, d59SqAnn, d60EditVerify,
-    d61Containment, d62MmrRerank,
+    d61Containment, d62MmrRerank, d63ClusterSample, d64VocabCoverage,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -642,10 +642,51 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |$bfsUnrolled
             |SELECT CAST(node AS BIGINT) AS node, dist FROM b$bfsRadius""".stripMargin))
 
+  /** Per-radius corpus fold of the g14 register walk: per-node
+    * estimates (the identical q59 ladder) quantized to exact integer
+    * micros BEFORE summing — a float Σ over the node set would be
+    * addition-order-dependent (the t10 rule). */
+  private def nfRoundSql(k: Int): String =
+    s"""SELECT CAST($k AS BIGINT) AS radius,
+       |  CAST(SUM(CAST(round(est * 1000000) AS BIGINT)) AS BIGINT) AS nf_x1e6
+       |FROM (
+       |  SELECT round(CASE WHEN 0.673::DOUBLE * 16.0 * 16.0 * 562949953421312.0 / s <= 40.0
+       |                     AND zeros > 0
+       |                    THEN 16.0 * ln(16.0 / zeros)
+       |                    ELSE 0.673::DOUBLE * 16.0 * 16.0 * 562949953421312.0 / s END, 6) AS est
+       |  FROM (SELECT node, sp + (16 - v) * (1::BIGINT << 49) AS s, 16 - v AS zeros
+       |        FROM (SELECT node,
+       |                CAST(SUM(1::BIGINT << CAST(49 - M AS INT)) AS BIGINT) AS sp,
+       |                CAST(COUNT(*) AS BIGINT) AS v
+       |              FROM r$k GROUP BY 1)))""".stripMargin
+
+  /** The neighbourhood function N(r) — g14's register walk rolled up
+    * to one corpus row per radius (the actual HyperBall deliverable:
+    * the growth curve behind effective-diameter/spid profiling). */
+  val g17NeighborhoodFunction = NamedQuery(
+    "g17_neighborhood_function",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.neighborhoodFunction(e, maxRadius = hbRadius, p = 4)
+    },
+    Some(s"""WITH $edgeCte,
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
+            |r0 AS MATERIALIZED (
+            |  SELECT node, hp & 15 AS reg,
+            |         CASE WHEN (hp >> 4) = 0 THEN 49
+            |              ELSE 49 - length(bin(hp >> 4)) END AS M
+            |  FROM (SELECT node, md5_number_upper(CAST(node AS VARCHAR))
+            |                     & ((1::BIGINT << 52) - 1) AS hp
+            |        FROM deg)),
+            |$hbUnrolled
+            |${(0 to hbRadius).map(nfRoundSql).mkString("\nUNION ALL\n")}""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
     g07KCore, g08Hits, g09LinkPrediction, g10ClusteringCoeff,
     g11PersonalizedPr, g12LabelCommunities, g13RandomWalks,
-    g14NeighborhoodHll, g15KTruss, g16BfsDistances)
+    g14NeighborhoodHll, g15KTruss, g16BfsDistances,
+    g17NeighborhoodFunction)
 }

@@ -368,4 +368,19 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(both == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
   }
+
+  test("neighborhoodFunction: each radius row equals the integer-micros fold of the per-node estimates") {
+    val path = (1L to 6L).map(i => (i, i + 1)).toDF("u", "v")
+    val nf = Graph.neighborhoodFunction(path, maxRadius = 2, p = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(nf.keySet == Set(0L, 1L, 2L))
+    for (r <- 1 to 2) {
+      val want = Graph.neighborhoodSizes(path, radius = r, p = 4)
+        .select(expr("CAST(round(ball_est * 1000000) AS BIGINT)").as("m"))
+        .agg(sum(col("m"))).as[Long].head()
+      assert(nf(r.toLong) == want, s"radius $r")
+    }
+    // balls only grow with the radius
+    assert(nf(0L) <= nf(1L) && nf(1L) <= nf(2L), nf.toString)
+  }
 }

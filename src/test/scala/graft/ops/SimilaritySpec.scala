@@ -449,6 +449,29 @@ class SimilaritySpec extends SparkSpec {
     assert(m((0L, 1L)) == m((1L, 0L)), "null handling must stay symmetric")
   }
 
+  test("clusterBalancedSample: per-cell cap engages, cells match semDedup's assignment, draw is deterministic") {
+    // perCell large: every vector kept, cells identical to semDedup's
+    // (same centroids, same nearest-cell rule)
+    val all = Similarity.clusterBalancedSample(vecs, "vec_id", "embedding",
+        perCell = 10, nLists = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(all.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    val semCells = Similarity.semDedup(vecs, "vec_id", "embedding",
+        minCosine = 2.0, nLists = 2) // cos > 1 never fires: pure assignment
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toMap
+    assert(all == semCells)
+    // perCell = 1: exactly one survivor per occupied cell
+    val one = Similarity.clusterBalancedSample(vecs, "vec_id", "embedding",
+        perCell = 1, nLists = 2)
+      .as[(Long, Long)].collect()
+    assert(one.map(_._2).distinct.length == one.length)
+    assert(one.map(_._2).toSet == all.values.toSet)
+    // content-keyed rank: the same call twice returns the same rows
+    val again = Similarity.clusterBalancedSample(vecs, "vec_id", "embedding",
+        perCell = 1, nLists = 2).as[(Long, Long)].collect()
+    assert(one.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("mmrRerank: replays the hand-rolled greedy — near-dup demoted below the diverse candidate") {
     // q tilts off every candidate axis so rel(x) != sim(x, firstPick)
     // (a query parallel to the first pick makes every round-2 mmr

@@ -487,4 +487,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.toString.contains("Exchange"),
       s"hashedLinearScore must not shuffle:\n$plan")
   }
+
+  test("vocabCoverage: exact counts at each breakpoint, floor-division ppm, saturation at full vocab") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1; total 6; rank order a, b, c
+    val got = TextAnalysis.vocabCoverage(docs, "text", Seq(1, 2, 5))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 6L, 500000L),
+      (2L, 5L, 6L, 833333L),   // floor(5e6/6), never rounded up
+      (5L, 6L, 6L, 1000000L)))
+    // ties in count rank by term: "b"(2) vs a twin "d"(2) — vocab 2
+    // must cover a + b (term order), not a + d
+    val tied = Seq((1L, "a a b b d d")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.vocabCoverage(tied, "text", Seq(2))
+      .as[(Long, Long, Long, Long)].head()
+    assert(g2 == ((2L, 4L, 6L, 666666L)))
+  }
+
+  test("vocabCoverage: plan has no window at all — ranks off the checkpointed two-phase sort, coverage via one fold") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.vocabCoverage(docs, "text", Seq(2, 4))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // the range exchange lives inside globalRowNumber's checkpoint
+    // stage; the visible plan reads the checkpoint and folds once
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert("HashAggregate".r.findAllIn(plan).nonEmpty, plan)
+  }
 }

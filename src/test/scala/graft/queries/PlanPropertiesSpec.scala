@@ -637,4 +637,23 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Scan parquet"), plan)
   }
+
+  test("g17 (neighborhood function): per-radius folds read the register checkpoints — no join, no parquet rescan") {
+    val plan = executedPlan("g17_neighborhood_function")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Scan parquet"), plan)
+  }
+
+  test("d63 (cluster sample): per-cell cap keeps the map-side WindowGroupLimit; ONE corpus scan") {
+    val plan = executedPlan("d63_cluster_sample")
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2, plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("d64 (vocab coverage): no window anywhere — two-phase rank + one grouping-free fold over the checkpoint") {
+    val plan = executedPlan("d64_vocab_coverage")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+  }
 }
