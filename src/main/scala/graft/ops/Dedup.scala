@@ -1201,6 +1201,48 @@ object Dedup {
     Packing.chunkByTokens(df, idCol, textCol, chunkTokens, chunkTokens)
       .select(col(idCol), col("chunk_idx"), md5(col("chunk_text")).as("_h"))
 
+  /** Boilerplate CHUNK removal (the CCNet/RefinedWeb pass): a chunk
+    * appearing in ≥ `minDocs` DISTINCT documents is boilerplate and is
+    * removed EVERYWHERE — including its first occurrence. That
+    * semantics is what separates this from [[chunkDedupStats]]'s
+    * first-wins C4 dedup (d24: the first copy is worth keeping) and
+    * [[spanDedupRewrite]]'s keep-one-owner (d47): a header, footer, or
+    * cookie banner carries no training signal in ANY copy, so document
+    * frequency — not duplication order — is the removal criterion.
+    *
+    * Scale shape: no pair formation anywhere — chunks hash-agg by md5
+    * (hashes shuffle, never text; df via countDistinct inside the
+    * keyed agg), membership returns by ONE hash equi-join, and the
+    * per-doc reassembly sorts each doc's own bounded chunk list
+    * map-side inside a doc-keyed agg. A chunk shared by k docs costs
+    * k rows, never k² — the d45 no-caps property, and the oracle
+    * carries none. Returns (doc_id, n_chunks, n_boiler, clean_md5)
+    * with clean_md5 = md5 of the kept chunks joined in order (md5("")
+    * for an all-boilerplate doc — pinned, not engine-defaulted). */
+  def boilerplateRewrite(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val chunks = Packing.chunkByTokens(df.where(col(textCol).isNotNull),
+        idCol, textCol, chunkTokens, chunkTokens)
+      .select(col(idCol).as("doc_id"), col("chunk_idx"), col("chunk_text"),
+        md5(col("chunk_text")).as("_h"))
+    val boiler = chunks.groupBy(col("_h"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select(col("_h"), lit(true).as("_b"))
+    chunks.join(boiler, Seq("_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("n_boiler"),
+        sort_array(collect_list(when(col("_b").isNull,
+          struct(col("chunk_idx"), col("chunk_text"))))).as("_keep"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+        md5(concat_ws(" ",
+          transform(col("_keep"), s => s.getField("chunk_text"))))
+          .as("clean_md5"))
+  }
+
   /** Dataset-version diff — the audit between two corpus snapshots a
     * versioned training pipeline publishes with every release: per-doc
     * status (`added` / `removed` / `changed` / `unchanged`, by id

@@ -666,15 +666,22 @@ object Graph {
     var out = frontier
     for (i <- 1 to steps) {
       val mask = lit((1L << 52) - 1)
+      // both joins build the NODE-sized side and stream the bigger one
+      // (the g02 rule, learned again at the 100× corpus: the first
+      // draft hinted shuffle_hash on the EDGE-sized adjacency, and a
+      // 2m-row build side is n·deg rows per partition — the per-task
+      // hash map blew past execution memory exactly where a 1000-
+      // executor cluster would die too; the frontier is n rows at any
+      // scale, so IT is the hash side)
       val pick = frontier
-        .join(deg.withColumnRenamed("node", "_n"), col("node") === col("_n"))
+        .join(deg.withColumnRenamed("node", "_n").hint("shuffle_hash"),
+          col("node") === col("_n"))
         .select(col("walk_id"), col("node"),
           (graft.functions.TextHashExpressions
             .md5Upper(concat_ws(":", col("walk_id"), lit(i)))
             .bitwiseAND(mask) % col("d")).as("_pick"))
-      frontier = pick
-        .join(adj.hint("shuffle_hash"),
-          pick("node") === adj("s") && pick("_pick") === adj("idx"))
+      frontier = pick.hint("shuffle_hash")
+        .join(adj, pick("node") === adj("s") && pick("_pick") === adj("idx"))
         .select(col("walk_id"), lit(i).as("step"), col("t").as("node"))
         .localCheckpoint(true)
       out = out.unionByName(frontier)
@@ -856,6 +863,46 @@ object Graph {
         s"kTruss did not reach fixpoint in $maxIter rounds — raise maxIter " +
           "(the oracle unroll must move with it) or lower k")
     kept
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every directed STUB (both orientations of
+    * each undirected edge — the standard stub convention, which makes
+    * the coefficient symmetric without a half-weight). One number with
+    * a dataset-card reading: r > 0 = hubs attach to hubs (social
+    * shape), r < 0 = hubs attach to leaves (star/dependency shape) —
+    * the profile statistic that says whether degree-targeted caps
+    * (g09's center cap, the LSH bucket caps) will bite on this graph.
+    *
+    * Determinism: the five moments are exact long sums over 2m stubs
+    * (degree ≤ n < 2³¹ keeps x·y < 2⁶³ for any real corpus); the
+    * final Pearson form is IEEE ops over double-cast exact longs (the
+    * q58/d43 overflow pattern — identical on both engines). Returns
+    * one row (n_stubs, r round 6).
+    *
+    * Scale shape: one degree agg + two broadcast-or-shuffle joins of
+    * the n-row degree frame onto the edge list + one grouping-free
+    * fold. No pair formation, no iteration. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val stubs = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    stubs
+      .join(deg.select(col("node").as("u"), col("deg").as("_x")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("_y")), "v")
+      .agg(count(lit(1)).as("n_stubs"),
+        sum(col("_x")).as("sx"), sum(col("_y")).as("sy"),
+        sum(col("_x") * col("_y")).as("sxy"),
+        sum(col("_x") * col("_x")).as("sxx"),
+        sum(col("_y") * col("_y")).as("syy"))
+      .select(col("n_stubs"),
+        round((col("n_stubs").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n_stubs").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n_stubs").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))),
+          6).as("assortativity"))
   }
 
   /** Multi-source BFS hop distances: dist(v) = min hops from any seed,

@@ -2756,6 +2756,36 @@ object DataOpsQueries {
             |       END AS contained_doc
             |FROM vr""".stripMargin))
 
+  /** Boilerplate chunk removal (df-threshold, removes ALL copies —
+    * see Dedup.boilerplateRewrite for how this differs from d24's
+    * first-wins and d47's keep-one-owner). The oracle rebuilds every
+    * cleaned doc with an ORDER BY chunk_idx string_agg and compares
+    * md5 per doc (the d47 reconstruction oracle shape). */
+  val d65Boilerplate = NamedQuery(
+    "d65_boilerplate",
+    (s, dir) => {
+      Dedup.boilerplateRewrite(
+        Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 8, minDocs = 2)
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |           WHERE text IS NOT NULL),
+           |c AS (SELECT doc_id, unnest(generate_series(0, (len(toks) - 1) // 8)) AS chunk_idx,
+           |             toks
+           |      FROM t WHERE len(toks) > 0),
+           |x AS (SELECT doc_id, chunk_idx,
+           |             array_to_string(toks[chunk_idx*8+1 : chunk_idx*8+8], ' ') AS ct
+           |      FROM c),
+           |b AS (SELECT md5(ct) AS h FROM x GROUP BY 1
+           |      HAVING COUNT(DISTINCT doc_id) >= 2),
+           |m AS (SELECT doc_id, chunk_idx, ct,
+           |             md5(ct) IN (SELECT h FROM b) AS bo FROM x)
+           |SELECT doc_id, COUNT(*) AS n_chunks,
+           |       CAST(SUM(CASE WHEN bo THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           |       md5(COALESCE(string_agg(CASE WHEN NOT bo THEN ct END, ' '
+           |                               ORDER BY chunk_idx), '')) AS clean_md5
+           |FROM m GROUP BY doc_id""".stripMargin))
+
   /** Semantic-diversity corpus draw: k-means cells (the d10/d48
     * portable quantizer) capped at 100 vectors each by content-keyed
     * rank — the cluster-balanced sampling step of curation pipelines
@@ -2875,6 +2905,7 @@ object DataOpsQueries {
     d52Decontaminate, d53SourceOverlap, d54DsirImportance, d55PqAnn,
     d56IvfPq, d57AutoBandPairs, d58SoftDedup, d59SqAnn, d60EditVerify,
     d61Containment, d62MmrRerank, d63ClusterSample, d64VocabCoverage,
+    d65Boilerplate,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -682,11 +682,39 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |$hbUnrolled
             |${(0 to hbRadius).map(nfRoundSql).mkString("\nUNION ALL\n")}""".stripMargin))
 
+  /** Degree assortativity of the co-purchase graph — the one-number
+    * "do hubs attach to hubs" dataset-card profile (Newman 2002; the
+    * q58 exact-moments + IEEE-close pattern over 2m stubs). */
+  val g18Assortativity = NamedQuery(
+    "g18_assortativity",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.assortativity(e)
+    },
+    Some(s"""WITH $edgeCte,
+            |st AS (SELECT ed.s AS u, ed.t AS v FROM ed),
+            |j AS (SELECT du.d AS x, dv.d AS y
+            |      FROM st JOIN deg du ON st.u = du.node
+            |              JOIN deg dv ON st.v = dv.node),
+            |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            |             CAST(SUM(x * y) AS BIGINT) AS sxy,
+            |             CAST(SUM(x * x) AS BIGINT) AS sxx,
+            |             CAST(SUM(y * y) AS BIGINT) AS syy
+            |      FROM j)
+            |SELECT n AS n_stubs,
+            |       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+            |             (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+            |              sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+            |             6) AS assortativity
+            |FROM m""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
     g07KCore, g08Hits, g09LinkPrediction, g10ClusteringCoeff,
     g11PersonalizedPr, g12LabelCommunities, g13RandomWalks,
     g14NeighborhoodHll, g15KTruss, g16BfsDistances,
-    g17NeighborhoodFunction)
+    g17NeighborhoodFunction, g18Assortativity)
 }

@@ -663,4 +663,35 @@ class DedupSpec extends SparkSpec {
         maxChars = 8000).collect().head
     assert(ok.getBoolean(6) && ok.getLong(2) == 0L && ok.getBoolean(5))
   }
+
+  test("boilerplateRewrite: df-threshold removes ALL copies (incl. the first), reconstruction is order-exact") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val header = "h1 h2 h3 h4 h5 h6 h7 h8" // one full 8-token chunk
+    val docs = Seq(
+      (1L, s"$header a b"),
+      (2L, s"$header c d"),
+      (3L, "e f"),
+      (4L, header) // all-boilerplate doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateRewrite(docs, "doc_id", "text",
+        chunkTokens = 8, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    // the header appears in 3 docs -> boilerplate, removed EVERYWHERE
+    // (doc 1's first copy too — the semantics d24's first-wins keeps)
+    assert(got(1L) == ((2L, 1L, md5hex("a b"))))
+    assert(got(2L) == ((2L, 1L, md5hex("c d"))))
+    assert(got(3L) == ((1L, 0L, md5hex("e f"))))
+    // an all-boilerplate doc pins to md5("") — not NULL, not absent
+    assert(got(4L) == ((1L, 1L, md5hex(""))))
+    // below the threshold nothing is boilerplate
+    val none = Dedup.boilerplateRewrite(docs, "doc_id", "text",
+        chunkTokens = 8, minDocs = 4)
+      .as[(Long, Long, Long, String)].collect()
+    assert(none.forall(_._3 == 0L))
+    assert(none.find(_._1 == 1L).get._4 == md5hex(s"$header a b"))
+  }
 }

@@ -383,4 +383,16 @@ class GraphSpec extends SparkSpec {
     // balls only grow with the radius
     assert(nf(0L) <= nf(1L) && nf(1L) <= nf(2L), nf.toString)
   }
+
+  test("assortativity: exact moments — a star is perfectly disassortative, the pendant-triangle matches by hand") {
+    // star: center 0 over leaves 1..3 — every edge joins deg 3 to deg 1
+    val star = (1L to 3L).map(i => (0L, i)).toDF("u", "v")
+    val rStar = Graph.assortativity(star).as[(Long, Double)].head()
+    assert(rStar == ((6L, -1.0)))
+    // pendant-triangle (the shared fixture): stubs (2,2)x2, (2,3)x2,
+    // (3,2)x2, (3,1), (1,3) -> n=8 sx=sy=18 sxy=38 sxx=syy=44
+    // r = (8*38 - 18*18) / (8*44 - 18*18) = -20/28 = -0.714286 (round 6)
+    val rMix = Graph.assortativity(edges).as[(Long, Double)].head()
+    assert(rMix == ((8L, -0.714286)))
+  }
 }

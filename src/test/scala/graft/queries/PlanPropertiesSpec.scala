@@ -656,4 +656,18 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("Scan ExistingRDD"), plan)
   }
+
+  test("g18 (assortativity): degree joins + one grouping-free fold — no cartesian, no sort-merge, no window") {
+    val plan = executedPlan("g18_assortativity")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("d65 (boilerplate): no pair formation — hash joins only, no cartesian, no per-doc window") {
+    val plan = executedPlan("d65_boilerplate")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
