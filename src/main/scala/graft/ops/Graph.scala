@@ -843,6 +843,7 @@ object Graph {
   def kTruss(edges: DataFrame, k: Int, maxIter: Int = 10,
       strict: Boolean = true): DataFrame = {
     require(k >= 3, s"k must be >= 3 for a non-trivial truss, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     var cur = edges.select(col("u"), col("v")).localCheckpoint(true)
     var nEdges = cur.count()
     var kept = cur.withColumn("support", lit(0L))

@@ -364,14 +364,16 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |                  THEN e.v ELSE e.u END AS dst
             |      FROM e JOIN deg du ON e.u = du.node
             |             JOIN deg dv ON e.v = dv.node),
-            |tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
-            |        FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst
-            |        JOIN e ON a.dst = e.u AND b.dst = e.v),
-            |tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
-            |         SELECT x AS node FROM tri
-            |         UNION ALL SELECT y FROM tri
-            |         UNION ALL SELECT z FROM tri)
-            |       GROUP BY 1)
+            |ao AS MATERIALIZED (SELECT src, list_sort(list(dst)) AS nb
+            |                    FROM o GROUP BY src),
+            |pe AS MATERIALIZED (
+            |  SELECT o.src AS x, o.dst AS y, list_intersect(a1.nb, a2.nb) AS ws
+            |  FROM o JOIN ao a1 ON o.src = a1.src JOIN ao a2 ON o.dst = a2.src),
+            |tc AS (SELECT node, CAST(SUM(c) AS BIGINT) AS t FROM (
+            |         SELECT x AS node, CAST(len(ws) AS BIGINT) AS c FROM pe
+            |         UNION ALL SELECT y, CAST(len(ws) AS BIGINT) FROM pe
+            |         UNION ALL SELECT unnest(ws), CAST(1 AS BIGINT) FROM pe)
+            |       WHERE c > 0 GROUP BY 1)
             |SELECT CAST(deg.node AS BIGINT) AS node, deg.d AS degree,
             |       COALESCE(tc.t, 0) AS n_triangles,
             |       CASE WHEN deg.d >= 2
@@ -575,16 +577,21 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
        |              THEN t.v ELSE t.u END AS dst
        |  FROM e$r t JOIN dg$r du ON t.u = du.node
        |            JOIN dg$r dv ON t.v = dv.node),
-       |t$r AS MATERIALIZED (
-       |  SELECT a.src AS x, a.dst AS y, b.dst AS z
-       |  FROM o$r a JOIN o$r b ON a.src = b.src AND a.dst < b.dst
-       |  JOIN e$r c ON c.u = LEAST(a.dst, b.dst) AND c.v = GREATEST(a.dst, b.dst)),
+       |ao$r AS MATERIALIZED (SELECT src, list_sort(list(dst)) AS nb
+       |                      FROM o$r GROUP BY src),
+       |pe$r AS MATERIALIZED (
+       |  SELECT o.src AS x, o.dst AS y, list_intersect(a1.nb, a2.nb) AS ws
+       |  FROM o$r o JOIN ao$r a1 ON o.src = a1.src
+       |             JOIN ao$r a2 ON o.dst = a2.src),
        |s$r AS MATERIALIZED (
-       |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
-       |    SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v FROM t$r
-       |    UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM t$r
-       |    UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM t$r)
-       |  GROUP BY 1, 2),
+       |  SELECT u, v, CAST(SUM(c) AS BIGINT) AS support FROM (
+       |    SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v,
+       |           CAST(len(ws) AS BIGINT) AS c FROM pe$r
+       |    UNION ALL SELECT LEAST(x, w), GREATEST(x, w), CAST(1 AS BIGINT)
+       |      FROM (SELECT x, unnest(ws) AS w FROM pe$r)
+       |    UNION ALL SELECT LEAST(y, w), GREATEST(y, w), CAST(1 AS BIGINT)
+       |      FROM (SELECT y, unnest(ws) AS w FROM pe$r))
+       |  WHERE c > 0 GROUP BY 1, 2),
        |e${r + 1} AS MATERIALIZED (
        |  SELECT u, v FROM s$r WHERE support >= ${trussK - 2})""".stripMargin
   }.mkString(",\n")
