@@ -401,24 +401,32 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
         .orderBy(col("ppr").desc, col("node"))
         .limit(20)
     },
+    // edm/dgm MATERIALIZED twins: this oracle references the edge list
+    // 3x and the degree frame 5x — unmaterialized, DuckDB re-inlines
+    // the whole basket-expansion tree per reference (12 parquet scans,
+    // concurrent 12M-row DISTINCT hash tables) and spilled >70 GB at
+    // the 10x gate; with the twins it runs in 35 s under a 20 GB cap
     Some(s"""WITH $edgeCte,
-            |sd AS (SELECT node FROM deg ORDER BY node LIMIT 3),
-            |sn AS (SELECT deg.node, CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS sf
-            |       FROM deg LEFT JOIN sd ON deg.node = sd.node),
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
+            |dgm AS MATERIALIZED (SELECT node, d FROM deg),
+            |sd AS (SELECT node FROM dgm ORDER BY node LIMIT 3),
+            |sn AS MATERIALIZED (
+            |       SELECT dgm.node, CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS sf
+            |       FROM dgm LEFT JOIN sd ON dgm.node = sd.node),
             |p0 AS (SELECT node, CAST(sf * 1000000 AS BIGINT) AS pr FROM sn),
-            |c1 AS (SELECT p.node, p.pr // d.d AS c FROM p0 p JOIN deg d ON p.node = d.node),
+            |c1 AS (SELECT p.node, p.pr // d.d AS c FROM p0 p JOIN dgm d ON p.node = d.node),
             |s1 AS (SELECT t AS node, CAST(SUM(c1.c) AS BIGINT) AS sm
-            |       FROM ed JOIN c1 ON ed.s = c1.node GROUP BY 1),
+            |       FROM edm JOIN c1 ON edm.s = c1.node GROUP BY 1),
             |p1 AS (SELECT s1.node, sn.sf * 150000 + (85 * sm) // 100 AS pr
             |       FROM s1 JOIN sn ON s1.node = sn.node),
-            |c2 AS (SELECT p.node, p.pr // d.d AS c FROM p1 p JOIN deg d ON p.node = d.node),
+            |c2 AS (SELECT p.node, p.pr // d.d AS c FROM p1 p JOIN dgm d ON p.node = d.node),
             |s2 AS (SELECT t AS node, CAST(SUM(c2.c) AS BIGINT) AS sm
-            |       FROM ed JOIN c2 ON ed.s = c2.node GROUP BY 1),
+            |       FROM edm JOIN c2 ON edm.s = c2.node GROUP BY 1),
             |p2 AS (SELECT s2.node, sn.sf * 150000 + (85 * sm) // 100 AS pr
             |       FROM s2 JOIN sn ON s2.node = sn.node),
-            |c3 AS (SELECT p.node, p.pr // d.d AS c FROM p2 p JOIN deg d ON p.node = d.node),
+            |c3 AS (SELECT p.node, p.pr // d.d AS c FROM p2 p JOIN dgm d ON p.node = d.node),
             |s3 AS (SELECT t AS node, CAST(SUM(c3.c) AS BIGINT) AS sm
-            |       FROM ed JOIN c3 ON ed.s = c3.node GROUP BY 1),
+            |       FROM edm JOIN c3 ON edm.s = c3.node GROUP BY 1),
             |p3 AS (SELECT s3.node, sn.sf * 150000 + (85 * sm) // 100 AS pr
             |       FROM s3 JOIN sn ON s3.node = sn.node)
             |SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS ppr FROM p3
@@ -623,7 +631,7 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
     s"""b$i AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
        |  SELECT node, dist FROM b${i - 1}
        |  UNION ALL
-       |  SELECT ed.t AS node, d.dist + 1 FROM ed JOIN b${i - 1} d ON ed.s = d.node)
+       |  SELECT edm.t AS node, d.dist + 1 FROM edm JOIN b${i - 1} d ON edm.s = d.node)
        |  GROUP BY 1)""".stripMargin
   }.mkString(",\n")
 
@@ -644,6 +652,7 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
         .select(col("node").cast("long").as("node"), col("dist"))
     },
     Some(s"""WITH $edgeCte,
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
             |b0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist
             |  FROM (SELECT node FROM deg ORDER BY node LIMIT 3)),
             |$bfsUnrolled
@@ -700,10 +709,11 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
       Graph.assortativity(e)
     },
     Some(s"""WITH $edgeCte,
+            |dgm AS MATERIALIZED (SELECT node, d FROM deg),
             |st AS (SELECT ed.s AS u, ed.t AS v FROM ed),
             |j AS (SELECT du.d AS x, dv.d AS y
-            |      FROM st JOIN deg du ON st.u = du.node
-            |              JOIN deg dv ON st.v = dv.node),
+            |      FROM st JOIN dgm du ON st.u = du.node
+            |              JOIN dgm dv ON st.v = dv.node),
             |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
             |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
             |             CAST(SUM(x * y) AS BIGINT) AS sxy,
