@@ -878,8 +878,13 @@ object Graph {
     * Determinism: the five moments are exact long sums over 2m stubs
     * (degree ≤ n < 2³¹ keeps x·y < 2⁶³ for any real corpus); the
     * final Pearson form is IEEE ops over double-cast exact longs (the
-    * q58/d43 overflow pattern — identical on both engines). Returns
-    * one row (n_stubs, r round 6).
+    * q58/d43 overflow pattern — identical on both engines). Degenerate
+    * case pinned by contract: on a degree-regular graph both variance
+    * terms are 0 and the quotient is 0/0 — Spark doubles say NaN,
+    * DuckDB says NULL — so r is explicitly NULL when EITHER variance
+    * term is 0 (correlation is undefined with a constant variable),
+    * and the oracle pins the same CASE. Returns one row
+    * (n_stubs, r round 6, NULL if undefined).
     *
     * Scale shape: one degree agg + two broadcast-or-shuffle joins of
     * the n-row degree frame onto the edge list + one grouping-free
@@ -897,13 +902,18 @@ object Graph {
         sum(col("_x") * col("_x")).as("sxx"),
         sum(col("_y") * col("_y")).as("syy"))
       .select(col("n_stubs"),
-        round((col("n_stubs").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-          (sqrt(col("n_stubs").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")) *
-            sqrt(col("n_stubs").cast("double") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))),
-          6).as("assortativity"))
+        (col("n_stubs").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")).as("_vx"),
+        (col("n_stubs").cast("double") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")).as("_vy"),
+        (col("n_stubs").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")).as("_cov"))
+      .select(col("n_stubs"),
+        when(col("_vx") === 0.0 || col("_vy") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            col("_cov") / (sqrt(col("_vx")) * sqrt(col("_vy"))), 6))
+          .as("assortativity"))
   }
 
   /** Multi-source BFS hop distances: dist(v) = min hops from any seed,

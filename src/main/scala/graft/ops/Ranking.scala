@@ -172,4 +172,50 @@ object Ranking {
       .withColumn(outCol, col("_seg_off") + col("_run_in_seg"))
       .drop("_run_in_seg", "_seg_off", "_seg_k", "_seg_s")
   }
+
+  /** AUTO-DISPATCHED running sum — the front door over the plain
+    * window and [[segmentedRunningSum]], so the caller stops deciding
+    * "is my key skewed?" by hand (the g06 components / q102 salted-join
+    * precedent: measure, then dispatch; a dial someone must remember to
+    * turn is a dial left wrong). The probe is [[SkewJoin.skewReport]]'s
+    * top-1 `suggested_salt` = ceil(heaviest key's rows / mean
+    * partition's rows) — one hash-agg + count-star, a bounded driver
+    * action of the d10-trainCap class. suggested_salt ≤ `threshold`
+    * (default 2: heaviest window partition fits within two mean
+    * reducers) → the plain one-exchange window; above it → the
+    * two-level prefix-sum form, whose extra window stage + join only
+    * pay for themselves when a hot key would otherwise funnel one
+    * sorted task (plain: 1.69×/1.98× at 10×/100× Zipf; segmented:
+    * 0.75× — BASELINE.md skew table).
+    *
+    * Both branches pin the SAME null-value semantics (null values
+    * contribute 0, output never null — the segmented form cannot
+    * reproduce the plain window's null-until-first-non-null bit, so
+    * the front door pins the useful semantics on both paths); null
+    * keys/segments are window-partition values as usual. Dispatch
+    * NEVER changes the result (the salting rule) — q109 registers this
+    * front door against q16's unsegmented oracle so the gate certifies
+    * it. Pass `saltOverride` to skip the probe when the caller already
+    * ran the report. */
+  def runningSumAuto(df: DataFrame, keyCol: String, segmentCol: String,
+      orderCols: Seq[Column], valueCol: Column, outCol: String,
+      threshold: Int = 2, saltOverride: Option[Long] = None): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val suggested = saltOverride.getOrElse {
+      val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+      val top = SkewJoin.skewReport(df, keyCol, topK = 1,
+        numPartitions = parts).select(col("suggested_salt")).collect()
+      if (top.isEmpty) 1L else top(0).getLong(0)
+    }
+    if (suggested > threshold) {
+      segmentedRunningSum(df, keyCol, segmentCol, orderCols, valueCol, outCol)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol))
+        .orderBy((col(segmentCol).asc +: orderCols): _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      df.withColumn(outCol, sum(coalesce(valueCol, lit(0L))).over(w))
+    }
+  }
 }

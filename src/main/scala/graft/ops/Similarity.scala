@@ -1004,28 +1004,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
-    * at λ = 1/2: from the exact cosine top-`nCandidates` of one query
-    * vector, greedily select `k` results maximizing
-    * 2·MMR = rel(c) − max_{s ∈ selected} sim(c, s) — the
-    * diversity-aware selection step of retrieval/exemplar curation
-    * (near-identical top hits waste a few-shot budget; MMR trades
-    * relevance against redundancy). λ is fixed at 1/2 so the score is
-    * ONE subtraction of two IEEE quotients of exact quantized longs —
-    * no float λ-blend to diverge — and the first pick (empty selected
-    * set, penalty 0) is pure relevance, the published base case.
-    *
-    * Scale shape: the production rerank shape — candidate formation is
-    * the corpus-wide stage (one scan, TakeOrderedAndProject top-n, the
-    * d06 plan) and everything after operates on the ≤ nCandidates-row
-    * pool, localCheckpointed ONCE so the n²-pair frame and the k
-    * greedy rounds reread 20 rows, never the corpus. The greedy loop
-    * is inherently sequential (each pick changes the penalty of the
-    * rest); k bounds it by CONTRACT, and each round is a bounded
-    * anti-join + max-agg + top-1 — driver-side orchestration, executor
-    * data. Ties break by vec_id everywhere (total order, the d06
-    * rule). Returns (sel_rank 1..k, vec_id, cos_sim, mmr2x) with
-    * output rounding 6 (the ball_est/xent convention). */
   /** Cluster-balanced corpus sample: assign every vector to its
     * deterministic k-means cell (the d10/d48 portable quantizer) and
     * keep at most `perCell` per cell by content-keyed rank — the
@@ -1056,12 +1034,42 @@ object Similarity {
     Sampling.capPerKey(assigned, "cell", "vec_id", "vec_id", perCell)
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
+    * at λ = 1/2: from the exact cosine top-`nCandidates` of one query
+    * vector, greedily select `k` results maximizing
+    * 2·MMR = rel(c) − max_{s ∈ selected} sim(c, s) — the
+    * diversity-aware selection step of retrieval/exemplar curation
+    * (near-identical top hits waste a few-shot budget; MMR trades
+    * relevance against redundancy). λ is fixed at 1/2 so the score is
+    * ONE subtraction of two IEEE quotients of exact quantized longs —
+    * no float λ-blend to diverge — and the first pick (empty selected
+    * set, penalty 0) is pure relevance, the published base case.
+    *
+    * `query` must hold EXACTLY ONE row (the bruteForceTopK contract):
+    * a multi-row frame would cross-join every candidate against every
+    * query row and corrupt the greedy pool with duplicate vec_ids —
+    * guarded at runtime (the frame is tiny by contract, so the check
+    * costs one 2-row scan).
+    *
+    * Scale shape: the production rerank shape — candidate formation is
+    * the corpus-wide stage (one scan, TakeOrderedAndProject top-n, the
+    * d06 plan) and everything after operates on the ≤ nCandidates-row
+    * pool, localCheckpointed ONCE so the n²-pair frame and the k
+    * greedy rounds reread 20 rows, never the corpus. The greedy loop
+    * is inherently sequential (each pick changes the penalty of the
+    * rest); k bounds it by CONTRACT, and each round is a bounded
+    * anti-join + max-agg + top-1 — driver-side orchestration, executor
+    * data. Ties break by vec_id everywhere (total order, the d06
+    * rule). Returns (sel_rank 1..k, vec_id, cos_sim, mmr2x) with
+    * output rounding 6 (the ball_est/xent convention). */
   def mmrRerank(embeddings: DataFrame, idCol: String, embCol: String,
       query: DataFrame, queryIdCol: String,
       nCandidates: Int = 20, k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nCandidates >= k,
       s"nCandidates ($nCandidates) must be >= k ($k)")
+    require(query.limit(2).count() == 1,
+      "mmrRerank requires a single-row query frame (one query vector)")
     val q = broadcast(query
       .select(col(queryIdCol).as("_qid"), quantize(col(embCol)).as("_qe"))
       .select(col("_qid"), col("_qe"), norm(col("_qe")).as("_qn")))

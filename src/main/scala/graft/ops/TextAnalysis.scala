@@ -850,6 +850,10 @@ object TextAnalysis {
       sizes: Seq[Int]): org.apache.spark.sql.DataFrame = {
     require(sizes.nonEmpty && sizes.forall(_ >= 1),
       s"sizes must be non-empty positive, got $sizes")
+    // duplicate breakpoints would mint two identically-named _cov$s
+    // aggregate aliases → ambiguous-column failure at runtime
+    require(sizes.distinct.size == sizes.size,
+      s"sizes must be distinct, got $sizes")
     val tf = docs.where(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("_c"))

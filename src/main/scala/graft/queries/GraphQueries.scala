@@ -721,10 +721,13 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |             CAST(SUM(y * y) AS BIGINT) AS syy
             |      FROM j)
             |SELECT n AS n_stubs,
-            |       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-            |             (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
-            |              sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
-            |             6) AS assortativity
+            |       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+            |              OR CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy = 0
+            |            THEN NULL
+            |            ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+            |                 (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+            |                  sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+            |                 6) END AS assortativity
             |FROM m""".stripMargin))
 
   val all: Seq[NamedQuery] = Seq(

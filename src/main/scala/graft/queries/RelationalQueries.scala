@@ -152,6 +152,29 @@ object RelationalQueries {
            |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
            |FROM orders""".stripMargin))
 
+  /** The AUTO front door over q16/q101 (Ranking.runningSumAuto): probes
+    * the key's skew via skewReport and dispatches — plain one-exchange
+    * window on uniform keys, the segmented two-level prefix sum when
+    * the heaviest key would funnel one sorted task. On driver testdata
+    * o_custkey is uniform, so THIS query certifies the probe+plain
+    * branch against q16's oracle; the SkewCorpus measurement certifies
+    * the probe picks the segmented branch on the Zipf corpus (skew
+    * table in BASELINE.md). Dispatch never changes results — the
+    * salting rule. */
+  val q109RunningAuto = NamedQuery(
+    "q109_running_auto",
+    (s, dir) => {
+      Ranking.runningSumAuto(Tables.orders(s, dir),
+          "o_custkey", "o_orderdate", Seq(col("o_orderkey")),
+          Exact.cents(col("o_totalprice")), "run_cents")
+        .select(col("o_custkey"), col("o_orderkey"), col("run_cents"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+           |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+           |FROM orders""".stripMargin))
+
   /** Global top-k: Spark plans TakeOrderedAndProject (no full sort). */
   val q17Top100 = NamedQuery(
     "q17_top100",
@@ -599,7 +622,8 @@ object RelationalQueries {
 
   val all: Seq[NamedQuery] = Seq(
     q10JoinDims, q11JoinFact, q12SemiJoin, q13AntiJoin, q14OuterJoin,
-    q15WindowTopk, q16WindowRunning, q101RunningSegmented, q17Top100, q18Rollup, q19Cube,
+    q15WindowTopk, q16WindowRunning, q101RunningSegmented, q109RunningAuto,
+    q17Top100, q18Rollup, q19Cube,
     q20GroupingSets, q21SetOps, q22Distinct, q23StringFuncs, q24DateFuncs,
     q25CaseMath, q26CorrelatedSubq, q27AsofJoin, q28Tumbling, q29Sessionize,
     q40WindowNav, q41ArrayAgg, q42MultiDistinct, q43NullGroup, q46RangeFrame,

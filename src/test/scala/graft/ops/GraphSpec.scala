@@ -395,4 +395,14 @@ class GraphSpec extends SparkSpec {
     val rMix = Graph.assortativity(edges).as[(Long, Double)].head()
     assert(rMix == ((8L, -0.714286)))
   }
+
+  test("assortativity: degree-regular graph pins the 0/0 case to NULL, not NaN") {
+    // 4-cycle: every node deg 2 -> both variance terms are exactly 0;
+    // Spark's double 0.0/0.0 would say NaN where DuckDB says NULL —
+    // the contract pins NULL on both engines
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("u", "v")
+    val row = Graph.assortativity(cycle).head()
+    assert(row.getLong(0) == 8L)
+    assert(row.isNullAt(1))
+  }
 }

@@ -132,4 +132,35 @@ class RankingSpec extends SparkSpec {
     assert("hashpartitioning\\(o_custkey#\\d+L?, o_orderdate#\\d+".r
       .findFirstIn(plan).isDefined, plan)
   }
+
+  test("runningSumAuto: uniform keys probe to the plain one-exchange window, a hot key to the segmented form — identical results") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => ("hub", i % 5, i.toLong, (i * 7 % 13).toLong)) ++
+      Seq(("a", 0, 1L, 5L), ("a", 1, 2L, 7L), ("b", 3, 1L, 11L))
+    val df = rows.toDF("k", "seg", "ord", "v")
+    def asMap(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+        r.getAs[Long]("run")).toMap
+    // the hub key holds 200/203 of the table: the probe must pick the
+    // segmented branch (its plan has the offset join; plain has none)
+    val auto = Ranking.runningSumAuto(df, "k", "seg", Seq(col("ord")),
+      col("v"), "run")
+    assert(auto.queryExecution.executedPlan.toString.contains("Join"),
+      "hot key must dispatch to the segmented (join-bearing) form")
+    // saltOverride 1 forces the plain branch; results must be identical
+    // (the dispatch-never-changes-results rule)
+    val plain = Ranking.runningSumAuto(df, "k", "seg", Seq(col("ord")),
+      col("v"), "run", saltOverride = Some(1L))
+    assert(!plain.queryExecution.executedPlan.toString.contains("Join"),
+      "uniform probe must keep the plain one-exchange window")
+    assert(asMap(auto) == asMap(plain))
+    // both branches pin the null-value semantics: null contributes 0
+    val nulls = Seq(("k", 0, 1L, null.asInstanceOf[java.lang.Long]),
+      ("k", 0, 2L, java.lang.Long.valueOf(5L)))
+      .toDF("k", "seg", "ord", "v")
+    val gotPlain = Ranking.runningSumAuto(nulls, "k", "seg", Seq(col("ord")),
+        col("v"), "run", saltOverride = Some(1L))
+      .orderBy(col("ord")).collect().map(_.getAs[Long]("run")).toSeq
+    assert(gotPlain == Seq(0L, 5L))
+  }
 }

@@ -517,4 +517,15 @@ class SimilaritySpec extends SparkSpec {
     // rank 1 is pure relevance: mmr2x == cos_sim there
     assert(got.head._3 == got.head._4)
   }
+
+  test("mmrRerank: multi-row query frame is rejected up front — it would cross-join duplicate vec_ids into the pool") {
+    val fix = Seq(
+      (0L, Array(1.0f, 0.2f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(fix, "vec_id", "embedding",
+        fix.where(col("vec_id") < 2), "vec_id", nCandidates = 2, k = 1)
+    }
+    assert(e.getMessage.contains("single-row"))
+  }
 }

@@ -504,6 +504,12 @@ class TextAnalysisSpec extends SparkSpec {
     val g2 = TextAnalysis.vocabCoverage(tied, "text", Seq(2))
       .as[(Long, Long, Long, Long)].head()
     assert(g2 == ((2L, 4L, 6L, 666666L)))
+    // duplicate breakpoints would mint two identically-named aggregate
+    // aliases — rejected up front, not a runtime ambiguous-column error
+    val dup = intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(docs, "text", Seq(2, 2))
+    }
+    assert(dup.getMessage.contains("distinct"))
   }
 
   test("vocabCoverage: plan has no window at all — ranks off the checkpointed two-phase sort, coverage via one fold") {
