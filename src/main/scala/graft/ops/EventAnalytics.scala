@@ -232,6 +232,103 @@ object EventAnalytics {
         (max(col("_us")) - min(col("_us"))).as("span_us"))
   }
 
+  /** SKEW-RESILIENT sessionization — [[sessionize]]'s per-(user,
+    * segment) twin, the Ranking.segmentedRunningSum decomposition
+    * applied to gaps-and-islands: the plain form puts every event of a
+    * user into ONE sorted window task, so a bot/hub user holding α of
+    * the corpus costs α·n rows in a single task at any parallelism
+    * (measured 1.12×/1.40× at 10×/100× skew — BASELINE.md). Here the
+    * raw-row windows partition on (user, segment) — a hot user's slice
+    * splits across its `segmentSeconds` buckets (default 1 day) — and
+    * sessions are STITCHED across segment boundaries:
+    *
+    *   1. within each (user, segment): lag-based break flags for
+    *      non-first events, a running count of them, and the local
+    *      min/max event time;
+    *   2. per (user, segment) ONE summary row (first/last event,
+    *      internal-break count); a per-user window over THESE rows
+    *      (one per segment, not per event — the q101 offset-ladder
+    *      grain) decides each boundary (gap from the previous
+    *      segment's last event > gap ⇒ the segment's first event
+    *      opens a session) and prefix-sums the per-segment break
+    *      counts into each segment's session-id offset;
+    *   3. joined back on (user, segment) — the step-1 exchange grain —
+    *      session_seq = offset + within-segment running count, which
+    *      IS the plain form's global break running sum decomposed
+    *      (same argument as segmentedRunningSum's), so the output is
+    *      bit-equal to [[sessionize]] — day-straddling and multi-day
+    *      sessions included (spec-pinned on a day-straddling fixture).
+    *
+    * A session that spans MANY segments is still one session: each
+    * interior boundary contributes break 0 and the offset ladder
+    * carries its id unchanged — stitching is associative, no
+    * iteration. The final per-(user, session) aggregate hash-aggs with
+    * map-side partial rows (no sorted funnel; a single 10%-of-corpus
+    * SESSION partially aggregates before the shuffle). Opt-in dial,
+    * not the default (the segmentedRunningSum rule): on uniform users
+    * the plain form is one exchange + two windows; this adds a
+    * summary window and a join. Null users/segments ride the
+    * null-safe join, as in segmentedRunningSum. */
+  def sessionizeSegmented(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long,
+      segmentSeconds: Long = 86400L): DataFrame = {
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
+    require(segmentSeconds >= gapSeconds,
+      s"segmentSeconds ($segmentSeconds) must be >= gapSeconds ($gapSeconds) " +
+        "— a segment shorter than the gap makes every boundary a stitch " +
+        "candidate and the summary ladder grows past its purpose")
+    val gapUs = gapSeconds * 1000000L
+    val segUs = segmentSeconds * 1000000L
+    // floor division on the integer micros: segment ids are monotone in
+    // _us, so (segment asc, _us asc, id asc) is the plain form's global
+    // (ts, id) order — negative epochs floor correctly via DIV
+    val base = events
+      .select(col(userCol), col(idCol), Tables.tsMicros(col(tsCol)).as("_us"))
+      .withColumn("_seg", expr(s"_us div ${segUs}L"))
+    val wSeg = Window.partitionBy(col(userCol), col("_seg"))
+      .orderBy(col("_us"), col(idCol))
+    // within-segment: break flags for non-FIRST events only (the first
+    // event's flag is the boundary decision, deferred to step 2);
+    // running count includes the first event as 0 via coalesce
+    val flagged = base
+      .withColumn("_lag", lag(col("_us"), 1).over(wSeg))
+      .withColumn("_brk_in",
+        when(col("_lag").isNull, lit(0L))
+          .otherwise(when(col("_us") - col("_lag") > gapUs, 1L).otherwise(0L)))
+      .withColumn("_run_in", sum(col("_brk_in"))
+        .over(wSeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // one summary row per (user, segment): reuses the (user, _seg)
+    // exchange (groupBy clusters on the window's partition keys)
+    val summary = flagged
+      .groupBy(col(userCol).as("_su"), col("_seg").as("_ss"))
+      .agg(min(col("_us")).as("_first_us"), max(col("_us")).as("_last_us"),
+        sum(col("_brk_in")).as("_n_brk_in"))
+    val wUser = Window.partitionBy(col("_su")).orderBy(col("_ss"))
+    val ladder = summary
+      .withColumn("_prev_last", lag(col("_last_us"), 1).over(wUser))
+      .withColumn("_first_brk",
+        when(col("_prev_last").isNull ||
+          col("_first_us") - col("_prev_last") > gapUs, 1L).otherwise(0L))
+      .withColumn("_seg_brks", col("_n_brk_in") + col("_first_brk"))
+      .withColumn("_offset", coalesce(sum(col("_seg_brks"))
+        .over(wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_su"), col("_ss"), col("_first_brk"), col("_offset"))
+    flagged
+      .join(ladder,
+        col(userCol) <=> col("_su") && col("_seg") <=> col("_ss"))
+      // session_seq(e) = breaks in prior segments + this segment's
+      // boundary flag + breaks within the segment up to e — exactly the
+      // plain form's global break running sum, decomposed
+      .withColumn("session_seq",
+        col("_offset") + col("_first_brk") + col("_run_in"))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        timestamp_micros(min(col("_us"))).as("session_start"),
+        timestamp_micros(max(col("_us")) + gapUs).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(col("_us")) - min(col("_us"))).as("span_us"))
+  }
+
   /** Forward fill (LOCF — last observation carried forward): repair
     * missing values in a per-key time series with the latest preceding
     * non-null observation — the sensor-dropout / sparse-telemetry

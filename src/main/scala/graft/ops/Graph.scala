@@ -693,21 +693,44 @@ object Graph {
     * ball size |{u : dist(u, v) ≤ r}| via iterated HLL register
     * max-merge — THE published way to compute neighbourhood functions
     * / effective diameters on graphs too big for per-node BFS.
-    * Register rows, not arrays: each node's ball sketch is ≤ 2^p
-    * sparse (node, _reg, _M) rows ([[Sketches.registersByGroup]] —
-    * the repo's portable md5 register arithmetic, so the estimate is
-    * oracle-exact), and a round is
-    * regs' = maxMerge(regs, regs shipped along every edge) — union +
-    * (node, _reg) max-agg. Because register max IS set union, after r
-    * rounds a node's rows equal the registers of its TRUE r-ball
-    * built directly — exact equality, spec-asserted, not approximate.
+    * PACKED registers: each node's ball sketch is ONE wide row of 2^p
+    * INT register columns (same md5 ladder as
+    * [[Sketches.registersByGroup]], so the estimate is oracle-exact),
+    * and a round is regs' = per-register max of (own row ∪ rows
+    * shipped along every edge) — union + one 2^p-max hash-agg.
+    * Because register max IS set union, after r rounds a node's
+    * registers equal those of its TRUE r-ball built directly — exact
+    * equality, spec-asserted against [[neighborhoodSizesRows]], the
+    * sparse row-form twin this packed walk replaced (row form shipped
+    * 2m·2^p rows per round; this ships 2m — the 16× shuffle-row cut
+    * at p = 4 on the repo's two heaviest 100× queries).
     *
     * Scale shape: per round one pinned shuffle-hash join of the 2m
-    * edge list against the ≤ n·2^p register table and one keyed
-    * max-agg — volume ≤ 2m · 2^p rows, linear in edges, NO pair
-    * formation; p trades estimate error (±1.04/√2^p) against that
-    * constant. Output: (node, ball_est: double round 6). */
+    * edge list against the n-row packed register table and one keyed
+    * 2^p-column max-agg — volume 2m wide rows, linear in edges, NO
+    * pair formation, map-side partial agg pre-merging each task's
+    * slice of a hub's incoming registers; p trades estimate error
+    * (±1.04/√2^p) against row width. Output:
+    * (node, ball_est: double round 6). */
   def neighborhoodSizes(edges: DataFrame, radius: Int = 2, p: Int = 4): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val ed = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    var regs = packedInit(ed, p)
+    for (_ <- 1 to radius) regs = packedRound(ed, regs, p)
+    packedEstimate(regs, p, "ball_est").select(col("node"), col("ball_est"))
+  }
+
+  /** Sparse row-form twin of [[neighborhoodSizes]] — the original
+    * (node, _reg, _M)-rows register walk, kept as the cross-check the
+    * spec asserts the packed form bit-equals (two independent
+    * representations of the same Boldi–Vigna recurrence; the oracle
+    * replays the arithmetic a third way in SQL). Ships up to 2^p rows
+    * per node per round where the packed form ships one — use the
+    * front door, this exists to certify it. */
+  def neighborhoodSizesRows(edges: DataFrame, radius: Int = 2,
+      p: Int = 4): DataFrame = {
     require(radius >= 1, s"radius must be >= 1, got $radius")
     val ed = edges.select(col("u").as("s"), col("v").as("t"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
@@ -726,6 +749,88 @@ object Graph {
         .localCheckpoint(true)
     }
     Sketches.estimateRegistersBy(regs, Seq("node"), p, "ball_est")
+  }
+
+  /** PACKED HyperBall register state: one row per node, 2^p INT
+    * columns _m0.._m{2^p−1} (0 = absent register, else the rho value
+    * of [[Sketches.registersByGroup]]'s _M — same md5 ladder, same
+    * arithmetic). The row-form walk ships ≤ 2^p (node, reg, M) rows
+    * per edge per round; this ships ONE wide row per edge — a 16×
+    * shuffle-ROW cut at p = 4 (measured: g14/g17 were the repo's two
+    * heaviest 100× absolutes, 425 s / 342 s, on row volume alone) —
+    * and the round merge is 2^p plain MAX aggregates in one hash-agg:
+    * whole-stage-codegen'd, map-side partially aggregated (each map
+    * task pre-merges its slice of a hub's incoming registers — the
+    * row form's (node, reg) grain left partial agg 16× less to bite
+    * on). Wide columns over a binary blob on purpose: byte-wise max
+    * over binary needs a custom aggregate; per-column max is native
+    * Catalyst all the way down. p ≤ 6 keeps the row ≤ 64 columns. */
+  private def packedInit(ed: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 6, s"packed registers support p in [4,6], got $p")
+    val m = 1 << p
+    val rhoMax = 53 - p
+    val hp = graft.functions.TextHashExpressions
+      .md5Upper(col("node").cast("string"))
+      .bitwiseAND(lit((1L << 52) - 1))
+    val rho = when(col("_w") === 0L, lit(rhoMax))
+      .otherwise(lit(rhoMax) - length(bin(col("_w"))))
+    ed.select(col("s").as("node")).distinct()
+      .select(col("node"),
+        hp.bitwiseAND(lit((m - 1).toLong)).as("_reg"),
+        shiftright(hp, p).as("_w"))
+      .select((col("node") +: (0 until m).map(j =>
+        when(col("_reg") === j, rho).otherwise(lit(0))
+          .cast("int").as(s"_m$j"))): _*)
+      .localCheckpoint(true)
+  }
+
+  /** One HyperBall round over packed registers: regs' =
+    * per-register max of (own regs ∪ regs shipped along every edge).
+    * One pinned shuffle-hash join (build = the n-row register frame,
+    * the g02/g13 node-sized-build rule) + one 2^p-column max agg. */
+  private def packedRound(ed: DataFrame, regs: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val cols = (0 until m).map(j => s"_m$j")
+    regs
+      .unionByName(ed
+        .join(regs.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
+        .select((col("t").as("node") +: cols.map(col)): _*))
+      .groupBy(col("node"))
+      .agg(max(col(cols.head)).as(cols.head),
+        cols.tail.map(c => max(col(c)).as(c)): _*)
+      .localCheckpoint(true)
+  }
+
+  /** Per-node estimate from packed registers — the SAME integer-exact
+    * arithmetic as [[Sketches.estimateRegistersBy]] (bit-identical
+    * output, spec-asserted): _s = Σ_j 2^(rhoMax−M_j) with absent
+    * (M_j = 0) contributing 2^rhoMax, an order-free integer sum;
+    * one IEEE division in `raw`; the standard small-range correction.
+    * A narrow zero-shuffle projection — the row form needed a
+    * (node, reg)-grain agg here. */
+  private def packedEstimate(regs: DataFrame, p: Int, as: String): DataFrame = {
+    val m = 1 << p
+    val rhoMax = 53 - p
+    val terms = (0 until m).map(j =>
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rhoMax - _m$j AS INT))"))
+    val zeros = (0 until m).map(j =>
+      when(col(s"_m$j") === 0, lit(1L)).otherwise(lit(0L)))
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) *
+      lit(math.pow(2.0, rhoMax)) / col("_s")
+    regs
+      .select(col("node"),
+        terms.reduce(_ + _).as("_s"),
+        zeros.reduce(_ + _).as("_zeros"))
+      .select(col("node"), round(
+        when(raw <= lit(2.5 * m) && col("_zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")))
+          .otherwise(raw), 6).as(as))
   }
 
   /** The neighbourhood FUNCTION N(r) = Σ_v |ball(v, r)| for
@@ -750,24 +855,15 @@ object Graph {
     val ed = edges.select(col("u").as("s"), col("v").as("t"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint(true)
-    val nodes = ed.select(col("s").as("node")).distinct()
-    var regs = Sketches.registersByGroup(
-        nodes.select(col("node"), col("node").as("_k")), "_k", p, Seq("node"))
-      .localCheckpoint(true)
+    var regs = packedInit(ed, p)
     def nfRow(r: Int, rg: DataFrame): DataFrame =
-      Sketches.estimateRegistersBy(rg, Seq("node"), p, "ball_est")
+      packedEstimate(rg, p, "ball_est")
         .agg(sum(expr("CAST(round(ball_est * 1000000) AS BIGINT)"))
           .as("nf_x1e6"))
         .select(lit(r.toLong).as("radius"), col("nf_x1e6"))
     var out = nfRow(0, regs)
     for (r <- 1 to maxRadius) {
-      regs = regs
-        .unionByName(ed
-          .join(regs.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
-          .select(col("t").as("node"), col("_reg"), col("_M")))
-        .groupBy(col("node"), col("_reg"))
-        .agg(max(col("_M")).as("_M"))
-        .localCheckpoint(true)
+      regs = packedRound(ed, regs, p)
       out = out.unionByName(nfRow(r, regs))
     }
     out

@@ -828,6 +828,34 @@ object ExtendedQueries {
            |       CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
            |FROM s GROUP BY 1, 2""".stripMargin))
 
+  /** q107's SKEW-RESILIENT twin (EventAnalytics.sessionizeSegmented):
+    * the same 30-minute sessions computed on per-(user, day) window
+    * partitions with boundary stitching, so a bot user holding 10% of
+    * the corpus never funnels one sorted task (q29/q107's plain form
+    * measures 1.12×/1.40× at 10×/100× skew). Registered against q107's
+    * oracle: the gate certifies the decomposition computes the
+    * identical result — day-straddling sessions included. */
+  val q110SessionizeSegmented = NamedQuery(
+    "q110_sessionize_segmented",
+    (s, dir) => graft.ops.EventAnalytics.sessionizeSegmented(
+      Tables.events(s, dir), "user_id", "ts", "event_id",
+      gapSeconds = 1800L),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           |g AS (SELECT user_id, event_id, us,
+           |        CASE WHEN lag(us) OVER w IS NULL
+           |               OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+           |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |s AS (SELECT user_id, us,
+           |        SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |          ROWS UNBOUNDED PRECEDING) AS session_seq
+           |      FROM g)
+           |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |       make_timestamp(MIN(us)) AS session_start,
+           |       make_timestamp(MAX(us) + 1800000000) AS session_end,
+           |       CAST(COUNT(*) AS BIGINT) AS n_events,
+           |       CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+           |FROM s GROUP BY 1, 2""".stripMargin))
+
   /** Pearson correlation per group, integer-exact: built-in corr() sums
     * doubles in shuffle order (nondeterministic last bits), so the five
     * regression sums are accumulated as exact longs over quantized
@@ -1684,6 +1712,7 @@ object ExtendedQueries {
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
     q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte, q107Sessionize,
+    q110SessionizeSegmented,
     q61VariantJson, q62CountMin, q63SketchMerge, q64BloomPrune,
     q65HllByGroup, q66Lateral, q68GroupedMedian, q73Tpch10, q74RankFunctions,
     q99HdrQuantiles, q100HdrByGroup, d42WeightedQuantile)

@@ -189,4 +189,56 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.ewmaSmooth(series, Nil, Seq(col("day")), col("v"), "e")
     }
   }
+
+  test("sessionizeSegmented bit-equals sessionize — day-straddling and multi-day sessions stitched across segments") {
+    def tsm(minutes: Long): Timestamp = new Timestamp(minutes * 60 * 1000L)
+    val day = 24 * 60L
+    val rows = Seq(
+      // u1: a session STRADDLING the day-0/day-1 boundary (events 20 min
+      // apart across midnight), then a separate day-1 session
+      ("u1", 1L, tsm(day - 30)), ("u1", 2L, tsm(day - 10)),
+      ("u1", 3L, tsm(day + 10)), ("u1", 4L, tsm(day + 500)),
+      // u3: the hot-user shape — bursts on many days, each day split
+      // by a long midday gap (two sessions/day, none straddling)
+      ) ++
+      // u2: ONE unbroken session spanning THREE days — 25-min cadence
+      // from day-1 into day-3, every interior day boundary a stitch
+      // with break 0 (the multi-segment-session associativity case)
+      (0 to 60).map(i => ("u2", 500L + i, tsm(day - 25 + i * 25L))) ++
+      (0 until 5).flatMap { d =>
+        Seq(("u3", 100L + d * 4, tsm(d * day + 60)),
+          ("u3", 101L + d * 4, tsm(d * day + 70)),
+          ("u3", 102L + d * 4, tsm(d * day + 700)),
+          ("u3", 103L + d * 4, tsm(d * day + 720)))
+      }
+    val df = rows.toDF("user_id", "event_id", "ts")
+    def canon(out: org.apache.spark.sql.DataFrame) = out
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    val plain = canon(EventAnalytics.sessionize(
+      df, "user_id", "ts", "event_id", gapSeconds = 1800L))
+    val seg = canon(EventAnalytics.sessionizeSegmented(
+      df, "user_id", "ts", "event_id", gapSeconds = 1800L))
+    assert(seg == plain, s"seg $seg\nplain $plain")
+    // sanity on the fixture itself: u1 has 2 sessions, u2 exactly 1
+    // (the 3-day chain), u3 ten
+    val perUser = plain.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perUser == Map("u1" -> 2, "u2" -> 1, "u3" -> 10), perUser.toString)
+  }
+
+  test("sessionizeSegmented: raw-row windows partition on (user, segment), never user alone; segment >= gap enforced") {
+    val df = Seq(("u", 1L, ts(0)), ("u", 2L, ts(1))).toDF("user_id", "event_id", "ts")
+    val plan = EventAnalytics.sessionizeSegmented(
+        df, "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .queryExecution.executedPlan.toString
+    // the event-grain exchange must carry BOTH keys (a user-only raw-row
+    // hashpartitioning would recreate the funnel this op removes)
+    assert("hashpartitioning\\(user_id#\\d+, _seg#\\d+L".r
+      .findFirstIn(plan).isDefined, plan)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.sessionizeSegmented(df, "user_id", "ts", "event_id",
+        gapSeconds = 1800L, segmentSeconds = 60L)
+    }
+  }
 }

@@ -259,6 +259,19 @@ class GraphSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("packed HyperBall bit-equals the sparse row-form twin — hub graph, radius 3") {
+    // star hub 0 over 1..8 plus a triangle tail: hub merges 8 incoming
+    // register rows per round — the shape the packed form's map-side
+    // partial agg exists for
+    val g = ((1L to 8L).map(0L -> _) ++ Seq((1L, 2L), (2L, 9L), (9L, 1L)))
+      .toDF("u", "v")
+    val packed = Graph.neighborhoodSizes(g, radius = 3, p = 4)
+      .as[(Long, Double)].collect().toMap
+    val rows = Graph.neighborhoodSizesRows(g, radius = 3, p = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(packed == rows, s"packed $packed rows $rows")
+  }
+
   test("clusteringCoefficients: pendant-triangle graph — exact per-node credits and floor-division lcc") {
     // triangle {1,2,3} + pendant edge 3-4: T(1)=T(2)=T(3)=1, T(4)=0;
     // lcc: 1,2 → 2·1e6/(2·1)=1e6; 3 → 2·1e6/(3·2)=333333; 4 → deg 1 → 0
