@@ -962,6 +962,106 @@ object Graph {
     kept
   }
 
+  /** DECREMENTAL k-truss peel — [[kTruss]] with per-round support
+    * maintenance instead of full recomputation: the full
+    * [[edgeSupport]] intersection pass runs ONCE, and each subsequent
+    * round only enumerates the triangles DESTROYED by that round's
+    * removals (w ∈ N(u) ∩ N(v) per removed edge (u,v), over the
+    * pre-removal adjacency), deduplicates them (a triangle holding
+    * two removed edges is found twice but died once —
+    * sort_array + distinct on the (a,b,c) triple), and decrements the
+    * kept edges' supports by their destroyed-triangle count:
+    * support_new(f) = support_old(f) − #destroyed triangles on f,
+    * exactly (triangles only ever disappear during a peel). Same
+    * per-round removal sets, same rounds, same fixpoint, bit-equal
+    * output to [[kTruss]] — spec-asserted on the real co-purchase
+    * graph with the delta path forced every round.
+    *
+    * Scale shape: round 1 is the g01 O(m·√m) intersection bound; every
+    * later round costs one O(m) adjacency rebuild (hash-agg, no
+    * intersections) + intersections ONLY on the removed edges
+    * (Σ_removed |N(u)∩N(v)| ≤ 3·T_destroyed rows out) — on a peel that
+    * holds a large core over many rounds (the measured 10×-skew
+    * instance: 10 rounds holding a 1.71M-edge core), rounds 2..r do
+    * work proportional to what CHANGED, not to the core. When a round
+    * removes more than `fullRecomputeFrac` of the surviving edges the
+    * destroyed-triangle enumeration would touch most of the graph
+    * anyway, so the round auto-dispatches back to the full
+    * [[edgeSupport]] pass (both branches compute the same table — the
+    * runningSumAuto dispatch rule at per-round grain). The removed-edge
+    * intersections use UNDIRECTED adjacency (a hub's full list), but
+    * each list is replicated only per REMOVED incident edge —
+    * bounded by the round's removal set, never m·deg. */
+  def kTrussDelta(edges: DataFrame, k: Int, maxIter: Int = 10,
+      strict: Boolean = true, fullRecomputeFrac: Double = 0.25): DataFrame = {
+    require(k >= 3, s"k must be >= 3 for a non-trivial truss, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    require(fullRecomputeFrac >= 0.0 && fullRecomputeFrac <= 1.0,
+      s"fullRecomputeFrac must be in [0,1], got $fullRecomputeFrac")
+    val thr = (k - 2).toLong
+    var sup = edgeSupport(edges.select(col("u"), col("v")))
+      .localCheckpoint(true)
+    var n = sup.count()
+    var out: DataFrame = null
+    var converged = false
+    var iter = 1 // pass i filters the support-in-graph_{i-1} table
+    while (out == null) {
+      val removed = sup.where(col("support") < thr)
+        .select(col("u"), col("v")).localCheckpoint(true)
+      val nRem = removed.count()
+      if (nRem == 0L) { converged = true; out = sup }
+      else {
+        val kept = sup.where(col("support") >= thr).localCheckpoint(true)
+        if (iter == maxIter) out = kept // budget spent; strict judges below
+        else {
+          sup =
+            if (nRem.toDouble > fullRecomputeFrac * n)
+              edgeSupport(kept.select(col("u"), col("v"))).localCheckpoint(true)
+            else {
+              // pre-removal adjacency: kept ∪ removed IS graph_{i-1}
+              val pre = kept.select(col("u"), col("v")).unionByName(removed)
+              val adj = pre.select(col("u").as("s"), col("v").as("t"))
+                .unionByName(pre.select(col("v").as("s"), col("u").as("t")))
+                .groupBy(col("s"))
+                .agg(sort_array(collect_list(col("t"))).as("_nbrs"))
+                .localCheckpoint(true)
+              val destroyed = removed
+                .join(adj.select(col("s").as("u"), col("_nbrs").as("_nu"))
+                  .hint("shuffle_hash"), "u")
+                .join(adj.select(col("s").as("v"), col("_nbrs").as("_nv"))
+                  .hint("shuffle_hash"), "v")
+                .select(col("u"), col("v"),
+                  explode(array_intersect(col("_nu"), col("_nv"))).as("w"))
+                .select(sort_array(array(col("u"), col("v"), col("w"))).as("_t"))
+                .distinct()
+              val dec = destroyed
+                .select(explode(array(
+                  struct(element_at(col("_t"), 1).as("u"),
+                    element_at(col("_t"), 2).as("v")),
+                  struct(element_at(col("_t"), 1).as("u"),
+                    element_at(col("_t"), 3).as("v")),
+                  struct(element_at(col("_t"), 2).as("u"),
+                    element_at(col("_t"), 3).as("v")))).as("_e"))
+                .select(col("_e.u").as("u"), col("_e.v").as("v"))
+                .groupBy(col("u"), col("v")).agg(count(lit(1)).as("_dec"))
+              kept.join(dec, Seq("u", "v"), "left")
+                .select(col("u"), col("v"),
+                  (col("support") - coalesce(col("_dec"), lit(0L)))
+                    .as("support"))
+                .localCheckpoint(true)
+            }
+          n = n - nRem
+          iter += 1
+        }
+      }
+    }
+    if (strict && !converged)
+      throw new IllegalStateException(
+        s"kTrussDelta did not reach fixpoint in $maxIter rounds — raise " +
+          "maxIter (the oracle unroll must move with it) or lower k")
+    out
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over every directed STUB (both orientations of
     * each undirected edge — the standard stub convention, which makes
