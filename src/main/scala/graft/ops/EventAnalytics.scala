@@ -279,9 +279,12 @@ object EventAnalytics {
         "candidate and the summary ladder grows past its purpose")
     val gapUs = gapSeconds * 1000000L
     val segUs = segmentSeconds * 1000000L
-    // floor division on the integer micros: segment ids are monotone in
-    // _us, so (segment asc, _us asc, id asc) is the plain form's global
-    // (ts, id) order — negative epochs floor correctly via DIV
+    // integer division on the micros: segment ids are non-decreasing in
+    // _us and each id covers a contiguous _us interval, so (segment asc,
+    // _us asc, id asc) is the plain form's global (ts, id) order. DIV
+    // truncates toward zero (not floor), which only makes segment 0
+    // double-width for pre-1970 timestamps — still one contiguous
+    // interval, so the decomposition stays exact
     val base = events
       .select(col(userCol), col(idCol), Tables.tsMicros(col(tsCol)).as("_us"))
       .withColumn("_seg", expr(s"_us div ${segUs}L"))

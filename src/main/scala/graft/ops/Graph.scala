@@ -977,21 +977,30 @@ object Graph {
     * output to [[kTruss]] — spec-asserted on the real co-purchase
     * graph with the delta path forced every round.
     *
-    * Scale shape: round 1 is the g01 O(m·√m) intersection bound; every
-    * later round costs one O(m) adjacency rebuild (hash-agg, no
-    * intersections) + intersections ONLY on the removed edges
-    * (Σ_removed |N(u)∩N(v)| ≤ 3·T_destroyed rows out) — on a peel that
-    * holds a large core over many rounds (the measured 10×-skew
-    * instance: 10 rounds holding a 1.71M-edge core), rounds 2..r do
-    * work proportional to what CHANGED, not to the core. When a round
-    * removes more than `fullRecomputeFrac` of the surviving edges the
-    * destroyed-triangle enumeration would touch most of the graph
-    * anyway, so the round auto-dispatches back to the full
-    * [[edgeSupport]] pass (both branches compute the same table — the
-    * runningSumAuto dispatch rule at per-round grain). The removed-edge
-    * intersections use UNDIRECTED adjacency (a hub's full list), but
-    * each list is replicated only per REMOVED incident edge —
-    * bounded by the round's removal set, never m·deg. */
+    * MEASURED AND NOT SHIPPED (the g07 ship-only-if-it-wins
+    * discipline, round 12): interleaved A/B vs [[kTruss]] at the
+    * g15 dials (k=10, 10 rounds) reads **0.13× on the 10×-skew
+    * instance** (full 52.3 s, delta 403.4 s) and 0.97× on uniform 10×
+    * (22.2 vs 22.9 s) — hash-equal both times. The loss mechanism:
+    * destroyed-triangle enumeration intersects UNDIRECTED
+    * neighbourhoods, so every removed edge incident to a hub pays
+    * O(deg(hub)) — on the densified skew instance (8.95M edges, hub
+    * degrees in the 10⁵ range, tens of thousands of removals per
+    * round) that is quadratic-ish in the hub, while the full pass's
+    * DEGREE-ORIENTED engine amortizes the same triangles inside the
+    * O(m·√m) bound. Delta would win only where per-round removals AND
+    * max degree are both small — no instance in this corpus family.
+    * g15 stays on [[kTruss]]; this op is kept as the spec's
+    * independent cross-check (three implementations, one answer:
+    * delta-forced, full-forced, and kTruss agree bit-for-bit on the
+    * real co-purchase graph).
+    *
+    * Scale shape (when it applies): round 1 is the g01 O(m·√m)
+    * intersection bound; each later round is one O(m) adjacency
+    * rebuild + intersections only on the removed edges. A round
+    * removing more than `fullRecomputeFrac` of the surviving edges
+    * auto-dispatches back to the full [[edgeSupport]] pass (both
+    * branches compute the same table). */
   def kTrussDelta(edges: DataFrame, k: Int, maxIter: Int = 10,
       strict: Boolean = true, fullRecomputeFrac: Double = 0.25): DataFrame = {
     require(k >= 3, s"k must be >= 3 for a non-trivial truss, got $k")
