@@ -870,4 +870,82 @@ object TextAnalysis {
         col("_tot").as("total_tokens"),
         expr("_r.covered_tokens * 1000000L div _tot").as("coverage_ppm"))
   }
+
+  /** Cohen's kappa (Cohen 1960): chance-corrected agreement between two
+    * categorical columns over the same rows — the labeler-QC statistic
+    * of annotation pipelines (raw agreement flatters skewed label
+    * distributions; kappa subtracts the agreement two independent
+    * annotators with these margins would reach by luck). Here it also
+    * reads as model-vs-metadata QC: kappa(declared lang, heuristic
+    * langid) says how much the tags and the text actually agree (t15).
+    *
+    * κ = (p_o − p_e)/(1 − p_e) with p_o = agree/n and
+    * p_e = Σ_l nA_l·nB_l / n², formed as ONE IEEE division of exact
+    * longs: κ = (n·agree − Σ_l nA_l·nB_l) / (n² − Σ_l nA_l·nB_l),
+    * round 6 — bit-identical on both engines. Degenerate case pinned
+    * (the assortativity rule): p_e = 1 (both columns constant with the
+    * same value, or no rows) ⇒ κ undefined ⇒ NULL on both sides.
+    * Rows where EITHER column is null are excluded by contract (an
+    * unlabeled item has no agreement to score). Long-range bound:
+    * n² < 2⁶³ ⇒ n < 3.0×10⁹ scored rows — beyond that pre-aggregate
+    * per stratum and pool (the q58/d43 overflow convention).
+    *
+    * Scale shape: one grouping-free scan agg (n, agree) + two
+    * label-keyed hash-aggs + a label-sized join and fold — labels are
+    * a vocabulary, not a corpus; nothing here grows past |labels|
+    * after the scans. Returns one row (n_items, n_agree, kappa). */
+  def cohenKappa(df: org.apache.spark.sql.DataFrame, aCol: String,
+      bCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("_a"), col(bCol).as("_b"))
+    val tot = base.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(when(col("_a") === col("_b"), 1L).otherwise(0L)), lit(0L))
+        .as("n_agree"))
+    val margA = base.groupBy(col("_a").as("_l")).agg(count(lit(1)).as("_na"))
+    val margB = base.groupBy(col("_b").as("_l")).agg(count(lit(1)).as("_nb"))
+    // inner join: a label seen by only one annotator has nA·nB = 0
+    val s = margA.join(margB, Seq("_l"))
+      .agg(coalesce(sum(col("_na") * col("_nb")), lit(0L)).as("_s"))
+    tot.crossJoin(broadcast(s))
+      .select(col("n_items"), col("n_agree"),
+        when(col("n_items") * col("n_items") === col("_s"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_items") * col("n_agree") - col("_s")).cast("double") /
+              (col("n_items") * col("n_items") - col("_s")).cast("double"),
+            6))
+          .as("kappa"))
+  }
+
+  /** Reliability (calibration) bins: fixed-width bins over an INTEGER
+    * score column vs a boolean outcome — the reliability-diagram table
+    * behind "is this quality classifier calibrated" (a score that
+    * claims 80% should be right 80% of the time; curation pipelines
+    * check this before trusting a score as a keep threshold). Bins are
+    * exact integer arithmetic over the observed [lo, hi] range:
+    * bin = (s − lo)·nBins div (hi − lo + 1) ∈ [0, nBins−1] — no float
+    * boundary to diverge, and a constant score degenerates to one bin
+    * 0 by the same formula (div by hi−lo+1 = 1, all s = lo). Per bin:
+    * row count, exact mean score in micros (Σs·10⁶ div n), and the
+    * observed positive rate in ppm — floor-division integers, the
+    * d12/coverage_ppm convention. Null score or null label rows are
+    * excluded by contract. One scan for the range (broadcast 1-row),
+    * one narrow projection, one nBins-bounded hash-agg. */
+  def reliabilityBins(df: org.apache.spark.sql.DataFrame, score: Column,
+      label: Column, nBins: Int): org.apache.spark.sql.DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val base = df.select(score.cast("long").as("_s"),
+        label.cast("boolean").as("_y"))
+      .where(col("_s").isNotNull && col("_y").isNotNull)
+    val rng = base.agg(min(col("_s")).as("_lo"), max(col("_s")).as("_hi"))
+    base.crossJoin(broadcast(rng))
+      .select(expr(s"(_s - _lo) * $nBins div (_hi - _lo + 1)").as("bin"),
+        col("_s"), col("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(_s) * 1000000L div count(1)").as("mean_score_micros"),
+        expr("sum(CASE WHEN _y THEN 1 ELSE 0 END) * 1000000L div count(1)")
+          .as("pos_ppm"))
+  }
 }

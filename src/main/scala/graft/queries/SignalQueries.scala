@@ -468,8 +468,83 @@ object SignalQueries {
            |SELECT node AS term, CAST(pr AS BIGINT) AS pr FROM p3
            |ORDER BY pr DESC, term LIMIT 20""".stripMargin))
 
+  /** Cohen's kappa between the corpus's DECLARED lang tag and the
+    * engine's n-gram/lexicon langid (TextAnalysis.cohenKappa) — the
+    * annotation-QC statistic: raw agreement flatters a skewed label
+    * mix; kappa subtracts the agreement the two columns' margins
+    * would produce by chance. One grouping-free scan agg + two
+    * label-bounded hash-aggs; κ is one IEEE division of exact longs
+    * (round 6), NULL when p_e = 1 (the assortativity degenerate-case
+    * rule). The oracle replays the t01 langid CASE and the same
+    * integer moments. */
+  val t15Kappa = NamedQuery(
+    "t15_kappa",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"),
+          graft.ops.TextAnalysis.langId(col("text")).as("_detected"))
+      graft.ops.TextAnalysis.cohenKappa(docs, "lang", "_detected")
+    },
+    Some({
+      val lex = graft.ops.TextAnalysis.lexicons
+      def score(words: Seq[String]) =
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+      val scores = lex.map { case (l, ws) => l -> score(ws) } :+
+        ("zh" -> "CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT)")
+      val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+      val caseExpr = scores.foldRight("'unknown'") { case ((l, sc), acc) =>
+        s"CASE WHEN $sc > 0 AND $sc = $best THEN '$l' ELSE $acc END"
+      }
+      s"""WITH d AS (
+         |  SELECT lang AS a, $caseExpr AS b
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |               CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+         |        FROM d),
+         |ma AS (SELECT a AS l, CAST(COUNT(*) AS BIGINT) AS na FROM d GROUP BY 1),
+         |mb AS (SELECT b AS l, CAST(COUNT(*) AS BIGINT) AS nb FROM d GROUP BY 1),
+         |sj AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS s
+         |       FROM ma JOIN mb USING (l))
+         |SELECT n AS n_items, agree AS n_agree,
+         |       CASE WHEN n * n = s THEN NULL
+         |            ELSE round(CAST(n * agree - s AS DOUBLE) /
+         |                       CAST(n * n - s AS DOUBLE), 6) END AS kappa
+         |FROM tot CROSS JOIN sj""".stripMargin
+    }))
+
+  /** Reliability bins of the en-lexicon score against the declared
+    * lang = 'en' outcome (TextAnalysis.reliabilityBins) — the
+    * calibration table a curation pipeline reads before trusting a
+    * classifier score as a keep threshold. Fixed-width integer bins
+    * over the observed score range (no float boundary), per-bin mean
+    * score in exact micros and positive rate in ppm. One range scan
+    * (broadcast 1-row) + one nBins-bounded hash-agg. */
+  val t16Calibration = NamedQuery(
+    "t16_calibration",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .where(col("text").isNotNull && col("lang").isNotNull)
+      graft.ops.TextAnalysis.reliabilityBins(docs,
+        graft.ops.TextAnalysis.lexiconScore(col("text"),
+          graft.ops.TextAnalysis.lexicons.head._2),
+        col("lang") === "en", nBins = 5)
+    },
+    Some("""WITH d AS (
+           |  SELECT CAST(len(list_filter(string_split(text, ' '),
+           |              t -> t IN ('the', 'a', 'of', 'and', 'to', 'is'))) AS BIGINT) AS s,
+           |         (lang = 'en') AS y
+           |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+           |rng AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM d)
+           |SELECT CAST((s - lo) * 5 // (hi - lo + 1) AS BIGINT) AS bin,
+           |       CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(SUM(s) * 1000000 // COUNT(*) AS BIGINT) AS mean_score_micros,
+           |       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS pos_ppm
+           |FROM d CROSS JOIN rng GROUP BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
-    t12Bm25, t13TfidfTerms, t14Textrank, q87AnomalyDays, q88Ewma,
+    t12Bm25, t13TfidfTerms, t14Textrank, t15Kappa, t16Calibration,
+    q87AnomalyDays, q88Ewma,
     q89RollingRange, q90Streaks, q91ValueFunctions, q92SlidingDistinct,
     q97TrendRegression, q98SlidingDistinctHll)
 }

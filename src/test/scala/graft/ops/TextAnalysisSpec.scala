@@ -512,6 +512,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dup.getMessage.contains("distinct"))
   }
 
+  test("cohenKappa: hand-computed 2x2 fixture, skew correction vs raw agreement, null exclusion, degenerate NULL") {
+    import spark.implicits._
+    // 10 rows: a = x x x x x x y y y y ; b = x x x x x y y y y x
+    // agree = 8, nA: x=6 y=4, nB: x=6 y=4 -> S = 36+16 = 52
+    // kappa = (10*8 - 52)/(100 - 52) = 28/48 = 0.583333
+    val rows = Seq(("x","x"),("x","x"),("x","x"),("x","x"),("x","x"),
+      ("x","y"),("y","y"),("y","y"),("y","y"),("y","x"))
+    val got = TextAnalysis.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double)].head()
+    assert(got == ((10L, 8L, 0.583333)))
+    // null rows excluded: adding (null, x) and (y, null) changes nothing
+    val withNulls = (rows.map { case (a, b) => (a: String, b: String) } ++
+      Seq((null, "x"), ("y", null))).toDF("a", "b")
+    assert(TextAnalysis.cohenKappa(withNulls, "a", "b")
+      .as[(Long, Long, Double)].head() == ((10L, 8L, 0.583333)))
+    // both annotators constant and equal: p_e = 1 -> NULL, not NaN
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val row = TextAnalysis.cohenKappa(const, "a", "b").head()
+    assert(row.getLong(0) == 2L && row.getLong(1) == 2L && row.isNullAt(2))
+    // labels seen by only one side contribute 0 to p_e, not a crash:
+    // a = p p q, b = p r r -> agree 1, S = nA(p)*nB(p) = 2*1 = 2
+    // kappa = (3*1 - 2)/(9 - 2) = 1/7 = 0.142857
+    val oneSided = Seq(("p","p"),("p","r"),("q","r")).toDF("a", "b")
+    assert(TextAnalysis.cohenKappa(oneSided, "a", "b")
+      .as[(Long, Long, Double)].head() == ((3L, 1L, 0.142857)))
+  }
+
+  test("reliabilityBins: exact integer bin edges, micro means, ppm rates; constant score collapses to bin 0") {
+    import spark.implicits._
+    // scores 0..9, outcome = score >= 5; nBins=5 over range [0,9]:
+    // bin = s*5 div 10 -> {0,1}->0, {2,3}->1, ... {8,9}->4
+    val df = (0L to 9L).map(s => (s, s >= 5L)).toDF("s", "y")
+    val got = TextAnalysis.reliabilityBins(df, col("s"), col("y"), nBins = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 500000L, 0L),        // scores 0,1: mean 0.5, pos 0
+      (1L, 2L, 2500000L, 0L),
+      (2L, 2L, 4500000L, 500000L),  // scores 4,5: one positive
+      (3L, 2L, 6500000L, 1000000L),
+      (4L, 2L, 8500000L, 1000000L)))
+    // constant score: hi - lo + 1 = 1, every row bin 0 — no div-by-zero
+    val const = Seq((7L, true), (7L, false)).toDF("s", "y")
+    assert(TextAnalysis.reliabilityBins(const, col("s"), col("y"), 5)
+      .as[(Long, Long, Long, Long)].head() == ((0L, 2L, 7000000L, 500000L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.reliabilityBins(df, col("s"), col("y"), nBins = 1)
+    }
+  }
+
   test("vocabCoverage: plan has no window at all — ranks off the checkpointed two-phase sort, coverage via one fold") {
     import spark.implicits._
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")

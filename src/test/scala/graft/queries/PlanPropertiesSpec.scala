@@ -597,10 +597,13 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("Scan parquet"), plan)
   }
 
-  test("g14 (neighborhood HLL): the estimate is ONE keyed aggregate over the final register checkpoint") {
+  test("g14 (neighborhood HLL): the packed estimate is a ZERO-shuffle projection over the final register checkpoint") {
+    // the r11 row form needed one (node)-keyed exchange here to fold
+    // register rows; the packed wide-column form reads the checkpoint
+    // and projects — the estimate stage shuffles NOTHING
     val plan = executedPlan("g14_neighborhood_hll")
     assert("Scan ExistingRDD".r.findAllIn(plan).length == 1, plan)
-    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("Scan parquet"), plan)
   }
