@@ -232,6 +232,39 @@ object EventAnalytics {
         (max(col("_us")) - min(col("_us"))).as("span_us"))
   }
 
+  /** AUTO-DISPATCHED sessionization — the front door over
+    * [[sessionize]] and [[sessionizeSegmented]], completing the
+    * dispatch family (g06 components / q102 salted join / q109 running
+    * sum): the caller stops hand-deciding "is my user key skewed?".
+    * The probe is [[SkewJoin.skewReport]]'s top-1 suggested_salt over
+    * the EVENT table's user column — ceil(heaviest user's rows / mean
+    * partition's rows), one hash-agg + count-star (the d10-trainCap
+    * bounded-driver-action class). At or under `threshold` (default 2)
+    * → the plain one-exchange form; above it → the per-(user, segment)
+    * split with boundary stitching, whose extra summary window + join
+    * only pay when a bot/hub user would otherwise funnel one sorted
+    * task (plain 1.40× at 100× skew and growing; segmented 0.75× —
+    * BASELINE.md). Dispatch NEVER changes the result (both branches
+    * are bit-equal by the segmentedRunningSum decomposition argument,
+    * spec-pinned; q111 registers this front door against q107's
+    * oracle). Pass `saltOverride` to skip the probe when the caller
+    * already ran the report. */
+  def sessionizeAuto(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long, segmentSeconds: Long = 86400L,
+      threshold: Int = 2, saltOverride: Option[Long] = None): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val suggested = saltOverride.getOrElse {
+      val parts = events.sparkSession.sessionState.conf.numShufflePartitions
+      val top = SkewJoin.skewReport(events, userCol, topK = 1,
+        numPartitions = parts).select(col("suggested_salt")).collect()
+      if (top.isEmpty) 1L else top(0).getLong(0)
+    }
+    if (suggested > threshold)
+      sessionizeSegmented(events, userCol, tsCol, idCol, gapSeconds,
+        segmentSeconds)
+    else sessionize(events, userCol, tsCol, idCol, gapSeconds)
+  }
+
   /** SKEW-RESILIENT sessionization — [[sessionize]]'s per-(user,
     * segment) twin, the Ranking.segmentedRunningSum decomposition
     * applied to gaps-and-islands: the plain form puts every event of a

@@ -856,6 +856,35 @@ object ExtendedQueries {
            |       CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
            |FROM s GROUP BY 1, 2""".stripMargin))
 
+  /** The AUTO front door over q107/q110 (EventAnalytics.sessionizeAuto):
+    * probes the user key's skew via skewReport and dispatches — plain
+    * one-exchange sessionize on uniform users, the per-(user, day)
+    * stitched form when a bot-grade user would funnel one sorted task.
+    * On driver testdata user_id is uniform, so THIS query certifies
+    * the probe+plain branch against q107's oracle; q110 certifies the
+    * segmented branch; the spec certifies the dispatch picks it on a
+    * hot fixture and that results never differ. */
+  val q111SessionizeAuto = NamedQuery(
+    "q111_sessionize_auto",
+    (s, dir) => graft.ops.EventAnalytics.sessionizeAuto(
+      Tables.events(s, dir), "user_id", "ts", "event_id",
+      gapSeconds = 1800L),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           |g AS (SELECT user_id, event_id, us,
+           |        CASE WHEN lag(us) OVER w IS NULL
+           |               OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+           |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |s AS (SELECT user_id, us,
+           |        SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |          ROWS UNBOUNDED PRECEDING) AS session_seq
+           |      FROM g)
+           |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |       make_timestamp(MIN(us)) AS session_start,
+           |       make_timestamp(MAX(us) + 1800000000) AS session_end,
+           |       CAST(COUNT(*) AS BIGINT) AS n_events,
+           |       CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+           |FROM s GROUP BY 1, 2""".stripMargin))
+
   /** Pearson correlation per group, integer-exact: built-in corr() sums
     * doubles in shuffle order (nondeterministic last bits), so the five
     * regression sums are accumulated as exact longs over quantized
@@ -1712,7 +1741,7 @@ object ExtendedQueries {
     q44JsonFuncs, q45ArrayHof, q49ScdMerge, q50Unpivot, q51IncrementalAgg,
     q52ArgMax, q53Funnel, q54Retention, q55ZorderLayout, q56Tpch18,
     q57EventDebounce, q58Correlation, q59PortableSketch, q60RecursiveCte, q107Sessionize,
-    q110SessionizeSegmented,
+    q110SessionizeSegmented, q111SessionizeAuto,
     q61VariantJson, q62CountMin, q63SketchMerge, q64BloomPrune,
     q65HllByGroup, q66Lateral, q68GroupedMedian, q73Tpch10, q74RankFunctions,
     q99HdrQuantiles, q100HdrByGroup, d42WeightedQuantile)

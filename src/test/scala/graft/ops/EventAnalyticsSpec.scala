@@ -227,6 +227,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(perUser == Map("u1" -> 2, "u2" -> 1, "u3" -> 10), perUser.toString)
   }
 
+  test("sessionizeAuto: hot user dispatches to the stitched (join-bearing) form, uniform keeps plain — identical results") {
+    def tsm(minutes: Long): Timestamp = new Timestamp(minutes * 60 * 1000L)
+    // hot fixture: one user holds ~97% of events across 3 days
+    val rows = (0 until 120).map(i => ("bot", 1000L + i, tsm(i * 37L))) ++
+      Seq(("u1", 1L, tsm(5)), ("u2", 2L, tsm(9)), ("u3", 3L, tsm(13)))
+    val df = rows.toDF("user_id", "event_id", "ts")
+    def canon(out: org.apache.spark.sql.DataFrame) = out
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    val auto = EventAnalytics.sessionizeAuto(
+      df, "user_id", "ts", "event_id", gapSeconds = 1800L)
+    assert(auto.queryExecution.executedPlan.toString.contains("Join"),
+      "hot user must dispatch to the stitched (join-bearing) form")
+    val plain = EventAnalytics.sessionizeAuto(
+      df, "user_id", "ts", "event_id", gapSeconds = 1800L,
+      saltOverride = Some(1L))
+    assert(!plain.queryExecution.executedPlan.toString.contains("Join"),
+      "uniform probe must keep the plain one-exchange form")
+    assert(canon(auto) == canon(plain))
+  }
+
   test("sessionizeSegmented: raw-row windows partition on (user, segment), never user alone; segment >= gap enforced") {
     val df = Seq(("u", 1L, ts(0)), ("u", 2L, ts(1))).toDF("user_id", "event_id", "ts")
     val plan = EventAnalytics.sessionizeSegmented(
