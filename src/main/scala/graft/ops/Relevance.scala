@@ -103,4 +103,54 @@ object Relevance {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("cf"),
         col("score_scaled"), col("rank"))
   }
+
+  /** Hybrid retrieval: [[bm25TopDocs]]'s lexical ranking fused with an
+    * embedding-cosine ranking by reciprocal-rank fusion (Cormack,
+    * Clarke & Büttcher, SIGIR 2009) — the standard two-tower shape of a
+    * modern retrieval/curation stack ("find documents like this probe":
+    * the lexical leg catches exact-term overlap, the vector leg catches
+    * paraphrase). RRF fuses RANKS, not scores, so the incomparable
+    * score scales (BM25 milli vs IEEE cosine) never mix:
+    *
+    *   rrf_micro = Σ_legs 10⁹ div (rrfK + rank_leg)
+    *
+    * — an exact integer both engines compute identically; a leg that
+    * missed the document contributes 0 (its rank column stays NULL in
+    * the output, the honest "not in this leg's top-N" signal).
+    *
+    * Scale shape: each leg is its own scale-proven op ending in a
+    * bounded top-N (BM25: hash-aggs + broadcast df + TakeOrdered;
+    * brute-force cosine here as the exactness baseline — at corpus
+    * scale swap the vector leg for [[Similarity.ivfPqTopK]], whose
+    * contract is the same (id, rank) list). The fusion itself touches
+    * ≤ nLex + nVec rows: one tiny full-outer join and a [[Ranking.rankTop]]
+    * renumber, zero data-sized work after the legs. Ranks are total
+    * orders (score desc, id) on both legs, so the fused order is
+    * deterministic and the DuckDB oracle replays it cell-exact.
+    *
+    * `docs`/`embeddings` are joined on nothing — the caller guarantees
+    * the id domains align (doc_id == vec_id); output key is `doc_id`. */
+  def hybridRrf(docs: DataFrame, docIdCol: String, textCol: String,
+      queryTerms: Seq[String],
+      embeddings: DataFrame, vecIdCol: String, embCol: String,
+      queryVec: DataFrame, queryVecIdCol: String,
+      nLex: Int, nVec: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    require(nLex >= 1 && nVec >= 1 && k >= 1, "leg sizes and k must be >= 1")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val lex = Ranking.rankTop(
+      bm25TopDocs(docs, docIdCol, textCol, queryTerms, nLex),
+      Seq(col("score_milli").desc, col("doc_id")), nLex, "rank_lex")
+      .select(col("doc_id").cast("long").as("doc_id"), col("rank_lex"))
+    val vec = Ranking.rankTop(
+      Similarity.bruteForceTopK(embeddings, vecIdCol, embCol,
+        queryVec, queryVecIdCol, nVec),
+      Seq(col("cos_sim").desc, col(vecIdCol)), nVec, "rank_vec")
+      .select(col(vecIdCol).cast("long").as("doc_id"), col("rank_vec"))
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        (coalesce(expr(s"${1000000000L}L div (${rrfK}L + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"${1000000000L}L div (${rrfK}L + rank_vec)"), lit(0L)))
+          .as("rrf_micro"))
+    Ranking.rankTop(fused, Seq(col("rrf_micro").desc, col("doc_id")), k, "rank")
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Relevance, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal columns) over the documents/embeddings tables.
@@ -2888,6 +2888,67 @@ object DataOpsQueries {
             |       round(mmr2x, 6) AS mmr2x
             |FROM a$mmrK""".stripMargin))
 
+  /** Hybrid retrieval (Relevance.hybridRrf): t12's BM25 lexical leg and
+    * d06's exact-cosine vector leg (probe = doc/vec 0, excluded from
+    * both legs) fused by reciprocal-rank fusion — rrf_micro =
+    * Σ 10⁹ div (60 + rank), exact integer arithmetic over two bounded
+    * top-20 lists, so the fused ranking is hash-exact. A leg that
+    * missed a document keeps a NULL rank and contributes 0. */
+  val d66HybridRrf = NamedQuery(
+    "d66_hybrid_rrf",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") =!= 0)
+      val emb = Tables.embeddings(s, dir)
+      Relevance.hybridRrf(docs, "doc_id", "text",
+        queryTerms = Seq("dup", "spark", "scan"),
+        emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "vec_id",
+        nLex = 20, nVec = 20, k = 15)
+    },
+    Some("""WITH b2 AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+           |         string_split(text, ' ') AS toks
+           |  FROM documents
+           |  WHERE text IS NOT NULL AND doc_id IS NOT NULL AND doc_id <> 0),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |                 CAST(SUM(len) AS BIGINT) AS l_tot FROM b2),
+           |tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS BIGINT) AS tf
+           |       FROM (SELECT doc_id, len, unnest(toks) AS term FROM b2)
+           |       WHERE term IN ('dup', 'spark', 'scan') GROUP BY 1, 2, 3),
+           |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT doc_id,
+           |         (2200 * tf * (((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1)))
+           |         // (1000 * tf + 300
+           |             + (9 * ((1000 * len * n_docs) // l_tot)) // 10) AS s
+           |       FROM tf JOIN dfx USING (term), stats),
+           |lexs AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_milli
+           |         FROM sc GROUP BY 1 ORDER BY score_milli DESC, doc_id LIMIT 20),
+           |lex AS (SELECT doc_id, CAST(row_number() OVER (
+           |          ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank_lex
+           |        FROM lexs),
+           |quant AS (
+           |  SELECT vec_id,
+           |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS e
+           |  FROM embeddings),
+           |q AS (SELECT e AS qe FROM quant WHERE vec_id = 0),
+           |vecs AS (SELECT vec_id AS doc_id,
+           |                list_dot_product(e, qe)
+           |                  / (sqrt(list_dot_product(e, e))
+           |                     * sqrt(list_dot_product(qe, qe))) AS cos_sim
+           |         FROM quant, q WHERE vec_id <> 0
+           |         ORDER BY cos_sim DESC, doc_id LIMIT 20),
+           |vec AS (SELECT doc_id, CAST(row_number() OVER (
+           |          ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rank_vec
+           |        FROM vecs),
+           |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           |                 rank_lex, rank_vec,
+           |                 COALESCE(1000000000 // (60 + rank_lex), 0)
+           |                   + COALESCE(1000000000 // (60 + rank_vec), 0) AS rrf_micro
+           |          FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id)
+           |SELECT doc_id, rank_lex, rank_vec, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           |       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+           |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 15""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -2905,7 +2966,7 @@ object DataOpsQueries {
     d52Decontaminate, d53SourceOverlap, d54DsirImportance, d55PqAnn,
     d56IvfPq, d57AutoBandPairs, d58SoftDedup, d59SqAnn, d60EditVerify,
     d61Containment, d62MmrRerank, d63ClusterSample, d64VocabCoverage,
-    d65Boilerplate,
+    d65Boilerplate, d66HybridRrf,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -60,6 +60,47 @@ class RelevanceSpec extends SparkSpec {
     assert(row == ((2L, 2L, 2L * ((4L * 1000000L) / 2L))), row.toString)
   }
 
+  private val embs = Seq(
+    (0L, Seq(1.0f, 0.0f)),   // the query vector
+    (1L, Seq(1.0f, 0.1f)),
+    (2L, Seq(0.5f, 0.5f)),
+    (3L, Seq(0.0f, 1.0f)),
+    (4L, Seq(1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("hybridRrf: fuses both legs with the documented integer RRF ladder") {
+    // lex ranks (rare+common over docs): 3,1,2,4 ; vec ranks vs [1,0]: 4,1,2,3
+    val got = Relevance.hybridRrf(docs, "doc_id", "text", Seq("rare", "common"),
+      embs, "vec_id", "embedding", embs.where(col("vec_id") === 0), "vec_id",
+      nLex = 4, nVec = 4, k = 4)
+      .select("doc_id", "rank_lex", "rank_vec", "rrf_micro", "rank")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._5)
+    // doc1: lex 2 + vec 2 -> 2 * (1e9 div 62) = 32258064 — the fused top
+    assert(got.head == ((1L, 2L, 2L, 32258064L, 1L)), got.mkString(","))
+    // doc3 (lex 1, vec 4) and doc4 (lex 4, vec 1) tie at
+    // 1e9 div 61 + 1e9 div 64 — tie breaks on doc_id
+    assert(got(1) == ((3L, 1L, 4L, 16393442L + 15625000L, 2L)))
+    assert(got(2) == ((4L, 4L, 1L, 16393442L + 15625000L, 3L)))
+    assert(got(3)._1 == 2L)
+  }
+
+  test("hybridRrf: a doc missing from one leg keeps a NULL rank and scores the other leg only") {
+    val got = Relevance.hybridRrf(docs, "doc_id", "text", Seq("rare", "common"),
+      embs, "vec_id", "embedding", embs.where(col("vec_id") === 0), "vec_id",
+      nLex = 4, nVec = 2, k = 4) // vec leg = {4, 1} only
+      .where(col("doc_id") === 3L)
+      .select("rank_lex", "rank_vec", "rrf_micro").collect().head
+    assert(got.getLong(0) == 1L)
+    assert(got.isNullAt(1))
+    assert(got.getLong(2) == 1000000000L / 61L)
+  }
+
+  test("hybridRrf: k caps the fused output") {
+    assert(Relevance.hybridRrf(docs, "doc_id", "text", Seq("rare"),
+      embs, "vec_id", "embedding", embs.where(col("vec_id") === 0), "vec_id",
+      nLex = 4, nVec = 4, k = 2).count() == 2L)
+  }
+
   test("null text and null id rows drop from both scorers and from N") {
     val withNull = docs.unionByName(
       Seq((Option(9L), Option.empty[String]),
