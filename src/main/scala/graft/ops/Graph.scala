@@ -1156,4 +1156,63 @@ object Graph {
     }
     dist
   }
+
+  /** [[coOccurrenceEdges]] with the co-occurrence STRENGTH kept:
+    * (u, v, w) where w = number of qualifying baskets containing both
+    * items (u < v, one row per pair). Same basket-keyed expansion and
+    * cap² bound; the only change is the final exchange aggregates a
+    * count instead of deduplicating — identical shuffle volume.
+    * The natural edge weight for [[ssspWeighted]] (inverse strength)
+    * and for weighted community/centrality variants. */
+  def coOccurrenceEdgesWeighted(items: DataFrame, basketCol: String,
+      itemCol: String, maxBasketItems: Int = 64): DataFrame = {
+    val baskets = items
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .groupBy(col("_b"))
+      .agg(sort_array(collect_set(col("_i"))).as("_items"))
+      .where(size(col("_items")).between(2, maxBasketItems))
+    baskets
+      .select(posexplode(col("_items")).as(Seq("_iu", "u")), col("_items"))
+      .select(col("u"), posexplode(col("_items")).as(Seq("_iv", "v")), col("_iu"))
+      .where(col("_iv") > col("_iu"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Multi-source WEIGHTED shortest paths — [[bfsDistances]] with the
+    * hop increment replaced by the edge weight (Bellman-Ford relaxation
+    * with a bounded round budget). After `rounds` rounds the answer is
+    * EXACTLY "min total weight over paths of ≤ `rounds` edges from any
+    * seed" — a well-defined deterministic contract whether or not the
+    * true shortest paths have converged (the g16 radius semantics;
+    * callers wanting full convergence set rounds ≥ the graph's hop
+    * diameter). Weights are caller-supplied non-negative longs in the
+    * `w` column of the undirected (u, v, w) edge list.
+    *
+    * Scale shape: identical to bfsDistances — per round one pinned
+    * shuffle-hash join building the NODE-sized frontier against the
+    * streamed 2m-row edge list (the g13 build-side rule) and one
+    * node-keyed min-agg; each round localCheckpoints so the plan stays
+    * constant-size. Volume ≤ 2m rows/round, no pair formation. */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val ed = edges.select(col("u").as("s"), col("v").as("t"), col("w"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t"), col("w")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      dist = dist
+        .unionByName(ed
+          .join(dist.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
+          .select(col("t").as("node"), (col("dist") + col("w")).as("dist")))
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

@@ -730,11 +730,59 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |                 6) END AS assortativity
             |FROM m""".stripMargin))
 
+  /** The weighted-SSSP oracle's relax rounds, unrolled — bfsUnrolled
+    * with the hop increment replaced by the edge weight. */
+  private val ssspRounds = 4
+  private def ssspUnrolled: String = (1 to ssspRounds).map { i =>
+    s"""w$i AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+       |  SELECT node, dist FROM w${i - 1}
+       |  UNION ALL
+       |  SELECT ewd.t AS node, d.dist + ewd.wd
+       |  FROM ewd JOIN w${i - 1} d ON ewd.s = d.node)
+       |  GROUP BY 1)""".stripMargin
+  }.mkString(",\n")
+
+  /** Weighted shortest paths from the three smallest co-purchase nodes
+    * — g16's hop distances upgraded to edge weights, where an edge's
+    * length is the INVERSE of its co-purchase strength
+    * (10⁶ div n_baskets: frequently-bought-together pairs are "close").
+    * Bounded Bellman-Ford: after 4 rounds the answer is exactly the
+    * min-weight path of ≤ 4 edges — both engines run the identical
+    * integer relax recurrence, so the gate is hash-exact. */
+  val g19Sssp = NamedQuery(
+    "g19_sssp",
+    (s, dir) => {
+      val ew = Graph.coOccurrenceEdgesWeighted(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+        .select(col("u"), col("v"), expr("1000000L div w").as("w"))
+        .localCheckpoint(true)
+      val seeds = Graph.degrees(ew).orderBy(col("node")).limit(3)
+        .select(col("node"))
+      Graph.ssspWeighted(ew, seeds, rounds = ssspRounds)
+        .select(col("node").cast("long").as("node"), col("dist"))
+    },
+    Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            |           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+            |bsz AS (SELECT b, COUNT(*) AS n FROM li GROUP BY b),
+            |ew AS (SELECT a.i AS u, c.i AS v,
+            |              1000000 // CAST(COUNT(*) AS BIGINT) AS wd
+            |       FROM li a JOIN li c ON a.b = c.b AND a.i < c.i
+            |       JOIN bsz ON a.b = bsz.b
+            |       WHERE bsz.n BETWEEN 2 AND 64
+            |       GROUP BY 1, 2),
+            |ewd AS MATERIALIZED (SELECT u AS s, v AS t, wd FROM ew
+            |                     UNION ALL SELECT v, u, wd FROM ew),
+            |deg AS (SELECT s AS node FROM ewd GROUP BY 1),
+            |w0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist
+            |  FROM (SELECT node FROM deg ORDER BY node LIMIT 3)),
+            |$ssspUnrolled
+            |SELECT CAST(node AS BIGINT) AS node, dist FROM w$ssspRounds""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
     g07KCore, g08Hits, g09LinkPrediction, g10ClusteringCoeff,
     g11PersonalizedPr, g12LabelCommunities, g13RandomWalks,
     g14NeighborhoodHll, g15KTruss, g16BfsDistances,
-    g17NeighborhoodFunction, g18Assortativity)
+    g17NeighborhoodFunction, g18Assortativity, g19Sssp)
 }

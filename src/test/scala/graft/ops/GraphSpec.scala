@@ -415,6 +415,37 @@ class GraphSpec extends SparkSpec {
     assert(both == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
   }
 
+  test("coOccurrenceEdgesWeighted: w counts qualifying baskets per pair; pair set matches the unweighted op") {
+    // items fixture: basket 10 {1,2,3}, basket 20 {3,4}; add basket 40 {1,2}
+    val more = items.unionByName(Seq((40L, 1L), (40L, 2L)).toDF("basket", "item"))
+    val got = Graph.coOccurrenceEdgesWeighted(more, "basket", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 4L, 1L)))
+    assert(Graph.coOccurrenceEdgesWeighted(more, "basket", "item")
+      .select("u", "v").as[(Long, Long)].collect().toSet ==
+      Graph.coOccurrenceEdges(more, "basket", "item")
+        .as[(Long, Long)].collect().toSet)
+  }
+
+  test("ssspWeighted: a cheaper 2-edge path wins only once the round budget admits it; off-graph seeds echo 0") {
+    // 1 -10-> 3 direct, 1 -1-> 2 -2-> 3 via 2: true dist(3) = 3
+    val ew = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L)).toDF("u", "v", "w")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val one = Graph.ssspWeighted(ew, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 10L, 99L -> 0L), one.toString)
+    val two = Graph.ssspWeighted(ew, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 99L -> 0L), two.toString)
+  }
+
+  test("ssspWeighted: zero-weight edges and multiple seeds take the min over seeds") {
+    val ew = Seq((1L, 2L, 0L), (2L, 3L, 5L), (3L, 4L, 5L)).toDF("u", "v", "w")
+    val got = Graph.ssspWeighted(ew, Seq(1L, 4L).toDF("node"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 5L, 4L -> 0L), got.toString)
+  }
+
   test("neighborhoodFunction: each radius row equals the integer-micros fold of the per-node estimates") {
     val path = (1L to 6L).map(i => (i, i + 1)).toDF("u", "v")
     val nf = Graph.neighborhoodFunction(path, maxRadius = 2, p = 4)
