@@ -632,6 +632,50 @@ object Similarity {
     pqRank(scored, k)
   }
 
+  /** Two-stage ANN with exact re-rank ("refine", Jégou et al. 2011 §V):
+    * [[ivfPqTopK]] proposes `nCandidates` ids per query from the
+    * compressed codes, then ONLY those candidates are re-scored with
+    * the exact cosine and the top-k re-ranked — the standard production
+    * answer to ADC's quantization error (the codes bound the scan; the
+    * refine step restores exact order at per-query-constant cost).
+    *
+    * Scale shape: stage 1 is the proven IVF-PQ path (corpus side never
+    * shuffles); stage 2 joins the corpus ONCE against the
+    * queries×nCandidates-row candidate list — broadcast on the
+    * candidate side, so the refine is a narrow broadcast-hash probe of
+    * the corpus scan, zero shuffles of data. The per-query re-rank
+    * window partitions on query_id over ≤ nCandidates rows per query.
+    * Output: (query_id, data_id, cos_sim, rank), rank 1..k by
+    * (cos_sim desc, data_id) — exact integer dots + one IEEE division,
+    * so the DuckDB oracle replays it cell-exact. */
+  def ivfPqRefineTopK(embeddings: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int, nCandidates: Int,
+      nLists: Int = 8, nProbe: Int = 2, cellIters: Int = 3,
+      nSub: Int = 4, nCentroids: Int = 8, pqIters: Int = 2,
+      trainCap: Int = 10000): DataFrame = {
+    require(nCandidates >= k,
+      s"nCandidates ($nCandidates) must be >= k ($k) — the refine can only reorder")
+    val cands = ivfPqTopK(embeddings, idCol, embCol, queries, queryIdCol,
+      nCandidates, nLists, nProbe, cellIters, nSub, nCentroids, pqIters,
+      trainCap)
+      .select(col("query_id"), col("data_id"))
+    val qs = broadcast(queries
+      .select(col(queryIdCol).as("query_id"), quantize(col(embCol)).as("_qe"))
+      .select(col("query_id"), col("_qe"), norm(col("_qe")).as("_qn")))
+    val exact = embeddings
+      .select(col(idCol).as("data_id"), quantize(col(embCol)).as("_e"))
+      .join(broadcast(cands), "data_id")
+      .join(qs, "query_id")
+      .select(col("query_id"), col("data_id"),
+        (dot(col("_e"), col("_qe")) / (norm(col("_e")) * col("_qn")))
+          .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("data_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster the
     * embedding space with [[ivfTopKPortable]]'s deterministic integer
     * k-means cells, then inside each cell mark every vector that has a

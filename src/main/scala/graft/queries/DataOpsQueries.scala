@@ -2949,6 +2949,57 @@ object DataOpsQueries {
            |       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
            |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 15""".stripMargin))
 
+  /** Two-stage ANN with exact refine (Similarity.ivfPqRefineTopK):
+    * d56's IVF-PQ proposes 15 candidates per query from compressed
+    * codes, then only those rows are re-scored with the exact cosine
+    * and re-ranked top-5 — the production answer to ADC quantization
+    * error. Registered so the candidate→refine composition carries its
+    * own correctness row (stage-1 id/tie handling feeding stage 2 is
+    * exactly where an off-by-one would hide). */
+  val d67IvfPqRefine = NamedQuery(
+    "d67_ivfpq_refine",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqRefineTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", k = 5, nCandidates = 15)
+    },
+    Some(ivfPqRefineOracleSql))
+
+  private lazy val ivfPqRefineOracleSql: String =
+    s"""${ivfCellCtes(3)},
+       |$pqSubCtes,
+       |qs AS (SELECT vec_id AS query_id, e FROM quant WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, e, list FROM (
+       |    SELECT q.query_id, q.e, c.list,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${ivfD2("q.e", "c.c")}, c.list) AS rk
+       |    FROM qs q CROSS JOIN c3 c) WHERE rk <= 2),
+       |scored AS (
+       |  SELECT s.query_id, a.vec_id AS data_id, $pqScoreTerms AS adc_score
+       |  FROM probes s JOIN af a ON a.list = s.list
+       |    JOIN codes cd ON cd.vec_id = a.vec_id
+       |    $pqCentJoins
+       |  WHERE a.vec_id <> s.query_id),
+       |cand AS (SELECT query_id, data_id FROM (
+       |  SELECT query_id, data_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc_score, data_id) AS rk
+       |  FROM scored) WHERE rk <= 15),
+       |ref AS (
+       |  SELECT c.query_id, c.data_id,
+       |         list_dot_product(a.e, s.e)
+       |           / (sqrt(list_dot_product(a.e, a.e))
+       |              * sqrt(list_dot_product(s.e, s.e))) AS cos_sim
+       |  FROM cand c JOIN quant a ON a.vec_id = c.data_id
+       |       JOIN qs s ON s.query_id = c.query_id)
+       |SELECT query_id, data_id, cos_sim, CAST(rk AS BIGINT) AS rank FROM (
+       |  SELECT query_id, data_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, data_id) AS rk
+       |  FROM ref)
+       |WHERE rk <= 5""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -2966,7 +3017,7 @@ object DataOpsQueries {
     d52Decontaminate, d53SourceOverlap, d54DsirImportance, d55PqAnn,
     d56IvfPq, d57AutoBandPairs, d58SoftDedup, d59SqAnn, d60EditVerify,
     d61Containment, d62MmrRerank, d63ClusterSample, d64VocabCoverage,
-    d65Boilerplate, d66HybridRrf,
+    d65Boilerplate, d66HybridRrf, d67IvfPqRefine,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -518,6 +518,57 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._3 == got.head._4)
   }
 
+  test("ivfPqRefineTopK: with a single cell (all candidates) the refine recovers the exact brute-force top-k") {
+    val fix = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f, 0.5f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.2f)),
+      (5L, Array(0.2f, 0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val q = fix.where(col("vec_id") === 0)
+    val refined = Similarity.ivfPqRefineTopK(fix, "vec_id", "embedding",
+      q, "vec_id", k = 3, nCandidates = 5,
+      nLists = 1, nProbe = 1, nSub = 2, nCentroids = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val brute = Similarity.bruteForceTopK(fix, "vec_id", "embedding",
+      q, "vec_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(refined.toSeq == brute.toSeq,
+      s"refined=${refined.mkString(",")} brute=${brute.mkString(",")}")
+  }
+
+  test("ivfPqRefineTopK: ranks are 1..k per query and every id came from the candidate stage") {
+    val fix = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f, 0.5f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val q = fix.where(col("vec_id") < 2)
+    val cands = Similarity.ivfPqTopK(fix, "vec_id", "embedding", q, "vec_id",
+      k = 3, nLists = 2, nProbe = 2, nSub = 2, nCentroids = 4)
+      .select("query_id", "data_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqRefineTopK(fix, "vec_id", "embedding",
+      q, "vec_id", k = 2, nCandidates = 3,
+      nLists = 2, nProbe = 2, nSub = 2, nCentroids = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == Seq(1L, 2L)))
+    assert(got.forall { case (qid, did, _) => cands.contains((qid, did)) })
+  }
+
+  test("ivfPqRefineTopK: nCandidates below k is rejected — the refine can only reorder") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqRefineTopK(vecs, "vec_id", "embedding",
+        vecs.where(col("vec_id") === 0), "vec_id", k = 5, nCandidates = 3)
+    }
+    assert(e.getMessage.contains("nCandidates"))
+  }
+
   test("mmrRerank: multi-row query frame is rejected up front — it would cross-join duplicate vec_ids into the pool") {
     val fix = Seq(
       (0L, Array(1.0f, 0.2f)), (1L, Array(1.0f, 0.0f)),
