@@ -24,11 +24,16 @@ object Bucketing {
 
   /** Write df as a bucketed+sorted catalog table (overwrite). Sorting
     * within buckets additionally enables sort-merge joins without a
-    * per-task sort. */
+    * per-task sort. `path` makes it an EXTERNAL table at that location
+    * (bucketed tables must live in the catalog for the planner to trust
+    * the layout, but their files can live anywhere — on a cluster, the
+    * object store). */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-      sortBy: Seq[String] = Seq.empty): Unit = {
-    val w = df.write.mode("overwrite").bucketBy(buckets, key)
-    (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
+      sortBy: Seq[String] = Seq.empty, path: Option[String] = None): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w0 = df.write.mode("overwrite").bucketBy(buckets, key)
+    val w1 = path.fold(w0)(p => w0.option("path", p))
+    (if (sortBy.nonEmpty) w1.sortBy(sortBy.head, sortBy.tail: _*) else w1)
       .format("parquet").saveAsTable(table)
   }
 

@@ -1731,9 +1731,46 @@ object ExtendedQueries {
            |       CAST(SUM(length(props)) AS BIGINT) AS props_chars
            |FROM events GROUP BY event_type""".stripMargin))
 
+  /** Bucketed (co-located) fact-fact join: both sides are written ONCE
+    * as 8-bucket catalog tables hash-partitioned and sorted on the
+    * order key, and the join then plans with NO shuffle Exchange on
+    * either side (the zero-shuffle property is plan-asserted in
+    * BucketingSpec on this exact shape) — at 100 TB this is the "pay
+    * the shuffle once at ingest, never again per query" layout, the
+    * join-key analogue of the reference's hive ano/mes partitioning.
+    * Cents are fixed BEFORE the write so the bucket files round-trip
+    * longs. The oracle recomputes the join + aggregate straight from
+    * the source parquet — any bucket misrouting (a row hashed into the
+    * wrong bucket joins against nothing) breaks the hash match. */
+  val q112BucketedJoin = NamedQuery(
+    "q112_bucketed_join",
+    (s, dir) => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val (liT, ordT) = (s"bkt_li_$key", s"bkt_ord_$key")
+      graft.ops.Bucketing.writeBucketed(
+        Tables.lineitem(s, dir).select(col("l_orderkey"),
+          Exact.cents(col("l_extendedprice")).as("price_cents")),
+        liT, "l_orderkey", buckets = 8, sortBy = Seq("l_orderkey"),
+        path = Some(rtDir(dir, "bktli")))
+      graft.ops.Bucketing.writeBucketed(
+        Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        ordT, "l_orderkey", buckets = 8, sortBy = Seq("l_orderkey"),
+        path = Some(rtDir(dir, "bktord")))
+      graft.ops.Bucketing.bucketedJoin(s, liT, ordT, "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("price_cents")).as("revenue_cents"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_lines,
+           |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q103CsvRoundtrip, q104OrcRoundtrip, q105JdbcRoundtrip, q106XmlRoundtrip,
-    q108AvroRoundtrip,
+    q108AvroRoundtrip, q112BucketedJoin,
     q70SkewReport, q71JoinSizeEst, q72HeavyByGroup, q75PromoRatio,
     q76Histogram, q77Division,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q102SaltedAuto, q34Explode,

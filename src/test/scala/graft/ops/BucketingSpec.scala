@@ -46,6 +46,38 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS bkt_agg")
   }
 
+  test("external-path bucketed write: q112's join shape plans shuffle-free and the files land at the path") {
+    val tmp = java.nio.file.Files.createTempDirectory("bktq112").toString
+    val fact = (1L to 300L).map(k => (k % 50, k)).toDF("k", "cents")
+    val dim = (0L until 50L).map(k => (k, s"p${k % 5}")).toDF("k", "prio")
+    Bucketing.writeBucketed(fact, "bkt_q112_f", "k", buckets = 4,
+      sortBy = Seq("k"), path = Some(s"$tmp/f"))
+    Bucketing.writeBucketed(dim, "bkt_q112_d", "k", buckets = 4,
+      sortBy = Seq("k"), path = Some(s"$tmp/d"))
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(new java.io.File(s"$tmp/f").listFiles().exists(_.getName.endsWith(".parquet")))
+      val joined = Bucketing.bucketedJoin(spark, "bkt_q112_f", "bkt_q112_d", "k")
+      assert(!Bucketing.hasShuffle(joined), joined.queryExecution.executedPlan.toString)
+      val agg = joined.groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+      val want = fact.join(dim, "k").groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(agg == want)
+      // re-write with a different path must not be satisfied by the stale table
+      Bucketing.writeBucketed(fact.limit(10), "bkt_q112_f", "k", buckets = 4,
+        sortBy = Seq("k"), path = Some(s"$tmp/f2"))
+      assert(spark.table("bkt_q112_f").count() == 10L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS bkt_q112_f")
+      spark.sql("DROP TABLE IF EXISTS bkt_q112_d")
+    }
+  }
+
   test("zOrderKey interleaves bits: x on even positions, y on odd") {
     val df = Seq((3L, 5L), (255L, 0L), (0L, 255L), (256L, 256L)).toDF("x", "y")
     val got = df.select(Bucketing.zOrderKey(col("x"), col("y"), 8))
