@@ -948,4 +948,62 @@ object TextAnalysis {
         expr("sum(CASE WHEN _y THEN 1 ELSE 0 END) * 1000000L div count(1)")
           .as("pos_ppm"))
   }
+
+  /** Robust per-group score normalization: winsorize each group's
+    * integer score at its [pLoPct, pHiPct] percentiles, then min-max it
+    * to 0..10⁶ — the score-harmonization step before mixing quality
+    * signals from HETEROGENEOUS sources (a raw length/quality threshold
+    * that is strict for one source is vacuous for another; after this
+    * transform one global cut means the same thing everywhere, and the
+    * winsorizing makes the bounds outlier-proof where min-max alone is
+    * one corrupt document away from useless).
+    *
+    * Percentiles are DISCRETE (percentile_disc type-1: the smallest
+    * group value whose cumulative count reaches ceil(p·n/100), spelled
+    * 100·cum ≥ p·n in exact longs) — no interpolation, no doubles
+    * anywhere: scaled_micro = (clamp(x) − lo)·10⁶ div (hi − lo), with
+    * the degenerate hi = lo group pinned to 500000 on both engines.
+    * Null scores are excluded from the distribution and come back with
+    * a NULL scaled_micro.
+    *
+    * Scale shape: one (group, value) hash-agg collapses the corpus to
+    * the distinct-value distribution BEFORE any window; the cumulative
+    * runs per group over those DISTINCT values only (bounded by the
+    * score domain, not the corpus — the contract: scores are
+    * quantized/bounded, which integer scores are by construction); the
+    * group-sized bounds frame broadcasts back onto the corpus as a
+    * narrow projection. Overflow: (x − lo)·10⁶ < 2⁶³ ⇔ score spans
+    * < 9.2·10¹² — cap upstream if scores exceed that. */
+  def robustScale(df: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, valueCol: String,
+      pLoPct: Int = 5, pHiPct: Int = 95): org.apache.spark.sql.DataFrame = {
+    require(0 <= pLoPct && pLoPct < pHiPct && pHiPct <= 100,
+      s"need 0 <= pLoPct < pHiPct <= 100, got ($pLoPct, $pHiPct)")
+    val base = df.select(col(idCol), col(groupCol).as("_g"),
+        col(valueCol).cast("long").as("_v"))
+      .where(col(idCol).isNotNull && col("_g").isNotNull)
+    val dist = base.where(col("_v").isNotNull)
+      .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_v"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
+    val bounds = dist
+      .select(col("_g"), col("_v"),
+        sum(col("_c")).over(wOrd).as("_cum"),
+        sum(col("_c")).over(wAll).as("_n"))
+      .groupBy(col("_g"))
+      .agg(
+        min(when(lit(100L) * col("_cum") >= lit(pLoPct.toLong) * col("_n"),
+          col("_v"))).as("lo"),
+        min(when(lit(100L) * col("_cum") >= lit(pHiPct.toLong) * col("_n"),
+          col("_v"))).as("hi"))
+    base.join(broadcast(bounds.withColumnRenamed("_g", "_gb")),
+        col("_g") === col("_gb"))
+      .select(col(idCol), col("_g").as(groupCol), col("_v").as(valueCol),
+        col("lo"), col("hi"),
+        when(col("_v").isNull, lit(null).cast("long"))
+          .when(col("hi") === col("lo"), lit(500000L))
+          .otherwise(expr("((greatest(lo, least(hi, _v)) - lo) * 1000000L) div (hi - lo)"))
+          .as("scaled_micro"))
+  }
 }

@@ -3000,6 +3000,37 @@ object DataOpsQueries {
        |  FROM ref)
        |WHERE rk <= 5""".stripMargin
 
+  /** Robust per-source score normalization (TextAnalysis.robustScale):
+    * every document's n_chars winsorized at its source's [p5, p95]
+    * discrete percentiles and min-max'd to 0..10⁶ — pure integer
+    * arithmetic end to end (percentile_disc as the 100·cum ≥ p·n
+    * ladder), so the gate is hash-exact. The harmonization step before
+    * a single global quality cut across heterogeneous sources. */
+  val d68RobustScale = NamedQuery(
+    "d68_robust_scale",
+    (s, dir) => TextAnalysis.robustScale(
+      Tables.documents(s, dir), "doc_id", "source", "n_chars"),
+    Some("""WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+           |           FROM documents
+           |           WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+           |dist AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+           |         FROM d WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+           |cum AS (SELECT source, v,
+           |               SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+           |               SUM(c) OVER (PARTITION BY source) AS n
+           |        FROM dist),
+           |b AS (SELECT source,
+           |             MIN(CASE WHEN 100 * cum >= 5 * n THEN v END) AS lo,
+           |             MIN(CASE WHEN 100 * cum >= 95 * n THEN v END) AS hi
+           |      FROM cum GROUP BY 1)
+           |SELECT doc_id, source, n_chars, lo, hi,
+           |       CASE WHEN n_chars IS NULL THEN NULL
+           |            WHEN hi = lo THEN 500000
+           |            ELSE ((GREATEST(lo, LEAST(hi, n_chars)) - lo) * 1000000)
+           |                 // (hi - lo)
+           |       END AS scaled_micro
+           |FROM d JOIN b USING (source)""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -3017,7 +3048,7 @@ object DataOpsQueries {
     d52Decontaminate, d53SourceOverlap, d54DsirImportance, d55PqAnn,
     d56IvfPq, d57AutoBandPairs, d58SoftDedup, d59SqAnn, d60EditVerify,
     d61Containment, d62MmrRerank, d63ClusterSample, d64VocabCoverage,
-    d65Boilerplate, d66HybridRrf, d67IvfPqRefine,
+    d65Boilerplate, d66HybridRrf, d67IvfPqRefine, d68RobustScale,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -561,6 +561,39 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("robustScale: discrete-percentile winsorize then integer min-max, hand-checked") {
+    import spark.implicits._
+    // group g: values 1..20 (n=20) -> lo = p5 = 1 (cum 1 >= 1), hi = p95 = 19 (cum 19 >= 19)
+    val df = (1L to 20L).map(v => (v, "g", v)).toDF("id", "src", "score")
+    val got = TextAnalysis.robustScale(df, "id", "src", "score")
+      .select("id", "lo", "hi", "scaled_micro")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 19L, 0L)))
+    assert(got(10L) == ((10L, 1L, 19L, (9L * 1000000L) / 18L)))
+    assert(got(19L) == ((19L, 1L, 19L, 1000000L)))
+    assert(got(20L) == ((20L, 1L, 19L, 1000000L))) // clamped to hi
+  }
+
+  test("robustScale: degenerate single-value group pins to the midpoint; null scores come back NULL and stay out of the bounds") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Option(7L)), (2L, "a", Option(7L)),
+      (3L, "b", Option(1L)), (4L, "b", Option(3L)), (5L, "b", Option.empty[Long])
+    ).toDF("id", "src", "score")
+    val got = TextAnalysis.robustScale(df, "id", "src", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    assert(got(1L) == ((7L, 7L, 500000L)))
+    assert(got(2L) == ((7L, 7L, 500000L)))
+    // group b: n=2, p5 -> cum>=1 -> lo=1; p95 -> 100*cum>=190 -> cum>=2 -> hi=3
+    assert(got(3L) == ((1L, 3L, 0L)))
+    assert(got(4L) == ((1L, 3L, 1000000L)))
+    assert(got(5L) == ((1L, 3L, -1L))) // null score: bounds joined, scaled NULL
+    intercept[IllegalArgumentException] {
+      TextAnalysis.robustScale(df, "id", "src", "score", pLoPct = 90, pHiPct = 10)
+    }
+  }
+
   test("vocabCoverage: plan has no window at all — ranks off the checkpointed two-phase sort, coverage via one fold") {
     import spark.implicits._
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
