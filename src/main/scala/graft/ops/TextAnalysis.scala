@@ -949,6 +949,36 @@ object TextAnalysis {
           .as("pos_ppm"))
   }
 
+  /** Hashing-trick featurizer (Weinberger et al. 2009): each document
+    * becomes a sparse `dim`-bucket signed term-frequency vector —
+    * bucket = md5(term) & (dim−1), sign = the next hash bit, cell =
+    * Σ signs — the stored-vocabulary-free text representation a cheap
+    * linear quality classifier (d46) consumes at corpus scale (no
+    * vocab build, no OOV, new terms land somewhere deterministic).
+    * `dim` must be a power of two: the bucket is then a bitwise AND,
+    * identical on the signed (engine) and unsigned (DuckDB
+    * md5_number_upper) views of the same md5 half — a general modulus
+    * would disagree whenever the high bit is set. Sign-summing makes
+    * collisions cancel in expectation (the signed-hash-kernel result).
+    * Zero-sum cells are dropped (sparse convention, encoded in the
+    * oracle). Scale shape: one explode into one (doc, bucket)
+    * hash-agg, md5 codegen'd at the scan — narrow end to end. */
+  def hashedFeatures(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"dim must be a power of two >= 2, got $dim")
+    val lg = java.lang.Long.numberOfTrailingZeros(dim.toLong)
+    val h = graft.functions.TextHashExpressions.md5Upper(col("term"))
+    docs.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .select(col(idCol),
+        h.bitwiseAND(lit(dim - 1L)).as("bucket"),
+        (shiftright(h, lg).bitwiseAND(lit(1L)) * 2L - 1L).as("_sgn"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("_sgn")).as("val"))
+      .where(col("val") =!= 0L)
+  }
+
   /** Robust per-group score normalization: winsorize each group's
     * integer score at its [pLoPct, pHiPct] percentiles, then min-max it
     * to 0..10⁶ — the score-harmonization step before mixing quality

@@ -3031,6 +3031,26 @@ object DataOpsQueries {
            |       END AS scaled_micro
            |FROM d JOIN b USING (source)""".stripMargin))
 
+  /** Hashing-trick features (TextAnalysis.hashedFeatures): 16-bucket
+    * signed term-frequency vectors, bucket = md5 & 15 and sign = the
+    * next hash bit — both bitwise, so the signed (Spark) and unsigned
+    * (DuckDB) views of the md5 half agree exactly. The vocab-free
+    * featurizer for corpus-scale linear classifiers. */
+  val d69FeatureHash = NamedQuery(
+    "d69_feature_hash",
+    (s, dir) => TextAnalysis.hashedFeatures(
+      Tables.documents(s, dir), "doc_id", "text", dim = 16),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |             FROM documents
+           |             WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+           |h AS (SELECT doc_id,
+           |             CAST(md5_number_upper(term) & 15 AS BIGINT) AS bucket,
+           |             CASE WHEN (md5_number_upper(term) >> 4) & 1 = 1
+           |                  THEN 1 ELSE -1 END AS sgn
+           |      FROM tok)
+           |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS val
+           |FROM h GROUP BY 1, 2 HAVING SUM(sgn) <> 0""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -3049,6 +3069,7 @@ object DataOpsQueries {
     d56IvfPq, d57AutoBandPairs, d58SoftDedup, d59SqAnn, d60EditVerify,
     d61Containment, d62MmrRerank, d63ClusterSample, d64VocabCoverage,
     d65Boilerplate, d66HybridRrf, d67IvfPqRefine, d68RobustScale,
+    d69FeatureHash,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -561,6 +561,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("hashedFeatures: repeated terms accumulate signed counts in one bucket; buckets stay in range; partitioning-invariant") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x x"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedFeatures(docs, "doc_id", "text", dim = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1: one term tripled -> exactly one cell of magnitude 3
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.size == 1 && math.abs(d1.head._3) == 3L, d1.toString)
+    assert(got.forall { case (_, b, _) => b >= 0L && b < 16L })
+    // doc 2 reuses x's cell with the same sign (1/3 of doc 1's)
+    val xCell = d1.head
+    assert(got.contains((2L, xCell._2, xCell._3 / 3L)) ||
+      // unless y collides with x and cancels/doubles — then doc 2 has
+      // one cell of magnitude 0 (dropped) or ±2
+      got.filter(_._1 == 2L).forall(_._2 == xCell._2))
+    val reparted = TextAnalysis.hashedFeatures(docs.repartition(7), "doc_id", "text", 16)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reparted == got)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedFeatures(docs, "doc_id", "text", dim = 12)
+    }
+  }
+
   test("robustScale: discrete-percentile winsorize then integer min-max, hand-checked") {
     import spark.implicits._
     // group g: values 1..20 (n=20) -> lo = p5 = 1 (cum 1 >= 1), hi = p95 = 19 (cum 19 >= 19)
