@@ -250,6 +250,87 @@ object Dedup {
     verifyAgainst(df, idCol, textCol, p, shingleN)
   }
 
+  /** Prefix-filtering set-similarity self-join (AllPairs/PPJoin family,
+    * Bayardo, Ma & Srikant, WWW 2007) — the EXACT-threshold complement
+    * to the minhash candidate engine: every pair whose shingle-set
+    * Jaccard ≥ thetaPct/100 is found (no LSH false negatives, no
+    * probability dial), because two sets at that similarity MUST share
+    * a member inside each one's prefix of its (global-df-ascending,
+    * gram-ascending)-ranked grams, where prefix length =
+    * n − ceil(θ·n) + 1. Candidates are pairs sharing a prefix gram;
+    * each is then verified with the exact set arithmetic and kept by
+    * the integer cross-multiply 100·|∩| ≥ θ·|∪| — no float threshold.
+    * Output: (doc_a, doc_b, n_shared, n_a, n_b, jacc_ppm) with
+    * jacc_ppm = |∩|·10⁶ div |∪|.
+    *
+    * Scale shape: candidate volume is Σ_gram |prefix postings|² — the
+    * LSH family's quadratic regime, bounded here by TWO forces: the
+    * prefix ranks RARE grams first (df-ascending), so posting lists in
+    * prefixes are short by construction, and `maxPostings` hard-caps
+    * the regime (an over-cap gram is dropped from candidate generation
+    * — which CAN drop true pairs, so the cap is encoded in the oracle
+    * and surfaced by [[prefixFilterOverflow]], the d24 cap+audit
+    * contract; the completeness law is spec-asserted against brute
+    * force on uncapped fixtures). The per-doc rank window partitions
+    * on the DOC (bounded by doc length — the g13 adjacency-rank rule,
+    * not an unpartitioned window); everything else is hash-aggs and
+    * equi-joins; the verify is pair-restricted (work ∝ candidates). */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, thetaPct: Int, maxPostings: Int = 100000): DataFrame = {
+    require(1 <= thetaPct && thetaPct <= 100,
+      s"thetaPct must be in [1, 100], got $thetaPct")
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val kept = prefixGrams(docs, idCol, textCol, shingleN, thetaPct)
+      .join(
+        prefixGrams(docs, idCol, textCol, shingleN, thetaPct)
+          .groupBy(col("_g")).agg(count(lit(1)).as("_np"))
+          .where(col("_np") <= maxPostings)
+          .select(col("_g")),
+        Seq("_g"), "left_semi")
+    val cand = kept.select(col("_g"), col("_id").as("doc_a"))
+      .join(kept.select(col("_g"), col("_id").as("doc_b")), Seq("_g"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifyAgainst(docs, idCol, textCol, cand.localCheckpoint(), shingleN)
+      .where(lit(100L) * col("n_shared") >=
+        lit(thetaPct.toLong) * (col("n_a") + col("n_b") - col("n_shared")))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        expr("n_shared * 1000000L div (n_a + n_b - n_shared)").as("jacc_ppm"))
+  }
+
+  /** Audit companion to [[prefixFilterPairs]]: the prefix grams whose
+    * posting count exceeds `maxPostings` (and were therefore excluded
+    * from candidate generation — pairs reachable ONLY through them may
+    * be missed). Grams ship as md5 (hashes shuffle, never text). Empty
+    * = the cap never engaged and the no-false-negative law holds. */
+  def prefixFilterOverflow(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, thetaPct: Int, maxPostings: Int = 100000): DataFrame =
+    prefixGrams(docs, idCol, textCol, shingleN, thetaPct)
+      .groupBy(col("_g")).agg(count(lit(1)).as("n_postings"))
+      .where(col("n_postings") > maxPostings)
+      .select(md5(col("_g")).as("gram_h"), col("n_postings"))
+
+  /** (_id, _g): each doc's prefix grams — its n − ceil(θ·n) + 1 rarest
+    * grams by (global df asc, gram asc). Shared by the pair former and
+    * the overflow audit. */
+  private def prefixGrams(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, thetaPct: Int): DataFrame = {
+    val grams = withShingles(docs, idCol, textCol, shingleN)
+      .where(size(col("_grams")) > 0)
+      .select(col(idCol).as("_id"), col("_grams"),
+        size(col("_grams")).cast("long").as("_n"))
+    val tok = grams.select(col("_id"), col("_n"), explode(col("_grams")).as("_g"))
+    val dfr = tok.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_g"))
+    tok.join(dfr, "_g")
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .where(col("_rk") <=
+        col("_n") - expr(s"((${thetaPct}L * _n) + 99L) div 100L") + lit(1L))
+      .select(col("_id"), col("_g"))
+  }
+
   /** The deduped, cached candidate list both verify entry points share.
     * The pair list feeds four plan branches (id restriction ×2, the
     * shared-gram join, the final assembly); without a barrier Spark

@@ -3051,6 +3051,51 @@ object DataOpsQueries {
            |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS val
            |FROM h GROUP BY 1, 2 HAVING SUM(sgn) <> 0""".stripMargin))
 
+  /** Prefix-filtering set-similarity self-join (Dedup.prefixFilterPairs,
+    * Bayardo et al. WWW'07) at Jaccard ≥ 0.8 over 3-shingles — the
+    * EXACT-threshold dedup candidate engine next to d03's probabilistic
+    * minhash banding: no false negatives by the prefix pigeonhole, and
+    * the keep decision is the integer cross-multiply 100·|∩| ≥ 80·|∪|.
+    * The oracle replays the df-ranked prefixes, the 10k posting cap
+    * (never engaging here — max 3-gram df is single-digit), and the
+    * exact verify, all in integer arithmetic — hash-exact. */
+  val d70PrefixJoin = NamedQuery(
+    "d70_prefix_join",
+    (s, dir) => Dedup.prefixFilterPairs(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleN = 3, thetaPct = 80, maxPostings = 10000),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |           FROM documents
+           |           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+           |g AS (SELECT doc_id, list_distinct(list_transform(
+           |        generate_series(1, len(toks) - 2),
+           |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+           |      FROM t WHERE len(toks) >= 3),
+           |tok AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n,
+           |               unnest(grams) AS gm FROM g),
+           |dfr AS (SELECT gm, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+           |pfx AS (SELECT doc_id, gm FROM (
+           |          SELECT tok.doc_id, tok.gm, tok.n,
+           |                 row_number() OVER (PARTITION BY tok.doc_id
+           |                   ORDER BY df, tok.gm) AS rk
+           |          FROM tok JOIN dfr USING (gm))
+           |        WHERE rk <= n - ((80 * n + 99) // 100) + 1),
+           |post AS (SELECT gm FROM pfx GROUP BY gm HAVING COUNT(*) <= 10000),
+           |kept AS (SELECT doc_id, gm FROM pfx WHERE gm IN (SELECT gm FROM post)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM kept a JOIN kept b
+           |           ON a.gm = b.gm AND a.doc_id < b.doc_id),
+           |iv AS (SELECT doc_a, doc_b,
+           |              CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_shared,
+           |              CAST(len(ga.grams) AS BIGINT) AS n_a,
+           |              CAST(len(gb.grams) AS BIGINT) AS n_b
+           |       FROM cand JOIN g ga ON ga.doc_id = cand.doc_a
+           |            JOIN g gb ON gb.doc_id = cand.doc_b)
+           |SELECT doc_a, doc_b, n_shared, n_a, n_b,
+           |       n_shared * 1000000 // (n_a + n_b - n_shared) AS jacc_ppm
+           |FROM iv
+           |WHERE 100 * n_shared >= 80 * (n_a + n_b - n_shared)""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -3069,7 +3114,7 @@ object DataOpsQueries {
     d56IvfPq, d57AutoBandPairs, d58SoftDedup, d59SqAnn, d60EditVerify,
     d61Containment, d62MmrRerank, d63ClusterSample, d64VocabCoverage,
     d65Boilerplate, d66HybridRrf, d67IvfPqRefine, d68RobustScale,
-    d69FeatureHash,
+    d69FeatureHash, d70PrefixJoin,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

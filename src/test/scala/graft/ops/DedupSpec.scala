@@ -694,4 +694,54 @@ class DedupSpec extends SparkSpec {
     assert(none.forall(_._3 == 0L))
     assert(none.find(_._1 == 1L).get._4 == md5hex(s"$header a b"))
   }
+
+  private def bruteJaccardPairs(docs: Seq[(Long, String)], n: Int,
+      thetaPct: Int): Set[(Long, Long)] = {
+    def grams(s: String) = s.split(" ").sliding(n).map(_.mkString(" ")).toSet
+    (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      ga = grams(ta); gb = grams(tb)
+      i = (ga intersect gb).size
+      if ga.nonEmpty && gb.nonEmpty && 100L * i >= thetaPct.toLong * (ga.size + gb.size - i)
+    } yield (a, b)).toSet
+  }
+
+  test("prefixFilterPairs: equals brute-force exact-threshold pairs (no false negatives, no false positives)") {
+    val fix = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),   // j(1,2) = 3/5 = 0.6
+      (3L, "a b c d e f"),   // exact dup of 1 -> j = 1.0
+      (4L, "x y z w q r"),   // disjoint from all
+      (5L, "a b c q r s")    // low overlap with 1
+    )
+    val df = fix.toDF("doc_id", "text")
+    for (theta <- Seq(50, 60, 61, 100)) {
+      val got = Dedup.prefixFilterPairs(df, "doc_id", "text",
+        shingleN = 3, thetaPct = theta)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == bruteJaccardPairs(fix, 3, theta), s"theta=$theta got=$got")
+    }
+    // boundary: j(1,2) = 0.6 exactly — kept at 60 (>=), dropped at 61
+    assert(Dedup.prefixFilterPairs(df, "doc_id", "text", 3, 60)
+      .where(col("doc_a") === 1L && col("doc_b") === 2L).count() == 1L)
+    assert(Dedup.prefixFilterPairs(df, "doc_id", "text", 3, 61)
+      .where(col("doc_a") === 1L && col("doc_b") === 2L).count() == 0L)
+  }
+
+  test("prefixFilterPairs: jacc_ppm is the exact integer ladder; maxPostings cap drops pairs and the audit reports it") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    val row = Dedup.prefixFilterPairs(df, "doc_id", "text", 3, 50)
+      .select("n_shared", "n_a", "n_b", "jacc_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    assert(row == ((3L, 4L, 4L, 3L * 1000000L / 5L)))
+    // cap at 1: docs 1 and 2 share every prefix gram (df-2 grams rank
+    // first), so every shared posting list has 2 entries > 1 -> dropped
+    assert(Dedup.prefixFilterPairs(df, "doc_id", "text", 3, 50,
+      maxPostings = 1).count() == 0L)
+    val audit = Dedup.prefixFilterOverflow(df, "doc_id", "text", 3, 50,
+      maxPostings = 1).collect()
+    assert(audit.nonEmpty && audit.forall(_.getLong(1) == 2L))
+    // and the uncapped audit is empty — the law's precondition holds
+    assert(Dedup.prefixFilterOverflow(df, "doc_id", "text", 3, 50).isEmpty)
+  }
 }
