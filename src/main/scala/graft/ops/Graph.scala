@@ -869,6 +869,55 @@ object Graph {
     out
   }
 
+  /** HARMONIC centrality estimates from the HyperBall register walk
+    * (Boldi & Vigna, "In-Core Computation of Geometric Centralities
+    * with HyperBall", 2014): H(v) = Σ_u 1/d(u,v) ≈
+    * Σ_{r=1..R} (|ball(v,r)| − |ball(v,r−1)|)/r — the centrality that,
+    * unlike closeness, is well-defined on disconnected graphs
+    * (unreachable nodes contribute 0, not a broken ∞ mean) and needs
+    * NO all-pairs BFS: one register walk serves every node at once.
+    *
+    * Determinism: per-round per-node estimates are the q59 portable
+    * ladder (bit-identical doubles on both engines), each quantized to
+    * exact integer MICROS before the per-radius increment, and the
+    * increment's 1/r is a floor division of those longs — so the
+    * accumulated harmonic_x1e6 is exact integer arithmetic after the
+    * one pinned rounding per (node, radius), and the oracle unrolls it
+    * cell-exact. The truncation at R underestimates far mass by design
+    * (contributions past R are < ball growth / R — the standard
+    * HyperBall horizon contract, same R semantics as g14/g17).
+    *
+    * Scale shape: [[neighborhoodSizes]]'s packed walk (per round one
+    * pinned shuffle-hash edge join + one 2^p-column max-agg, ≤ 2m rows
+    * shipped) plus per round one n-row node-keyed join folding the
+    * increment — linear in edges per round, no pair formation. */
+  def harmonicCentrality(edges: DataFrame, maxRadius: Int = 3,
+      p: Int = 4): DataFrame = {
+    require(maxRadius >= 1, s"maxRadius must be >= 1, got $maxRadius")
+    val ed = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    var regs = packedInit(ed, p)
+    def micros(rg: DataFrame, as: String): DataFrame =
+      packedEstimate(rg, p, "_e")
+        .select(col("node"), expr("CAST(round(_e * 1000000) AS BIGINT)").as(as))
+    var acc = micros(regs, "_prev")
+      .select(col("node"), col("_prev"), lit(0L).as("_h"))
+    for (r <- 1 to maxRadius) {
+      regs = packedRound(ed, regs, p)
+      acc = acc.join(micros(regs, "_cur"), "node")
+        // ball growth clamped at 0: the estimator is monotone except at
+        // its correction→raw branch switch, where a small negative jump
+        // is possible — a negative "contribution" is meaningless AND
+        // Spark's div (toward zero) disagrees with SQL floor division
+        // on negatives, so the clamp pins semantics and determinism
+        .select(col("node"), col("_cur").as("_prev"),
+          (col("_h") + expr(s"greatest(0L, _cur - _prev) div ${r}L")).as("_h"))
+        .localCheckpoint(true)
+    }
+    acc.select(col("node"), col("_h").as("harmonic_x1e6"))
+  }
+
   /** Per-edge triangle SUPPORT of a canonical (u < v, distinct) edge
     * list: support(u,v) = #triangles containing the edge — the edge
     * statistic [[kTruss]] peels on, factored out so its plan is

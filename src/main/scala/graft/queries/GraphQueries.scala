@@ -778,11 +778,61 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |$ssspUnrolled
             |SELECT CAST(node AS BIGINT) AS node, dist FROM w$ssspRounds""".stripMargin))
 
+  /** Per-node integer-micros estimate from the round-k register table —
+    * g14's agg/fin ladder followed by the nf quantization, one CTE per
+    * radius for the harmonic fold. */
+  private def hcRoundSql(k: Int): String =
+    s"""hc$k AS MATERIALIZED (
+       |  SELECT node, CAST(round(round(
+       |    CASE WHEN 0.673::DOUBLE * 16.0 * 16.0 * 562949953421312.0 / s <= 40.0
+       |          AND zeros > 0
+       |         THEN 16.0 * ln(16.0 / zeros)
+       |         ELSE 0.673::DOUBLE * 16.0 * 16.0 * 562949953421312.0 / s END, 6)
+       |    * 1000000) AS BIGINT) AS e$k
+       |  FROM (SELECT node, sp + (16 - v) * (1::BIGINT << 49) AS s, 16 - v AS zeros
+       |        FROM (SELECT node,
+       |                CAST(SUM(1::BIGINT << CAST(49 - M AS INT)) AS BIGINT) AS sp,
+       |                CAST(COUNT(*) AS BIGINT) AS v
+       |              FROM r$k GROUP BY 1)))""".stripMargin
+
+  /** Harmonic centrality estimates via the HyperBall register walk
+    * (Boldi & Vigna 2014) — "which parts are close to everything", the
+    * geometric-centrality dataset-card answer that works on
+    * disconnected graphs and costs one register walk for ALL nodes.
+    * Per-radius ball growth quantized to exact integer micros, clamped
+    * at 0 (the estimator's branch switch can jump slightly negative),
+    * then floor-divided by the radius — hash-exact on both engines. */
+  val g20Harmonic = NamedQuery(
+    "g20_harmonic",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.harmonicCentrality(e, maxRadius = hbRadius, p = 4)
+        .select(col("node").cast("long").as("node"), col("harmonic_x1e6"))
+    },
+    Some(s"""WITH $edgeCte,
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
+            |r0 AS MATERIALIZED (
+            |  SELECT node, hp & 15 AS reg,
+            |         CASE WHEN (hp >> 4) = 0 THEN 49
+            |              ELSE 49 - length(bin(hp >> 4)) END AS M
+            |  FROM (SELECT node, md5_number_upper(CAST(node AS VARCHAR))
+            |                     & ((1::BIGINT << 52) - 1) AS hp
+            |        FROM deg)),
+            |$hbUnrolled,
+            |${(0 to hbRadius).map(hcRoundSql).mkString(",\n")}
+            |SELECT CAST(hc0.node AS BIGINT) AS node,
+            |       ${(1 to hbRadius).map(k =>
+                      s"(GREATEST(0, hc$k.e$k - hc${k - 1}.e${k - 1}) // $k)")
+                      .mkString(" + ")} AS harmonic_x1e6
+            |FROM hc0 ${(1 to hbRadius).map(k => s"JOIN hc$k USING (node)").mkString(" ")}"""
+      .stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
     g07KCore, g08Hits, g09LinkPrediction, g10ClusteringCoeff,
     g11PersonalizedPr, g12LabelCommunities, g13RandomWalks,
     g14NeighborhoodHll, g15KTruss, g16BfsDistances,
-    g17NeighborhoodFunction, g18Assortativity, g19Sssp)
+    g17NeighborhoodFunction, g18Assortativity, g19Sssp, g20Harmonic)
 }

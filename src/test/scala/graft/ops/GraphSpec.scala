@@ -446,6 +446,31 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 5L, 4L -> 0L), got.toString)
   }
 
+  test("harmonicCentrality: equals the hand-fold of per-radius ball estimates; hub tops a star") {
+    val path = (1L to 6L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = Graph.harmonicCentrality(path, maxRadius = 2, p = 4)
+      .as[(Long, Long)].collect().toMap
+    // recurrence cross-check against the independent per-radius walks:
+    // H(R=2) = H(R=1) + max(0, e2 - e1) div 2, with e_r the quantized
+    // radius-r ball estimates from neighborhoodSizes
+    def estAt(r: Int): Map[Long, Long] =
+      Graph.neighborhoodSizes(path, radius = r, p = 4)
+        .select(col("node").cast("long"),
+          expr("CAST(round(ball_est * 1000000) AS BIGINT)"))
+        .as[(Long, Long)].collect().toMap
+    val e1 = estAt(1); val e2 = estAt(2)
+    val h1 = Graph.harmonicCentrality(path, maxRadius = 1, p = 4)
+      .as[(Long, Long)].collect().toMap
+    for ((n, h) <- got) {
+      val want = h1(n) + math.max(0L, e2(n) - e1(n)) / 2L
+      assert(h == want, s"node $n: $h != $want")
+    }
+    val star = (2L to 7L).map(i => (1L, i)).toDF("u", "v")
+    val hs = Graph.harmonicCentrality(star, maxRadius = 2, p = 4)
+      .as[(Long, Long)].collect().toMap
+    assert((2L to 7L).forall(l => hs(1L) >= hs(l)), hs.toString)
+  }
+
   test("neighborhoodFunction: each radius row equals the integer-micros fold of the per-node estimates") {
     val path = (1L to 6L).map(i => (i, i + 1)).toDF("u", "v")
     val nf = Graph.neighborhoodFunction(path, maxRadius = 2, p = 4)
