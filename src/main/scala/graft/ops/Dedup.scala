@@ -1351,4 +1351,38 @@ object Dedup {
         (coalesce(col("_tok_b"), lit(0L)) - coalesce(col("_tok_a"), lit(0L)))
           .as("token_delta"))
   }
+
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * data-valuation signal incremental-crawl curation ranks on ("how
+    * much of this document is text we do not already have?"; the
+    * complement of d11's contamination, which asks "how much do we
+    * share?"): for each candidate doc, the fraction of its DISTINCT
+    * `shingleN`-grams absent from the reference's gram set, in exact
+    * ppm (novelty_ppm = 10⁶·n_new div n_grams). Docs with fewer than
+    * `shingleN` tokens carry zero grams and are dropped (nothing to
+    * score — the d11 convention).
+    *
+    * Scale shape: both sides project to md5 gram hashes (16-byte keys
+    * shuffle, never text — the verifyJaccard rule); the reference
+    * collapses to its DISTINCT gram set BEFORE the join (set
+    * membership, not df — so no cap is needed: a gram seen in 10⁶ ref
+    * docs is ONE build row), then one gram-keyed left join and one
+    * doc-keyed count agg. Linear in total gram volume on both sides;
+    * gram-hash keys are near-uniform, so no skew regime exists. */
+  def noveltyScore(candidates: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      withShingles(df, idCol, textCol, shingleN)
+        .select(col(idCol).as(as), explode(col("_grams")).as("_g"))
+        .select(col(as), md5(col("_g")).as("_gh"))
+    val refSet = grams(reference, "_rid").select(col("_gh")).distinct()
+      .select(col("_gh"), lit(1L).as("_seen"))
+    grams(candidates, "doc_id")
+      .join(refSet, Seq("_gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("_seen").isNull, 1)).as("n_new"))
+      .select(col("doc_id"), col("n_grams"), col("n_new"),
+        expr("(1000000L * n_new) div n_grams").as("novelty_ppm"))
+  }
 }

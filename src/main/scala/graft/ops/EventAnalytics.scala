@@ -445,4 +445,49 @@ object EventAnalytics {
       .reduce(_ + _)
     df.withColumn(as, shiftright(acc, 16))
   }
+
+  /** Key-scoped INTERVAL-OVERLAP join — the temporal theta-join shape
+    * ("which of this user's A-intervals overlap which of their
+    * B-intervals": concurrent sessions, ad exposure vs browsing,
+    * on-call vs incident windows). Overlap is the closed-interval
+    * predicate a_start ≤ b_end AND b_start ≤ a_end in exact integer
+    * micros; each surviving pair carries overlap_us =
+    * min(ends) − max(starts).
+    *
+    * Scale shape — why not join on the key alone: a hub key with s
+    * intervals per side forms s² in-task pairs before the time filter
+    * can run (the q29 funnel, squared). Instead each interval explodes
+    * into its covering `bucketSeconds` buckets (sequence() — one
+    * narrow generator, intervals/bucket bounded by real concurrency,
+    * not key size) and the join equi-keys on (key, bucket): Spark
+    * plans a plain hash join, an interval pair meets only in buckets
+    * BOTH touch, and the distinct() collapses multi-bucket meetings
+    * before the exact predicate. Quadratic work survives only WITHIN a
+    * (key, bucket) cell — per-bucket concurrency, the honest lower
+    * bound for overlap enumeration. Output is pair-level; aggregate
+    * downstream (q113 folds per key).
+    *
+    * Both inputs: (key, id, start_us, end_us) with end ≥ start; ids
+    * unique per side. */
+  def intervalOverlap(a: DataFrame, b: DataFrame, keyCol: String,
+      idCol: String, startCol: String, endCol: String,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds >= 1L, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val bUs = bucketSeconds * 1000000L
+    def buckets(df: DataFrame, tag: String) = df.select(
+        col(keyCol).as("_k"), col(idCol).as(s"${tag}_id"),
+        col(startCol).as(s"${tag}_start_us"), col(endCol).as(s"${tag}_end_us"))
+      .withColumn("_bkt", explode(sequence(
+        expr(s"${tag}_start_us div ${bUs}L"), expr(s"${tag}_end_us div ${bUs}L"))))
+    buckets(a, "a")
+      .join(buckets(b, "b"), Seq("_k", "_bkt"))
+      .where(col("a_start_us") <= col("b_end_us") &&
+        col("b_start_us") <= col("a_end_us"))
+      .select(col("_k").as(keyCol), col("a_id"), col("b_id"),
+        col("a_start_us"), col("a_end_us"), col("b_start_us"), col("b_end_us"))
+      .distinct()
+      .withColumn("overlap_us",
+        least(col("a_end_us"), col("b_end_us")) -
+          greatest(col("a_start_us"), col("b_start_us")))
+  }
 }

@@ -1264,4 +1264,51 @@ object Graph {
     }
     dist
   }
+
+  /** Newman modularity (Newman & Girvan 2004, eq. 5) of a node
+    * partition, per community and EXACT: for community c with m_c
+    * intra-community edges and degree sum d_c over a graph of m edges,
+    * Q = Σ_c [ m_c/m − (d_c/2m)² ] — reported as the integer numerator
+    * q_num = 4·m·m_c − d_c² of each community's contribution over the
+    * common denominator 4m² (Q = Σ q_num / 4m²), so the quality of a
+    * community detection (g12's LPA, g04's components) is judged with
+    * zero float drift and the oracle re-derives every cell.
+    *
+    * Scale shape: two joins of the m-row edge list against the
+    * node-sized label frame (pinned shuffle_hash, build = labels — the
+    * g02/g13 node-sized-build rule), one degree agg reusing the same
+    * label join, and a one-row m aggregate broadcast back by
+    * crossJoin. Nothing quadratic, no windows; community count bounds
+    * the output. Overflow: q_num < 4m² — binds at m ≥ 1.5·10⁹ edges
+    * (≈ 2⁶³/4), far beyond a per-partition graph; shard the edge set
+    * upstream before that (documented-not-defended, the linkPrediction
+    * rule).
+    *
+    * `labels` must cover every edge endpoint (node, community) — the
+    * labelPropagation/connectedComponents output contract. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val lbl = labels.select(col("node"), col("community"))
+    val m = e.agg(count(lit(1)).as("_m"))
+    val intra = e
+      .join(lbl.select(col("node").as("u"), col("community").as("_cu"))
+        .hint("shuffle_hash"), "u")
+      .join(lbl.select(col("node").as("v"), col("community").as("_cv"))
+        .hint("shuffle_hash"), "v")
+      .where(col("_cu") === col("_cv"))
+      .groupBy(col("_cu").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degc = degrees(e)
+      .join(lbl.hint("shuffle_hash"), "node")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    degc
+      .join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (lit(4L) * col("_m") * coalesce(col("intra_edges"), lit(0L)) -
+          col("degree_sum") * col("degree_sum")).as("q_num"))
+  }
 }

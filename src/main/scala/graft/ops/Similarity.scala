@@ -1156,4 +1156,49 @@ object Similarity {
     sel.select(col("sel_rank"), col("vec_id"),
       round(col("rel"), 6).as("cos_sim"), round(col("mmr2x"), 6).as("mmr2x"))
   }
+
+  /** Hard-negative mining for contrastive-embedding training (the
+    * in-batch-negatives upgrade of DPR/SimCSE-style recipes, Karpukhin
+    * et al. EMNLP'20 §4.2): for each of the first `nQueries` vectors
+    * (by id — deterministic, no RNG), the `k` MOST cosine-similar
+    * vectors carrying a DIFFERENT label — the near-misses a contrastive
+    * loss learns the most from (random negatives are trivially far;
+    * same-label neighbours are positives, not negatives).
+    *
+    * Scale shape: the query set is contract-bounded (≤ 64 rows) and
+    * broadcast with quantized vectors + norms precomputed, so the
+    * corpus is read ONCE and each row scores against every query
+    * map-side (a BroadcastNestedLoopJoin by construction — there is no
+    * equi-key; the label inequality filters in the same stage). The
+    * per-query top-k plans as a rank window that Spark 4 rewrites to
+    * WindowGroupLimit: each map task keeps only its local top-k per
+    * query BEFORE the exchange, so the shuffle carries ≤ tasks×q×k
+    * rows, never the corpus (spec-pinned). Swap the scoring leg for
+    * ivfPqTopK per query at extreme corpus scale — the (q_id, vec_id,
+    * cos_sim) contract is identical. Exact quantized-long dot products
+    * (the d06 arithmetic): cos_sim is one IEEE division, bit-identical
+    * in DuckDB, so the mined set is oracle-checked hash-exact. Ties
+    * break (cos_sim desc, vec_id) — total order. */
+  def hardNegatives(embeddings: DataFrame, idCol: String, embCol: String,
+      labelCol: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    require(nQueries >= 1 && nQueries <= 64,
+      s"nQueries must be in [1, 64], got $nQueries")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = embeddings
+      .select(col(idCol), quantize(col(embCol)).as("_e"),
+        col(labelCol).cast("long").as("_lbl"))
+      .select(col(idCol), col("_e"), col("_lbl"), norm(col("_e")).as("_n"))
+    val qs = broadcast(base
+      .orderBy(col(idCol)).limit(nQueries)
+      .select(col(idCol).as("q_id"), col("_e").as("_qe"),
+        col("_lbl").as("_qlbl"), col("_n").as("_qn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol))
+    base
+      .join(qs, col("_lbl") =!= col("_qlbl") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("vec_id"), col("_lbl").as("neg_label"),
+        (dot(col("_e"), col("_qe")) / (col("_n") * col("_qn"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
 }

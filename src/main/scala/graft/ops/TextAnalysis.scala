@@ -1036,4 +1036,44 @@ object TextAnalysis {
           .otherwise(expr("((greatest(lo, least(hi, _v)) - lo) * 1000000L) div (hi - lo)"))
           .as("scaled_micro"))
   }
+
+  /** Flesch reading-ease readability per document (Flesch 1948; the
+    * Kincaid recalibration shares the same three counts), the classic
+    * complexity signal quality-filter recipes bucket on — exact
+    * integer micros: with W whitespace words, S sentence-boundary runs
+    * ([.!?]+, floored at 1 — headline-style text without terminal
+    * punctuation reads as one sentence), and V vowel runs ([aeiouy]+,
+    * the standard syllable proxy),
+    *   flesch_micro = 206835000 − (1015000·W) div S − (84600000·V) div W
+    * — two integer divisions, zero float ops, so DuckDB reproduces
+    * every cell (both engines count non-overlapping leftmost regex
+    * matches). Also emits the conventional difficulty band, CASE on
+    * the SAME integer. Rows with no words are dropped (W divides).
+    *
+    * Scale shape: pure narrow projections over one scan — regexp
+    * counting is codegen'd per row, no shuffle at all; the output
+    * partitions exactly as the input (the t01/t02 family shape).
+    * Overflow: 84600000·V binds at V ≈ 10¹¹ vowel runs in ONE
+    * document — not a real document. */
+  def readability(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = lower(col(textCol))
+    docs
+      .where(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol),
+        size(tokens(t)).cast("long").as("words"),
+        greatest(regexp_count(t, lit("[.!?]+")).cast("long"), lit(1L))
+          .as("sentences"),
+        regexp_count(t, lit("[aeiouy]+")).cast("long").as("vowel_runs"))
+      .where(col("words") >= 1L)
+      .withColumn("flesch_micro",
+        lit(206835000L) -
+          expr("(1015000L * words) div sentences") -
+          expr("(84600000L * vowel_runs) div words"))
+      .withColumn("band",
+        when(col("flesch_micro") >= 90000000L, "very_easy")
+          .when(col("flesch_micro") >= 60000000L, "standard")
+          .when(col("flesch_micro") >= 30000000L, "difficult")
+          .otherwise("very_difficult"))
+  }
 }

@@ -3096,6 +3096,61 @@ object DataOpsQueries {
            |FROM iv
            |WHERE 100 * n_shared >= 80 * (n_a + n_b - n_shared)""".stripMargin))
 
+  /** Hard-negative mining (Similarity.hardNegatives): for each of the
+    * first 5 vectors by id, the 5 most cosine-similar vectors with a
+    * DIFFERENT label — the near-miss negatives a contrastive loss
+    * trains on. Exact quantized-long dot products (the d06
+    * arithmetic), so all 25 mined rows are oracle-checked hash-exact;
+    * the per-query top-k plans as WindowGroupLimit (map-side rank
+    * pushdown), never a corpus-wide sort. */
+  val d71HardNegatives = NamedQuery(
+    "d71_hard_negatives",
+    (s, dir) => Similarity.hardNegatives(
+      Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+      nQueries = 5, k = 5),
+    Some("""WITH quant AS (
+           |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+           |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS e
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, label, e,
+           |             sqrt(list_dot_product(e, e)) AS nrm FROM quant),
+           |q AS (SELECT vec_id AS q_id, label AS q_lbl, e AS qe, nrm AS qn
+           |      FROM n ORDER BY vec_id LIMIT 5),
+           |sc AS (SELECT q.q_id, n.vec_id, n.label AS neg_label,
+           |              list_dot_product(n.e, q.qe) / (n.nrm * q.qn) AS cos_sim
+           |       FROM n CROSS JOIN q
+           |       WHERE n.label <> q.q_lbl AND n.vec_id <> q.q_id)
+           |SELECT q_id, vec_id, neg_label, cos_sim, CAST(rk AS BIGINT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           |        ORDER BY cos_sim DESC, vec_id) AS rk FROM sc)
+           |WHERE rk <= 5""".stripMargin))
+
+  /** Per-doc n-gram novelty of the odd-id half against the even-id
+    * half as reference corpus (Dedup.noveltyScore) — the incremental-
+    * crawl "is this worth keeping?" rank signal, d11's complement.
+    * Exact ppm; grams travel as md5 (hashes shuffle, never text). */
+  val d72Novelty = NamedQuery(
+    "d72_novelty",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.noveltyScore(
+        docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", shingleN = 3)
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |        generate_series(1, len(toks) - 2),
+           |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+           |      FROM t WHERE len(toks) >= 3),
+           |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+           |cand AS (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 1)
+           |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |       CAST(SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           |       (1000000 * CAST(SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+           |         // CAST(COUNT(*) AS BIGINT) AS novelty_ppm
+           |FROM cand c LEFT JOIN ref r ON c.gram = r.gram
+           |GROUP BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -3114,7 +3169,7 @@ object DataOpsQueries {
     d56IvfPq, d57AutoBandPairs, d58SoftDedup, d59SqAnn, d60EditVerify,
     d61Containment, d62MmrRerank, d63ClusterSample, d64VocabCoverage,
     d65Boilerplate, d66HybridRrf, d67IvfPqRefine, d68RobustScale,
-    d69FeatureHash, d70PrefixJoin,
+    d69FeatureHash, d70PrefixJoin, d71HardNegatives, d72Novelty,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -1768,9 +1768,62 @@ object ExtendedQueries {
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY 1""".stripMargin))
 
+  /** The two session-set oracle CTEs q113 overlaps: gaps-and-islands
+    * sessionization (the q29 SQL) restricted to one event type, with
+    * session bounds in exact epoch micros and the session horizon
+    * closed at last + 30 min (the sessionize contract). */
+  private def sessCte(tag: String, typ: String): String =
+    s"""g$tag AS (SELECT user_id, ts, event_id,
+       |  CASE WHEN lag(ts) OVER w IS NULL
+       |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+       |       THEN 1 ELSE 0 END AS new_s
+       |  FROM events WHERE event_type = '$typ'
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s$tag AS (SELECT user_id, epoch_us(MIN(ts)) AS s_us,
+       |                 epoch_us(MAX(ts)) + 1800000000 AS e_us
+       |          FROM (SELECT user_id, ts,
+       |                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                   ROWS UNBOUNDED PRECEDING) AS sid
+       |                FROM g$tag)
+       |          GROUP BY user_id, sid)""".stripMargin
+
+  /** Key-scoped interval-overlap join (EventAnalytics.intervalOverlap):
+    * which of each user's click-sessions overlap which of their
+    * view-sessions — the temporal theta-join the engine answers with
+    * bucket expansion + equi-join (quadratic work survives only within
+    * a (user, hour) cell; the op doc has the funnel argument). Folded
+    * per user: pair count + total overlap in exact micros, so one
+    * wrongly-bucketed or double-counted pair breaks the hash. The
+    * oracle runs the honest theta join. */
+  val q113IntervalOverlap = NamedQuery(
+    "q113_interval_overlap",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      def sessions(t: String) = graft.ops.EventAnalytics.sessionize(
+          ev.where(col("event_type") === t), "user_id", "ts", "event_id",
+          gapSeconds = 1800L)
+        .select(col("user_id"), col("session_seq"),
+          Tables.tsMicros(col("session_start")).as("s_us"),
+          Tables.tsMicros(col("session_end")).as("e_us"))
+      graft.ops.EventAnalytics.intervalOverlap(
+          sessions("click"), sessions("view"), "user_id", "session_seq",
+          "s_us", "e_us", bucketSeconds = 3600L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("overlap_us")).as("overlap_us_sum"))
+    },
+    Some(s"""WITH ${sessCte("a", "click")},
+            |${sessCte("b", "view")}
+            |SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            |       CAST(SUM(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)) AS BIGINT)
+            |         AS overlap_us_sum
+            |FROM sa a JOIN sb b ON a.user_id = b.user_id
+            |  AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+            |GROUP BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q103CsvRoundtrip, q104OrcRoundtrip, q105JdbcRoundtrip, q106XmlRoundtrip,
-    q108AvroRoundtrip, q112BucketedJoin,
+    q108AvroRoundtrip, q112BucketedJoin, q113IntervalOverlap,
     q70SkewReport, q71JoinSizeEst, q72HeavyByGroup, q75PromoRatio,
     q76Histogram, q77Division,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q102SaltedAuto, q34Explode,

@@ -828,11 +828,53 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |FROM hc0 ${(1 to hbRadius).map(k => s"JOIN hc$k USING (node)").mkString(" ")}"""
       .stripMargin))
 
+  /** Newman modularity of g12's LPA partition, per community — the
+    * quality number that adjudicates a community detection (is the
+    * partition denser-than-chance?), reported as each community's
+    * exact integer numerator q_num = 4·m·m_c − d_c² over the common
+    * denominator 4m² (Graph.modularity doc). The oracle re-derives
+    * the LPA labels with the g12 unrolled rounds, then folds the same
+    * integer arithmetic — every community's contribution hash-exact.
+    * Per-community rows (not one global sum) so a single misassigned
+    * node is visible, not averaged away. */
+  val g21Modularity = NamedQuery(
+    "g21_modularity",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+        .localCheckpoint(true) // feeds LPA's rounds AND both modularity joins
+      val lbl = Graph.labelPropagation(e, rounds = lpRounds)
+      Graph.modularity(e, lbl)
+        .select(col("community").cast("long").as("community"),
+          col("n_nodes"), col("intra_edges"), col("degree_sum"), col("q_num"))
+    },
+    Some(s"""WITH $edgeCte,
+            |em AS MATERIALIZED (SELECT u, v FROM e),
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
+            |dgm AS MATERIALIZED (SELECT node, d FROM deg),
+            |lp0 AS MATERIALIZED (SELECT node, node AS lbl FROM dgm),
+            |$lpUnrolled,
+            |lbl AS MATERIALIZED (SELECT node, lbl AS community FROM lp$lpRounds),
+            |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM em),
+            |intra AS (SELECT la.community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+            |          FROM em JOIN lbl la ON em.u = la.node
+            |                  JOIN lbl lb ON em.v = lb.node
+            |          WHERE la.community = lb.community GROUP BY 1),
+            |degc AS (SELECT l.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+            |                CAST(SUM(dgm.d) AS BIGINT) AS degree_sum
+            |         FROM dgm JOIN lbl l ON dgm.node = l.node GROUP BY 1)
+            |SELECT CAST(dc.community AS BIGINT) AS community, dc.n_nodes,
+            |       COALESCE(i.intra_edges, 0) AS intra_edges, dc.degree_sum,
+            |       4 * mm.m * COALESCE(i.intra_edges, 0)
+            |         - dc.degree_sum * dc.degree_sum AS q_num
+            |FROM degc dc LEFT JOIN intra i USING (community) CROSS JOIN mm""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
     g07KCore, g08Hits, g09LinkPrediction, g10ClusteringCoeff,
     g11PersonalizedPr, g12LabelCommunities, g13RandomWalks,
     g14NeighborhoodHll, g15KTruss, g16BfsDistances,
-    g17NeighborhoodFunction, g18Assortativity, g19Sssp, g20Harmonic)
+    g17NeighborhoodFunction, g18Assortativity, g19Sssp, g20Harmonic,
+    g21Modularity)
 }

@@ -542,8 +542,37 @@ object SignalQueries {
            |       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS pos_ppm
            |FROM d CROSS JOIN rng GROUP BY 1""".stripMargin))
 
+  /** Flesch reading-ease per document (TextAnalysis.readability) —
+    * the classic complexity signal for quality bucketing, in exact
+    * integer micros (two integer divisions over three regex counts:
+    * words, sentence runs floored at 1, vowel runs), plus the
+    * conventional difficulty band CASE'd on the same integer. Pure
+    * narrow projections — one scan, zero shuffles. */
+  val t17Readability = NamedQuery(
+    "t17_readability",
+    (s, dir) => graft.ops.TextAnalysis.readability(
+      Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+           |           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+           |c AS (SELECT doc_id,
+           |        CAST(len(string_split(t, ' ')) AS BIGINT) AS words,
+           |        greatest(CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT), 1) AS sentences,
+           |        CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT) AS vowel_runs
+           |      FROM d),
+           |f AS (SELECT doc_id, words, sentences, vowel_runs,
+           |        206835000 - (1015000 * words) // sentences
+           |                  - (84600000 * vowel_runs) // words AS flesch_micro
+           |      FROM c WHERE words >= 1)
+           |SELECT doc_id, words, sentences, vowel_runs,
+           |       CAST(flesch_micro AS BIGINT) AS flesch_micro,
+           |       CASE WHEN flesch_micro >= 90000000 THEN 'very_easy'
+           |            WHEN flesch_micro >= 60000000 THEN 'standard'
+           |            WHEN flesch_micro >= 30000000 THEN 'difficult'
+           |            ELSE 'very_difficult' END AS band
+           |FROM f""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
-    t12Bm25, t13TfidfTerms, t14Textrank, t15Kappa, t16Calibration,
+    t12Bm25, t13TfidfTerms, t14Textrank, t15Kappa, t16Calibration, t17Readability,
     q87AnomalyDays, q88Ewma,
     q89RollingRange, q90Streaks, q91ValueFunctions, q92SlidingDistinct,
     q97TrendRegression, q98SlidingDistinctHll)

@@ -744,4 +744,26 @@ class DedupSpec extends SparkSpec {
     // and the uncapped audit is empty — the law's precondition holds
     assert(Dedup.prefixFilterOverflow(df, "doc_id", "text", 3, 50).isEmpty)
   }
+
+  test("noveltyScore: exact ppm of grams absent from the reference; too-short and all-known docs behave") {
+    import spark.implicits._
+    val ref = Seq((0L, "a b c d")).toDF("doc_id", "text") // grams: "a b", "b c", "c d"
+    val cand = Seq(
+      (1L, "a b c"),   // grams {a b, b c} — both known -> 0 ppm
+      (2L, "x y z"),   // grams {x y, y z} — both new -> 1000000 ppm
+      (3L, "a b x y"), // grams {a b, b x, x y} — 2 of 3 new -> 666666 ppm
+      (4L, "solo")     // < n tokens: no grams, dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyScore(cand, ref, "doc_id", "text", shingleN = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 0L, 0L),
+      (2L, 2L, 2L, 1000000L),
+      (3L, 3L, 2L, 666666L)), s"got $got")
+    // repeated grams score ONCE (distinct-set semantics, the d11 rule)
+    val rep = Seq((9L, "x y x y x y")).toDF("doc_id", "text")
+    val one = Dedup.noveltyScore(rep, ref, "doc_id", "text", shingleN = 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(one == ((9L, 2L, 2L, 1000000L)), s"got $one") // distinct set {x y, y x}
+  }
 }

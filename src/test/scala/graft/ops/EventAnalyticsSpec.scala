@@ -263,4 +263,28 @@ class EventAnalyticsSpec extends SparkSpec {
         gapSeconds = 1800L, segmentSeconds = 60L)
     }
   }
+
+  test("intervalOverlap: closed-interval semantics, key scoping, multi-bucket pairs collapse to one row") {
+    import spark.implicits._
+    val h = 3600000000L // 1h in micros
+    val a = Seq(
+      (1L, 10L, 0L, 2 * h),          // overlaps b20 (touching) and b21
+      (1L, 11L, 5 * h, 6 * h),       // disjoint from everything
+      (2L, 12L, 0L, 10 * h)          // key 2: long interval, many buckets
+    ).toDF("user_id", "iid", "s_us", "e_us")
+    val b = Seq(
+      (1L, 20L, 2 * h, 3 * h),       // touches a10 at exactly 2h -> overlap 0
+      (1L, 21L, h / 2, h),           // inside a10 -> overlap h/2
+      (2L, 22L, 4 * h, 12 * h),      // overlaps a12 across 7 shared buckets -> ONE row
+      (3L, 23L, 0L, 100 * h)         // key 3: never pairs with key 1/2
+    ).toDF("user_id", "iid", "s_us", "e_us")
+    val got = EventAnalytics.intervalOverlap(a, b, "user_id", "iid",
+        "s_us", "e_us", bucketSeconds = 3600L)
+      .select(col("user_id"), col("a_id"), col("b_id"), col("overlap_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 10L, 20L, 0L),       // closed intervals: touching endpoints meet
+      (1L, 10L, 21L, h / 2),
+      (2L, 12L, 22L, 6 * h)), s"got $got")
+  }
 }

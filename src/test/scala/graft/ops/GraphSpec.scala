@@ -507,4 +507,37 @@ class GraphSpec extends SparkSpec {
     assert(row.getLong(0) == 8L)
     assert(row.isNullAt(1))
   }
+
+  test("modularity: two cliques over a bridge — hand-computed q_num per community; trivial partition sums to 0") {
+    // the LPA fixture: m = 7, per clique m_c = 3, d_c = 2+2+3 = 7
+    //   q_num = 4·7·3 − 7² = 35 for each community
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val lbl = Graph.labelPropagation(e, rounds = 4)
+    val got = Graph.modularity(e, lbl)
+      .select(col("community"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"), col("q_num"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 3L, 7L, 35L), (3L, 3L, 3L, 7L, 35L)), s"got $got")
+    // Q = Σ 35 / (4·49) = 70/196 ≈ 0.357 — positive, denser than chance.
+    // Newman's null check: the all-in-one partition has Q exactly 0
+    // (m_c = m, d_c = 2m → 4m·m − 4m² = 0)
+    val one = e.select(col("u").as("node")).unionByName(
+        e.select(col("v").as("node"))).distinct()
+      .select(col("node"), lit(99L).as("community"))
+    val trivial = Graph.modularity(e, one)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(trivial == Seq((99L, 6L, 7L, 14L, 0L)), s"got $trivial")
+    // a community with NO intra edges contributes a pure −d_c² penalty
+    val anti = e.select(col("u").as("node")).unionByName(
+        e.select(col("v").as("node"))).distinct()
+      .select(col("node"), (col("node") % 2).as("community"))
+    val qs = Graph.modularity(e, anti)
+      .select(col("community"), col("q_num")).as[(Long, Long)].collect().toMap
+    // partition {2,4,6} / {1,3,5}: cross edges only except (1,3),(5,?)…
+    // hand check: intra(odd) = edges (1,3),(3,5)? (3,5) not an edge;
+    // odd intra = {(1,3)}; even intra = {(4,6)}; d_odd = 2+3+2 = 7,
+    // d_even = 2+3+2 = 7 → q = 4·7·1 − 49 = −21 each
+    assert(qs == Map(1L -> -21L, 0L -> -21L), s"got $qs")
+  }
 }

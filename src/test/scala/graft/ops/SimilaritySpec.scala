@@ -579,4 +579,35 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("single-row"))
   }
+
+  test("hardNegatives: nearest DIFFERENT-label neighbours only; self and same-label excluded; rank order total") {
+    // label 0: vecs 0, 1 (1 nearly parallel to 0); label 1: vecs 2, 3
+    // (2 parallel to 0 — the hard negative; 3 orthogonal)
+    val fix = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(1.0f, 0.05f), 1),
+      (3L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(fix, "vec_id", "embedding", "label",
+        nQueries = 1, k = 2)
+      .select(col("q_id"), col("vec_id"), col("neg_label"), col("rank"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // query = vec 0 (label 0): negatives ranked 2 (cos≈0.999) then 3
+    assert(got == Set((0L, 2L, 1L, 1L), (0L, 3L, 1L, 2L)), s"got $got")
+    // same-label vec 1 never appears even with a larger k
+    val all = Similarity.hardNegatives(fix, "vec_id", "embedding", "label",
+        nQueries = 1, k = 10)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(all == Set(2L, 3L), s"got $all")
+  }
+
+  test("hardNegatives: per-query top-k plans as WindowGroupLimit — rank filter pushed map-side, never a corpus sort") {
+    val fix = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.5f, 0.5f), 1),
+      (2L, Array(0.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val plan = Similarity.hardNegatives(fix, "vec_id", "embedding", "label",
+        nQueries = 2, k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }

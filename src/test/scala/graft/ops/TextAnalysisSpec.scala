@@ -628,4 +628,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("Scan ExistingRDD"), plan)
     assert("HashAggregate".r.findAllIn(plan).nonEmpty, plan)
   }
+
+  test("readability: hand-computed Flesch micros; sentence floor at 1; null text dropped; zero shuffles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("The cat sat. The dog ran!")), // W=6 S=2 V=6
+      (2L, Option("b c d")),                     // no punctuation -> S floors to 1; V=0
+      (3L, Option("banana banana.")),            // V/W = 3 -> deep negative score
+      (4L, Option.empty[String])                 // dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id", "text")
+    val got = out
+      .select(col("doc_id"), col("words"), col("sentences"),
+        col("vowel_runs"), col("flesch_micro"), col("band"))
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 6L, 2L, 6L, 206835000L - 3045000L - 84600000L, "very_easy"),
+      (2L, 3L, 1L, 0L, 206835000L - 3045000L, "very_easy"),
+      (3L, 2L, 1L, 6L, 206835000L - 2030000L - 253800000L, "very_difficult")),
+      s"got $got")
+    // narrow projections only: no Exchange anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
