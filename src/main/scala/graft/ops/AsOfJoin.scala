@@ -103,6 +103,52 @@ object AsOfJoin {
         .map(d => col(s"_match.$d").as(d)): _*)
   }
 
+  /** As-of NEAREST join — completes the direction family (backward
+    * q27 / forward q67): for each left row, whichever of the latest
+    * preceding and earliest following right row is CLOSER in time,
+    * ties preferring backward (the pandas merge_asof
+    * direction='nearest' shape, with the tie pinned rather than
+    * implementation-defined). `leftId` must uniquely identify left
+    * rows — the two directional passes are stitched back on it.
+    *
+    * Scale shape: one [[backward]] pass + one [[forward]] pass (each
+    * the one-shuffle union merge-scan, both keyed on `key`) + one
+    * leftId-keyed equi-join of two left-sized frames. No pair
+    * formation anywhere — the nearest pick is a per-row CASE over the
+    * two candidates' exact micro distances. */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightPayload: Map[String, String],
+      tiebreak: String,
+      leftId: String): DataFrame = {
+    def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val tsType = left.schema(ts).dataType
+    val bPay = rightPayload.map { case (s, d) => (s, s"${d}__b") } +
+      (ts -> "__b_ts")
+    val fPay = rightPayload.map { case (s, d) => (s, s"${d}__f") } +
+      (ts -> "__f_ts")
+    val b = backward(left, right, key, ts, bPay, tiebreak)
+    val f = forward(left.select(col(leftId), col(key), col(ts)),
+        right, key, ts, fPay, tiebreak)
+      .select(col(leftId) +: fPay.values.toSeq.sorted.map(col): _*)
+    val dB = micros(col(ts), tsType) - micros(col("__b_ts"), tsType)
+    val dF = micros(col("__f_ts"), tsType) - micros(col(ts), tsType)
+    val useB = col("__f_ts").isNull ||
+      (col("__b_ts").isNotNull && dB <= dF)
+    b.join(f, Seq(leftId))
+      .select(left.columns.toIndexedSeq.map(col) ++
+        rightPayload.values.toSeq.sorted.map(d =>
+          when(useB, col(s"${d}__b")).otherwise(col(s"${d}__f")).as(d)) :+
+        when(useB, col("__b_ts")).otherwise(col("__f_ts")).as("matched_ts"): _*)
+  }
+
   /** Column-level helper for callers composing their own plans. */
   def inclusiveBefore(leftTs: Column, rightTs: Column): Column = leftTs >= rightTs
 }

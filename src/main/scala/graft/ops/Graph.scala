@@ -1311,4 +1311,100 @@ object Graph {
         (lit(4L) * col("_m") * coalesce(col("intra_edges"), lit(0L)) -
           col("degree_sum") * col("degree_sum")).as("q_num"))
   }
+
+  /** Sampled, horizon-bounded BETWEENNESS centrality (Brandes 2001's
+    * dependency accumulation, restricted to shortest paths of length
+    * ≤ `radius` from the `sources` sample — the k-Betweenness /
+    * bounded-distance variant of Brandes & Pich 2007): who brokers
+    * the sample's short-range reach. Forward phase: level-synchronous
+    * BFS keyed (src, node) accumulating path counts
+    * σ(s,v) = Σ_{pred} σ(s,u); backward phase: dependency
+    * δ(v) = Σ_{succ w} σ(v)·(10⁶ + δ(w)) div σ(w), accumulated
+    * per-(v,w) in exact integer MICROS with one floor division per DAG
+    * edge (the harmonicCentrality quantization discipline — order-free
+    * because the per-edge terms are integers before the sum), so the
+    * oracle unrolls both phases cell-exact. Returns (node, bc_micro)
+    * summed over sources for every non-source node reached within the
+    * horizon (frontier-`radius` nodes carry their 0 — the horizon
+    * truncation is the contract, same R semantics as g14/g16/g17).
+    *
+    * Scale shape: per level one pinned shuffle-hash join of the 2m
+    * edge list against the (sources × n)-bounded frontier (build =
+    * frontier, the node-sized-build rule) + one (src, node) hash-agg +
+    * one anti-join against the visited set; backward mirrors it once
+    * per level. Sample size bounds everything linearly — this is the
+    * published answer to betweenness's inherent all-pairs cost.
+    * Overflow: σ·(10⁶+δ) binds when a node sits on ~2⁴³ shortest
+    * paths of one source — cap the sample's horizon before that (the
+    * linkPrediction documented-not-defended rule). */
+  def betweennessSampled(edges: DataFrame, sources: DataFrame,
+      radius: Int = 2): DataFrame = {
+    require(radius >= 2, s"radius must be >= 2, got $radius")
+    val ed = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint(true)
+    val l0 = sources.select(col("node").as("src"))
+      .distinct()
+      .select(col("src"), col("src").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    // forward: levels(k) = (src, node, sigma), disjoint across k per src
+    val levels = scala.collection.mutable.ArrayBuffer(l0)
+    var visited = l0.select(col("src"), col("node")).localCheckpoint(true)
+    for (_ <- 1 to radius) {
+      val next = ed
+        .join(levels.last.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
+        .select(col("src"), col("t").as("node"), col("sigma"))
+        .join(visited.hint("shuffle_hash"), Seq("src", "node"), "left_anti")
+        .groupBy(col("src"), col("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint(true)
+      levels += next
+      visited = visited.unionByName(next.select(col("src"), col("node")))
+        .localCheckpoint(true)
+    }
+    // backward: δ at the horizon is 0; level k folds its successors
+    var delta = levels(radius)
+      .select(col("src"), col("node"), col("sigma"), lit(0L).as("delta"))
+    var out = delta.select(col("src"), col("node"), col("delta"))
+    for (k <- (radius - 1) to 1 by -1) {
+      val succ = delta.select(col("src"), col("node").as("t"),
+        col("sigma").as("_sw"), col("delta").as("_dw"))
+      delta = levels(k)
+        .join(ed.join(succ.hint("shuffle_hash"), Seq("t"))
+            .select(col("src"), col("s").as("node"), col("_sw"), col("_dw")),
+          Seq("src", "node"), "left")
+        .groupBy(col("src"), col("node"))
+        .agg(first(col("sigma")).as("sigma"),
+          coalesce(sum(expr("(sigma * (1000000L + _dw)) div _sw")), lit(0L))
+            .as("delta"))
+        .localCheckpoint(true)
+      out = out.unionByName(delta.select(col("src"), col("node"), col("delta")))
+    }
+    out
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).as("bc_micro"))
+  }
+
+  /** EFFECTIVE DIAMETER (integer variant) off [[neighborhoodFunction]]'s
+    * curve: the smallest radius r with N(r) ≥ ⌈0.9 · N(maxRadius)⌉ —
+    * "how many hops cover 90% of the reach the horizon ever covers".
+    * The textbook estimator interpolates between radii; this is the
+    * non-interpolated integer variant (10·N(r) ≥ 9·N(R) — one exact
+    * long comparison per radius, no float threshold to diverge), with
+    * the horizon-relative denominator making the answer well-defined
+    * on disconnected graphs. Returns ONE row:
+    * (effective_diameter, nf_at_r, nf_max). Cost: g17's walk + a
+    * (maxRadius+1)-row fold — nothing new moves. */
+  def effectiveDiameter(edges: DataFrame, maxRadius: Int = 3,
+      p: Int = 4): DataFrame = {
+    val nf = neighborhoodFunction(edges, maxRadius, p).localCheckpoint(true)
+    val top = nf.agg(max(when(col("radius") === maxRadius.toLong,
+      col("nf_x1e6"))).as("_nfmax"))
+    nf.crossJoin(broadcast(top))
+      .where(lit(10L) * col("nf_x1e6") >= lit(9L) * col("_nfmax"))
+      .orderBy(col("radius"))
+      .limit(1)
+      .select(col("radius").as("effective_diameter"),
+        col("nf_x1e6").as("nf_at_r"), col("_nfmax").as("nf_max"))
+  }
 }

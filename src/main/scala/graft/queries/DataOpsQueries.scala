@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Relevance, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Ranking, Relevance, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal columns) over the documents/embeddings tables.
@@ -3151,6 +3151,56 @@ object DataOpsQueries {
            |FROM cand c LEFT JOIN ref r ON c.gram = r.gram
            |GROUP BY 1""".stripMargin))
 
+  /** Rank-fusion quality ensemble (Ranking.rankEnsemble): three weak
+    * per-doc quality signals — the t02 heuristic score, distinct-token
+    * ratio, and raw length — vote by exact mean rank into ONE keep
+    * order, the multi-filter combination step of curation recipes
+    * (each signal alone is gameable; the fused rank is robust to any
+    * one signal's scale because only ranks fuse). Every rank is a
+    * scale-safe two-phase global sort (no unpartitioned window); all
+    * four rank columns and the milli mean are oracle-checked
+    * hash-exact. */
+  val d73QualityEnsemble = NamedQuery(
+    "d73_quality_ensemble",
+    (s, dir) => {
+      val t = col("text")
+      Ranking.rankEnsemble(Tables.documents(s, dir), "doc_id", Seq(
+        "quality" -> TextAnalysis.qualityScore(t,
+          TextAnalysis.whitespaceTokenCount(t), TextAnalysis.punctCount(t)),
+        "uniq" -> expr(
+          "(1000000L * size(array_distinct(split(text, ' ')))) div size(split(text, ' '))"),
+        "chars" -> col("n_chars").cast("long")))
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id, text, n_chars,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+           |         CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+           |              ELSE CAST(list_sum(list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+           |                   / CAST(len(string_split(text, ' ')) AS BIGINT) END AS mean_tok_len,
+           |         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'is'))) AS BIGINT) AS en_hits
+           |  FROM documents),
+           |sg AS (SELECT doc_id,
+           |         CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END
+           |          + CASE WHEN n_punct * 10 <= length(text) THEN 1 ELSE 0 END
+           |          + CASE WHEN en_hits > 0 THEN 1 ELSE 0 END
+           |          + CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS BIGINT) AS sq,
+           |         (1000000 * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT))
+           |           // CAST(len(string_split(text, ' ')) AS BIGINT) AS su,
+           |         CAST(n_chars AS BIGINT) AS sc
+           |       FROM m),
+           |r AS (SELECT doc_id,
+           |        CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS BIGINT) AS rank_quality,
+           |        CAST(row_number() OVER (ORDER BY su DESC, doc_id) AS BIGINT) AS rank_uniq,
+           |        CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS rank_chars
+           |      FROM sg),
+           |w AS (SELECT doc_id, rank_quality, rank_uniq, rank_chars,
+           |        CAST((rank_quality + rank_uniq + rank_chars) * 1000 // 3 AS BIGINT) AS mean_rank_milli
+           |      FROM r)
+           |SELECT doc_id, rank_quality, rank_uniq, rank_chars, mean_rank_milli,
+           |       CAST(row_number() OVER (ORDER BY mean_rank_milli, doc_id) AS BIGINT) AS ensemble_rank
+           |FROM w""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -3170,6 +3220,7 @@ object DataOpsQueries {
     d61Containment, d62MmrRerank, d63ClusterSample, d64VocabCoverage,
     d65Boilerplate, d66HybridRrf, d67IvfPqRefine, d68RobustScale,
     d69FeatureHash, d70PrefixJoin, d71HardNegatives, d72Novelty,
+    d73QualityEnsemble,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -869,6 +869,87 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |         - dc.degree_sum * dc.degree_sum AS q_num
             |FROM degc dc LEFT JOIN intra i USING (community) CROSS JOIN mm""".stripMargin))
 
+  /** Sampled horizon-2 betweenness from the 3 lowest-id parts
+    * (Graph.betweennessSampled): which parts broker the sample's
+    * 2-hop shortest paths — the brokerage centrality the degree/PR
+    * family cannot see (a low-degree node bridging two hubs scores
+    * high here, low everywhere else). Both Brandes phases unroll in
+    * the oracle: σ by level-synchronous path counting, δ by the
+    * per-DAG-edge integer-micros fold — every dependency cell
+    * hash-exact. */
+  val g22Betweenness = NamedQuery(
+    "g22_betweenness",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+        .localCheckpoint(true) // feeds the source pick AND both phases
+      val src = Graph.degrees(e).select(col("node"))
+        .orderBy(col("node")).limit(3)
+      Graph.betweennessSampled(e, src, radius = 2)
+        .select(col("node").cast("long").as("node"), col("bc_micro"))
+    },
+    Some(s"""WITH $edgeCte,
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
+            |dgm AS MATERIALIZED (SELECT node, d FROM deg),
+            |sd AS (SELECT node FROM dgm ORDER BY node LIMIT 3),
+            |l0 AS MATERIALIZED (SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma FROM sd),
+            |l1 AS MATERIALIZED (
+            |  SELECT l0.src, edm.t AS node, CAST(SUM(l0.sigma) AS BIGINT) AS sigma
+            |  FROM edm JOIN l0 ON edm.s = l0.node
+            |  WHERE NOT EXISTS (SELECT 1 FROM l0 v
+            |                    WHERE v.src = l0.src AND v.node = edm.t)
+            |  GROUP BY 1, 2),
+            |l2 AS MATERIALIZED (
+            |  SELECT l1.src, edm.t AS node, CAST(SUM(l1.sigma) AS BIGINT) AS sigma
+            |  FROM edm JOIN l1 ON edm.s = l1.node
+            |  WHERE NOT EXISTS (SELECT 1 FROM l0 v
+            |                    WHERE v.src = l1.src AND v.node = edm.t)
+            |    AND NOT EXISTS (SELECT 1 FROM l1 v
+            |                    WHERE v.src = l1.src AND v.node = edm.t)
+            |  GROUP BY 1, 2),
+            |d1 AS (
+            |  SELECT l1.src, l1.node,
+            |         CAST(COALESCE(SUM((l1.sigma * 1000000) // l2.sigma), 0) AS BIGINT) AS delta
+            |  FROM l1
+            |  LEFT JOIN edm ON edm.s = l1.node
+            |  LEFT JOIN l2 ON l2.src = l1.src AND l2.node = edm.t
+            |  GROUP BY 1, 2),
+            |alld AS (SELECT src, node, delta FROM d1
+            |         UNION ALL SELECT src, node, CAST(0 AS BIGINT) AS delta FROM l2)
+            |SELECT CAST(node AS BIGINT) AS node,
+            |       CAST(SUM(delta) AS BIGINT) AS bc_micro
+            |FROM alld GROUP BY 1""".stripMargin))
+
+  /** Effective diameter (integer variant) of the co-purchase graph off
+    * g17's neighbourhood-function curve: the smallest radius covering
+    * 90% of horizon reach (Graph.effectiveDiameter) — the dataset-card
+    * "how many hops is this graph, really" single number. One extra
+    * bounded fold on the walk both g14 and g17 already certify. */
+  val g23EffDiameter = NamedQuery(
+    "g23_effective_diameter",
+    (s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+      Graph.effectiveDiameter(e, maxRadius = hbRadius, p = 4)
+    },
+    Some(s"""WITH $edgeCte,
+            |edm AS MATERIALIZED (SELECT s, t FROM ed),
+            |r0 AS MATERIALIZED (
+            |  SELECT node, hp & 15 AS reg,
+            |         CASE WHEN (hp >> 4) = 0 THEN 49
+            |              ELSE 49 - length(bin(hp >> 4)) END AS M
+            |  FROM (SELECT node, md5_number_upper(CAST(node AS VARCHAR))
+            |                     & ((1::BIGINT << 52) - 1) AS hp
+            |        FROM deg)),
+            |$hbUnrolled,
+            |nf AS (${(0 to hbRadius).map(nfRoundSql).mkString("\nUNION ALL\n")}),
+            |mx AS (SELECT nf_x1e6 AS nfmax FROM nf WHERE radius = $hbRadius)
+            |SELECT radius AS effective_diameter, nf_x1e6 AS nf_at_r,
+            |       mx.nfmax AS nf_max
+            |FROM nf CROSS JOIN mx
+            |WHERE 10 * nf_x1e6 >= 9 * mx.nfmax
+            |ORDER BY radius LIMIT 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
@@ -876,5 +957,5 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
     g11PersonalizedPr, g12LabelCommunities, g13RandomWalks,
     g14NeighborhoodHll, g15KTruss, g16BfsDistances,
     g17NeighborhoodFunction, g18Assortativity, g19Sssp, g20Harmonic,
-    g21Modularity)
+    g21Modularity, g22Betweenness, g23EffDiameter)
 }

@@ -372,6 +372,38 @@ object RelationalQueries {
            |SELECT p.event_id, p.user_id, o.event_id AS next_event_id, o.event_type AS next_type
            |FROM p ASOF LEFT JOIN o ON p.user_id = o.user_id AND p.ts <= o.ts""".stripMargin))
 
+  /** As-of join, NEAREST direction (AsOfJoin.nearest) — completes the
+    * family (q27 backward / q67 forward): each purchase picks whichever
+    * neighbouring non-purchase event of the same user is closer in
+    * time, ties preferring backward. Two one-shuffle directional
+    * passes stitched on the unique event id; the pick is a per-row
+    * CASE over exact micro distances. The oracle runs the honest
+    * argmin (row_number over abs distance, backward-first, max-id —
+    * the engine's equal-ts carry order). */
+  val q114AsofNearest = NamedQuery(
+    "q114_asof_nearest",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+      val others = ev.where(col("event_type") =!= "purchase")
+      AsOfJoin.nearest(purchases, others, key = "user_id", ts = "ts",
+          rightPayload = Map("event_id" -> "near_event_id", "event_type" -> "near_type"),
+          tiebreak = "event_id", leftId = "event_id")
+        .select(col("event_id"), col("user_id"), col("near_event_id"),
+          col("near_type"), col("matched_ts").as("near_ts"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           |c AS (SELECT event_id AS c_id, event_type AS c_type, user_id, ts AS c_ts
+           |      FROM events WHERE event_type <> 'purchase'),
+           |j AS (SELECT p.event_id, p.user_id, c.c_id, c.c_type, c.c_ts,
+           |        row_number() OVER (PARTITION BY p.event_id
+           |          ORDER BY abs(epoch_us(p.ts) - epoch_us(c.c_ts)),
+           |                   (c.c_ts > p.ts), c.c_id DESC) AS rn
+           |      FROM p LEFT JOIN c ON p.user_id = c.user_id)
+           |SELECT event_id, user_id, c_id AS near_event_id, c_type AS near_type,
+           |       c_ts AS near_ts
+           |FROM j WHERE rn = 1""".stripMargin))
+
   /** Forward fill / LOCF (ops/EventAnalytics.forwardFill): a
     * deterministic third of event values is blanked, then repaired with
     * the latest preceding observation per user — the sensor-dropout
@@ -627,5 +659,6 @@ object RelationalQueries {
     q20GroupingSets, q21SetOps, q22Distinct, q23StringFuncs, q24DateFuncs,
     q25CaseMath, q26CorrelatedSubq, q27AsofJoin, q28Tumbling, q29Sessionize,
     q40WindowNav, q41ArrayAgg, q42MultiDistinct, q43NullGroup, q46RangeFrame,
-    q47DateSpine, q48NullAwareAnti, q67AsofForward, q69ForwardFill)
+    q47DateSpine, q48NullAwareAnti, q67AsofForward, q69ForwardFill,
+    q114AsofNearest)
 }

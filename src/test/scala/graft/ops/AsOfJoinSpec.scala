@@ -85,4 +85,33 @@ class AsOfJoinSpec extends SparkSpec {
         s"$dir matched a NULL-ts left row: ${r.mkString}")
     }
   }
+
+  test("nearest as-of: closer side wins, exact tie prefers backward, one-sided and unmatched rows behave") {
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")), // back 09:57 (3m), fwd 10:02 (2m) -> forward
+      (101L, 1L, ts("2024-01-01 12:00:00")), // back 11:58 (2m), fwd 12:02 (2m) -> tie -> backward
+      (102L, 2L, ts("2024-01-01 09:00:00")), // only forward exists
+      (103L, 3L, ts("2024-01-01 09:00:00")), // only backward exists
+      (104L, 4L, ts("2024-01-01 09:00:00"))  // no right rows at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (200L, 1L, ts("2024-01-01 09:57:00"), "a"),
+      (201L, 1L, ts("2024-01-01 10:02:00"), "b"),
+      (202L, 1L, ts("2024-01-01 11:58:00"), "c"),
+      (203L, 1L, ts("2024-01-01 12:02:00"), "d"),
+      (204L, 2L, ts("2024-01-01 09:30:00"), "e"),
+      (205L, 3L, ts("2024-01-01 08:30:00"), "f")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = AsOfJoin.nearest(left, right, "user_id", "ts",
+        Map("event_id" -> "near_id", "event_type" -> "near_type"),
+        tiebreak = "event_id", leftId = "event_id")
+      .select("event_id", "near_id", "near_type")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got(100L) == ((Some(201L), Some("b"))), s"got ${got(100L)}")
+    assert(got(101L) == ((Some(202L), Some("c"))), s"got ${got(101L)}")
+    assert(got(102L) == ((Some(204L), Some("e"))), s"got ${got(102L)}")
+    assert(got(103L) == ((Some(205L), Some("f"))), s"got ${got(103L)}")
+    assert(got(104L) == ((None, None)), s"got ${got(104L)}")
+  }
 }

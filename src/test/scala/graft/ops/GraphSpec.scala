@@ -540,4 +540,34 @@ class GraphSpec extends SparkSpec {
     // d_even = 2+3+2 = 7 → q = 4·7·1 − 49 = −21 each
     assert(qs == Map(1L -> -21L, 0L -> -21L), s"got $qs")
   }
+
+  test("betweennessSampled: path graph and diamond reproduce Brandes dependencies in exact micros") {
+    // path 1-2-3-4-5, src {1}: level1 = {2} (σ=1), level2 = {3} (σ=1)
+    // δ(2) = σ2·(10⁶ + δ3)/σ3 = 10⁶; δ(3) = 0 at the horizon
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val src1 = Seq(1L).toDF("node")
+    val got = Graph.betweennessSampled(path, src1, radius = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1000000L, 3L -> 0L), s"got $got")
+    // diamond 1-2, 1-3, 2-4, 3-4, src {1}: σ(4) = 2 via two middles;
+    // δ(2) = δ(3) = 1·(10⁶+0)/2 = 500000 — the split-dependency case
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val gotD = Graph.betweennessSampled(diamond, src1, radius = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(gotD == Map(2L -> 500000L, 3L -> 500000L, 4L -> 0L), s"got $gotD")
+    // two sources on the path accumulate: src {1, 5} -> nodes 2 and 4
+    // each broker one source's reach
+    val got2 = Graph.betweennessSampled(path, Seq(1L, 5L).toDF("node"), radius = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(2L -> 1000000L, 4L -> 1000000L, 3L -> 0L), s"got $got2")
+  }
+
+  test("effectiveDiameter: a triangle saturates at radius 1; the answer meets the 90% rule by construction") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val row = Graph.effectiveDiameter(tri, maxRadius = 2).head()
+    assert(row.getLong(0) == 1L, s"got $row") // 1-ball already = whole graph
+    assert(row.getLong(1) == row.getLong(2), s"got $row") // nf saturated
+    // contract: the reported radius satisfies 10·nf_at_r >= 9·nf_max
+    assert(10L * row.getLong(1) >= 9L * row.getLong(2))
+  }
 }

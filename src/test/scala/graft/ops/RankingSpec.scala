@@ -163,4 +163,36 @@ class RankingSpec extends SparkSpec {
       .orderBy(col("ord")).collect().map(_.getAs[Long]("run")).toSeq
     assert(gotPlain == Seq(0L, 5L))
   }
+
+  test("rankEnsemble: hand-computed mean ranks; ties broken by id; distinct signal names enforced") {
+    import spark.implicits._
+    // signals higher-is-better: a = (30, 10, 20), b = (1, 3, 2) on ids 1..3
+    val df = Seq((1L, 30L, 1L), (2L, 10L, 3L), (3L, 20L, 2L))
+      .toDF("id", "sa", "sb")
+    val got = Ranking.rankEnsemble(df, "id",
+        Seq("a" -> col("sa"), "b" -> col("sb")))
+      .select(col("id"), col("rank_a"), col("rank_b"),
+        col("mean_rank_milli"), col("ensemble_rank"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // ranks a: id1=1, id3=2, id2=3; ranks b: id2=1, id3=2, id1=3
+    // means (milli): id1 (1+3)*1000/2=2000, id2 2000, id3 2000 — all tie,
+    // ensemble order falls back to id
+    assert(got == Set(
+      (1L, 1L, 3L, 2000L, 1L),
+      (2L, 3L, 1L, 2000L, 2L),
+      (3L, 2L, 2L, 2000L, 3L)), s"got $got")
+    // a decisive corpus: signal b flipped so both agree
+    val df2 = Seq((1L, 30L, 3L), (2L, 10L, 1L), (3L, 20L, 2L))
+      .toDF("id", "sa", "sb")
+    val e2 = Ranking.rankEnsemble(df2, "id",
+        Seq("a" -> col("sa"), "b" -> col("sb")))
+      .select(col("id"), col("ensemble_rank")).as[(Long, Long)].collect().toMap
+    assert(e2 == Map(1L -> 1L, 3L -> 2L, 2L -> 3L), s"got $e2")
+    intercept[IllegalArgumentException] {
+      Ranking.rankEnsemble(df, "id", Seq("a" -> col("sa"), "a" -> col("sb")))
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.rankEnsemble(df, "id", Seq("a" -> col("sa")))
+    }
+  }
 }
