@@ -1201,4 +1201,76 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Johnson–Lindenstrauss random projection to `rDim` dimensions via
+    * the deterministic Rademacher ±1 plane matrix ([[planeMatrix]] —
+    * the Achlioptas 2003 database-friendly JL variant; SRP d07 is its
+    * 1-BIT truncation): out_j = ⟨quantize(e), plane_j⟩ — a dot of
+    * exact longs with ±1 literals, so every output coordinate is an
+    * EXACT integer and the oracle replays the matrix from the md5
+    * parity. The dimensionality-reduction preprocessing step in front
+    * of clustering/ANN at scale (distances distort by ≤ ε w.h.p. at
+    * rDim = O(ln n/ε²), and downstream pair work drops dim/rDim-fold).
+    *
+    * Scale shape: a pure narrow projection — the plane matrix ships as
+    * a literal (computed ONCE on the driver, the planeMatrix rule), no
+    * shuffle, no state; partitioning passes through untouched. */
+  def jlProject(embeddings: DataFrame, idCol: String, embCol: String,
+      rDim: Int): DataFrame = {
+    require(rDim >= 1 && rDim <= 64, s"rDim must be in [1, 64], got $rDim")
+    val dim = embeddingDim(embeddings, embCol)
+    val planes = planeMatrix(rDim, dim)
+    val e = quantize(col(embCol))
+    val outs = planes.zipWithIndex.map { case (row, j) =>
+      (0 until dim).map(d =>
+          element_at(e, d + 1) * lit(row(d)))
+        .reduce(_ + _).cast("long").as(s"p$j")
+    }
+    embeddings.select(col(idCol) +: outs: _*)
+  }
+
+  /** kNN LABEL PROBE — the standard embedding-quality evaluation
+    * (does the space cluster by label?): for each of the first
+    * `nQueries` vectors by id, predict its label as the MAJORITY label
+    * of its `k` nearest other vectors (ties: higher vote count, then
+    * smaller label — a total order), and report per query the true
+    * label, the prediction, and the winning vote count. The confusion
+    * this table folds into is the go/no-go gate before trusting the
+    * embedding column for SemDeDup/clustering decisions.
+    *
+    * Scale shape: [[hardNegatives]]' scan — queries broadcast, corpus
+    * read once, per-query top-k as WindowGroupLimit (map-side rank
+    * pushdown) — then a ≤ nQueries·k-row vote aggregate. The argmax is
+    * the min-struct fold (no second window). */
+  def knnLabelProbe(embeddings: DataFrame, idCol: String, embCol: String,
+      labelCol: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    require(nQueries >= 1 && nQueries <= 64,
+      s"nQueries must be in [1, 64], got $nQueries")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = embeddings
+      .select(col(idCol), quantize(col(embCol)).as("_e"),
+        col(labelCol).cast("long").as("_lbl"))
+      .select(col(idCol), col("_e"), col("_lbl"), norm(col("_e")).as("_n"))
+    val qs = broadcast(base
+      .orderBy(col(idCol)).limit(nQueries)
+      .select(col(idCol).as("q_id"), col("_e").as("_qe"),
+        col("_lbl").as("true_label"), col("_n").as("_qn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("_nid"))
+    val neighbours = base
+      .join(qs, col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col("true_label"), col(idCol).as("_nid"),
+        col("_lbl").as("_nlbl"),
+        (dot(col("_e"), col("_qe")) / (col("_n") * col("_qn"))).as("cos_sim"))
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k)
+    neighbours
+      .groupBy(col("q_id"), col("true_label"), col("_nlbl"))
+      .agg(count(lit(1)).as("_votes"))
+      .groupBy(col("q_id"), col("true_label"))
+      .agg(min(struct((-col("_votes")).as("_nv"), col("_nlbl").as("_l")))
+        .as("_m"))
+      .select(col("q_id"), col("true_label"),
+        col("_m._l").as("predicted_label"), (-col("_m._nv")).as("votes"))
+  }
 }

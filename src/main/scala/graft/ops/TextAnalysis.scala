@@ -264,6 +264,57 @@ object TextAnalysis {
           (col("n_bigrams").cast("double") * 1e9), 6).as("xent"))
   }
 
+  /** Per-doc TRIGRAM cross-entropy under the corpus's own add-1
+    * trigram LM — [[docCrossEntropy]]'s order-3 upgrade (a bigram LM
+    * forgives any locally-plausible word salad; the trigram history
+    * (w1, w2) is the standard next step of the perplexity-filter
+    * ladder): xent3 = mean over trigram positions of
+    * −ln((c(w1w2w3)+1)/(c(w1w2)+V)), with the history count
+    * c(w1w2) = Σ_w3 c(w1w2w3) (the conditional's own margin) and V the
+    * LM's token vocabulary. Same determinism ladder as d28: every
+    * count is an exact long, each position's −ln quantizes to integer
+    * NANOS before the per-doc sum (float Σ would be order-dependent),
+    * and the final mean is one IEEE division rounded 6.
+    *
+    * Scale shape: one corpus explode feeds both the trigram hash-agg
+    * and the per-doc join (identical filter sets on both branches — the
+    * q83/bigramAgg exchange-reuse rule); history counts hang off the
+    * trigram agg (no second corpus pass); V is a one-row broadcast.
+    * Self-trained, so every doc trigram exists in the model and the
+    * model join is inner. */
+  def trigramCrossEntropy(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val triples = arrays_zip(
+      slice(toks, lit(1), size(toks) - 2).as("w1"),
+      slice(toks, lit(2), size(toks) - 2).as("w2"),
+      slice(toks, lit(3), size(toks) - 2).as("w3"))
+    val docTris = docs
+      .where(col(textCol).isNotNull && size(toks) >= 3)
+      .select(col(idCol), explode(triples).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+      .where(col("w1").isNotNull && col("w2").isNotNull && col("w3").isNotNull)
+    val c3 = docTris.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n_tri"))
+    val c2 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("n_tri")).as("n_hist"))
+    val model = c3.join(c2, Seq("w1", "w2"))
+    val v = broadcast(
+      c3.select(col("w1").as("t")).union(c3.select(col("w2").as("t")))
+        .union(c3.select(col("w3").as("t")))
+        .agg(countDistinct(col("t")).as("v")))
+    val nanos = round(
+      -log((col("n_tri") + lit(1L)).cast("double") /
+        (col("n_hist") + col("v")).cast("double")) * 1e9, 0).cast("long")
+    docTris.join(model, Seq("w1", "w2", "w3")).crossJoin(v)
+      .select(col(idCol), nanos.as("_nanos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("_nanos")).as("_s"))
+      .select(col(idCol), col("n_trigrams"),
+        round(col("_s").cast("double") /
+          (col("n_trigrams").cast("double") * 1e9), 6).as("xent3"))
+  }
+
   /** Corpus vocabulary of the `size` most frequent terms, ids assigned
     * 1..size by (count desc, term asc) — deterministic under ties, so
     * the id map is reproducible across runs and engines. Scale shape:

@@ -3201,6 +3201,105 @@ object DataOpsQueries {
            |       CAST(row_number() OVER (ORDER BY mean_rank_milli, doc_id) AS BIGINT) AS ensemble_rank
            |FROM w""".stripMargin))
 
+  /** Clipped n-gram precision verify (Dedup.ngramPrecisionVerify) on
+    * d15's minhash candidate pairs at n = 2 — the BLEU-style MULTISET
+    * overlap the distinct-set verifies (d15 Jaccard, d61 containment)
+    * cannot see: occurrences count, capped at the reference's own
+    * multiplicity. Both direction precisions in exact ppm. */
+  val d74NgramPrecision = NamedQuery(
+    "d74_ngram_precision",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minEstJaccard = 0.0)
+      Dedup.ngramPrecisionVerify(docs, "doc_id", "text", pairs, shingleN = 2)
+    },
+    Some(s"""WITH $minhashSigCte,
+            |bands AS (
+            |  SELECT doc_id, b AS band,
+            |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket
+            |  FROM sig CROSS JOIN generate_series(0, 3) bb(b)),
+            |bc AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            |  JOIN bc ON a.band = bc.band AND a.bucket = bc.bucket),
+            |g2 AS (SELECT doc_id, unnest(list_transform(
+            |         generate_series(1, len(toks) - 1),
+            |         i -> toks[i] || ' ' || toks[i+1])) AS gram
+            |       FROM t WHERE len(toks) >= 2),
+            |gc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+            |       FROM g2 GROUP BY 1, 2),
+            |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nt FROM gc GROUP BY 1),
+            |cl AS (SELECT cand.doc_a, cand.doc_b,
+            |              CAST(SUM(least(ga.c, gb.c)) AS BIGINT) AS n_clip
+            |       FROM cand JOIN gc ga ON ga.doc_id = cand.doc_a
+            |                 JOIN gc gb ON gb.doc_id = cand.doc_b AND gb.gram = ga.gram
+            |       GROUP BY 1, 2)
+            |SELECT cand.doc_a, cand.doc_b,
+            |       COALESCE(cl.n_clip, 0) AS n_clip, ta.nt AS n_a, tb.nt AS n_b,
+            |       (1000000 * COALESCE(cl.n_clip, 0)) // ta.nt AS prec_a_ppm,
+            |       (1000000 * COALESCE(cl.n_clip, 0)) // tb.nt AS prec_b_ppm
+            |FROM cand
+            |LEFT JOIN cl ON cl.doc_a = cand.doc_a AND cl.doc_b = cand.doc_b
+            |JOIN tot ta ON ta.doc_id = cand.doc_a
+            |JOIN tot tb ON tb.doc_id = cand.doc_b""".stripMargin))
+
+  /** Johnson–Lindenstrauss projection to 8 dims (Similarity.jlProject):
+    * exact integer output coordinates from the md5-parity Rademacher
+    * matrix — the deterministic dimensionality-reduction front end for
+    * clustering/ANN, oracle-replayed plane by plane. */
+  val d75JlProjection = NamedQuery(
+    "d75_jl_projection",
+    (s, dir) => Similarity.jlProject(
+      Tables.embeddings(s, dir), "vec_id", "embedding", rDim = 8),
+    Some {
+      val cols = (0 until 8).map { j =>
+        s"""CAST(list_sum(list_transform(generate_series(1, len(e)),
+           |  d -> e[d] * (CASE WHEN md5_number_upper('srp:' || $j || ':' || (d - 1)) & 1 = 1
+           |               THEN 1.0 ELSE -1.0 END))) AS BIGINT) AS p$j""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |                                         x -> round(x * 1000)) AS e
+         |           FROM embeddings)
+         |SELECT vec_id,
+         |$cols
+         |FROM q""".stripMargin
+    })
+
+  /** kNN label probe (Similarity.knnLabelProbe): majority label of the
+    * 5 nearest neighbours for the first 20 vectors — the embedding-
+    * quality go/no-go before trusting the space for SemDeDup or
+    * clustering. Argmax ties pin (votes desc, label asc); every row
+    * oracle-checked hash-exact. */
+  val d76KnnProbe = NamedQuery(
+    "d76_knn_probe",
+    (s, dir) => Similarity.knnLabelProbe(
+      Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+      nQueries = 20, k = 5),
+    Some("""WITH quant AS (
+           |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+           |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000)) AS e
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, label, e,
+           |             sqrt(list_dot_product(e, e)) AS nrm FROM quant),
+           |q AS (SELECT vec_id AS q_id, label AS true_label, e AS qe, nrm AS qn
+           |      FROM n ORDER BY vec_id LIMIT 20),
+           |sc AS (SELECT q.q_id, q.true_label, n.vec_id, n.label AS nlbl,
+           |              list_dot_product(n.e, q.qe) / (n.nrm * q.qn) AS cos_sim
+           |       FROM n CROSS JOIN q WHERE n.vec_id <> q.q_id),
+           |nb AS (SELECT * FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY q_id
+           |                     ORDER BY cos_sim DESC, vec_id) AS rk FROM sc)
+           |       WHERE rk <= 5),
+           |vt AS (SELECT q_id, true_label, nlbl, CAST(COUNT(*) AS BIGINT) AS votes
+           |       FROM nb GROUP BY 1, 2, 3)
+           |SELECT q_id, true_label, nlbl AS predicted_label, votes
+           |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           |        ORDER BY votes DESC, nlbl) AS rn FROM vt)
+           |WHERE rn = 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     d01DedupExact, d02MinhashSignatures, d03MinhashPairs, d04Simhash,
     d05NgramJaccard, d06CosineTopK, d07AnnLsh, d08EmbeddingNeardup,
@@ -3220,7 +3319,7 @@ object DataOpsQueries {
     d61Containment, d62MmrRerank, d63ClusterSample, d64VocabCoverage,
     d65Boilerplate, d66HybridRrf, d67IvfPqRefine, d68RobustScale,
     d69FeatureHash, d70PrefixJoin, d71HardNegatives, d72Novelty,
-    d73QualityEnsemble,
+    d73QualityEnsemble, d74NgramPrecision, d75JlProjection, d76KnnProbe,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

@@ -571,8 +571,40 @@ object SignalQueries {
            |            ELSE 'very_difficult' END AS band
            |FROM f""".stripMargin))
 
+  /** Trigram-LM cross-entropy per doc
+    * (TextAnalysis.trigramCrossEntropy) — the order-3 upgrade of d28's
+    * bigram perplexity filter, with history counts as the trigram
+    * table's own margin. Every position's −ln quantizes to integer
+    * nanos before the per-doc mean (the d28 ladder), so all three
+    * columns are oracle-checked hash-exact. */
+  val t18TrigramLm = NamedQuery(
+    "t18_trigram_lm",
+    (s, dir) => graft.ops.TextAnalysis.trigramCrossEntropy(
+      Tables.documents(s, dir), "doc_id", "text"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |           WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+           |b AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+           |             unnest(toks[2:len(toks)-1]) AS w2,
+           |             unnest(toks[3:len(toks)]) AS w3 FROM t),
+           |c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n_tri
+           |       FROM b GROUP BY 1, 2, 3),
+           |m AS (SELECT w1, w2, w3, n_tri,
+           |             CAST(SUM(n_tri) OVER (PARTITION BY w1, w2) AS BIGINT) AS n_hist
+           |      FROM c3),
+           |v AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
+           |        SELECT w1 AS tk FROM c3 UNION SELECT w2 FROM c3
+           |        UNION SELECT w3 FROM c3)),
+           |n AS (SELECT b.doc_id,
+           |             CAST(round(-ln((m.n_tri + 1)
+           |                            / CAST(m.n_hist + v.v AS DOUBLE)) * 1e9) AS BIGINT) AS nanos
+           |      FROM b JOIN m USING (w1, w2, w3) CROSS JOIN v)
+           |SELECT doc_id, COUNT(*) AS n_trigrams,
+           |       round(CAST(SUM(nanos) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e9), 6) AS xent3
+           |FROM n GROUP BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     t12Bm25, t13TfidfTerms, t14Textrank, t15Kappa, t16Calibration, t17Readability,
+    t18TrigramLm,
     q87AnomalyDays, q88Ewma,
     q89RollingRange, q90Streaks, q91ValueFunctions, q92SlidingDistinct,
     q97TrendRegression, q98SlidingDistinctHll)

@@ -766,4 +766,32 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     assert(one == ((9L, 2L, 2L, 1000000L)), s"got $one") // distinct set {x y, y x}
   }
+
+  test("ngramPrecisionVerify: multiset clipping counts repeats, capped at the reference's multiplicity") {
+    import spark.implicits._
+    // doc 1 repeats "a b" 3x (grams: a b, b a, a b, b a, a b);
+    // doc 2 has it once (grams: a b, b c); doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.ngramPrecisionVerify(docs, "doc_id", "text", pairs,
+        shingleN = 2)
+      .select(col("doc_a"), col("doc_b"), col("n_clip"), col("n_a"),
+        col("n_b"), col("prec_a_ppm"), col("prec_b_ppm"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // pair (1,2): shared gram "a b": min(3, 1) = 1 -> clip 1 of 5 vs 1 of 2
+    // pair (1,3): nothing shared -> 0 (left-join survival, the d15 rule)
+    assert(got == Set(
+      (1L, 2L, 1L, 5L, 2L, 200000L, 500000L),
+      (1L, 3L, 0L, 5L, 2L, 0L, 0L)), s"got $got") // doc 3: 2 bigram slots
+    // distinct-set Jaccard cannot tell the 3x repeat from 1x — the
+    // clipped precision is the signal this op adds
+    val j = Dedup.verifyJaccard(docs, "doc_id", "text", pairs, shingleN = 2)
+      .where(col("doc_a") === 1L && col("doc_b") === 2L)
+      .select(col("n_shared")).as[Long].head()
+    assert(j == 1L) // sets: {a b, b a} ∩ {a b, b c} = {a b}
+    spark.catalog.clearCache() // verifyJaccard pins its pair set
+  }
 }

@@ -610,4 +610,43 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("jlProject: exact integer coordinates, sign pattern from the shared plane matrix, zero shuffles") {
+    val fix = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(-1.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.jlProject(fix, "vec_id", "embedding", rDim = 4)
+    val planes = Similarity.planeMatrix(4, 2)
+    val got = out.collect().map(r =>
+      r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+    // quantized vecs: (1000, 2000) and (-1500, 500); out_j = Σ e_d·±1
+    def proj(e: Seq[Long]) = planes.map(row =>
+      e.zip(row).map { case (x, s) => x * s.toLong }.sum)
+    assert(got(0L) == proj(Seq(1000L, 2000L)), s"got ${got(0L)}")
+    assert(got(1L) == proj(Seq(-1500L, 500L)), s"got ${got(1L)}")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("knnLabelProbe: majority label of the k nearest; argmax ties pin (votes desc, label asc)") {
+    // query 0 (label 9): nearest 3 of its 4 neighbours are two label-1s
+    // and one label-2 -> predict 1 with 2 votes
+    val fix = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(0.99f, 0.1f), 1),
+      (2L, Array(0.98f, 0.15f), 1),
+      (3L, Array(0.97f, 0.2f), 2),
+      (4L, Array(0.0f, 1.0f), 3)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelProbe(fix, "vec_id", "embedding", "label",
+        nQueries = 1, k = 3)
+      .select(col("q_id"), col("true_label"), col("predicted_label"), col("votes"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((0L, 9L, 1L, 2L)), s"got $got")
+    // tie case: k = 2 -> one vote each for labels 1 and 1 (vecs 1, 2)
+    val got2 = Similarity.knnLabelProbe(fix, "vec_id", "embedding", "label",
+        nQueries = 1, k = 4)
+      .select(col("predicted_label"), col("votes"))
+      .as[(Long, Long)].head()
+    assert(got2 == ((1L, 2L)), s"got $got2") // 2 votes label 1 beat 1+1 of 2 and 3
+  }
 }

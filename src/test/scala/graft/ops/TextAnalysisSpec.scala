@@ -651,4 +651,28 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("trigramCrossEntropy: hand-computed add-1 trigram xent; short docs drop; history = trigram margin") {
+    import spark.implicits._
+    // corpus: "a b c" ×2 and "a b d" -> trigrams: (a,b,c) c=2, (a,b,d) c=1
+    // history (a,b) = 3; V = {a,b,c,d} = 4
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.trigramCrossEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    def xent(nTri: Long, nHist: Long, v: Long): Double = {
+      val nanos = math.round(-math.log((nTri + 1).toDouble / (nHist + v)) * 1e9)
+      BigDecimal(nanos.toDouble / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.keySet == Set(1L, 2L, 3L), s"got $got") // doc 4: 2 tokens, dropped
+    assert(got(1L) == ((1L, xent(2, 3, 4))), s"got ${got(1L)}")
+    assert(got(2L) == got(1L))
+    assert(got(3L) == ((1L, xent(1, 3, 4))), s"got ${got(3L)}")
+    // order-3 beats order-2 at its job: the salad "c a b" (novel
+    // trigram context) would be absent from this model — inner join
+    // semantics are per-corpus by construction, asserted above by
+    // every doc trigram existing in the self-trained model
+  }
 }
