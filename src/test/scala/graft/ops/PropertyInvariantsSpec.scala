@@ -371,4 +371,71 @@ class PropertyInvariantsSpec extends SparkSpec {
       assert(fert.map(_._3).sum == encMass, s"seed=$seed")
     }
   }
+
+  test("modularity conservation: Σ intra ≤ m, Σ degree_sum == 2m, trivial partition folds to q_num 0") {
+    for (seed <- 31L to 34L) {
+      val edges = sample(Gen.chooseNum(5, 25).flatMap(n => Gen.listOfN(n,
+          Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))), seed)
+        .collect { case (u, v) if u != v => (math.min(u, v), math.max(u, v)) }
+        .distinct
+      if (edges.nonEmpty) {
+        val e = edges.toDF("u", "v")
+        val lbl = Graph.labelPropagation(e, rounds = 2)
+        val rows = Graph.modularity(e, lbl)
+          .select(col("intra_edges"), col("degree_sum"), col("q_num"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val m = edges.size.toLong
+        assert(rows.map(_._1).sum <= m, s"seed=$seed")
+        assert(rows.map(_._2).sum == 2 * m, s"seed=$seed")
+        // Σ q_num = 4m·Σintra − Σd_c² and the all-one partition is 0
+        val one = e.select(col("u").as("node"))
+          .unionByName(e.select(col("v").as("node"))).distinct()
+          .select(col("node"), lit(1L).as("community"))
+        val t = Graph.modularity(e, one).select(col("q_num"))
+          .collect().map(_.getLong(0))
+        assert(t.toSeq == Seq(0L), s"seed=$seed")
+      }
+    }
+  }
+
+  test("betweennessSampled invariants: deltas non-negative; a clique has zero brokerage everywhere") {
+    for (seed <- 35L to 37L) {
+      val edges = sample(Gen.chooseNum(5, 20).flatMap(n => Gen.listOfN(n,
+          Gen.zip(Gen.chooseNum(1L, 10L), Gen.chooseNum(1L, 10L)))), seed)
+        .collect { case (u, v) if u != v => (math.min(u, v), math.max(u, v)) }
+        .distinct
+      if (edges.nonEmpty) {
+        val e = edges.toDF("u", "v")
+        val src = e.select(col("u").as("node")).orderBy(col("node")).limit(2)
+        val bc = Graph.betweennessSampled(e, src, radius = 2)
+          .select(col("bc_micro")).collect().map(_.getLong(0))
+        assert(bc.forall(_ >= 0L), s"seed=$seed")
+      }
+    }
+    // complete graph on 5 nodes: every pair adjacent -> no 2-hop
+    // shortest path needs a middleman -> every delta is exactly 0
+    val k5 = (for { u <- 1L to 5L; v <- (u + 1) to 5L } yield (u, v))
+      .toDF("u", "v")
+    val bcK5 = Graph.betweennessSampled(k5,
+        Seq(1L, 2L).toDF("node"), radius = 2)
+      .select(col("bc_micro")).collect().map(_.getLong(0))
+    assert(bcK5.forall(_ == 0L), s"got ${bcK5.mkString(",")}")
+  }
+
+  test("noveltyScore bounds and identity: self-reference scores 0; disjoint reference scores 10^6") {
+    for (seed <- 38L to 41L) {
+      val docs = sample(corpus, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // candidates scored against THEMSELVES: every gram is known
+      val self = Dedup.noveltyScore(docs, docs, "doc_id", "text", shingleN = 2)
+        .select(col("novelty_ppm")).collect().map(_.getLong(0))
+      assert(self.forall(_ == 0L), s"seed=$seed")
+      // against a reference guaranteed disjoint (words outside the
+      // generator's alphabet): everything is new
+      val ref = Seq((999L, "zz yy zz yy")).toDF("doc_id", "text")
+      val nov = Dedup.noveltyScore(docs, ref, "doc_id", "text", shingleN = 2)
+        .select(col("novelty_ppm")).collect().map(_.getLong(0))
+      assert(nov.forall(_ == 1000000L), s"seed=$seed")
+    }
+  }
 }
