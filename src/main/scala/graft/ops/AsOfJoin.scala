@@ -115,7 +115,16 @@ object AsOfJoin {
     * the one-shuffle union merge-scan, both keyed on `key`) + one
     * leftId-keyed equi-join of two left-sized frames. No pair
     * formation anywhere — the nearest pick is a per-row CASE over the
-    * two candidates' exact micro distances. */
+    * two candidates' exact micro distances.
+    *
+    * Contract (guarded): `rightPayload` must not map the `ts` column —
+    * the matched timestamp is already returned as `matched_ts`, and the
+    * internal stitch reserves the ts key for its own `__b_ts`/`__f_ts`
+    * plumbing (a caller entry would be silently overwritten).
+    * `leftId` uniqueness is the caller's obligation: a duplicate id
+    * fans rows out through the backward-join-forward stitch (checked
+    * per-row would cost a full agg; callers with synthetic ids get it
+    * by construction, others should dedupe first). */
   def nearest(
       left: DataFrame,
       right: DataFrame,
@@ -124,6 +133,10 @@ object AsOfJoin {
       rightPayload: Map[String, String],
       tiebreak: String,
       leftId: String): DataFrame = {
+    require(!rightPayload.contains(ts),
+      s"rightPayload must not map the ts column `$ts` — the matched right " +
+        "timestamp is returned as `matched_ts`; map a renamed copy if the " +
+        "raw column is also needed")
     def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
       dt match {
         case org.apache.spark.sql.types.TimestampType => unix_micros(c)

@@ -280,10 +280,13 @@ object Dedup {
     require(1 <= thetaPct && thetaPct <= 100,
       s"thetaPct must be in [1, 100], got $thetaPct")
     require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
-    val kept = prefixGrams(docs, idCol, textCol, shingleN, thetaPct)
-      .join(
-        prefixGrams(docs, idCol, textCol, shingleN, thetaPct)
-          .groupBy(col("_g")).agg(count(lit(1)).as("_np"))
+    // one gram build, pinned: the posting-count filter and the pair
+    // former both read it, and AQE stage reuse is a heuristic, not a
+    // contract — the checkpoint makes the single-build explicit
+    val pg = prefixGrams(docs, idCol, textCol, shingleN, thetaPct)
+      .localCheckpoint()
+    val kept = pg.join(
+        pg.groupBy(col("_g")).agg(count(lit(1)).as("_np"))
           .where(col("_np") <= maxPostings)
           .select(col("_g")),
         Seq("_g"), "left_semi")

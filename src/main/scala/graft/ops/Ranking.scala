@@ -105,6 +105,49 @@ object Ranking {
       (element_at(offsetMap, pid) + localIdx + lit(1L)).as(rankCol))
   }
 
+  /** Rank-fusion ENSEMBLE over per-row quality signals (mean-rank /
+    * Borda aggregation — the multi-filter combination step of curation
+    * recipes that vote several weak quality signals into one keep
+    * order, robust to each signal's scale because only RANKS fuse;
+    * same family as d66's RRF but corpus-wide and exact): each signal
+    * ranks higher-is-better with ties broken by id (total order), the
+    * fused score is the exact mean rank in milli
+    * ((Σ ranks)·1000 div k), and `ensemble_rank` re-ranks on it.
+    *
+    * Scale shape: one checkpointed scan projects all k signals, then
+    * k + 1 [[globalRowNumber]] passes (each a parallel range sort —
+    * the scale-safe global rank, never an unpartitioned window) and k
+    * id-keyed joins of narrow (id, rank) frames. Linear, no pair
+    * formation, driver state bounded by partition counts. */
+  def rankEnsemble(df: DataFrame, idCol: String,
+      signals: Seq[(String, Column)]): DataFrame = {
+    require(signals.size >= 2, s"need >= 2 signals, got ${signals.size}")
+    require(signals.map(_._1).distinct.size == signals.size,
+      "signal names must be distinct")
+    // Signal names are spliced into expr() SQL and into `_s_$n` /
+    // `rank_$n` column names: a non-identifier name ("a-b", "a b")
+    // would silently parse as different SQL (rank_a minus b) or fail
+    // at analysis — reject it here where the message can say why.
+    signals.map(_._1).foreach { n =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"signal name `$n` must be a bare identifier ([A-Za-z_][A-Za-z0-9_]*) — " +
+          "it is spliced into SQL and derived column names")
+    }
+    val base = df.select(col(idCol) +:
+        signals.map { case (n, c) => c.as(s"_s_$n") }: _*)
+      .localCheckpoint(true)
+    val ranked = signals.map { case (n, _) =>
+      globalRowNumber(base.select(col(idCol), col(s"_s_$n")),
+          Seq(col(s"_s_$n").desc, col(idCol)), s"rank_$n")
+        .select(col(idCol), col(s"rank_$n"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol)))
+    val meanExpr = signals.map(s => s"rank_${s._1}")
+      .mkString("(", " + ", s") * 1000L div ${signals.size}L")
+    globalRowNumber(joined.withColumn("mean_rank_milli", expr(meanExpr)),
+      Seq(col("mean_rank_milli"), col(idCol)), "ensemble_rank")
+  }
+
   /** SKEW-RESILIENT running sum: the per-KEY twin of [[globalRowNumber]]
     * for the hot-partition window trap. A running sum
     * `sum(v) OVER (PARTITION BY key ORDER BY seg, ord ROWS UNBOUNDED
@@ -145,40 +188,6 @@ object Ranking {
     * (the q33 salting decision, applied to windows). Determinism needs
     * (segmentCol, orderCols) to totally order rows within a key — the
     * same contract as any running frame. */
-  /** Rank-fusion ENSEMBLE over per-row quality signals (mean-rank /
-    * Borda aggregation — the multi-filter combination step of curation
-    * recipes that vote several weak quality signals into one keep
-    * order, robust to each signal's scale because only RANKS fuse;
-    * same family as d66's RRF but corpus-wide and exact): each signal
-    * ranks higher-is-better with ties broken by id (total order), the
-    * fused score is the exact mean rank in milli
-    * ((Σ ranks)·1000 div k), and `ensemble_rank` re-ranks on it.
-    *
-    * Scale shape: one checkpointed scan projects all k signals, then
-    * k + 1 [[globalRowNumber]] passes (each a parallel range sort —
-    * the scale-safe global rank, never an unpartitioned window) and k
-    * id-keyed joins of narrow (id, rank) frames. Linear, no pair
-    * formation, driver state bounded by partition counts. */
-  def rankEnsemble(df: DataFrame, idCol: String,
-      signals: Seq[(String, Column)]): DataFrame = {
-    require(signals.size >= 2, s"need >= 2 signals, got ${signals.size}")
-    require(signals.map(_._1).distinct.size == signals.size,
-      "signal names must be distinct")
-    val base = df.select(col(idCol) +:
-        signals.map { case (n, c) => c.as(s"_s_$n") }: _*)
-      .localCheckpoint(true)
-    val ranked = signals.map { case (n, _) =>
-      globalRowNumber(base.select(col(idCol), col(s"_s_$n")),
-          Seq(col(s"_s_$n").desc, col(idCol)), s"rank_$n")
-        .select(col(idCol), col(s"rank_$n"))
-    }
-    val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol)))
-    val meanExpr = signals.map(s => s"rank_${s._1}")
-      .mkString("(", " + ", s") * 1000L div ${signals.size}L")
-    globalRowNumber(joined.withColumn("mean_rank_milli", expr(meanExpr)),
-      Seq(col("mean_rank_milli"), col(idCol)), "ensemble_rank")
-  }
-
   def segmentedRunningSum(df: DataFrame, keyCol: String, segmentCol: String,
       orderCols: Seq[Column], valueCol: Column, outCol: String): DataFrame = {
     require(orderCols.nonEmpty, "segmentedRunningSum needs at least one order column")

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Ranking, Relevance, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Dials, Multimodal, Ranking, Relevance, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal columns) over the documents/embeddings tables.
@@ -83,6 +83,34 @@ object DataOpsQueries {
             |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
             |  FROM sig CROSS JOIN generate_series(0, 3) bb(b)),
             |bc AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 10000)
+            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |       CAST(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 16 AS est_jaccard
+            |FROM bands a JOIN bands b
+            |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            |JOIN bc ON a.band = bc.band AND a.bucket = bc.bucket""".stripMargin))
+
+  /** d03's AUTO-dialed twin: the band-bucket membership cap comes from
+    * Dials.autoBucketCap(count(documents)) — 16·ceil(√n) in [256, 1e6]
+    * — and the oracle re-derives it from the same COUNT(*) (the d78
+    * pattern; correctly-rounded sqrt is bit-portable across engines). */
+  val d79MinhashPairsAuto = NamedQuery(
+    "d79_minhash_pairs_auto",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minEstJaccard = 0.0,
+        maxBucketSize = Dials.autoBucketCap(docs.count()))
+    },
+    Some(s"""WITH $minhashSigCte,
+            |cap AS (SELECT GREATEST(256, LEAST(1000000,
+            |          16 * CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS c
+            |        FROM documents),
+            |bands AS (
+            |  SELECT doc_id, b AS band,
+            |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket, sig
+            |  FROM sig CROSS JOIN generate_series(0, 3) bb(b)),
+            |bc AS (SELECT band, bucket FROM bands GROUP BY 1, 2
+            |       HAVING COUNT(*) <= (SELECT c FROM cap))
             |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
             |       CAST(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 16 AS est_jaccard
             |FROM bands a JOIN bands b
@@ -233,6 +261,37 @@ object DataOpsQueries {
     },
     Some(s"""WITH $srpCodesCte,
             |kept AS (SELECT t, code FROM codes GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
+            |cand AS (
+            |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            |  FROM codes a JOIN codes b ON a.t = b.t AND a.vec_id < b.vec_id
+            |    AND bit_count(xor(a.code, b.code)) <= 1
+            |  JOIN kept ka ON a.t = ka.t AND a.code = ka.code
+            |  JOIN kept kb ON b.t = kb.t AND b.code = kb.code)
+            |SELECT id_a, id_b,
+            |       list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) AS cos_sim
+            |FROM cand JOIN n na ON na.vec_id = id_a
+            |          JOIN n nb ON nb.vec_id = id_b
+            |WHERE list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) >= 0.3""".stripMargin))
+
+  /** d08's AUTO-dialed twin: the SRP (table, code) bucket cap comes
+    * from Dials.autoBucketCap(count(embeddings)) instead of the fixed
+    * 10 000, oracle re-derived from the same COUNT(*) (d78/d79
+    * pattern) — one √n rule now covers the minhash band buckets, the
+    * SRP table buckets, and the prefix posting lists. */
+  val d80EmbeddingNeardupAuto = NamedQuery(
+    "d80_embedding_neardup_auto",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.embeddingNearDups(emb, "vec_id", "embedding",
+        minCosine = 0.3, nPlanes = 6,
+        maxBucketSize = Dials.autoBucketCap(emb.count()))
+    },
+    Some(s"""WITH $srpCodesCte,
+            |cap AS (SELECT GREATEST(256, LEAST(1000000,
+            |          16 * CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS c
+            |        FROM embeddings),
+            |kept AS (SELECT t, code FROM codes GROUP BY 1, 2
+            |         HAVING COUNT(*) <= (SELECT c FROM cap)),
             |cand AS (
             |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
             |  FROM codes a JOIN codes b ON a.t = b.t AND a.vec_id < b.vec_id
@@ -2041,6 +2100,47 @@ object DataOpsQueries {
            |       lower(sha256(text)) AS sha
            |FROM documents WHERE text IS NOT NULL""".stripMargin))
 
+  /** REAL image decode (Multimodal.renderPngs + decodePngs): one PNG
+    * per document — width/height/channels derived from doc_id by pure
+    * integer arithmetic, red a horizontal gradient, green/blue solid —
+    * encoded to actual PNG bytes and decoded back with JDK
+    * `javax.imageio` at the mapPartitions codec seam. The output is
+    * the DECODED dimensions and exact per-channel pixel sums, so the
+    * oracle (which recomputes the expected sums from the same doc_id
+    * arithmetic — the generator manifest, inlined) certifies a real
+    * lossless codec round trip, not a byte hash: any decoder
+    * mis-read of dims, channel order, or a single pixel breaks the
+    * hash. Corrupt payloads become ok=false null AUDIT rows, never
+    * task failures (spec-pinned in MultimodalSpec). */
+  val m10PngDecode = NamedQuery(
+    "m10_png_decode",
+    (s, dir) => {
+      import s.implicits._
+      val srcs = Tables.documents(s, dir).select(
+          col("doc_id").as("media_id"),
+          (lit(8) + pmod(col("doc_id"), lit(24L))).cast("int").as("width"),
+          (lit(8) + pmod(expr("doc_id div 24"), lit(24L))).cast("int").as("height"),
+          pmod(col("doc_id") * 7, lit(256L)).cast("int").as("g"),
+          pmod(col("doc_id") * 13, lit(256L)).cast("int").as("b"))
+        .as[Multimodal.PngSource]
+      Multimodal.decodePngs(s, Multimodal.renderPngs(s, srcs))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id,
+           |         CAST(8 + doc_id % 24 AS INT) AS w,
+           |         CAST(8 + (doc_id // 24) % 24 AS INT) AS h,
+           |         doc_id * 7 % 256 AS g, doc_id * 13 % 256 AS b
+           |  FROM documents)
+           |SELECT doc_id AS media_id, w AS width, h AS height,
+           |       CAST(h * list_sum(list_transform(generate_series(0, w - 1),
+           |              x -> (x * 255) // (w - 1))) AS BIGINT) AS r_sum,
+           |       CAST(CAST(h AS BIGINT) * w * g AS BIGINT) AS g_sum,
+           |       CAST(CAST(h AS BIGINT) * w * b AS BIGINT) AS b_sum
+           |FROM dims""".stripMargin))
+
   /** Curation-grade cluster resolution: same clusters as d09, but the
     * keep decision surrenders each cluster's LONGEST copy (token count,
     * ties → min id) instead of its min-id copy — the choice an actual
@@ -3096,6 +3196,57 @@ object DataOpsQueries {
            |FROM iv
            |WHERE 100 * n_shared >= 80 * (n_a + n_b - n_shared)""".stripMargin))
 
+  /** d70's AUTO-dialed twin: the posting cap comes from
+    * Dials.autoMaxPostings(count(documents)) — 4·ceil(√n) clamped to
+    * [64, 1e6] — instead of a hand-fixed constant (the q102 auto-dial
+    * contract applied to caps). The oracle REPLAYS the derivation from
+    * the same COUNT(*) (correctly-rounded sqrt is bit-portable), so
+    * the gate certifies cap + answer together at any corpus size,
+    * whether or not the cap engages. */
+  val d78PrefixJoinAuto = NamedQuery(
+    "d78_prefix_join_auto",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.prefixFilterPairs(docs, "doc_id", "text",
+        shingleN = 3, thetaPct = 80,
+        maxPostings = Dials.autoMaxPostings(docs.count()))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |           FROM documents
+           |           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+           |g AS (SELECT doc_id, list_distinct(list_transform(
+           |        generate_series(1, len(toks) - 2),
+           |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+           |      FROM t WHERE len(toks) >= 3),
+           |cap AS (SELECT GREATEST(64, LEAST(1000000,
+           |          4 * CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS c
+           |        FROM documents),
+           |tok AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n,
+           |               unnest(grams) AS gm FROM g),
+           |dfr AS (SELECT gm, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+           |pfx AS (SELECT doc_id, gm FROM (
+           |          SELECT tok.doc_id, tok.gm, tok.n,
+           |                 row_number() OVER (PARTITION BY tok.doc_id
+           |                   ORDER BY df, tok.gm) AS rk
+           |          FROM tok JOIN dfr USING (gm))
+           |        WHERE rk <= n - ((80 * n + 99) // 100) + 1),
+           |post AS (SELECT gm FROM pfx GROUP BY gm
+           |         HAVING COUNT(*) <= (SELECT c FROM cap)),
+           |kept AS (SELECT doc_id, gm FROM pfx WHERE gm IN (SELECT gm FROM post)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM kept a JOIN kept b
+           |           ON a.gm = b.gm AND a.doc_id < b.doc_id),
+           |iv AS (SELECT doc_a, doc_b,
+           |              CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_shared,
+           |              CAST(len(ga.grams) AS BIGINT) AS n_a,
+           |              CAST(len(gb.grams) AS BIGINT) AS n_b
+           |       FROM cand JOIN g ga ON ga.doc_id = cand.doc_a
+           |            JOIN g gb ON gb.doc_id = cand.doc_b)
+           |SELECT doc_a, doc_b, n_shared, n_a, n_b,
+           |       n_shared * 1000000 // (n_a + n_b - n_shared) AS jacc_ppm
+           |FROM iv
+           |WHERE 100 * n_shared >= 80 * (n_a + n_b - n_shared)""".stripMargin))
+
   /** Hard-negative mining (Similarity.hardNegatives): for each of the
     * first 5 vectors by id, the 5 most cosine-similar vectors with a
     * DIFFERENT label — the near-miss negatives a contrastive loss
@@ -3320,9 +3471,10 @@ object DataOpsQueries {
     d65Boilerplate, d66HybridRrf, d67IvfPqRefine, d68RobustScale,
     d69FeatureHash, d70PrefixJoin, d71HardNegatives, d72Novelty,
     d73QualityEnsemble, d74NgramPrecision, d75JlProjection, d76KnnProbe,
+    d78PrefixJoinAuto, d79MinhashPairsAuto, d80EmbeddingNeardupAuto,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,
     m05AssembleRecords, m06PatchGrid, m07PerceptualNeardup, m08TarShards,
-    m09TarRoundtrip)
+    m09TarRoundtrip, m10PngDecode)
 }

@@ -337,6 +337,50 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |FROM pr LEFT JOIN e ON pr.u = e.u AND pr.v = e.v
             |WHERE e.u IS NULL AND common_neighbors >= 2""".stripMargin))
 
+  /** g09's AUTO-dialed twin: the wedge-center degree cap comes from
+    * Graph.autoCenterDegree — the largest cap whose total wedge mass
+    * Σ_{deg ≤ cap} deg² stays within 8 edge-list units, clamped to
+    * [16, 4096] — instead of the hand-fixed 64. Work is contractually
+    * ≤ 8m wedge rows at ANY scale (measured here: cap 84 at sf0.01 and
+    * 86 at the 10× corpus — the dial tracks the degree distribution,
+    * not the corpus size). The oracle re-derives the cap from the same
+    * edge rows with the same integer running-mass rule, so cap +
+    * answer are certified together (the d78 contract; the answer
+    * legitimately differs from g09's because different centers
+    * qualify, and the oracle agrees because it replays the dial). */
+  val g24LinkPredictionAuto = NamedQuery(
+    "g24_link_prediction_auto",
+    (s, dir) => {
+      // checkpoint: the dial (count + degree profile) and the op both
+      // read the edge list; without the pin each would re-run the
+      // basket expansion
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+        .localCheckpoint(true)
+      Graph.linkPrediction(e,
+          maxCenterDegree = Graph.autoCenterDegree(e, budgetFactor = 8),
+          minCommonNeighbors = 2L)
+        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+          col("common_neighbors"), col("ra_x1e12"))
+    },
+    Some(s"""WITH $edgeCte,
+            |dv AS (SELECT d, COUNT(*) * d * d AS w FROM deg GROUP BY d),
+            |cw AS (SELECT d, SUM(w) OVER (ORDER BY d) AS cum FROM dv),
+            |cap AS (SELECT GREATEST(16, LEAST(4096, COALESCE(
+            |          MAX(d) FILTER (cum <= 8 * (SELECT COUNT(*) FROM e)), 16))) AS c
+            |        FROM cw),
+            |ok AS (SELECT node, d FROM deg WHERE d <= (SELECT c FROM cap)),
+            |pr AS (SELECT a.t AS u, b.t AS v,
+            |              CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+            |              CAST(SUM(1000000000000 // o.d) AS BIGINT) AS ra_x1e12
+            |       FROM ed a JOIN ed b ON a.s = b.s AND a.t < b.t
+            |       JOIN ok o ON a.s = o.node
+            |       GROUP BY 1, 2)
+            |SELECT CAST(pr.u AS BIGINT) AS u, CAST(pr.v AS BIGINT) AS v,
+            |       common_neighbors, ra_x1e12
+            |FROM pr LEFT JOIN e ON pr.u = e.u AND pr.v = e.v
+            |WHERE e.u IS NULL AND common_neighbors >= 2""".stripMargin))
+
   /** Local clustering coefficient per node (Watts–Strogatz): the
     * node-level clique-ness profile g01's census aggregates away —
     * which parts sit in tightly cross-purchased pockets vs star hubs.
@@ -957,5 +1001,5 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
     g11PersonalizedPr, g12LabelCommunities, g13RandomWalks,
     g14NeighborhoodHll, g15KTruss, g16BfsDistances,
     g17NeighborhoodFunction, g18Assortativity, g19Sssp, g20Harmonic,
-    g21Modularity, g22Betweenness, g23EffDiameter)
+    g21Modularity, g22Betweenness, g23EffDiameter, g24LinkPredictionAuto)
 }

@@ -570,4 +570,25 @@ class GraphSpec extends SparkSpec {
     // contract: the reported radius satisfies 10·nf_at_r >= 9·nf_max
     assert(10L * row.getLong(1) >= 9L * row.getLong(2))
   }
+
+  test("autoCenterDegree: largest cap whose wedge mass fits the budget, clamped") {
+    // star hub h-(1..6) plus a path 1-2: degrees h=6, 1=2, 2=2, 3..6=1
+    // wedge mass ascending by degree value: d=1 -> 4*1=4; d=2 -> 4+2*4=12;
+    // d=6 -> 12+36=48. m=7 edges.
+    val e = (Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (10L, 5L), (10L, 6L)) :+
+      (1L, 2L)).toDF("u", "v")
+    // budget 1: 1*7=7 >= 4 but < 12 -> cap d=1, lo-clamped to 16
+    assert(Graph.autoCenterDegree(e, budgetFactor = 1) == 16)
+    // budget 2: 14 >= 12, < 48 -> cap 2 -> still lo clamp 16
+    assert(Graph.autoCenterDegree(e, budgetFactor = 2) == 16)
+    // budget 7: 49 >= 48 -> cap 6 -> clamp 16
+    assert(Graph.autoCenterDegree(e, budgetFactor = 7) == 16)
+    // a high-degree graph escapes the lo clamp: K2 chain of hubs
+    val big = (1 to 40).flatMap(i => (1 to 40).filter(_ > i)
+      .map(j => (i.toLong, j.toLong))).toDF("u", "v") // K40: deg 39, m=780
+    // mass at d=39: 40*39^2 = 60840; budget 78: 78*780 = 60840 exactly fits
+    assert(Graph.autoCenterDegree(big, budgetFactor = 78) == 39)
+    // budget 77: 60060 < 60840 -> no degree fits -> lo clamp
+    assert(Graph.autoCenterDegree(big, budgetFactor = 77) == 16)
+  }
 }

@@ -208,4 +208,46 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(s => s.key -> new String(s.content, "UTF-8")).toMap
     assert(got == Map("sample" -> "{}", "a.tar" -> "ix", "noext" -> "n"))
   }
+
+  test("png round trip: real ImageIO decode reproduces exact dims and channel sums") {
+    import spark.implicits._
+    val srcs = Seq(
+      Multimodal.PngSource(1L, 8, 3, 10, 20),
+      Multimodal.PngSource(2L, 1, 1, 255, 0), // width-1 gradient edge: r pinned to 0
+      Multimodal.PngSource(3L, 31, 31, 7, 130)).toDS()
+    val got = Multimodal.decodePngs(spark, Multimodal.renderPngs(spark, srcs))
+      .collect().map(d => d.media_id -> d).toMap
+    def rSum(w: Int, h: Int): Long =
+      if (w == 1) 0L else h.toLong * (0 until w).map(x => (x * 255) / (w - 1)).sum
+    for (s <- Seq((1L, 8, 3, 10, 20), (2L, 1, 1, 255, 0), (3L, 31, 31, 7, 130))) {
+      val (id, w, h, g, b) = s
+      val d = got(id)
+      assert(d.ok && d.width.contains(w) && d.height.contains(h), s"id=$id: $d")
+      assert(d.r_sum.contains(rSum(w, h)), s"id=$id r: $d")
+      assert(d.g_sum.contains(w.toLong * h * g), s"id=$id g: $d")
+      assert(d.b_sum.contains(w.toLong * h * b), s"id=$id b: $d")
+    }
+  }
+
+  test("corrupt payloads decode to ok=false null audit rows, never a task failure") {
+    import spark.implicits._
+    val goodPng = {
+      val srcs = Seq(Multimodal.PngSource(0L, 4, 4, 1, 2)).toDS()
+      Multimodal.renderPngs(spark, srcs).select("content")
+        .collect()(0).getAs[Array[Byte]](0)
+    }
+    val corpus = Seq(
+      (1L, "not an image at all".getBytes("UTF-8")),       // garbage
+      (2L, goodPng.take(goodPng.length / 2)),              // truncated stream
+      (3L, Array.empty[Byte]),                             // empty payload
+      (4L, goodPng)                                        // control: decodes
+    ).toDF("media_id", "content")
+    val got = Multimodal.decodePngs(spark, corpus)
+      .collect().map(d => d.media_id -> d).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      val d = got(id)
+      assert(!d.ok && d.width.isEmpty && d.r_sum.isEmpty, s"id=$id: $d")
+    }
+    assert(got(4L).ok && got(4L).width.contains(4) && got(4L).g_sum.contains(16L))
+  }
 }
