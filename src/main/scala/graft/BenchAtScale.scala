@@ -29,7 +29,7 @@ object BenchAtScale {
     val copies = if (args.length > 1) args(1).toInt else 10
     // default outDir embeds the copy count so a later run with a
     // different `copies` can never silently reuse a mismatched corpus
-    val outDir = if (args.length > 0) args(0) else s"target/sfscale$copies"
+    val outDir = if (args.length > 0) args(0) else CorpusPaths.sfscale(copies)
     val names =
       if (args.length > 2) args.drop(2).toSeq
       else Seq("q60_recursive_cte", "d11_contamination", "d15_jaccard_verify",

@@ -38,7 +38,7 @@ object ScaleCorpus {
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = if (args.length > 1) args(1).toInt else 10
-    val outDir = if (args.length > 0) args(0) else s"target/sfgate$copies"
+    val outDir = if (args.length > 0) args(0) else CorpusPaths.sfgate(copies)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

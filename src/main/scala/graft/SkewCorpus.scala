@@ -87,8 +87,8 @@ object SkewCorpus {
         "q15_window_topk", "q16_window_running", "q101_running_segmented",
         "q29_sessionize", "q90_streaks", "q33_salted_join", "q102_salted_auto",
         "q70_skew_report")
-    val uniformDir = s"target/sfscale$copies"
-    val skewDir = s"target/sfskew$copies$headTag"
+    val uniformDir = CorpusPaths.sfscale(copies)
+    val skewDir = CorpusPaths.sfskew(copies, headTag)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

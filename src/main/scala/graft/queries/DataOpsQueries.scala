@@ -3196,6 +3196,136 @@ object DataOpsQueries {
            |FROM iv
            |WHERE 100 * n_shared >= 80 * (n_a + n_b - n_shared)""".stripMargin))
 
+  /** Curation-pipeline v2 — the round-12 surface composed as ONE
+    * registered query with per-stage tallies (the d25/d56 composition
+    * contract: compositions carry their own correctness rows):
+    * d68 robust scale (per-source n_chars harmonized to 0..10⁶) feeds
+    * d73's rank ensemble as its third signal (the point of the
+    * composition — a HARMONIZED signal fuses with raw ones without
+    * scale dominance because only ranks fuse), a top-60% keep cut on
+    * the fused rank, then d41's leak-safe split of the kept docs
+    * (cluster-keyed — a kept doc and its near-dup can never straddle
+    * train/eval). Output: (stage, name, n_docs) tallies. Plan shape:
+    * every stage is the already-gate-certified operator's plan; the
+    * stitches are one doc_id equi-join, one broadcast 1-row total,
+    * one doc_id semi-join — no new shuffle regimes. */
+  val d77CurationV2 = NamedQuery(
+    "d77_curation_v2",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .where(col("text").isNotNull && col("source").isNotNull &&
+          col("doc_id").isNotNull)
+        .localCheckpoint()
+      // each stage boundary is checkpointed: the four tally branches
+      // would otherwise RE-DERIVE every upstream stage per branch
+      // (measured: 28 exchanges un-pinned vs stagewise single digits)
+      val scaled = TextAnalysis.robustScale(docs, "doc_id", "source", "n_chars")
+        .select(col("doc_id"), col("scaled_micro"))
+        .localCheckpoint()
+      val t = col("text")
+      val ranked = Ranking.rankEnsemble(docs.join(scaled, Seq("doc_id")), "doc_id", Seq(
+        "quality" -> TextAnalysis.qualityScore(t,
+          TextAnalysis.whitespaceTokenCount(t), TextAnalysis.punctCount(t)),
+        "uniq" -> expr(
+          "(1000000L * size(array_distinct(split(text, ' ')))) div size(split(text, ' '))"),
+        "scaled" -> col("scaled_micro")))
+        .localCheckpoint()
+      val total = ranked.agg(count(lit(1)).as("_n"))
+      val kept = ranked.crossJoin(broadcast(total))
+        .where(col("ensemble_rank") * 10 <= lit(6L) * col("_n"))
+        .select(col("doc_id"))
+        .localCheckpoint()
+      val clusters = Dedup.resolveMinhashDups(
+          docs.join(kept, Seq("doc_id"), "left_semi"), "doc_id", "text",
+          minEstJaccard = 1.0)
+        .select(col("doc_id"), col("cluster_id"))
+      val splits = graft.ops.Sampling.assignSplit(clusters, "cluster_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .localCheckpoint()
+      docs.agg(count(lit(1)).as("n"))
+        .select(lit(0L).as("stage"), lit("input").as("name"), col("n").as("n_docs"))
+        .unionByName(scaled.agg(count(when(col("scaled_micro").isNotNull, 1L)).as("n"))
+          .select(lit(1L).as("stage"), lit("scaled").as("name"), col("n").as("n_docs")))
+        .unionByName(kept.agg(count(lit(1)).as("n"))
+          .select(lit(2L).as("stage"), lit("kept").as("name"), col("n").as("n_docs")))
+        .unionByName(splits.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit(3L).as("stage"), col("split").as("name"), col("n_docs")))
+    },
+    Some(s"""WITH $minhashSigCte,
+            |base AS (SELECT doc_id, source, text, CAST(n_chars AS BIGINT) AS n_chars
+            |         FROM documents
+            |         WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL),
+            |dist68 AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+            |           FROM base WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+            |cum68 AS (SELECT source, v,
+            |                 SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+            |                 SUM(c) OVER (PARTITION BY source) AS n FROM dist68),
+            |bounds AS (SELECT source,
+            |                  MIN(CASE WHEN 100 * cum >= 5 * n THEN v END) AS lo,
+            |                  MIN(CASE WHEN 100 * cum >= 95 * n THEN v END) AS hi
+            |           FROM cum68 GROUP BY source),
+            |sc68 AS (SELECT b.doc_id,
+            |                CASE WHEN b.n_chars IS NULL THEN NULL
+            |                     WHEN bo.hi = bo.lo THEN 500000
+            |                     ELSE ((GREATEST(bo.lo, LEAST(bo.hi, b.n_chars)) - bo.lo)
+            |                           * 1000000) // (bo.hi - bo.lo) END AS scaled_micro
+            |         FROM base b JOIN bounds bo USING (source)),
+            |m73 AS (SELECT doc_id, text,
+            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            |         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+            |         CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+            |              ELSE CAST(list_sum(list_transform(string_split(text, ' '), tk -> CAST(length(tk) AS BIGINT))) AS DOUBLE)
+            |                   / CAST(len(string_split(text, ' ')) AS BIGINT) END AS mean_tok_len,
+            |         CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ('the', 'a', 'of', 'and', 'to', 'is'))) AS BIGINT) AS en_hits
+            |        FROM base),
+            |sg73 AS (SELECT doc_id,
+            |          CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END
+            |           + CASE WHEN n_punct * 10 <= length(text) THEN 1 ELSE 0 END
+            |           + CASE WHEN en_hits > 0 THEN 1 ELSE 0 END
+            |           + CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS BIGINT) AS sq,
+            |          (1000000 * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT))
+            |            // CAST(len(string_split(text, ' ')) AS BIGINT) AS su
+            |         FROM m73),
+            |r73 AS (SELECT doc_id,
+            |         CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS BIGINT) AS rank_quality,
+            |         CAST(row_number() OVER (ORDER BY su DESC, doc_id) AS BIGINT) AS rank_uniq
+            |        FROM sg73),
+            |rsc AS (SELECT doc_id,
+            |         CAST(row_number() OVER (ORDER BY scaled_micro DESC, doc_id) AS BIGINT) AS rank_scaled
+            |        FROM sc68),
+            |fused AS (SELECT r73.doc_id,
+            |           (rank_quality + rank_uniq + rank_scaled) * 1000 // 3 AS mrm
+            |          FROM r73 JOIN rsc USING (doc_id)),
+            |ens AS (SELECT doc_id,
+            |         CAST(row_number() OVER (ORDER BY mrm, doc_id) AS BIGINT) AS er
+            |        FROM fused),
+            |kept AS (SELECT doc_id FROM ens
+            |         WHERE er * 10 <= 6 * (SELECT COUNT(*) FROM ens)),
+            |keyed AS (SELECT b.doc_id,
+            |           CASE WHEN s.doc_id IS NOT NULL THEN 'L:' || array_to_string(s.sig, ',')
+            |                ELSE 'S:' || b.text END AS k
+            |          FROM base b JOIN kept USING (doc_id)
+            |               LEFT JOIN sig s ON s.doc_id = b.doc_id),
+            |cl AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY k) AS cluster_id
+            |       FROM keyed),
+            |u AS (SELECT cluster_id,
+            |             CAST(md5_number_upper(CAST(cluster_id AS VARCHAR)) >> 11 AS BIGINT) AS h
+            |      FROM cl)
+            |SELECT CAST(0 AS BIGINT) AS stage, 'input' AS name,
+            |       CAST(COUNT(*) AS BIGINT) AS n_docs FROM base
+            |UNION ALL
+            |SELECT 1, 'scaled', CAST(COUNT(*) AS BIGINT)
+            |FROM sc68 WHERE scaled_micro IS NOT NULL
+            |UNION ALL
+            |SELECT 2, 'kept', CAST(COUNT(*) AS BIGINT) FROM kept
+            |UNION ALL
+            |SELECT 3,
+            |       CASE WHEN h < 7205759403792793 THEN 'train'
+            |            WHEN h < 8106479329266892 THEN 'val' ELSE 'test' END,
+            |       CAST(COUNT(*) AS BIGINT)
+            |FROM u GROUP BY 2""".stripMargin))
+
   /** d70's AUTO-dialed twin: the posting cap comes from
     * Dials.autoMaxPostings(count(documents)) — 4·ceil(√n) clamped to
     * [64, 1e6] — instead of a hand-fixed constant (the q102 auto-dial
@@ -3471,7 +3601,7 @@ object DataOpsQueries {
     d65Boilerplate, d66HybridRrf, d67IvfPqRefine, d68RobustScale,
     d69FeatureHash, d70PrefixJoin, d71HardNegatives, d72Novelty,
     d73QualityEnsemble, d74NgramPrecision, d75JlProjection, d76KnnProbe,
-    d78PrefixJoinAuto, d79MinhashPairsAuto, d80EmbeddingNeardupAuto,
+    d77CurationV2, d78PrefixJoinAuto, d79MinhashPairsAuto, d80EmbeddingNeardupAuto,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,
