@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{col, count, explode, max, md5, size,
+  timestamp_micros, when}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
   StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode,
   TimerValues, ValueState, MapState}
@@ -290,6 +291,102 @@ object TwsOps {
       rows.foreach { e => n += 1; total += e.value }
       totals.update((n, total))
       Iterator.single(StreamOps.RunningTotal(key, n, total))
+    }
+  }
+
+  final case class StreamDoc(doc_id: Long, text: String)
+  final case class GramArrival(gram: String, doc_id: Long, n_grams: Long)
+  final case class GramFlag(doc_id: Long, n_grams: Long, is_new: Boolean)
+
+  /** Reference gram set for the novelty bootstrap: the DISTINCT md5
+    * gram hashes of a batch corpus (d72's refSet projection — hashes
+    * shuffle and sit in state, never text). Bounded state by
+    * construction: one row per distinct reference gram, however many
+    * documents contain it. */
+  def referenceGrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): org.apache.spark.sql.DataFrame =
+    graft.ops.Dedup.withShingles(docs, idCol, textCol, shingleN)
+      .select(explode(col("_grams")).as("_g"))
+      .select(md5(col("_g")).as("gram"))
+      .distinct()
+
+  /** Streamed d72 — live per-increment novelty against a reference
+    * corpus, completing the incremental-crawl story (d39's exact
+    * first-seen side already streams): each arriving document explodes
+    * to its distinct gram hashes, each gram's processor answers "known
+    * or new?" against a ValueState seeded from [[referenceGrams]]
+    * through the initial-state channel (the firstSeenStreamWithCorpus
+    * bootstrap — the corpus is PRIOR state, loaded once at query
+    * start, never replayed through the stream).
+    *
+    * `updateWithArrivals = true` additionally marks each new gram seen
+    * AFTER its micro-batch completes, so a document is scored against
+    * corpus ∪ strictly-earlier micro-batches — batch-granular on
+    * purpose: within one micro-batch, co-arriving docs sharing a new
+    * gram would otherwise score by shuffle arrival order, which is
+    * non-deterministic (the flags are read pre-update for ALL of a
+    * batch's rows, then the state writes once). false scores every
+    * arrival against the FIXED corpus — exactly d72 streamed.
+    *
+    * Output is gram-grained (doc_id, n_grams, is_new) in Append mode;
+    * fold with [[noveltyTally]] (per sink batch or on the collected
+    * result) for d72's (doc_id, n_grams, n_new, novelty_ppm) rows —
+    * bit-equal to Dedup.noveltyScore against the same prefix
+    * (spec-asserted). State: one boolean per distinct gram ever known
+    * — the same cardinality d72's refSet build side carries. */
+  def noveltyStream(spark: SparkSession, docs: Dataset[StreamDoc],
+      corpusGrams: Dataset[String], shingleN: Int = 3,
+      updateWithArrivals: Boolean = true): Dataset[GramFlag] = {
+    import spark.implicits._
+    val arrivals = graft.ops.Dedup.withShingles(
+        docs.toDF().where(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", "text", shingleN)
+      .where(size(col("_grams")) > 0)
+      .select(col("doc_id"), size(col("_grams")).cast("long").as("n_grams"),
+        explode(col("_grams")).as("_g"))
+      .select(md5(col("_g")).as("gram"), col("doc_id"), col("n_grams"))
+      .as[GramArrival]
+    arrivals
+      .groupByKey(_.gram)
+      .transformWithState(new GramSeenProcessor(updateWithArrivals),
+        TimeMode.None(), OutputMode.Append(), corpusGrams.groupByKey(identity))
+  }
+
+  /** Batch fold of [[noveltyStream]]'s gram flags to d72's output
+    * shape: (doc_id, n_grams, n_new, novelty_ppm) with the same exact
+    * integer ppm. Usable per sink micro-batch (foreachBatch) or on a
+    * collected memory sink. */
+  def noveltyTally(flags: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    flags.groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(when(col("is_new"), 1)).as("n_new"))
+      .select(col("doc_id"), col("n_grams"), col("n_new"),
+        org.apache.spark.sql.functions.expr(
+          "(1000000L * n_new) div n_grams").as("novelty_ppm"))
+
+  private final class GramSeenProcessor(updateWithArrivals: Boolean)
+      extends StatefulProcessorWithInitialState[String, GramArrival,
+        GramFlag, String] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInitialState(key: String, initialState: String,
+        timers: TimerValues): Unit =
+      seen.update(true)
+
+    override def handleInputRows(key: String, rows: Iterator[GramArrival],
+        timers: TimerValues): Iterator[GramFlag] = {
+      // read the pre-batch state ONCE and flag every row of this batch
+      // against it (strict materialization before the state write):
+      // within-batch co-arrivals must score identically, not by
+      // shuffle arrival order
+      val wasSeen = seen.exists()
+      val out = rows.map(r => GramFlag(r.doc_id, r.n_grams, !wasSeen)).toVector
+      if (!wasSeen && updateWithArrivals) seen.update(true)
+      out.iterator
     }
   }
 }

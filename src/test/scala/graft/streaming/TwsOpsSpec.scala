@@ -282,4 +282,85 @@ class TwsOpsSpec extends SparkSpec {
         m.toLowerCase.contains("rocksdb")),
       s"unexpected failure chain: ${chain(ex).mkString(" <- ")}")
   }
+
+  test("noveltyStream: tally bit-equals noveltyScore against each prefix, incl. across restart") {
+    withRocks {
+      val refDocs = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"),
+        (11L, "spark engines process large corpora with shuffles and joins"))
+        .toDF("doc_id", "text")
+      // b1: one doc mostly known (near-copy of ref 10), one fully new
+      val b1 = Seq(
+        TwsOps.StreamDoc(1L, "the quick brown fox jumps over the lazy dog today"),
+        TwsOps.StreamDoc(2L, "completely novel sentence about training data curation"))
+      // b2: repeats b1's novel text (novelty must now be 0 vs corpus ∪ b1)
+      // and adds a short doc (< 3 tokens -> no grams -> dropped, the d72 rule)
+      val b2 = Seq(
+        TwsOps.StreamDoc(3L, "completely novel sentence about training data curation"),
+        TwsOps.StreamDoc(4L, "too short"))
+      val corpusGrams = TwsOps.referenceGrams(refDocs, "doc_id", "text").as[String]
+      val mem = MemoryStream[TwsOps.StreamDoc](spark, 1)
+      val out = TwsOps.noveltyStream(spark, mem.toDS(), corpusGrams)
+      val ckpt = tmpDir("tws-nov-ckpt")
+      val outDir = tmpDir("tws-nov-out")
+      def start() = out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      mem.addData(b1: _*)
+      q1.processAllAvailable()
+      q1.stop()
+      // restart between prefixes: corpus bootstrap AND b1's gram marks
+      // must survive through the changelog
+      mem.addData(b2: _*)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val flags = spark.read.parquet(outDir)
+      val got = TwsOps.noveltyTally(flags)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // batch replay: b1 docs score vs ref; b2 docs score vs ref ∪ b1
+      def score(docs: Seq[(Long, String)], ref: org.apache.spark.sql.DataFrame) =
+        graft.ops.Dedup.noveltyScore(docs.toDF("doc_id", "text"), ref,
+            "doc_id", "text")
+          .as[(Long, Long, Long, Long)].collect().toSeq
+      val want = (score(b1.map(d => d.doc_id -> d.text), refDocs) ++
+        score(b2.map(d => d.doc_id -> d.text),
+          refDocs.unionByName(b1.map(d => d.doc_id -> d.text).toDF("doc_id", "text"))))
+        .sortBy(_._1)
+      assert(got == want, s"got $got want $want")
+      // doc 3 is a verbatim repeat of doc 2: zero novelty vs corpus ∪ b1
+      assert(got.find(_._1 == 3L).get._4 == 0L)
+      // doc 4 carried no grams: dropped on both sides
+      assert(!got.exists(_._1 == 4L))
+    }
+  }
+
+  test("noveltyStream with updateWithArrivals=false scores every batch against the fixed corpus") {
+    withRocks {
+      val refDocs = Seq((10L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      val doc = TwsOps.StreamDoc(1L, "alpha beta gamma delta brand new ending")
+      val corpusGrams = TwsOps.referenceGrams(refDocs, "doc_id", "text").as[String]
+      val mem = MemoryStream[TwsOps.StreamDoc](spark, 1)
+      val out = TwsOps.noveltyStream(spark, mem.toDS(), corpusGrams,
+        updateWithArrivals = false)
+      val ckpt = tmpDir("tws-novf-ckpt")
+      val outDir = tmpDir("tws-novf-out")
+      val q = out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      mem.addData(doc)
+      q.processAllAvailable()
+      // second batch, same doc text under a new id: same score — the
+      // fixed-corpus mode never learns from arrivals
+      mem.addData(TwsOps.StreamDoc(2L, doc.text))
+      q.processAllAvailable()
+      q.stop()
+      val got = TwsOps.noveltyTally(spark.read.parquet(outDir))
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got.size == 2 && got(0)._4 == got(1)._4 && got(0)._4 > 0L,
+        s"got $got")
+    }
+  }
 }
