@@ -30,6 +30,79 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** THE round harness — every iterative walk in this file runs its
+    * rounds through one of these three doors instead of a hand-rolled
+    * loop. The class of bug this kills has bitten twice: g04's
+    * plan-growth OOM (a round that forgets to pin its state re-plans
+    * the whole history each round) and g13's build-side OOM (a
+    * per-round join hinted onto the edge-sized side). The harness owns
+    * the round budget and the checkpoint lifecycle; the step closure
+    * owns only one round's dataflow.
+    *
+    * `pinEachRound` mirrors each op's measured lifecycle decision and
+    * is part of its contract, not a default to flip casually: the
+    * frontier walks (BFS/SSSP/LPA/levels) pin every round — their
+    * state is re-read by the next round's join AND the round count is
+    * caller-dialed, so an unpinned chain re-plans quadratically; the
+    * fixed-small-round PageRank/HITS family measures FASTER unpinned
+    * at its ≤8-round budgets (each checkpoint is an eager
+    * materialization; 3 rounds of lazy pipeline beat 3 materialized
+    * barriers) and its unrolled plan is budget-bounded by the same
+    * require that bounds the oracle unroll. */
+  private[ops] def iterateRounds(rounds: Int, init: DataFrame,
+      pinEachRound: Boolean)(step: (DataFrame, Int) => DataFrame): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var cur = init
+    var r = 1
+    while (r <= rounds) {
+      val next = step(cur, r)
+      cur = if (pinEachRound) next.localCheckpoint(true) else next
+      r += 1
+    }
+    cur
+  }
+
+  /** Multi-frame state variant (HITS's hub/auth alternation, the
+    * walks that fold a per-round emission into an accumulator):
+    * the harness owns the budget; the step owns which state
+    * components pin (document the choice at the call site). */
+  private[ops] def iterateRoundsState[S](rounds: Int, init: S)(
+      step: (S, Int) => S): S = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var cur = init
+    var r = 1
+    while (r <= rounds) { cur = step(cur, r); r += 1 }
+    cur
+  }
+
+  /** Fixpoint variant for the peels (kCore, kTruss): rounds run until
+    * `measure` stops moving or the budget exhausts — and a blown
+    * budget THROWS under `strict` rather than returning
+    * silently-partial state (worse than failure; the contract an
+    * oracle unroll of exactly `maxRounds` rounds relies on, since
+    * rounds past fixpoint are idempotent for a peel). Each round's
+    * state pins eagerly — peels re-read their survivor list. */
+  private[ops] def iterateToFixpoint(maxRounds: Int, strict: Boolean,
+      opName: String, init: DataFrame)(measure: DataFrame => Long)(
+      step: DataFrame => DataFrame): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var cur = init
+    var m = measure(cur)
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val next = step(cur).localCheckpoint(true)
+      val mn = measure(next)
+      converged = mn == m
+      cur = next; m = mn; r += 1
+    }
+    if (strict && !converged)
+      throw new IllegalStateException(
+        s"$opName did not reach fixpoint in $maxRounds rounds — raise the " +
+          "budget (the oracle unroll must move with it) or relax the dial")
+    cur
+  }
+
   /** Undirected co-occurrence edges (u < v, distinct) from a
     * (basket, item) relation: u,v co-occur iff some basket contains
     * both. Baskets with fewer than 2 or more than `maxBasketItems`
@@ -163,17 +236,19 @@ object Graph {
       .localCheckpoint(true)
     val deg = ed.groupBy(col("s").as("node")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
-    var pr = deg.select(col("node"), lit(1000000L).as("pr"))
-    for (_ <- 1 to iters) {
+    val pr0 = deg.select(col("node"), lit(1000000L).as("pr"))
+    // unpinned rounds: the ≤budget-round unrolled plan is cheaper than
+    // per-round materialization at PageRank's small fixed budgets (see
+    // iterateRounds' lifecycle note)
+    iterateRounds(iters, pr0, pinEachRound = false) { (pr, _) =>
       val contrib = pr.join(deg, "node")
         .select(col("node"), expr("pr div d").as("c"))
         .hint("shuffle_hash")
-      pr = ed.join(contrib, ed("s") === contrib("node"))
+      ed.join(contrib, ed("s") === contrib("node"))
         .groupBy(col("t").as("node"))
         .agg(sum(col("c")).as("s_in"))
         .select(col("node"), expr("150000L + (85L * s_in) div 100L").as("pr"))
     }
-    pr
   }
 
   /** Connected components of an undirected (u, v) edge list: component
@@ -250,28 +325,17 @@ object Graph {
     // the symmetric both-directions form shuffles and checkpoints 2m
     // rows per round for the same information — measured 1.9× slower
     // at the 100× corpus (587 s → vs this form; BASELINE.md)
-    var und = edges.select(col("u").as("a"), col("v").as("b"))
+    val und0 = edges.select(col("u").as("a"), col("v").as("b"))
       .localCheckpoint(true)
-    var nEdges = und.count()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
+    val und = iterateToFixpoint(maxIter, strict, "kCore", und0)(_.count()) { und =>
       val keep = und
         .select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("_d"))
         .where(col("_d") >= k).select(col("node"))
-      val next = und
+      und
         .join(keep, und("a") === keep("node"), "left_semi")
         .join(keep, und("b") === keep("node"), "left_semi")
-        .localCheckpoint(true)
-      val nNext = next.count()
-      converged = nNext == nEdges
-      und = next; nEdges = nNext; iter += 1
     }
-    if (strict && !converged)
-      throw new IllegalStateException(
-        s"kCore did not reach fixpoint in $maxIter rounds — raise maxIter " +
-          "(the oracle unroll must move with it) or lower k")
     und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
   }
@@ -424,14 +488,16 @@ object Graph {
     // round 1's hub half-step joins against the CONSTANT 10⁶ init, so
     // the sum folds to outdegree · 10⁶ — same value, one join and the
     // node-universe init frame saved
-    var hub = rescaled(
+    val hub1 = rescaled(
       ed.groupBy(col("src").as("node"))
         .agg((count(lit(1)) * 1000000L).as("hub")),
       "hub")
-    var auth = authStep(hub)
-    for (_ <- 2 to iters) {
-      hub = hubStep(auth)
-      auth = authStep(hub)
+    // two-frame state through the shared harness; pinning lives inside
+    // rescaled (each half-step's result has two consumers)
+    val (hub, auth) = iterateRoundsState(iters - 1, (hub1, authStep(hub1))) {
+      case ((_, a), _) =>
+        val h = hubStep(a)
+        (h, authStep(h))
     }
     val nodes = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node")))
@@ -493,22 +559,21 @@ object Graph {
       .localCheckpoint(true)
     // _acc = the damped-sum component only; full pr_i = 150000·_s + _acc
     // for i ≥ 1 (round 0's full score IS the init, no base to add)
-    var acc = seeded.select(col("node"), (col("_s") * 1000000L).as("_acc"))
-    var first = true
-    for (_ <- 1 to iters) {
+    val acc0 = seeded.select(col("node"), (col("_s") * 1000000L).as("_acc"))
+    // unpinned rounds: the PageRank-family lifecycle (see iterateRounds)
+    val acc = iterateRounds(iters, acc0, pinEachRound = false) { (acc, r) =>
       // d = 0 only for an edgeless seed, whose contribution matches no
       // edge — the 0 branch exists to satisfy ANSI div, not semantics
       val cExpr =
-        if (first) "if(d > 0L, _acc div d, 0L)"
+        if (r == 1) "if(d > 0L, _acc div d, 0L)"
         else "if(d > 0L, (_s * 150000L + _acc) div d, 0L)"
       val contrib = acc.join(seeded.hint("shuffle_hash"), "node")
         .select(col("node"), expr(cExpr).as("c"))
         .hint("shuffle_hash")
-      acc = ed.join(contrib, ed("s") === contrib("node"))
+      ed.join(contrib, ed("s") === contrib("node"))
         .groupBy(col("t").as("node"))
         .agg(sum(col("c")).as("s_in"))
         .select(col("node"), expr("(85L * s_in) div 100L").as("_acc"))
-      first = false
     }
     // LEFT from seeded: a node with no incoming contribution (an
     // edgeless seed — every edge endpoint has incoming on an
@@ -611,12 +676,11 @@ object Graph {
     val ed = edges.select(col("u").as("s"), col("v").as("t"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint(true)
-    var lbl = ed.select(col("s").as("node")).distinct()
+    val lbl0 = ed.select(col("s").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      lbl = ed
-        .join(lbl.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
+    val lbl = iterateRounds(rounds, lbl0, pinEachRound = true) { (lbl, _) =>
+      ed.join(lbl.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
         .groupBy(col("t").as("node"), col("lbl"))
         .agg(count(lit(1)).as("_c"))
         // argmax by (count desc, label asc) as one min-struct agg —
@@ -624,7 +688,6 @@ object Graph {
         .groupBy(col("node"))
         .agg(min(struct((-col("_c")).as("_nc"), col("lbl").as("_l"))).as("_m"))
         .select(col("node"), col("_m._l").as("lbl"))
-        .localCheckpoint(true)
     }
     lbl.select(col("node"), col("lbl").as("community"))
   }
@@ -656,17 +719,17 @@ object Graph {
       .localCheckpoint(true)
     val wdeg = ed.groupBy(col("s").as("node")).agg(sum(col("w")).as("wd"))
       .localCheckpoint(true)
-    var pr = wdeg.select(col("node"), lit(1000000L).as("pr"))
-    for (_ <- 1 to iters) {
+    val pr0 = wdeg.select(col("node"), lit(1000000L).as("pr"))
+    // unpinned rounds: the PageRank-family lifecycle (see iterateRounds)
+    iterateRounds(iters, pr0, pinEachRound = false) { (pr, _) =>
       val prw = pr.join(wdeg, "node")
         .withColumnRenamed("node", "s").hint("shuffle_hash")
-      pr = ed.join(prw, "s")
+      ed.join(prw, "s")
         .select(col("t"), expr("(pr * w) div wd").as("_c"))
         .groupBy(col("t").as("node"))
         .agg(sum(col("_c")).as("s_in"))
         .select(col("node"), expr("150000L + (85L * s_in) div 100L").as("pr"))
     }
-    pr
   }
 
   /** Deterministic uniform random walks — the node2vec/DeepWalk corpus
@@ -698,30 +761,32 @@ object Graph {
       .localCheckpoint(true)
     val deg = adj.groupBy(col("s").as("node")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
-    var frontier = deg
+    val frontier0 = deg
       .select(col("node").as("walk_id"), lit(0).as("step"), col("node"))
-    var out = frontier
-    for (i <- 1 to steps) {
-      val mask = lit((1L << 52) - 1)
-      // both joins build the NODE-sized side and stream the bigger one
-      // (the g02 rule, learned again at the 100× corpus: the first
-      // draft hinted shuffle_hash on the EDGE-sized adjacency, and a
-      // 2m-row build side is n·deg rows per partition — the per-task
-      // hash map blew past execution memory exactly where a 1000-
-      // executor cluster would die too; the frontier is n rows at any
-      // scale, so IT is the hash side)
-      val pick = frontier
-        .join(deg.withColumnRenamed("node", "_n").hint("shuffle_hash"),
-          col("node") === col("_n"))
-        .select(col("walk_id"), col("node"),
-          (graft.functions.TextHashExpressions
-            .md5Upper(concat_ws(":", col("walk_id"), lit(i)))
-            .bitwiseAND(mask) % col("d")).as("_pick"))
-      frontier = pick.hint("shuffle_hash")
-        .join(adj, pick("node") === adj("s") && pick("_pick") === adj("idx"))
-        .select(col("walk_id"), lit(i).as("step"), col("t").as("node"))
-        .localCheckpoint(true)
-      out = out.unionByName(frontier)
+    // state = (frontier, emitted-so-far); the frontier pins per round
+    // (next round's join re-reads it), the union accumulator stays lazy
+    val (_, out) = iterateRoundsState(steps, (frontier0, frontier0)) {
+      case ((frontier, acc), i) =>
+        val mask = lit((1L << 52) - 1)
+        // both joins build the NODE-sized side and stream the bigger one
+        // (the g02 rule, learned again at the 100× corpus: the first
+        // draft hinted shuffle_hash on the EDGE-sized adjacency, and a
+        // 2m-row build side is n·deg rows per partition — the per-task
+        // hash map blew past execution memory exactly where a 1000-
+        // executor cluster would die too; the frontier is n rows at any
+        // scale, so IT is the hash side)
+        val pick = frontier
+          .join(deg.withColumnRenamed("node", "_n").hint("shuffle_hash"),
+            col("node") === col("_n"))
+          .select(col("walk_id"), col("node"),
+            (graft.functions.TextHashExpressions
+              .md5Upper(concat_ws(":", col("walk_id"), lit(i)))
+              .bitwiseAND(mask) % col("d")).as("_pick"))
+        val next = pick.hint("shuffle_hash")
+          .join(adj, pick("node") === adj("s") && pick("_pick") === adj("idx"))
+          .select(col("walk_id"), lit(i).as("step"), col("t").as("node"))
+          .localCheckpoint(true)
+        (next, acc.unionByName(next))
     }
     out
   }
@@ -754,8 +819,9 @@ object Graph {
     val ed = edges.select(col("u").as("s"), col("v").as("t"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint(true)
-    var regs = packedInit(ed, p)
-    for (_ <- 1 to radius) regs = packedRound(ed, regs, p)
+    // unpinned: packedRound owns its own lifecycle (see its scaladoc)
+    val regs = iterateRounds(radius, packedInit(ed, p),
+      pinEachRound = false)((r, _) => packedRound(ed, r, p))
     packedEstimate(regs, p, "ball_est").select(col("node"), col("ball_est"))
   }
 
@@ -773,17 +839,16 @@ object Graph {
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint(true)
     val nodes = ed.select(col("s").as("node")).distinct()
-    var regs = Sketches.registersByGroup(
+    val regs0 = Sketches.registersByGroup(
         nodes.select(col("node"), col("node").as("_k")), "_k", p, Seq("node"))
       .localCheckpoint(true)
-    for (_ <- 1 to radius) {
-      regs = regs
+    val regs = iterateRounds(radius, regs0, pinEachRound = true) { (regs, _) =>
+      regs
         .unionByName(ed
           .join(regs.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
           .select(col("t").as("node"), col("_reg"), col("_M")))
         .groupBy(col("node"), col("_reg"))
         .agg(max(col("_M")).as("_M"))
-        .localCheckpoint(true)
     }
     Sketches.estimateRegistersBy(regs, Seq("node"), p, "ball_est")
   }
@@ -892,16 +957,17 @@ object Graph {
     val ed = edges.select(col("u").as("s"), col("v").as("t"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint(true)
-    var regs = packedInit(ed, p)
     def nfRow(r: Int, rg: DataFrame): DataFrame =
       packedEstimate(rg, p, "ball_est")
         .agg(sum(expr("CAST(round(ball_est * 1000000) AS BIGINT)"))
           .as("nf_x1e6"))
         .select(lit(r.toLong).as("radius"), col("nf_x1e6"))
-    var out = nfRow(0, regs)
-    for (r <- 1 to maxRadius) {
-      regs = packedRound(ed, regs, p)
-      out = out.unionByName(nfRow(r, regs))
+    val regs0 = packedInit(ed, p)
+    // state = (registers, curve-so-far); packedRound pins internally
+    val (_, out) = iterateRoundsState(maxRadius, (regs0, nfRow(0, regs0))) {
+      case ((regs, acc), r) =>
+        val next = packedRound(ed, regs, p)
+        (next, acc.unionByName(nfRow(r, next)))
     }
     out
   }
@@ -934,23 +1000,27 @@ object Graph {
     val ed = edges.select(col("u").as("s"), col("v").as("t"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint(true)
-    var regs = packedInit(ed, p)
     def micros(rg: DataFrame, as: String): DataFrame =
       packedEstimate(rg, p, "_e")
         .select(col("node"), expr("CAST(round(_e * 1000000) AS BIGINT)").as(as))
-    var acc = micros(regs, "_prev")
+    val regs0 = packedInit(ed, p)
+    val acc0 = micros(regs0, "_prev")
       .select(col("node"), col("_prev"), lit(0L).as("_h"))
-    for (r <- 1 to maxRadius) {
-      regs = packedRound(ed, regs, p)
-      acc = acc.join(micros(regs, "_cur"), "node")
-        // ball growth clamped at 0: the estimator is monotone except at
-        // its correction→raw branch switch, where a small negative jump
-        // is possible — a negative "contribution" is meaningless AND
-        // Spark's div (toward zero) disagrees with SQL floor division
-        // on negatives, so the clamp pins semantics and determinism
-        .select(col("node"), col("_cur").as("_prev"),
-          (col("_h") + expr(s"greatest(0L, _cur - _prev) div ${r}L")).as("_h"))
-        .localCheckpoint(true)
+    // state = (registers, accumulated harmonic); the accumulator pins
+    // per round (next round's join re-reads it), packedRound pins itself
+    val (_, acc) = iterateRoundsState(maxRadius, (regs0, acc0)) {
+      case ((regs, acc), r) =>
+        val next = packedRound(ed, regs, p)
+        val folded = acc.join(micros(next, "_cur"), "node")
+          // ball growth clamped at 0: the estimator is monotone except at
+          // its correction→raw branch switch, where a small negative jump
+          // is possible — a negative "contribution" is meaningless AND
+          // Spark's div (toward zero) disagrees with SQL floor division
+          // on negatives, so the clamp pins semantics and determinism
+          .select(col("node"), col("_cur").as("_prev"),
+            (col("_h") + expr(s"greatest(0L, _cur - _prev) div ${r}L")).as("_h"))
+          .localCheckpoint(true)
+        (next, folded)
     }
     acc.select(col("node"), col("_h").as("harmonic_x1e6"))
   }
@@ -1026,26 +1096,12 @@ object Graph {
       strict: Boolean = true): DataFrame = {
     require(k >= 3, s"k must be >= 3 for a non-trivial truss, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    var cur = edges.select(col("u"), col("v")).localCheckpoint(true)
-    var nEdges = cur.count()
-    var kept = cur.withColumn("support", lit(0L))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      kept = edgeSupport(cur)
+    val cur0 = edges.select(col("u"), col("v")).localCheckpoint(true)
+    iterateToFixpoint(maxIter, strict, "kTruss",
+        cur0.withColumn("support", lit(0L)))(_.count()) { kept =>
+      edgeSupport(kept.select(col("u"), col("v")))
         .where(col("support") >= lit((k - 2).toLong))
-        .localCheckpoint(true)
-      val nNext = kept.count()
-      converged = nNext == nEdges
-      cur = kept.select(col("u"), col("v"))
-      nEdges = nNext
-      iter += 1
     }
-    if (strict && !converged)
-      throw new IllegalStateException(
-        s"kTruss did not reach fixpoint in $maxIter rounds — raise maxIter " +
-          "(the oracle unroll must move with it) or lower k")
-    kept
   }
 
   /** DECREMENTAL k-truss peel — [[kTruss]] with per-round support
@@ -1100,6 +1156,11 @@ object Graph {
     var out: DataFrame = null
     var converged = false
     var iter = 1 // pass i filters the support-in-graph_{i-1} table
+    // the ONE hand-rolled loop left in this file, by design: its state
+    // is (support table, removal set, dispatch decision) with a
+    // mid-round branch back to the full pass — the three-door harness
+    // would need a fourth door for exactly one caller. Budget +
+    // strict-throw below mirror iterateToFixpoint's contract.
     while (out == null) {
       val removed = sup.where(col("support") < thr)
         .select(col("u"), col("v")).localCheckpoint(true)
@@ -1228,19 +1289,17 @@ object Graph {
     val ed = edges.select(col("u").as("s"), col("v").as("t"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint(true)
-    var dist = seeds.select(col("node")).distinct()
+    val dist0 = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to radius) {
-      dist = dist
+    iterateRounds(radius, dist0, pinEachRound = true) { (dist, _) =>
+      dist
         .unionByName(ed
           .join(dist.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
           .select(col("t").as("node"), (col("dist") + 1L).as("dist")))
         .groupBy(col("node"))
         .agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
     }
-    dist
   }
 
   /** [[coOccurrenceEdges]] with the co-occurrence STRENGTH kept:
@@ -1287,19 +1346,17 @@ object Graph {
     val ed = edges.select(col("u").as("s"), col("v").as("t"), col("w"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t"), col("w")))
       .localCheckpoint(true)
-    var dist = seeds.select(col("node")).distinct()
+    val dist0 = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      dist = dist
+    iterateRounds(rounds, dist0, pinEachRound = true) { (dist, _) =>
+      dist
         .unionByName(ed
           .join(dist.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
           .select(col("t").as("node"), (col("dist") + col("w")).as("dist")))
         .groupBy(col("node"))
         .agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
     }
-    dist
   }
 
   /** Newman modularity (Newman & Girvan 2004, eq. 5) of a node
@@ -1386,8 +1443,11 @@ object Graph {
       .localCheckpoint(true)
     // forward: levels(k) = (src, node, sigma), disjoint across k per src
     val levels = scala.collection.mutable.ArrayBuffer(l0)
-    var visited = l0.select(col("src"), col("node")).localCheckpoint(true)
-    for (_ <- 1 to radius) {
+    // state = visited (pinned per round — the anti-join re-reads it);
+    // the per-level frames pin too and accumulate in the buffer the
+    // backward phase folds in reverse
+    iterateRoundsState(radius,
+        l0.select(col("src"), col("node")).localCheckpoint(true)) { (visited, _) =>
       val next = ed
         .join(levels.last.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
         .select(col("src"), col("t").as("node"), col("sigma"))
@@ -1396,26 +1456,30 @@ object Graph {
         .agg(sum(col("sigma")).as("sigma"))
         .localCheckpoint(true)
       levels += next
-      visited = visited.unionByName(next.select(col("src"), col("node")))
+      visited.unionByName(next.select(col("src"), col("node")))
         .localCheckpoint(true)
     }
-    // backward: δ at the horizon is 0; level k folds its successors
-    var delta = levels(radius)
+    // backward: δ at the horizon is 0; level k folds its successors —
+    // round r maps to level k = radius − r (the harness counts up, the
+    // dependency walk runs down)
+    val delta0 = levels(radius)
       .select(col("src"), col("node"), col("sigma"), lit(0L).as("delta"))
-    var out = delta.select(col("src"), col("node"), col("delta"))
-    for (k <- (radius - 1) to 1 by -1) {
-      val succ = delta.select(col("src"), col("node").as("t"),
-        col("sigma").as("_sw"), col("delta").as("_dw"))
-      delta = levels(k)
-        .join(ed.join(succ.hint("shuffle_hash"), Seq("t"))
-            .select(col("src"), col("s").as("node"), col("_sw"), col("_dw")),
-          Seq("src", "node"), "left")
-        .groupBy(col("src"), col("node"))
-        .agg(first(col("sigma")).as("sigma"),
-          coalesce(sum(expr("(sigma * (1000000L + _dw)) div _sw")), lit(0L))
-            .as("delta"))
-        .localCheckpoint(true)
-      out = out.unionByName(delta.select(col("src"), col("node"), col("delta")))
+    val (_, out) = iterateRoundsState(radius - 1,
+        (delta0, delta0.select(col("src"), col("node"), col("delta")))) {
+      case ((delta, acc), r) =>
+        val k = radius - r
+        val succ = delta.select(col("src"), col("node").as("t"),
+          col("sigma").as("_sw"), col("delta").as("_dw"))
+        val folded = levels(k)
+          .join(ed.join(succ.hint("shuffle_hash"), Seq("t"))
+              .select(col("src"), col("s").as("node"), col("_sw"), col("_dw")),
+            Seq("src", "node"), "left")
+          .groupBy(col("src"), col("node"))
+          .agg(first(col("sigma")).as("sigma"),
+            coalesce(sum(expr("(sigma * (1000000L + _dw)) div _sw")), lit(0L))
+              .as("delta"))
+          .localCheckpoint(true)
+        (folded, acc.unionByName(folded.select(col("src"), col("node"), col("delta"))))
     }
     out
       .groupBy(col("node"))
