@@ -1821,9 +1821,53 @@ object ExtendedQueries {
             |  AND a.s_us <= b.e_us AND b.s_us <= a.e_us
             |GROUP BY 1""".stripMargin))
 
+  /** Lakehouse-style manifest-log table (etl/ManifestTable): versioned
+    * atomic commits + snapshot isolation + time travel from first
+    * principles (no Delta/Iceberg jars exist on this box — SURVEY
+    * §2.1's impossibility note; this is the buildable core). The gate
+    * certifies the METADATA semantics end to end: v1 overwrite (years
+    * ≤ 1996), v2 append (1997), v3 append (≥ 1998), v4 overwrite
+    * (1995 only) — then reads snapshot v2 (time travel must exclude
+    * v3's files and include v1 ∪ v2's) and the latest (must see ONLY
+    * v4's overwrite), each aggregated per year. Any torn commit,
+    * mis-assembled file set, or leaked snapshot breaks the hash. The
+    * table rebuilds from scratch every run (drop first) so reruns are
+    * deterministic. */
+  val q115ManifestLog = NamedQuery(
+    "q115_manifest_log",
+    (s, dir) => {
+      val root = rtDir(dir, "mlog")
+      graft.etl.ManifestTable.drop(s, root)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        Exact.cents(col("o_totalprice")).as("price_cents"))
+      graft.etl.ManifestTable.commit(o.where(col("yr") <= 1996), root, "overwrite")
+      graft.etl.ManifestTable.commit(o.where(col("yr") === 1997), root, "append")
+      graft.etl.ManifestTable.commit(o.where(col("yr") >= 1998), root, "append")
+      graft.etl.ManifestTable.commit(o.where(col("yr") === 1995), root, "overwrite")
+      def agg(df: org.apache.spark.sql.DataFrame, v: Long) =
+        df.groupBy(col("yr"))
+          .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("cents"))
+          .select(lit(v).as("version"), col("yr"), col("n"), col("cents"))
+      agg(graft.etl.ManifestTable.read(s, root, Some(2L)), 2L)
+        .unionByName(agg(graft.etl.ManifestTable.read(s, root), 4L))
+    },
+    Some("""SELECT CAST(2 AS BIGINT) AS version,
+           |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+           |       CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           |FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 2
+           |UNION ALL
+           |SELECT CAST(4 AS BIGINT),
+           |       CAST(year(o_orderdate) AS BIGINT),
+           |       CAST(COUNT(*) AS BIGINT),
+           |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 2""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q103CsvRoundtrip, q104OrcRoundtrip, q105JdbcRoundtrip, q106XmlRoundtrip,
-    q108AvroRoundtrip, q112BucketedJoin, q113IntervalOverlap,
+    q108AvroRoundtrip, q112BucketedJoin, q113IntervalOverlap, q115ManifestLog,
     q70SkewReport, q71JoinSizeEst, q72HeavyByGroup, q75PromoRatio,
     q76Histogram, q77Division,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q102SaltedAuto, q34Explode,
