@@ -35,9 +35,19 @@ object BenchAtScale {
       else Seq("q60_recursive_cte", "d11_contamination", "d15_jaccard_verify",
         "t06_top_terms", "d29_bpe_train", "d30_bpe_encode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions default to the core count (the bench config),
+    // but at 100× some single stages carry ~10⁹ intermediate rows (g24's
+    // wedge agg) — 24 partitions put ~40M rows through each final
+    // hash-agg, past the spill wall, and the stage goes disk-bound
+    // (measured: >40 min vs minutes). A real cluster sizes partitions to
+    // data, not cores; this override is that knob for the pressure
+    // harness. AQE coalesces over-split stages for the light queries,
+    // so a high value is safe across a mixed batch.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
