@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over co-occurrence graphs (reference scope: the
@@ -404,23 +403,29 @@ object Graph {
     * Derivation is exact integer arithmetic replayable by a DuckDB
     * oracle from the same edge rows: group degrees by VALUE, take the
     * running Σ count(d)·d² in ascending-d order, keep the largest d
-    * whose running mass ≤ budgetFactor·m. The running sum is a window
-    * over one row per DISTINCT degree value — bounded by the degree
-    * range, not the node count (the driver-literal size class). */
+    * whose running mass ≤ budgetFactor·m. The per-VALUE profile is
+    * driver-literal-sized (one row per distinct degree value — the
+    * codebook size class), so the running fold happens on the DRIVER:
+    * an unpartitioned window here would trip the repo's own
+    * UnpartitionedWindowGuard, and the guard is right — the collect is
+    * the honest statement that this state is bounded. */
   def autoCenterDegree(edges: DataFrame, budgetFactor: Int = 8): Int = {
     require(budgetFactor >= 1, s"budgetFactor must be >= 1, got $budgetFactor")
     val m = edges.count()
-    val byValue = degrees(edges)
+    val profile = degrees(edges)
       .groupBy(col("deg"))
       .agg((count(lit(1)) * col("deg") * col("deg")).as("_w"))
-    val w = Window.orderBy(col("deg"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fit = byValue
-      .withColumn("_cum", sum(col("_w")).over(w))
-      .where(col("_cum") <= lit(budgetFactor.toLong) * lit(m))
-      .agg(max(col("deg")))
-      .collect()(0)
-    val raw = if (fit.isNullAt(0)) 16L else fit.getLong(0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val budget = budgetFactor.toLong * m
+    var cum = 0L
+    var best = 0L
+    profile.foreach { case (d, w) =>
+      cum += w
+      if (cum <= budget) best = d
+    }
+    val raw = if (best == 0L) 16L else best
     math.max(16L, math.min(4096L, raw)).toInt
   }
 
