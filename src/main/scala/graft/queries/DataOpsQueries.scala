@@ -2387,6 +2387,57 @@ object DataOpsQueries {
            |          JOIN n nb ON nb.vec_id = id_b
            |WHERE list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) >= 0.3""".stripMargin))
 
+  /** FULL-auto embedding near-dup: d44's adaptive code WIDTH
+    * (autoPlanes — buckets grow with the corpus, the answer to d08's
+    * fixed-width 100× wall) composed with round 13's adaptive bucket
+    * CAP (autoBucketCap, the d80 dial) — zero hand-guessed constants
+    * left anywhere in this family's candidate formation. Both dials
+    * re-derived in the oracle from the same COUNT(*) (bit-length for
+    * the width, ceil-sqrt for the cap). */
+  val d81NeardupFullAuto = NamedQuery(
+    "d81_neardup_fullauto",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.count()
+      Similarity.embeddingNearDupsAutoSized(emb, "vec_id", "embedding",
+        minCosine = 0.3, maxBucketSize = Dials.autoBucketCap(n),
+        nRows = Some(n))
+    },
+    Some("""WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           |                                         x -> round(x * 1000)) AS e
+           |           FROM embeddings),
+           |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM q),
+           |params AS (SELECT GREATEST(6, LEAST(30, length(bin(GREATEST(1,
+           |             ((COUNT(*) + 7) // 8) - 1))))) AS p,
+           |           GREATEST(256, LEAST(1000000,
+           |             16 * CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS cap
+           |           FROM embeddings),
+           |pl AS (SELECT unnest(range(0, 4 * (SELECT p FROM params))) AS pp),
+           |dotp AS (SELECT q.vec_id, pl.pp,
+           |                list_sum(list_transform(generate_series(1, len(e)),
+           |                  d -> e[d] * (CASE WHEN md5_number_upper(
+           |                        'srp:' || pl.pp || ':' || (d - 1)) & 1 = 1
+           |                      THEN 1.0 ELSE -1.0 END))) AS dp
+           |         FROM q CROSS JOIN pl),
+           |codes AS (SELECT vec_id, pp // (SELECT p FROM params) AS t,
+           |                 CAST(SUM(CASE WHEN dp > 0
+           |                     THEN (CAST(1 AS BIGINT) << (pp % (SELECT p FROM params)))
+           |                     ELSE 0 END) AS BIGINT) AS code
+           |          FROM dotp GROUP BY 1, 2),
+           |kept AS (SELECT t, code FROM codes GROUP BY 1, 2
+           |         HAVING COUNT(*) <= (SELECT cap FROM params)),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM codes a JOIN codes b ON a.t = b.t AND a.vec_id < b.vec_id
+           |    AND bit_count(xor(a.code, b.code)) <= 1
+           |  JOIN kept ka ON a.t = ka.t AND a.code = ka.code
+           |  JOIN kept kb ON b.t = kb.t AND b.code = kb.code)
+           |SELECT id_a, id_b,
+           |       list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) AS cos_sim
+           |FROM cand JOIN n na ON na.vec_id = id_a
+           |          JOIN n nb ON nb.vec_id = id_b
+           |WHERE list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) >= 0.3""".stripMargin))
+
   /** Substring-level duplication coverage (Dedup.spanDupCoverage): per
     * doc, the fraction of tokens inside an 8-token span repeated
     * verbatim across ≥ 2 docs — the exact-substring complement to
@@ -3602,6 +3653,7 @@ object DataOpsQueries {
     d69FeatureHash, d70PrefixJoin, d71HardNegatives, d72Novelty,
     d73QualityEnsemble, d74NgramPrecision, d75JlProjection, d76KnnProbe,
     d77CurationV2, d78PrefixJoinAuto, d79MinhashPairsAuto, d80EmbeddingNeardupAuto,
+    d81NeardupFullAuto,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,
