@@ -1,7 +1,8 @@
 package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min}
 
 /** Minimal manifest-log table format — the metadata-commit half of a
   * lakehouse table (Iceberg/Delta's core idea), built from first
@@ -25,6 +26,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     and a manifest referencing old ∪ new — no rewrite of existing
   *     data (the q112 bucketed tables and every parquet sink here
   *     rewrite or move; a 100 TB append must not).
+  *   - FILE-LEVEL STATS PRUNING: a commit may record min/max of one
+  *     integral column per data file in the manifest line itself;
+  *     [[readPruned]] plans ONLY the files whose [min,max] intersects
+  *     the predicate range — driver-side metadata pruning, zero I/O
+  *     on skipped files (the Iceberg/Delta data-skipping core). Files
+  *     committed without stats are conservatively kept.
+  *   - ROW-LEVEL DELETES, merge-on-read: [[delete]] commits a small
+  *     key file (Iceberg v2's equality-delete shape); reads apply a
+  *     broadcast anti-join. At 100 TB a delete touches no data file —
+  *     the cost moves to read, and [[compact]] materializes it away.
+  *   - COMPACTION: rewrite the live snapshot (deletes applied) into
+  *     few large files as a new commit; old versions still time-travel
+  *     because their files never moved.
+  *   - VACUUM: expire old versions and physically remove data/delete
+  *     files no kept manifest references — the explicit, bounded
+  *     trade of time-travel depth for storage.
+  *   - SCHEMA EVOLUTION on read: [[readEvolved]] aligns each commit's
+  *     files by column NAME (missing columns → NULL) so an append may
+  *     add or drop columns without rewriting history.
   *
   * Concurrency contract: SINGLE WRITER. Two concurrent commits race to
   * rename the same next-version name; the loser's rename returns false
@@ -33,12 +53,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * That is the documented-honest subset of a real format's optimistic
   * retry loop. Readers need no locks at any concurrency.
   *
-  * Manifest file format: plain text, one field per line
-  * (`v=`, `mode=`, `rows=`, then one relative data-file path per
-  * line after a `files:` marker) — no JSON library dependency, and
-  * hand-parseable by any tool. Version files are zero-padded so the
-  * lexicographic listing order IS version order. */
+  * Still out of scope vs the real formats (documented, not silently
+  * absent): optimistic multi-writer commit protocols and
+  * column-metrics beyond one dial column (real formats keep stats per
+  * column); positional deletes (equality deletes only here).
+  *
+  * Manifest file format: plain text, one field per line (`v=`,
+  * `mode=`, `rows=`, optional `stats_col=`/`delete_key=`, then one
+  * relative data-file path per line after a `files:` marker —
+  * optionally `path|min|max` when stats were collected — and delete
+  * files after an optional `deletes:` marker) — no JSON library
+  * dependency, hand-parseable by any tool. Version files are
+  * zero-padded so the lexicographic listing order IS version order. */
 object ManifestTable {
+
+  /** One data-file entry: the raw manifest line (kept verbatim across
+    * appends so inherited stats survive) plus its parsed parts. */
+  private final case class FileEntry(line: String) {
+    private val parts = line.split('|')
+    def path: String = parts(0)
+    def stats: Option[(Long, Long)] =
+      if (parts.length == 3) Some((parts(1).toLong, parts(2).toLong)) else None
+  }
+
+  private final case class Snapshot(
+      mode: String, rows: Long, statsCol: Option[String],
+      deleteKey: Option[String], files: Seq[FileEntry], deletes: Seq[String])
+
+  /** A stats-pruned snapshot read: the planned DataFrame plus the
+    * pruning tally (files the manifest names vs files actually read). */
+  final case class PrunedRead(df: DataFrame, filesKept: Long, filesTotal: Long)
 
   private def fsFor(spark: SparkSession, root: String): FileSystem =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -60,53 +104,83 @@ object ManifestTable {
       .sorted
   }
 
-  private def parseManifest(fs: FileSystem, p: HPath): (String, Long, Seq[String]) = {
+  private def readText(fs: FileSystem, p: HPath): String = {
     val in = fs.open(p)
-    val text = try {
+    try {
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
         .foreach(n => bos.write(buf, 0, n))
       new String(bos.toByteArray, "UTF-8")
     } finally in.close()
-    val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-    val mode = lines.find(_.startsWith("mode=")).map(_.stripPrefix("mode=")).getOrElse("?")
-    val rows = lines.find(_.startsWith("rows=")).map(_.stripPrefix("rows=").toLong).getOrElse(-1L)
-    val files = lines.dropWhile(_ != "files:").drop(1)
-    (mode, rows, files)
   }
 
-  /** Commit `df` as the next version. `mode` = "append" (new files join
-    * the previous snapshot's file set) or "overwrite" (new files ARE
-    * the snapshot). Returns the committed version number. */
-  def commit(df: DataFrame, root: String, mode: String): Long = {
-    require(mode == "append" || mode == "overwrite",
-      s"mode must be append|overwrite, got $mode")
+  private def parseManifest(fs: FileSystem, p: HPath): Snapshot = {
+    val lines = readText(fs, p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    def field(k: String) = lines.find(_.startsWith(s"$k=")).map(_.stripPrefix(s"$k="))
+    val body = lines.dropWhile(_ != "files:").drop(1)
+    val (fileLines, delLines) = body.span(_ != "deletes:")
+    Snapshot(
+      mode = field("mode").getOrElse("?"),
+      rows = field("rows").map(_.toLong).getOrElse(-1L),
+      statsCol = field("stats_col"),
+      deleteKey = field("delete_key"),
+      files = fileLines.map(FileEntry),
+      deletes = delLines.drop(1))
+  }
+
+  private def snapshotAt(spark: SparkSession, root: String,
+      version: Option[Long]): (Long, Snapshot) = {
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions at $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not committed at $root (have $vs)")
+    (v, parseManifest(fs, manifestPath(root, v)))
+  }
+
+  /** Stage `df` under an unreferenced commit dir and return the new
+    * manifest file lines (with `|min|max` stats when `statsCol` is
+    * set) plus the staged row count — ONE scan of only the new files
+    * (`_metadata.file_path` grouping), never of the existing table. */
+  private def stage(df: DataFrame, root: String, commitId: String,
+      statsCol: Option[String]): (Seq[String], Long) = {
+    statsCol.foreach(c => require(df.columns.contains(c),
+      s"stats column $c not in ${df.columns.mkString(",")}"))
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
-    // 1. stage data files under an unreferenced commit dir (invisible
-    //    to every reader until a manifest names them)
-    val commitId = java.util.UUID.randomUUID().toString
     val dataDir = new HPath(root, s"data/$commitId")
     df.write.mode("errorifexists").parquet(dataDir.toString)
-    val newFiles = fs.listStatus(dataDir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-      .sorted
-      .map(n => s"data/$commitId/$n")
-    // 2. resolve the parent snapshot and assemble the new file set
-    val prev = versions(spark, root).lastOption
-    val prevFiles =
-      if (mode == "overwrite" || prev.isEmpty) Seq.empty
-      else parseManifest(fs, manifestPath(root, prev.get))._3
-    val v = prev.getOrElse(0L) + 1
-    val rows = df.sparkSession.read
-      .parquet(dataDir.toString).count() // committed-rows stat, one metadata-only count
-    // 3. the commit point: write the manifest to a temp name, then ONE
-    //    atomic rename. A lost race (file exists) throws — single-writer
-    //    contract; the staged files stay orphaned and unreferenced.
-    val body = (Seq(s"v=$v", s"mode=$mode", s"rows=$rows", "files:") ++
-      prevFiles ++ newFiles).mkString("", "\n", "\n")
+    val names = fs.listStatus(dataDir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val staged = spark.read.parquet(dataDir.toString)
+    val aggs: Seq[Column] = count(lit(1)).as("_n") +: statsCol.toSeq.flatMap(c =>
+      Seq(min(col(c).cast("long")).as("_lo"), max(col(c).cast("long")).as("_hi")))
+    val perFile = staged.groupBy(col("_metadata.file_path").as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per staged file of THIS commit
+      .map(r => (r.getString(0), r)).toMap
+    val lines = names.map { n =>
+      val row = perFile.collectFirst { case (p, r) if p.endsWith("/" + n) => r }
+        .getOrElse(sys.error(s"staged file $n missing from stats scan"))
+      val base = s"data/$commitId/$n"
+      if (statsCol.isEmpty) base
+      else {
+        val (lo, hi) = (row.fieldIndex("_lo"), row.fieldIndex("_hi"))
+        // an all-NULL stats column in a file → no stats → never pruned
+        if (row.isNullAt(lo) || row.isNullAt(hi)) base
+        else s"$base|${row.getLong(lo)}|${row.getLong(hi)}"
+      }
+    }
+    val rows = perFile.valuesIterator.map(r => r.getLong(r.fieldIndex("_n"))).sum
+    (lines, rows)
+  }
+
+  /** The commit point: write the manifest body to a temp name, then
+    * ONE atomic rename. A lost race (target exists) throws —
+    * single-writer contract; staged files stay orphaned and invisible. */
+  private def commitManifest(fs: FileSystem, root: String, v: Long,
+      commitId: String, body: String): Unit = {
     fs.mkdirs(manifestDir(root))
     val tmp = new HPath(manifestDir(root), s".tmp-$commitId")
     val out = fs.create(tmp, false)
@@ -118,32 +192,214 @@ object ManifestTable {
         s"manifest commit race at $root v$v — concurrent writer won; " +
           "retry the commit (staged files are unreferenced and harmless)")
     }
+  }
+
+  private def manifestBody(v: Long, mode: String, rows: Long,
+      statsCol: Option[String], deleteKey: Option[String],
+      fileLines: Seq[String], deleteLines: Seq[String]): String = {
+    val header = Seq(s"v=$v", s"mode=$mode", s"rows=$rows") ++
+      statsCol.map(c => s"stats_col=$c") ++
+      (if (deleteLines.nonEmpty) deleteKey.map(k => s"delete_key=$k") else Nil)
+    val delSection = if (deleteLines.isEmpty) Nil else "deletes:" +: deleteLines
+    (header ++ Seq("files:") ++ fileLines ++ delSection).mkString("", "\n", "\n")
+  }
+
+  /** Commit `df` as the next version. `mode` = "append" (new files join
+    * the previous snapshot's file set; the previous delete set is
+    * carried forward) or "overwrite" (new files ARE the snapshot and
+    * the delete set clears). With `statsCol`, per-file min/max of that
+    * integral column land in the manifest and [[readPruned]] can skip
+    * files. Returns the committed version number. */
+  def commit(df: DataFrame, root: String, mode: String,
+      statsCol: Option[String] = None): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got $mode")
+    val spark = df.sparkSession
+    val fs = fsFor(spark, root)
+    val commitId = java.util.UUID.randomUUID().toString
+    val (newLines, rows) = stage(df, root, commitId, statsCol)
+    val prevV = versions(spark, root).lastOption
+    val prev = prevV.map(pv => parseManifest(fs, manifestPath(root, pv)))
+    val (prevLines, prevDeletes, prevKey) =
+      if (mode == "overwrite" || prev.isEmpty) (Nil, Nil, None)
+      else (prev.get.files.map(_.line), prev.get.deletes, prev.get.deleteKey)
+    // a snapshot's stats column must be consistent across its commits:
+    // appends onto a stats-bearing snapshot either carry the same
+    // column or none (their files are then conservatively unpruned)
+    prev.filter(_ => mode == "append").flatMap(_.statsCol).foreach { pc =>
+      require(statsCol.forall(_ == pc),
+        s"append stats_col ${statsCol.get} != table stats_col $pc")
+    }
+    val snapStats = statsCol.orElse(prev.filter(_ => mode == "append").flatMap(_.statsCol))
+    val v = prevV.getOrElse(0L) + 1
+    commitManifest(fs, root, v, commitId, manifestBody(
+      v, mode, rows, snapStats, prevKey, prevLines ++ newLines, prevDeletes))
     v
   }
 
-  /** Snapshot read: the exact file set manifest `version` names
-    * (latest committed version when None). Time travel = pass an
-    * older version — immutable forever since data files are never
-    * moved or rewritten. */
-  def read(spark: SparkSession, root: String,
-      version: Option[Long] = None): DataFrame = {
+  /** Row-level DELETE, merge-on-read (Iceberg v2's equality-delete
+    * shape): commit `keys` (one column = `keyCol`, distinct values) as
+    * a delete file; every subsequent read of this snapshot anti-joins
+    * the accumulated delete set — no data file is touched or moved.
+    * The snapshot's data-file set is unchanged; `rows` records the
+    * number of delete keys in THIS commit. Requires a committed table
+    * and a consistent key column across delete commits. */
+  def delete(spark: SparkSession, root: String, keys: DataFrame,
+      keyCol: String): Long = {
+    require(keys.columns.contains(keyCol), s"key column $keyCol missing")
     val fs = fsFor(spark, root)
-    val vs = versions(spark, root)
-    require(vs.nonEmpty, s"no committed versions at $root")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not committed at $root (have $vs)")
-    val (_, _, files) = parseManifest(fs, manifestPath(root, v))
-    require(files.nonEmpty, s"manifest v$v at $root names no files")
-    spark.read.parquet(files.map(f => new HPath(root, f).toString): _*)
+    val prevV = versions(spark, root).lastOption
+    require(prevV.nonEmpty, s"cannot delete from an empty table at $root")
+    val prev = parseManifest(fs, manifestPath(root, prevV.get))
+    prev.deleteKey.foreach(pk => require(pk == keyCol,
+      s"delete key $keyCol != table delete key $pk"))
+    val commitId = java.util.UUID.randomUUID().toString
+    val (newLines, nKeys) =
+      stage(keys.select(col(keyCol)).distinct(), root, commitId, None)
+    val v = prevV.get + 1
+    commitManifest(fs, root, v, commitId, manifestBody(
+      v, "delete", nKeys, prev.statsCol, Some(keyCol),
+      prev.files.map(_.line), prev.deletes ++ newLines.map(FileEntry(_).path)))
+    v
   }
 
-  /** Version history: (version, mode, rows, n_files) per commit —
-    * the table's audit card. */
-  def history(spark: SparkSession, root: String): Seq[(Long, String, Long, Long)] = {
+  private def applyDeletes(spark: SparkSession, root: String,
+      snap: Snapshot, data: DataFrame): DataFrame =
+    if (snap.deletes.isEmpty) data
+    else {
+      val k = snap.deleteKey.getOrElse(
+        sys.error(s"manifest at $root has delete files but no delete_key"))
+      val dels = spark.read
+        .parquet(snap.deletes.map(f => new HPath(root, f).toString): _*)
+        .select(col(k)).distinct()
+      // the delete set is small by contract (keys, not rows) — ship it
+      // to every executor rather than shuffling the data side
+      data.join(broadcast(dels), Seq(k), "left_anti")
+    }
+
+  /** Snapshot read: the exact file set manifest `version` names
+    * (latest committed version when None), minus any merge-on-read
+    * delete keys. Time travel = pass an older version — immutable
+    * forever since data files are never moved or rewritten. */
+  def read(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val (_, snap) = snapshotAt(spark, root, version)
+    require(snap.files.nonEmpty, s"manifest at $root names no files")
+    val data = spark.read.parquet(
+      snap.files.map(f => new HPath(root, f.path).toString): _*)
+    applyDeletes(spark, root, snap, data)
+  }
+
+  /** Stats-pruned snapshot read: plan ONLY the data files whose
+    * recorded [min,max] of the snapshot's stats column intersects
+    * [lo,hi] — metadata-only skipping, zero I/O on pruned files.
+    * Files without stats are conservatively kept. The residual
+    * predicate is NOT applied (file granularity is coarser than rows);
+    * callers keep their row filter, which Spark then pushes into the
+    * surviving scans. Deletes apply as in [[read]]. */
+  def readPruned(spark: SparkSession, root: String, lo: Long, hi: Long,
+      version: Option[Long] = None): PrunedRead = {
+    val (_, snap) = snapshotAt(spark, root, version)
+    require(snap.statsCol.nonEmpty,
+      s"snapshot at $root carries no stats column — commit with statsCol")
+    val kept = snap.files.filter(f =>
+      f.stats.forall { case (mn, mx) => mn <= hi && mx >= lo })
+    require(kept.nonEmpty || snap.files.isEmpty,
+      s"every file pruned for [$lo,$hi] at $root — empty scan (plan an empty DF upstream)")
+    val data = spark.read.parquet(
+      kept.map(f => new HPath(root, f.path).toString): _*)
+    PrunedRead(applyDeletes(spark, root, snap, data),
+      kept.size.toLong, snap.files.size.toLong)
+  }
+
+  /** Schema-evolving snapshot read: each commit's files are read with
+    * their OWN schema (all files of one commit dir share it), then
+    * aligned by column name — columns missing from an older or newer
+    * commit become NULL. This is name-based schema evolution on read:
+    * appends may add or drop columns without rewriting history.
+    * Deletes apply after alignment (the key must survive in every
+    * commit that has rows to delete — enforced by the join analyzer). */
+  def readEvolved(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val (_, snap) = snapshotAt(spark, root, version)
+    require(snap.files.nonEmpty, s"manifest at $root names no files")
+    val byCommit = snap.files.map(_.path).groupBy(p =>
+      p.split('/').take(2).mkString("/")) // data/<uuid>
+    val parts = byCommit.toSeq.sortBy(_._1).map { case (_, paths) =>
+      spark.read.parquet(paths.map(p => new HPath(root, p).toString): _*)
+    }
+    val merged = parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    applyDeletes(spark, root, snap, merged)
+  }
+
+  /** Compaction: materialize the live snapshot (deletes applied) into
+    * `nFiles` files as a new commit whose file set is ONLY the new
+    * files and whose delete set is empty — read cost drops back to a
+    * plain scan, older versions still time-travel (their files never
+    * moved). Pass `statsCol` to re-collect pruning stats on the
+    * compacted files. Returns the committed version. */
+  def compact(spark: SparkSession, root: String, nFiles: Int,
+      statsCol: Option[String] = None): Long = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val prevV = versions(spark, root).lastOption
+    require(prevV.nonEmpty, s"cannot compact an empty table at $root")
+    val live = read(spark, root).repartition(nFiles)
+    val commitId = java.util.UUID.randomUUID().toString
+    val (newLines, rows) = stage(live, root, commitId, statsCol)
+    val v = prevV.get + 1
+    commitManifest(fsFor(spark, root), root, v, commitId, manifestBody(
+      v, "compact", rows, statsCol, None, newLines, Nil))
+    v
+  }
+
+  /** Expire all but the last `keepLast` versions and physically delete
+    * every data/delete file no kept manifest references — the explicit
+    * trade of time-travel depth for storage. Returns
+    * (dataFilesDeleted, manifestsExpired). Orphans from crashed
+    * commits are swept too (they are referenced by nothing). */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): (Long, Long) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"nothing to vacuum at $root")
+    val (expire, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val referenced: Set[String] = keep.flatMap { v =>
+      val s = parseManifest(fs, manifestPath(root, v))
+      s.files.map(_.path) ++ s.deletes
+    }.toSet
+    val dataRoot = new HPath(root, "data")
+    var removed = 0L
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+        val commitRel = s"data/${d.getPath.getName}"
+        val files = fs.listStatus(d.getPath).filter(_.isFile).toSeq
+        val anyReferenced = files.exists(f =>
+          referenced.contains(s"$commitRel/${f.getPath.getName}"))
+        if (!anyReferenced) {
+          // whole commit dir is dead (incl. _SUCCESS markers and
+          // crashed-commit orphans) — count its data files, drop the dir
+          removed += files.count(_.getPath.getName.endsWith(".parquet"))
+          fs.delete(d.getPath, true); ()
+        } else files.foreach { f =>
+          val rel = s"$commitRel/${f.getPath.getName}"
+          if (f.getPath.getName.endsWith(".parquet") && !referenced.contains(rel)) {
+            fs.delete(f.getPath, false); removed += 1
+          }
+        }
+      }
+    }
+    expire.foreach(v => fs.delete(manifestPath(root, v), false))
+    (removed, expire.size.toLong)
+  }
+
+  /** Version history: (version, mode, rows, n_files, n_delete_files)
+    * per commit — the table's audit card. `rows` is the row count of
+    * THAT commit's new files (delete-key count for delete commits). */
+  def history(spark: SparkSession, root: String): Seq[(Long, String, Long, Long, Long)] = {
     val fs = fsFor(spark, root)
     versions(spark, root).map { v =>
-      val (mode, rows, files) = parseManifest(fs, manifestPath(root, v))
-      (v, mode, rows, files.size.toLong)
+      val s = parseManifest(fs, manifestPath(root, v))
+      (v, s.mode, s.rows, s.files.size.toLong, s.deletes.size.toLong)
     }
   }
 

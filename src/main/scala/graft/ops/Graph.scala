@@ -429,6 +429,48 @@ object Graph {
     math.max(16L, math.min(4096L, raw)).toInt
   }
 
+  /** Neighborhood Jaccard for EXISTING edges — the edge-weighting pass
+    * entity-resolution and community pipelines run before cutting weak
+    * links (an edge whose endpoints share few neighbours relative to
+    * their degrees is a bridge, not a community tie). For every edge
+    * (u,v): the common-neighbour count over centers w with
+    * deg(w) ≤ `maxCenterDegree` (the [[linkPrediction]] wedge budget —
+    * same formation, same cap semantics: hub centers are excluded from
+    * the count, documented-capped rather than silently quadratic) and
+    * jac = |N(u)∩N(v)| / |N(u)∪N(v)| as the exact integer
+    * (10⁶·common) div (deg(u)+deg(v)−common), full degrees in the
+    * denominator. Every input edge emits exactly one row (zero-common
+    * edges score 0), so the output is edge-list-sized. One shuffle on
+    * the center key, one on the (u,v) aggregate, two node-sized degree
+    * joins (pinned shuffle_hash — the node frame is build-side-sized,
+    * the pageRank measurement). Returns (u, v, common_neighbors,
+    * jac_x1e6). */
+  def edgeJaccard(edges: DataFrame, maxCenterDegree: Int = 256): DataFrame = {
+    require(maxCenterDegree >= 1,
+      s"maxCenterDegree must be >= 1, got $maxCenterDegree")
+    val adj = edges.select(col("u").as("w"), col("v").as("x"))
+      .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
+    val ok = adj.groupBy(col("w")).agg(count(lit(1)).as("_d"))
+      .where(col("_d") <= maxCenterDegree)
+    val a = adj.join(ok, Seq("w")).select(col("w"), col("x").as("u"))
+    val b = a.select(col("w"), col("u").as("v"))
+    val common = a.join(b, Seq("w"))
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("_cn"))
+    val deg = degrees(edges)
+    edges.select(col("u"), col("v"))
+      .join(common, Seq("u", "v"), "left")
+      .join(deg.select(col("node").as("u"), col("deg").as("_du"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("_dv"))
+        .hint("shuffle_hash"), Seq("v"))
+      .select(col("u"), col("v"),
+        coalesce(col("_cn"), lit(0L)).as("common_neighbors"),
+        expr("(1000000L * coalesce(_cn, 0L)) div (_du + _dv - coalesce(_cn, 0L))")
+          .as("jac_x1e6"))
+  }
+
   /** Hub centers linkPrediction would exclude at this cap, with degrees
     * — the audit twin (never silently half-predicted). */
   def linkPredictionOverflow(edges: DataFrame, maxCenterDegree: Int = 256): DataFrame =

@@ -62,6 +62,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force top-k per query over a SMALL query set — the exact
+    * ground-truth leg for recall evaluation (d82) and the multi-query
+    * sibling of [[bruteForceTopK]]: broadcast the queries, one corpus
+    * scan scores all of them, and the per-query rank window collapses
+    * map-side (Spark's WindowGroupLimit pushes `rank <= k` below the
+    * shuffle — the d71/d76 discipline), so the shuffled volume is
+    * O(k · nQueries) regardless of corpus size. Ties break on data_id,
+    * the d10 contract. Output: (query_id, data_id, cos_sim, rank). */
+  def bruteForceTopKGrouped(embeddings: DataFrame, idCol: String,
+      embCol: String, queries: DataFrame, queryIdCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col(queryIdCol).as("query_id"), quantize(col(embCol)).as("_qe"))
+      .select(col("query_id"), col("_qe"), norm(col("_qe")).as("_qn")))
+    val scored = embeddings
+      .select(col(idCol).as("data_id"), quantize(col(embCol)).as("_e"))
+      .select(col("data_id"), col("_e"), norm(col("_e")).as("_n"))
+      .crossJoin(q)
+      .where(col("data_id") =!= col("query_id"))
+      .select(col("query_id"), col("data_id"),
+        (dot(col("_e"), col("_qe")) / (col("_n") * col("_qn"))).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("data_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic Rademacher (±1) hyperplane matrix for (plane, dim) —
     * sign = parity of the first md5 half of "srp:plane:dim", the SAME
     * little-endian half as the dedup hash chain (graft.functions.Md5Mix),

@@ -515,6 +515,70 @@ object DataOpsQueries {
        |WHERE rk <= 5""".stripMargin
   }
 
+  /** ANN RECALL@k evaluation — the harness every production ANN
+    * deployment runs before trusting an index: d10's IVF (8 cells,
+    * 2 probes) against the exact brute-force top-5 for the same five
+    * query vectors, hits counted by (query, neighbor) identity. This
+    * is the honest-measurement op for the whole d07/d10/d55/d56/d59
+    * family: recall is REPORTED, never assumed, and the op is the
+    * template users point at their own dials. Both legs are
+    * scale-proven shapes (broadcast queries + map-side WindowGroupLimit
+    * rank on the exact leg; cell-pruned probe join on the IVF leg), so
+    * the evaluation itself runs at corpus scale — recall@k on a sample
+    * of queries is exactly how you'd dial nProbe at 100 TB. The oracle
+    * replays BOTH legs (the d10 k-means CTEs + a windowed exact leg)
+    * and the join, making the recall fraction hash-exact as an integer
+    * ×10⁶ floor division. */
+  val d82AnnRecall = NamedQuery(
+    "d82_ann_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopKGrouped(
+        emb, "vec_id", "embedding", qs, "vec_id", k = 5)
+      val approx = Similarity.ivfTopKPortable(emb, "vec_id", "embedding",
+        qs, "vec_id", k = 5, nLists = 8, nProbe = 2, iters = 3)
+      exact.as("e").join(approx.as("a"),
+          col("e.query_id") === col("a.query_id") &&
+            col("e.data_id") === col("a.data_id"), "left")
+        .groupBy(col("e.query_id").as("query_id"))
+        .agg(count(col("a.data_id")).as("hits"), count(lit(1)).as("k"))
+        .select(col("query_id"), col("hits"), col("k"),
+          expr("(1000000L * hits) div k").as("recall_x1e6"))
+    },
+    Some {
+      val cosE = "list_dot_product(d.e, q.qe) / (sqrt(list_dot_product(d.e, d.e))" +
+        " * sqrt(list_dot_product(q.qe, q.qe)))"
+      val cosI = "list_dot_product(a.e, p.qe) / (sqrt(list_dot_product(a.e, a.e))" +
+        " * sqrt(list_dot_product(p.qe, p.qe)))"
+      s"""${ivfCellCtes(3)},
+         |qs AS (SELECT vec_id AS query_id, e AS qe FROM quant WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT query_id, qe, list FROM (
+         |    SELECT s.query_id, s.qe, c.list,
+         |           row_number() OVER (PARTITION BY s.query_id
+         |             ORDER BY ${ivfD2("s.qe", "c.c")}, c.list) AS rk
+         |    FROM qs s CROSS JOIN c3 c) WHERE rk <= 2),
+         |ivf AS (SELECT query_id, data_id FROM (
+         |  SELECT p.query_id, a.vec_id AS data_id,
+         |         row_number() OVER (PARTITION BY p.query_id
+         |           ORDER BY $cosI DESC, a.vec_id) AS rk
+         |  FROM af a JOIN probes p USING (list) WHERE a.vec_id <> p.query_id)
+         |  WHERE rk <= 5),
+         |exact AS (SELECT query_id, data_id FROM (
+         |  SELECT q.query_id, d.vec_id AS data_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY $cosE DESC, d.vec_id) AS rk
+         |  FROM quant d CROSS JOIN qs q WHERE d.vec_id <> q.query_id)
+         |  WHERE rk <= 5)
+         |SELECT e.query_id, CAST(COUNT(i.data_id) AS BIGINT) AS hits,
+         |       CAST(COUNT(*) AS BIGINT) AS k,
+         |       CAST(1000000 * COUNT(i.data_id) // COUNT(*) AS BIGINT) AS recall_x1e6
+         |FROM exact e LEFT JOIN ivf i
+         |  ON e.query_id = i.query_id AND e.data_id = i.data_id
+         |GROUP BY 1""".stripMargin
+    })
+
   /** Product-quantization ANN (Similarity.pqTopK): per-subspace
     * codebooks from the same deterministic integer k-means, vectors
     * encoded to nSub codes, queries answered via per-query lookup
@@ -3653,7 +3717,7 @@ object DataOpsQueries {
     d69FeatureHash, d70PrefixJoin, d71HardNegatives, d72Novelty,
     d73QualityEnsemble, d74NgramPrecision, d75JlProjection, d76KnnProbe,
     d77CurationV2, d78PrefixJoinAuto, d79MinhashPairsAuto, d80EmbeddingNeardupAuto,
-    d81NeardupFullAuto,
+    d81NeardupFullAuto, d82AnnRecall,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,

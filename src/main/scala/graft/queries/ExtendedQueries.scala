@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.{Exact, Tables}
 import graft.ops.SkewJoin
 
@@ -1865,9 +1866,218 @@ object ExtendedQueries {
            |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            |FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 2""".stripMargin))
 
+  /** Shared build step for the q116/q117 stats-pruned manifest tables:
+    * one commit PER ORDER-YEAR (coalesce(1) → exactly one data file
+    * each, min=max=year in the manifest line), looping only over years
+    * the corpus actually has so the file count is oracle-derivable as
+    * COUNT(DISTINCT year) at any SF. Returns the sorted year list. */
+  private def commitPerYear(s: SparkSession, root: String,
+      o: DataFrame): Seq[Long] = {
+    graft.etl.ManifestTable.drop(s, root)
+    val years = o.select(col("yr")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq // bounded: one row per year
+    years.zipWithIndex.foreach { case (y, i) =>
+      graft.etl.ManifestTable.commit(o.where(col("yr") === y).coalesce(1),
+        root, if (i == 0) "overwrite" else "append", statsCol = Some("yr"))
+    }
+    years
+  }
+
+  /** File-level stats pruning (ManifestTable.readPruned) — the
+    * data-skipping half of a lakehouse format: each commit records
+    * min/max of the stats column per data file IN the manifest line,
+    * and a ranged read plans only intersecting files, metadata-only,
+    * zero I/O on the rest. The gate certifies both halves: the pruned
+    * read's per-year aggregates (one wrongly pruned file breaks the
+    * hash) AND the pruning tally itself — files kept vs named, which
+    * the oracle re-derives as distinct-year counts because the build
+    * step writes exactly one file per year. At 100 TB this is the
+    * difference between scanning a partition's worth of files and
+    * scanning the table: stats collection cost is one narrow agg over
+    * only the NEW files at commit time. */
+  val q116ManifestPrune = NamedQuery(
+    "q116_manifest_prune",
+    (s, dir) => {
+      val root = rtDir(dir, "mprune")
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        Exact.cents(col("o_totalprice")).as("price_cents"))
+      commitPerYear(s, root, o)
+      val pr = graft.etl.ManifestTable.readPruned(s, root, 1996L, 1998L)
+      val data = pr.df.where(col("yr").between(1996, 1998))
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("cents"))
+        .select(lit("data").as("tag"), col("yr").as("k"), col("n"), col("cents"))
+      val files = s.range(1).select(lit("files").as("tag"), lit(0L).as("k"),
+        lit(pr.filesKept).as("n"), lit(pr.filesTotal).as("cents"))
+      data.unionByName(files)
+    },
+    Some("""SELECT 'data' AS tag, CAST(year(o_orderdate) AS BIGINT) AS k,
+           |       CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           |FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998 GROUP BY 2
+           |UNION ALL
+           |SELECT 'files', CAST(0 AS BIGINT),
+           |       CAST(COUNT(DISTINCT CASE WHEN year(o_orderdate) BETWEEN 1996 AND 1998
+           |                                THEN year(o_orderdate) END) AS BIGINT),
+           |       CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT)
+           |FROM orders""".stripMargin))
+
+  /** Compaction + vacuum lifecycle (ManifestTable.compact/vacuum) over
+    * a merge-on-read delete: per-year commits (one file each), an
+    * equality-delete of every o_orderkey ≡ 3 (mod 10), compaction to
+    * 2 files (which MATERIALIZES the delete and clears the tombstone
+    * set), then vacuum keeping only the compacted version. The gate
+    * hashes the full audit card: every history row (version, commit
+    * rows, snapshot file + delete-file counts — all re-derived by the
+    * oracle from year ranks), the post-vacuum content, and vacuum's
+    * own tally (per-year files + the delete file die; the 2 compacted
+    * files live). This is the 100 TB steady-state loop: deletes are
+    * metadata-cheap at write, compaction pays the rewrite once,
+    * vacuum bounds storage. */
+  val q117ManifestCompact = NamedQuery(
+    "q117_manifest_compact",
+    (s, dir) => {
+      import s.implicits._
+      val root = rtDir(dir, "mcompact")
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        Exact.cents(col("o_totalprice")).as("price_cents"))
+      commitPerYear(s, root, o)
+      graft.etl.ManifestTable.delete(s, root,
+        o.where(col("o_orderkey") % 10 === 3).select(col("o_orderkey")),
+        "o_orderkey")
+      graft.etl.ManifestTable.compact(s, root, nFiles = 2)
+      val hist = graft.etl.ManifestTable.history(s, root)
+        .map { case (v, _, r, f, d) => ("history", v, r, f, d) }
+      val (filesDel, manExp) = graft.etl.ManifestTable.vacuum(s, root, keepLast = 1)
+      val nLeft = graft.etl.ManifestTable.versions(s, root).size.toLong
+      val meta = (hist :+ ("vacuum", 0L, filesDel, manExp, nLeft))
+        .toDF("tag", "k", "nrows", "m1", "m2")
+      val content = graft.etl.ManifestTable.read(s, root)
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("nrows"), sum(col("price_cents")).as("m1"))
+        .select(lit("content").as("tag"), col("yr").as("k"),
+          col("nrows"), col("m1"), lit(0L).as("m2"))
+      meta.unionByName(content)
+    },
+    Some("""WITH yrs AS (
+           |  SELECT y, n, c, CAST(row_number() OVER (ORDER BY y) AS BIGINT) AS v
+           |  FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           |               CAST(COUNT(*) AS BIGINT) AS n,
+           |               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+           |        FROM orders GROUP BY 1)),
+           |ny AS (SELECT CAST(COUNT(*) AS BIGINT) AS ny FROM yrs),
+           |del AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM orders
+           |        WHERE o_orderkey % 10 = 3),
+           |live AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           |                CAST(COUNT(*) AS BIGINT) AS n,
+           |                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+           |         FROM orders WHERE o_orderkey % 10 <> 3 GROUP BY 1)
+           |SELECT 'history' AS tag, v AS k, n AS nrows, v AS m1,
+           |       CAST(0 AS BIGINT) AS m2 FROM yrs
+           |UNION ALL
+           |SELECT 'history', CAST(ny + 1 AS BIGINT), (SELECT nd FROM del), ny,
+           |       CAST(1 AS BIGINT) FROM ny
+           |UNION ALL
+           |SELECT 'history', CAST(ny + 2 AS BIGINT),
+           |       (SELECT CAST(SUM(n) AS BIGINT) FROM live),
+           |       CAST(2 AS BIGINT), CAST(0 AS BIGINT) FROM ny
+           |UNION ALL
+           |SELECT 'vacuum', CAST(0 AS BIGINT), CAST(ny + 1 AS BIGINT),
+           |       CAST(ny + 1 AS BIGINT), CAST(1 AS BIGINT) FROM ny
+           |UNION ALL
+           |SELECT 'content', y, n, c, CAST(0 AS BIGINT) FROM live""".stripMargin))
+
+  /** Name-based schema evolution on read (ManifestTable.readEvolved):
+    * v1 commits (key, yr, cents), v2 APPENDS a new column
+    * (priority flag), v3 appends with cents DROPPED — and the evolved
+    * read aligns all three by column name, NULL-filling both
+    * directions, no history rewrite. Per-year aggregates pin exactly
+    * which rows carry which columns: cents sums are NULL for the
+    * cents-less years, priority counts are nonzero only for v2's
+    * year — one misaligned column breaks the hash. */
+  val q118ManifestEvolve = NamedQuery(
+    "q118_manifest_evolve",
+    (s, dir) => {
+      val root = rtDir(dir, "mevolve")
+      graft.etl.ManifestTable.drop(s, root)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        Exact.cents(col("o_totalprice")).as("price_cents"),
+        col("o_orderpriority").as("prio"))
+      graft.etl.ManifestTable.commit(
+        o.where(col("yr") <= 1996).select("o_orderkey", "yr", "price_cents"),
+        root, "overwrite")
+      graft.etl.ManifestTable.commit(
+        o.where(col("yr") === 1997), root, "append")
+      graft.etl.ManifestTable.commit(
+        o.where(col("yr") >= 1998).select("o_orderkey", "yr"), root, "append")
+      graft.etl.ManifestTable.readEvolved(s, root)
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("cents"),
+          count(col("prio")).as("n_prio"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           |       CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(SUM(CASE WHEN year(o_orderdate) <= 1997
+           |                THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS cents,
+           |       CAST(COUNT(CASE WHEN year(o_orderdate) = 1997 THEN 1 END) AS BIGINT) AS n_prio
+           |FROM orders GROUP BY 1""".stripMargin))
+
+  /** Row-level equality deletes, merge-on-read (ManifestTable.delete —
+    * Iceberg v2's delete-file shape): deleting every
+    * o_orderkey ≡ 2 (mod 7) commits ONE small key file and rewrites
+    * nothing; reads anti-join the tombstones. The gate certifies the
+    * three load-bearing semantics at once: the live read excludes
+    * deleted keys, a later APPEND cannot resurrect them (1995 is
+    * appended twice — its deleted keys stay gone while its survivors
+    * double), and time travel to v1 still sees every row (the delete
+    * touched no data file). At 100 TB: deletes are metadata-sized
+    * writes + one broadcast anti-join at read; q117 shows the
+    * compaction that retires them. */
+  val q119ManifestDelete = NamedQuery(
+    "q119_manifest_delete",
+    (s, dir) => {
+      val root = rtDir(dir, "mdelete")
+      graft.etl.ManifestTable.drop(s, root)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        Exact.cents(col("o_totalprice")).as("price_cents"))
+      graft.etl.ManifestTable.commit(o, root, "overwrite")
+      graft.etl.ManifestTable.delete(s, root,
+        o.where(col("o_orderkey") % 7 === 2).select(col("o_orderkey")),
+        "o_orderkey")
+      graft.etl.ManifestTable.commit(o.where(col("yr") === 1995), root, "append")
+      def agg(df: DataFrame, v: Long) =
+        df.groupBy(col("yr"))
+          .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("cents"))
+          .select(lit(v).as("version"), col("yr"), col("n"), col("cents"))
+      agg(graft.etl.ManifestTable.read(s, root, Some(1L)), 1L)
+        .unionByName(agg(graft.etl.ManifestTable.read(s, root), 3L))
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey AS k, CAST(year(o_orderdate) AS BIGINT) AS yr,
+           |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           |  FROM orders),
+           |ext AS (SELECT * FROM base
+           |        UNION ALL SELECT * FROM base WHERE yr = 1995)
+           |SELECT CAST(1 AS BIGINT) AS version, yr, CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(SUM(c) AS BIGINT) AS cents
+           |FROM base GROUP BY 2
+           |UNION ALL
+           |SELECT CAST(3 AS BIGINT), yr, CAST(COUNT(*) AS BIGINT),
+           |       CAST(SUM(c) AS BIGINT)
+           |FROM ext WHERE k % 7 <> 2 GROUP BY 2""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q103CsvRoundtrip, q104OrcRoundtrip, q105JdbcRoundtrip, q106XmlRoundtrip,
     q108AvroRoundtrip, q112BucketedJoin, q113IntervalOverlap, q115ManifestLog,
+    q116ManifestPrune, q117ManifestCompact, q118ManifestEvolve, q119ManifestDelete,
     q70SkewReport, q71JoinSizeEst, q72HeavyByGroup, q75PromoRatio,
     q76Histogram, q77Division,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q102SaltedAuto, q34Explode,

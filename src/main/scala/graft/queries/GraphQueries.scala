@@ -994,6 +994,51 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
             |WHERE 10 * nf_x1e6 >= 9 * mx.nfmax
             |ORDER BY radius LIMIT 1""".stripMargin))
 
+  /** Edge-level neighborhood Jaccard (Graph.edgeJaccard) — weigh every
+    * existing co-purchase edge by how much of its endpoints'
+    * neighbourhoods overlap: the pre-cut pass community pipelines run
+    * to separate community ties (high Jaccard) from bridges (zero
+    * common neighbours). The wedge formation is g24's, budget-capped
+    * by the SAME auto dial, and the oracle re-derives the cap from the
+    * degree profile before replaying the count — plus the full-degree
+    * Jaccard as an exact ×10⁶ floor division. One row per edge,
+    * zero-common edges included at 0 (the no-silent-drop rule). */
+  val g25EdgeJaccard = NamedQuery(
+    "g25_edge_jaccard",
+    (s, dir) => {
+      // checkpoint: the dial reads the edge list (count + degree
+      // profile) and the op reads it three more times (adjacency,
+      // degrees, edge anchor) — without the pin each read would re-run
+      // the basket expansion
+      val e = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasketItems = 64)
+        .localCheckpoint(true)
+      Graph.edgeJaccard(e,
+          maxCenterDegree = Graph.autoCenterDegree(e, budgetFactor = 8))
+        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+          col("common_neighbors"), col("jac_x1e6"))
+    },
+    Some(s"""WITH $edgeCte,
+            |dv AS (SELECT d, COUNT(*) * d * d AS w FROM deg GROUP BY d),
+            |cw AS (SELECT d, SUM(w) OVER (ORDER BY d) AS cum FROM dv),
+            |cap AS (SELECT GREATEST(16, LEAST(4096, COALESCE(
+            |          MAX(d) FILTER (cum <= 8 * (SELECT COUNT(*) FROM e)), 16))) AS c
+            |        FROM cw),
+            |ok AS (SELECT node, d FROM deg WHERE d <= (SELECT c FROM cap)),
+            |cn AS (SELECT a.t AS u, b.t AS v,
+            |              CAST(COUNT(*) AS BIGINT) AS common_neighbors
+            |       FROM ed a JOIN ed b ON a.s = b.s AND a.t < b.t
+            |       JOIN ok o ON a.s = o.node
+            |       GROUP BY 1, 2)
+            |SELECT CAST(e.u AS BIGINT) AS u, CAST(e.v AS BIGINT) AS v,
+            |       CAST(COALESCE(cn.common_neighbors, 0) AS BIGINT) AS common_neighbors,
+            |       CAST((1000000 * COALESCE(cn.common_neighbors, 0)) //
+            |            (du.d + dv.d - COALESCE(cn.common_neighbors, 0)) AS BIGINT)
+            |         AS jac_x1e6
+            |FROM e LEFT JOIN cn ON e.u = cn.u AND e.v = cn.v
+            |JOIN deg du ON e.u = du.node
+            |JOIN deg dv ON e.v = dv.node""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     g01TriangleCensus, g02PageRank, g03DegreeDistribution,
     g04ConnectedComponents, g05ComponentsContract, g06ComponentsAuto,
@@ -1001,5 +1046,6 @@ a$i AS MATERIALIZED (SELECT node, auth // GREATEST(1, ((SELECT MAX(auth) FROM a$
     g11PersonalizedPr, g12LabelCommunities, g13RandomWalks,
     g14NeighborhoodHll, g15KTruss, g16BfsDistances,
     g17NeighborhoodFunction, g18Assortativity, g19Sssp, g20Harmonic,
-    g21Modularity, g22Betweenness, g23EffDiameter, g24LinkPredictionAuto)
+    g21Modularity, g22Betweenness, g23EffDiameter, g24LinkPredictionAuto,
+    g25EdgeJaccard)
 }

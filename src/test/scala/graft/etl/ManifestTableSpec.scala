@@ -63,6 +63,103 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.versions(spark, root) == Seq(1L))
   }
 
+  test("file stats prune the plan; stat-less files are conservatively kept") {
+    val root = freshRoot("prune")
+    // one file per commit, disjoint id ranges -> min/max per file
+    ManifestTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1),
+      root, "overwrite", statsCol = Some("id"))
+    ManifestTable.commit(Seq((10L, "c"), (12L, "d")).toDF("id", "s").coalesce(1),
+      root, "append", statsCol = Some("id"))
+    ManifestTable.commit(Seq((20L, "e")).toDF("id", "s").coalesce(1),
+      root, "append", statsCol = Some("id"))
+    val pr = ManifestTable.readPruned(spark, root, 9L, 13L)
+    assert((pr.filesKept, pr.filesTotal) == (1L, 3L))
+    assert(pr.df.select("id").as[Long].collect().sorted.toSeq == Seq(10L, 12L))
+    // boundary intersection: [2,10] touches files 1 and 2
+    val pr2 = ManifestTable.readPruned(spark, root, 2L, 10L)
+    assert((pr2.filesKept, pr2.filesTotal) == (2L, 3L))
+    // an append WITHOUT stats is never pruned out
+    ManifestTable.commit(Seq((99L, "z")).toDF("id", "s").coalesce(1), root, "append")
+    val pr3 = ManifestTable.readPruned(spark, root, 9L, 13L)
+    assert((pr3.filesKept, pr3.filesTotal) == (2L, 4L))
+    assert(pr3.df.select("id").as[Long].collect().sorted.toSeq == Seq(10L, 12L, 99L))
+  }
+
+  test("equality deletes are merge-on-read, accumulate, and time-travel away") {
+    val root = freshRoot("del")
+    ManifestTable.commit((1L to 6L).toDF("id"), root, "overwrite")
+    val v2 = ManifestTable.delete(spark, root, Seq(2L, 4L).toDF("id"), "id")
+    assert(v2 == 2L)
+    assert(ManifestTable.read(spark, root).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L, 6L))
+    // v1 still sees everything (delete touched no data file)
+    assert(ManifestTable.read(spark, root, Some(1L)).count() == 6L)
+    // deletes accumulate; appends carry the delete set forward
+    ManifestTable.delete(spark, root, Seq(6L).toDF("id"), "id")
+    ManifestTable.commit(Seq(7L).toDF("id"), root, "append")
+    assert(ManifestTable.read(spark, root).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L, 7L))
+    // a mismatched delete key is rejected
+    intercept[IllegalArgumentException](
+      ManifestTable.delete(spark, root, Seq(1L).toDF("x"), "x"))
+    // overwrite clears the delete set
+    ManifestTable.commit(Seq(2L).toDF("id"), root, "overwrite")
+    assert(ManifestTable.read(spark, root).as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("compact materializes deletes into few files; history still time-travels") {
+    val root = freshRoot("compact")
+    (1L to 4L).foreach(i => ManifestTable.commit(
+      Seq((i, s"s$i")).toDF("id", "s").coalesce(1), root,
+      if (i == 1L) "overwrite" else "append"))
+    ManifestTable.delete(spark, root, Seq(3L).toDF("id"), "id")
+    val v = ManifestTable.compact(spark, root, nFiles = 2)
+    assert(v == 6L)
+    val h = ManifestTable.history(spark, root).last
+    assert((h._2, h._3, h._4, h._5) == ("compact", 3L, 2L, 0L))
+    assert(ManifestTable.read(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    // pre-compact snapshot (with its merge-on-read delete) is intact
+    assert(ManifestTable.read(spark, root, Some(5L)).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    assert(ManifestTable.read(spark, root, Some(4L)).count() == 4L)
+  }
+
+  test("vacuum deletes unreferenced files, expires versions, keeps the live read") {
+    val root = freshRoot("vacuum")
+    (1L to 3L).foreach(i => ManifestTable.commit(
+      Seq((i, s"s$i")).toDF("id", "s").coalesce(1), root,
+      if (i == 1L) "overwrite" else "append"))
+    ManifestTable.delete(spark, root, Seq(2L).toDF("id"), "id")
+    ManifestTable.compact(spark, root, nFiles = 1)
+    // 3 per-commit data files + 1 delete file die; the compacted file lives
+    val (files, manifests) = ManifestTable.vacuum(spark, root, keepLast = 1)
+    assert((files, manifests) == (4L, 4L))
+    assert(ManifestTable.versions(spark, root) == Seq(5L))
+    assert(ManifestTable.read(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    intercept[IllegalArgumentException](
+      ManifestTable.read(spark, root, Some(2L)))
+  }
+
+  test("readEvolved aligns schemas by name across commits, NULL-filling gaps") {
+    val root = freshRoot("evolve")
+    ManifestTable.commit(Seq((1L, "a")).toDF("id", "s"), root, "overwrite")
+    // append ADDS a column
+    ManifestTable.commit(Seq((2L, "b", 7L)).toDF("id", "s", "extra"), root, "append")
+    // append DROPS a column
+    ManifestTable.commit(Seq(3L).toDF("id"), root, "append")
+    val got = ManifestTable.readEvolved(spark, root)
+      .select("id", "s", "extra").as[(Long, Option[String], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some("a"), None), (2L, Some("b"), Some(7L)),
+      (3L, None, None)))
+    // deletes apply after alignment
+    ManifestTable.delete(spark, root, Seq(2L).toDF("id"), "id")
+    assert(ManifestTable.readEvolved(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("reading an uncommitted version or an empty root fails loudly") {
     val root = freshRoot("guards")
     intercept[IllegalArgumentException](ManifestTable.read(spark, root))
