@@ -270,6 +270,117 @@ object Multimodal {
       }
   }
 
+  case class WavSource(media_id: Long, n_samples: Int, base: Int, step: Int)
+  case class WavDecoded(media_id: Long, ok: Boolean, sample_rate: Option[Int],
+      n_samples: Option[Long], amp_sum: Option[Long], amp_min: Option[Int],
+      amp_max: Option[Int])
+
+  private val WavRate = 16000
+
+  /** REAL audio encode — a canonical RIFF/WAVE file (PCM16 mono,
+    * 16 kHz): 44-byte header + little-endian samples
+    * s(t) = ((base + t·step) mod 201) − 100, pure integer arithmetic
+    * so the decoded amplitude stats are oracle-checkable (the
+    * [[renderPng]] principle applied to audio — WAV/PCM is lossless
+    * and needs no codec library at all, just the RIFF byte layout). */
+  private[ops] def renderWav(nSamples: Int, base: Int, step: Int): Array[Byte] = {
+    require(nSamples >= 1, s"need >= 1 samples, got $nSamples")
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(WavRate)
+      .putInt(WavRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var t = 0
+    while (t < nSamples) {
+      bb.putShort((((base + t.toLong * step) % 201).toInt - 100).toShort)
+      t += 1
+    }
+    bb.array()
+  }
+
+  /** Render pass: one WAV per source row at the same mapPartitions
+    * codec seam as [[renderPngs]]. */
+  def renderWavs(spark: SparkSession, sources: Dataset[WavSource]): DataFrame = {
+    import spark.implicits._
+    sources.mapPartitions(rows =>
+      rows.map(s => (s.media_id, renderWav(s.n_samples, s.base, s.step))))
+      .toDF("media_id", "content")
+  }
+
+  /** REAL audio decode — walk the RIFF chunk list (never assume the
+    * 44-byte happy path: fmt/data may be preceded by LIST or other
+    * chunks in the wild), validate PCM16 mono, and fold the samples to
+    * exact integer amplitude stats (sum / min / max). A payload the
+    * parser rejects — wrong magic, truncated chunk, non-PCM format,
+    * odd data size — yields an ok=false null row, an AUDITABLE row,
+    * never a task failure (the [[decodePngs]] cap+audit codec
+    * contract). */
+  def decodeWavs(spark: SparkSession, media: DataFrame): Dataset[WavDecoded] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        parseWav(bytes) match {
+          case Some((rate, n, sum, mn, mx)) =>
+            WavDecoded(id, ok = true, Some(rate), Some(n), Some(sum), Some(mn), Some(mx))
+          case None =>
+            WavDecoded(id, ok = false, None, None, None, None, None)
+        }
+      })
+  }
+
+  /** (sampleRate, nSamples, ampSum, ampMin, ampMax) or None if malformed. */
+  private[ops] def parseWav(
+      bytes: Array[Byte]): Option[(Int, Long, Long, Int, Int)] = {
+    def ascii(off: Int, s: String): Boolean =
+      bytes.length >= off + 4 && new String(bytes, off, 4, "US-ASCII") == s
+    if (bytes == null || bytes.length < 12 || !ascii(0, "RIFF") || !ascii(8, "WAVE"))
+      return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var rate = -1
+    var fmtOk = false
+    var data: Option[(Int, Int)] = None // (offset, size)
+    while (off + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16) {
+        val audioFormat = bb.getShort(off + 8).toInt
+        val channels = bb.getShort(off + 10).toInt
+        rate = bb.getInt(off + 12)
+        val bits = bb.getShort(off + 22).toInt
+        fmtOk = audioFormat == 1 && channels == 1 && bits == 16 && rate > 0
+        if (!fmtOk) return None
+      } else if (id == "data") {
+        data = Some((off + 8, size))
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    data match {
+      case Some((dOff, dSize)) if fmtOk && dSize % 2 == 0 && dSize > 0 =>
+        val n = dSize / 2
+        var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+        var i = 0
+        while (i < n) {
+          val v = bb.getShort(dOff + 2 * i).toInt
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        Some((rate, n.toLong, sum, mn, mx))
+      case _ => None
+    }
+  }
+
   case class TarShard(shard: Long, n_samples: Long, payload_bytes: Long,
       tar: Array[Byte])
 

@@ -209,6 +209,60 @@ object Sampling {
     * per-stratum allocations are a broadcast of the #strata-row weights
     * frame. Deterministic end to end: same corpus → same mixture, any
     * partitioning, any engine. */
+  /** Exact integer WATER-FILLING level for a budgeted cap across
+    * strata: the largest level c such that Σ min(mass_i, c) ≤ budget —
+    * i.e. cap the dominant strata at c, keep everything below c whole.
+    * This is the OTHER classic mixture curve next to [[mixtureWeights]]'
+    * α = 0.5 temperature rule: temperature reshapes every stratum's
+    * share smoothly; water-filling touches ONLY the strata above the
+    * level (the CommonCrawl-dominates-the-mix fix) and provably wastes
+    * none of the budget (no feasible level is higher).
+    *
+    * Derivation (all integer, oracle-replayable): sort masses
+    * ascending; for each k = number of fully-kept smallest masses the
+    * candidate level is (budget − prefix_k) div (d − k); every
+    * candidate that actually fits (Σ min ≤ budget, checked exactly) is
+    * feasible and the max such candidate IS the optimum — the true
+    * level c* at its own k* satisfies c* ≤ its candidate, and every
+    * validated candidate is ≤ c* by feasibility. When the whole corpus
+    * fits the budget, the level pins to max(mass): nothing is capped. */
+  def waterfillLevel(masses: Seq[Long], budget: Long): Long = {
+    require(masses.nonEmpty, "waterfillLevel needs at least one stratum")
+    require(masses.forall(_ >= 0) && budget >= 0,
+      "masses and budget must be non-negative")
+    val sorted = masses.sorted
+    val d = sorted.size
+    if (sorted.sum <= budget) return sorted.last
+    val prefix = sorted.scanLeft(0L)(_ + _) // prefix(k) = Σ of k smallest
+    def fits(c: Long) = sorted.map(m => math.min(m, c)).sum <= budget
+    (0 until d).map(k => (budget - prefix(k)) / (d - k))
+      .filter(c => c >= 0 && fits(c))
+      .max // k = 0 gives budget div d, which always fits — never empty
+  }
+
+  /** Distributed water-fill: per-key mass totals, the level from
+    * [[waterfillLevel]] over the (bounded, one row per stratum —
+    * codebook-sized) collected profile with
+    * budget = (budgetNumer · Σ mass) div budgetDenom, and each
+    * stratum's allocation min(mass, level). One agg shuffle; the
+    * profile fold is driver-side like the graph dials — an
+    * unpartitioned window here would trip the repo's own guard.
+    * Returns (key, mass, alloc, level, budget). */
+  def waterfillAllocation(df: DataFrame, keyCol: String, massCol: Column,
+      budgetNumer: Long, budgetDenom: Long): DataFrame = {
+    require(budgetNumer >= 0 && budgetDenom >= 1,
+      s"bad budget fraction $budgetNumer/$budgetDenom")
+    val perKey = df.groupBy(col(keyCol).as("key"))
+      .agg(sum(massCol).as("mass"))
+      .localCheckpoint(true) // the profile collect and the output read it
+    val masses = perKey.select(col("mass")).collect().map(_.getLong(0)).toSeq
+    val budget = budgetNumer * masses.sum / budgetDenom
+    val level = waterfillLevel(masses, budget)
+    perKey.select(col("key"), col("mass"),
+      least(col("mass"), lit(level)).as("alloc"),
+      lit(level).as("level"), lit(budget).as("budget"))
+  }
+
   def budgetedAssembly(df: DataFrame, idCol: String, stratumCol: String,
       textCol: String, budgetTokens: Long): DataFrame = {
     val alloc = mixtureWeights(df, stratumCol, textCol, budgetTokens)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Dials, Multimodal, Ranking, Relevance, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Dials, Multimodal, Ranking, Relevance, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal columns) over the documents/embeddings tables.
@@ -578,6 +578,54 @@ object DataOpsQueries {
          |  ON e.query_id = i.query_id AND e.data_id = i.data_id
          |GROUP BY 1""".stripMargin
     })
+
+  /** Water-filling budget cap across sources
+    * (Sampling.waterfillAllocation): the largest level c with
+    * Σ min(mass_src, c) ≤ 60% of total corpus chars — cap the dominant
+    * sources AT the level, keep everything smaller whole. The second
+    * classic mixture curve next to d21's α = 0.5 temperature rule
+    * (which reshapes every share; water-filling touches only the
+    * overweight tail — the CommonCrawl-dominates fix). Pure integer
+    * derivation end to end, and the oracle replays the WHOLE search:
+    * per-rank level candidates (budget − prefix) div (remaining),
+    * exact Σ min(mass, c) ≤ budget validation, max feasible wins —
+    * the d44/d78 rule that the dial derivation is part of the checked
+    * answer. Profile fold is driver-side over one row per source (the
+    * graph-dial codebook class); the data-sized work is one agg. */
+  val d83Waterfill = NamedQuery(
+    "d83_waterfill",
+    (s, dir) => {
+      Sampling.waterfillAllocation(
+          Tables.documents(s, dir).where(col("n_chars").isNotNull),
+          "source", col("n_chars"), budgetNumer = 6L, budgetDenom = 10L)
+        .select(col("key").as("source"), col("mass"), col("alloc"),
+          col("level"), col("budget"))
+    },
+    Some("""WITH src AS (
+           |  SELECT source AS key, CAST(SUM(n_chars) AS BIGINT) AS mass
+           |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS s,
+           |               CAST(COUNT(*) AS BIGINT) AS d FROM src),
+           |b AS (SELECT (6 * s) // 10 AS budget, d, s FROM tot),
+           |ord AS (SELECT mass,
+           |               CAST(row_number() OVER (ORDER BY mass, key) AS BIGINT) AS rn,
+           |               CAST(SUM(mass) OVER (ORDER BY mass, key
+           |                    ROWS UNBOUNDED PRECEDING) - mass AS BIGINT) AS prefix
+           |        FROM src),
+           |cand AS (
+           |  SELECT (budget - prefix) // (d - rn + 1) AS c
+           |  FROM ord CROSS JOIN b WHERE budget - prefix >= 0
+           |  UNION ALL
+           |  SELECT (SELECT MAX(mass) FROM src) FROM b WHERE s <= budget),
+           |lvl AS (SELECT CAST(MAX(c) AS BIGINT) AS level FROM cand
+           |        WHERE c >= 0
+           |          AND (SELECT SUM(LEAST(mass, c)) FROM src)
+           |                <= (SELECT budget FROM b))
+           |SELECT key AS source, mass,
+           |       CAST(LEAST(mass, (SELECT level FROM lvl)) AS BIGINT) AS alloc,
+           |       (SELECT level FROM lvl) AS level,
+           |       (SELECT CAST(budget AS BIGINT) FROM b) AS budget
+           |FROM src""".stripMargin))
 
   /** Product-quantization ANN (Similarity.pqTopK): per-subspace
     * codebooks from the same deterministic integer k-means, vectors
@@ -2205,6 +2253,49 @@ object DataOpsQueries {
            |       CAST(CAST(h AS BIGINT) * w * b AS BIGINT) AS b_sum
            |FROM dims""".stripMargin))
 
+  /** REAL audio decode — RIFF/WAVE PCM16 round trip
+    * (Multimodal.renderWavs/decodeWavs, the m10 principle applied to
+    * audio): canonical WAV bytes are rendered per document with the
+    * deterministic integer sample ramp s(t) = ((base + t·step) mod
+    * 201) − 100, then DECODED by walking the actual RIFF chunk list
+    * (magic, fmt PCM16-mono validation, word-aligned chunk skip) and
+    * folding exact amplitude stats. The oracle regenerates every
+    * sample from the same doc_id-derived params in SQL — one mis-read
+    * header field, sample byte, or sign extension breaks the hash.
+    * Corrupt payloads are ok=false AUDIT rows, never task failures
+    * (spec: garbage, truncation, bad format). Codec-bound LINEAR at
+    * scale: per-row constant work at the mapPartitions seam, no
+    * shuffle anywhere. */
+  val m11WavDecode = NamedQuery(
+    "m11_wav_decode",
+    (s, dir) => {
+      import s.implicits._
+      val srcs = Tables.documents(s, dir).select(
+          col("doc_id").as("media_id"),
+          (lit(160L) + pmod(col("doc_id"), lit(6L)) * 40L).cast("int").as("n_samples"),
+          pmod(col("doc_id"), lit(97L)).cast("int").as("base"),
+          (lit(1L) + pmod(col("doc_id"), lit(13L))).cast("int").as("step"))
+        .as[Multimodal.WavSource]
+      Multimodal.decodeWavs(s, Multimodal.renderWavs(s, srcs))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("amp_sum"), col("amp_min"), col("amp_max"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, 160 + (doc_id % 6) * 40 AS n,
+           |         doc_id % 97 AS base, 1 + doc_id % 13 AS step
+           |  FROM documents),
+           |v AS (SELECT doc_id, n,
+           |             list_transform(generate_series(0, CAST(n AS INT) - 1),
+           |               t -> (base + t * step) % 201 - 100) AS samples
+           |      FROM p)
+           |SELECT doc_id AS media_id, CAST(16000 AS INT) AS sample_rate,
+           |       CAST(n AS BIGINT) AS n_samples,
+           |       CAST(list_sum(samples) AS BIGINT) AS amp_sum,
+           |       CAST(list_min(samples) AS INT) AS amp_min,
+           |       CAST(list_max(samples) AS INT) AS amp_max
+           |FROM v""".stripMargin))
+
   /** Curation-grade cluster resolution: same clusters as d09, but the
     * keep decision surrenders each cluster's LONGEST copy (token count,
     * ties → min id) instead of its min-id copy — the choice an actual
@@ -3717,10 +3808,10 @@ object DataOpsQueries {
     d69FeatureHash, d70PrefixJoin, d71HardNegatives, d72Novelty,
     d73QualityEnsemble, d74NgramPrecision, d75JlProjection, d76KnnProbe,
     d77CurationV2, d78PrefixJoinAuto, d79MinhashPairsAuto, d80EmbeddingNeardupAuto,
-    d81NeardupFullAuto, d82AnnRecall,
+    d81NeardupFullAuto, d82AnnRecall, d83Waterfill,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,
     m05AssembleRecords, m06PatchGrid, m07PerceptualNeardup, m08TarShards,
-    m09TarRoundtrip, m10PngDecode)
+    m09TarRoundtrip, m10PngDecode, m11WavDecode)
 }

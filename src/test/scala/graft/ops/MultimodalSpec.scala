@@ -250,4 +250,61 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(got(4L).ok && got(4L).width.contains(4) && got(4L).g_sum.contains(16L))
   }
+
+  test("wav round trip: RIFF parse reproduces exact rate and amplitude stats") {
+    import spark.implicits._
+    val srcs = Seq(
+      Multimodal.WavSource(1L, 5, 0, 1),    // samples -100..-96
+      Multimodal.WavSource(2L, 300, 50, 7), // wraps the mod-201 cycle
+      Multimodal.WavSource(3L, 1, 200, 13)  // single sample: (200 % 201) - 100 = 100
+    ).toDS()
+    val got = Multimodal.decodeWavs(spark, Multimodal.renderWavs(spark, srcs))
+      .collect().map(d => d.media_id -> d).toMap
+    def stats(n: Int, base: Int, step: Int): (Long, Int, Int) = {
+      val vs = (0 until n).map(t => ((base + t.toLong * step) % 201).toInt - 100)
+      (vs.map(_.toLong).sum, vs.min, vs.max)
+    }
+    for ((id, n, base, step) <- Seq((1L, 5, 0, 1), (2L, 300, 50, 7), (3L, 1, 200, 13))) {
+      val d = got(id)
+      val (sum, mn, mx) = stats(n, base, step)
+      assert(d.ok && d.sample_rate.contains(16000), s"id=$id: $d")
+      assert(d.n_samples.contains(n.toLong) && d.amp_sum.contains(sum), s"id=$id: $d")
+      assert(d.amp_min.contains(mn) && d.amp_max.contains(mx), s"id=$id: $d")
+    }
+  }
+
+  test("wav decode survives extra RIFF chunks and rejects malformed payloads") {
+    import spark.implicits._
+    val good = Multimodal.renderWavs(spark,
+        Seq(Multimodal.WavSource(0L, 8, 3, 2)).toDS())
+      .select("content").collect()(0).getAs[Array[Byte]](0)
+    // splice a LIST chunk between WAVE and fmt — a real-world layout
+    // the 44-byte happy path would misparse
+    val withList = {
+      val list = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      val head = good.take(12)
+      val rest = good.drop(12)
+      val out = head ++ list ++ rest
+      // patch the RIFF size field (bytes 4-7, LE) for the added 12 bytes
+      val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(4, bb.getInt(4) + 12)
+      out
+    }
+    val stereoFmt = { val c = good.clone(); c(22) = 2; c } // channels=2: rejected
+    val corpus = Seq(
+      (1L, withList),
+      (2L, "RIFFxxxxWAVE".getBytes("US-ASCII")), // no chunks at all
+      (3L, good.take(30)),                       // truncated mid-header
+      (4L, stereoFmt),
+      (5L, Array.empty[Byte]),
+      (6L, good)
+    ).toDF("media_id", "content")
+    val got = Multimodal.decodeWavs(spark, corpus)
+      .collect().map(d => d.media_id -> d).toMap
+    assert(got(1L).ok && got(1L).n_samples.contains(8L), s"LIST chunk: ${got(1L)}")
+    for (id <- Seq(2L, 3L, 4L, 5L))
+      assert(!got(id).ok && got(id).amp_sum.isEmpty, s"id=$id: ${got(id)}")
+    assert(got(6L).ok && got(6L).amp_sum == got(1L).amp_sum)
+  }
 }

@@ -190,4 +190,43 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(ids1 == ids2)
   }
+
+  test("waterfillLevel: optimal integer level, edge cases, brute-force agreement") {
+    // hand case: masses (10, 20, 70), budget 60 -> keep 10 and 20 whole,
+    // cap the 70 at 30 (10 + 20 + 30 = 60)
+    assert(Sampling.waterfillLevel(Seq(10L, 20L, 70L), 60L) == 30L)
+    // everything fits -> level pins to max mass, nothing capped
+    assert(Sampling.waterfillLevel(Seq(10L, 20L, 70L), 100L) == 70L)
+    // budget below d * min -> uniform split
+    assert(Sampling.waterfillLevel(Seq(10L, 20L, 70L), 9L) == 3L)
+    assert(Sampling.waterfillLevel(Seq(5L), 3L) == 3L)
+    assert(Sampling.waterfillLevel(Seq(5L, 5L), 0L) == 0L)
+    // brute-force optimality: level is the MAX c with sum(min(m,c)) <= B
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val ms = Seq.fill(1 + rng.nextInt(6))(rng.nextInt(100).toLong)
+      val b = rng.nextInt(300).toLong
+      val got = Sampling.waterfillLevel(ms, b)
+      def fill(c: Long) = ms.map(m => math.min(m, c)).sum
+      assert(fill(got) <= b, s"ms=$ms b=$b got=$got overflows")
+      if (got < ms.max) // not the everything-fits pin
+        assert(fill(got + 1) > b, s"ms=$ms b=$b got=$got not maximal")
+    }
+  }
+
+  test("waterfillAllocation: per-source caps at the level, budget respected") {
+    val corpus = docs.withColumn("source",
+        when(col("doc_id") % 4 === 0, lit("big"))
+          .otherwise(concat(lit("small_"), (col("doc_id") % 4).cast("string"))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Sampling.waterfillAllocation(corpus, "source", col("n_chars"), 5L, 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val level = got.head._4
+    assert(got.forall(_._4 == level)) // one level for the whole table
+    assert(got.map(_._3).sum <= got.head._5, "allocation exceeds budget")
+    got.foreach { case (_, mass, alloc, lvl, _) =>
+      assert(alloc == math.min(mass, lvl))
+    }
+  }
 }
