@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min}
+import org.apache.spark.sql.functions.{broadcast, col, count, element_at, explode, lit, max, min, sequence, shiftright, split}
 
 /** Minimal manifest-log table format — the metadata-commit half of a
   * lakehouse table (Iceberg/Delta's core idea), built from first
@@ -78,7 +78,8 @@ object ManifestTable {
 
   private final case class Snapshot(
       mode: String, rows: Long, statsCol: Option[String],
-      deleteKey: Option[String], files: Seq[FileEntry], deletes: Seq[String])
+      deleteKey: Option[String], bloomCol: Option[String], bloomBits: Option[Int],
+      files: Seq[FileEntry], deletes: Seq[String], blooms: Seq[String])
 
   /** A stats-pruned snapshot read: the planned DataFrame plus the
     * pruning tally (files the manifest names vs files actually read). */
@@ -115,18 +116,23 @@ object ManifestTable {
     } finally in.close()
   }
 
+  private val SectionMarkers = Set("files:", "deletes:", "blooms:")
+
   private def parseManifest(fs: FileSystem, p: HPath): Snapshot = {
     val lines = readText(fs, p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     def field(k: String) = lines.find(_.startsWith(s"$k=")).map(_.stripPrefix(s"$k="))
-    val body = lines.dropWhile(_ != "files:").drop(1)
-    val (fileLines, delLines) = body.span(_ != "deletes:")
+    def section(marker: String): Seq[String] =
+      lines.dropWhile(_ != marker).drop(1).takeWhile(!SectionMarkers.contains(_))
     Snapshot(
       mode = field("mode").getOrElse("?"),
       rows = field("rows").map(_.toLong).getOrElse(-1L),
       statsCol = field("stats_col"),
       deleteKey = field("delete_key"),
-      files = fileLines.map(FileEntry),
-      deletes = delLines.drop(1))
+      bloomCol = field("bloom_col"),
+      bloomBits = field("bloom_bits").map(_.toInt),
+      files = section("files:").map(FileEntry),
+      deletes = section("deletes:"),
+      blooms = section("blooms:"))
   }
 
   private def snapshotAt(spark: SparkSession, root: String,
@@ -196,12 +202,53 @@ object ManifestTable {
 
   private def manifestBody(v: Long, mode: String, rows: Long,
       statsCol: Option[String], deleteKey: Option[String],
-      fileLines: Seq[String], deleteLines: Seq[String]): String = {
+      bloom: Option[(String, Int)], fileLines: Seq[String],
+      deleteLines: Seq[String], bloomLines: Seq[String]): String = {
     val header = Seq(s"v=$v", s"mode=$mode", s"rows=$rows") ++
       statsCol.map(c => s"stats_col=$c") ++
-      (if (deleteLines.nonEmpty) deleteKey.map(k => s"delete_key=$k") else Nil)
+      (if (deleteLines.nonEmpty) deleteKey.map(k => s"delete_key=$k") else Nil) ++
+      bloom.toSeq.flatMap { case (c, m) => Seq(s"bloom_col=$c", s"bloom_bits=$m") }
     val delSection = if (deleteLines.isEmpty) Nil else "deletes:" +: deleteLines
-    (header ++ Seq("files:") ++ fileLines ++ delSection).mkString("", "\n", "\n")
+    val bloomSection = if (bloomLines.isEmpty) Nil else "blooms:" +: bloomLines
+    (header ++ Seq("files:") ++ fileLines ++ delSection ++ bloomSection)
+      .mkString("", "\n", "\n")
+  }
+
+  /** Per-file Bloom sidecar for a staged commit (the real-format index
+    * shape: Delta's bloom index / Iceberg's puffin live NEXT TO the
+    * data, never inside the manifest): one tiny parquet of (file, bit)
+    * rows per commit under `data/<uuid>/_bloom` (underscore-prefixed —
+    * invisible to Spark's file index, so data reads of the commit dir
+    * never see it). Bit positions are the Kirsch–Mitzenmacher chain of
+    * ops/Sketches.bloomBits — (a + r·b) & (bits−1), r < 4, a/b the two
+    * 26-bit md5 halves — so a DuckDB oracle replays membership exactly
+    * and [[readBloomPruned]]'s driver probe computes the same positions
+    * with Md5Mix. Cost: one narrow agg over ONLY the new files. */
+  private def stageBloom(spark: SparkSession, root: String, commitId: String,
+      bloomCol: String, bloomBits: Int): String = {
+    require(bloomBits >= 2 && bloomBits <= (1 << 22) &&
+      (bloomBits & (bloomBits - 1)) == 0,
+      s"bloomBits must be a power of two in [2, 2^22], got $bloomBits")
+    val dataDir = new HPath(root, s"data/$commitId")
+    val sidecarRel = s"data/$commitId/_bloom"
+    val staged = spark.read.parquet(dataDir.toString)
+    val h = graft.functions.TextHashExpressions.md5Upper(
+      col(bloomCol).cast("string"))
+    val mask26 = (1L << 26) - 1
+    staged.where(col(bloomCol).isNotNull)
+      .select(
+        org.apache.spark.sql.functions.concat(lit(s"data/$commitId/"),
+          element_at(split(col("_metadata.file_path"), "/"), -1)).as("file"),
+        h.bitwiseAND(lit(mask26)).as("_a"),
+        shiftright(h, 26).bitwiseAND(lit(mask26)).as("_b0"))
+      .select(col("file"), col("_a"), col("_b0"),
+        explode(sequence(lit(0), lit(3))).as("_r"))
+      .select(col("file"),
+        (col("_a") + col("_r") * col("_b0"))
+          .bitwiseAND(lit((bloomBits - 1).toLong)).as("bit"))
+      .distinct()
+      .write.mode("errorifexists").parquet(new HPath(root, sidecarRel).toString)
+    sidecarRel
   }
 
   /** Commit `df` as the next version. `mode` = "append" (new files join
@@ -211,29 +258,48 @@ object ManifestTable {
     * integral column land in the manifest and [[readPruned]] can skip
     * files. Returns the committed version number. */
   def commit(df: DataFrame, root: String, mode: String,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None, bloomCol: Option[String] = None,
+      bloomBits: Int = 1 << 16): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append|overwrite, got $mode")
+    bloomCol.foreach(c => require(df.columns.contains(c),
+      s"bloom column $c not in ${df.columns.mkString(",")}"))
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
     val commitId = java.util.UUID.randomUUID().toString
     val (newLines, rows) = stage(df, root, commitId, statsCol)
+    val newBloom = bloomCol.map(c => stageBloom(spark, root, commitId, c, bloomBits))
     val prevV = versions(spark, root).lastOption
     val prev = prevV.map(pv => parseManifest(fs, manifestPath(root, pv)))
-    val (prevLines, prevDeletes, prevKey) =
-      if (mode == "overwrite" || prev.isEmpty) (Nil, Nil, None)
-      else (prev.get.files.map(_.line), prev.get.deletes, prev.get.deleteKey)
-    // a snapshot's stats column must be consistent across its commits:
-    // appends onto a stats-bearing snapshot either carry the same
-    // column or none (their files are then conservatively unpruned)
-    prev.filter(_ => mode == "append").flatMap(_.statsCol).foreach { pc =>
+    val isAppend = mode == "append" && prev.nonEmpty
+    val (prevLines, prevDeletes, prevKey, prevBlooms) =
+      if (!isAppend) (Nil, Nil, None, Nil)
+      else (prev.get.files.map(_.line), prev.get.deletes,
+        prev.get.deleteKey, prev.get.blooms)
+    // a snapshot's index columns must be consistent across its commits:
+    // appends onto a stats/bloom-bearing snapshot either carry the same
+    // column (and bloom width) or none — their files are then
+    // conservatively unpruned
+    prev.filter(_ => isAppend).flatMap(_.statsCol).foreach { pc =>
       require(statsCol.forall(_ == pc),
         s"append stats_col ${statsCol.get} != table stats_col $pc")
     }
-    val snapStats = statsCol.orElse(prev.filter(_ => mode == "append").flatMap(_.statsCol))
+    prev.filter(_ => isAppend).foreach { p =>
+      (p.bloomCol, bloomCol) match {
+        case (Some(pc), Some(c)) =>
+          require(c == pc && p.bloomBits.contains(bloomBits),
+            s"append bloom ($c, $bloomBits bits) != table bloom " +
+              s"(${pc}, ${p.bloomBits.getOrElse(-1)} bits)")
+        case _ => ()
+      }
+    }
+    val snapStats = statsCol.orElse(prev.filter(_ => isAppend).flatMap(_.statsCol))
+    val snapBloom = bloomCol.map((_, bloomBits)).orElse(
+      prev.filter(_ => isAppend).flatMap(p => p.bloomCol.zip(p.bloomBits)))
     val v = prevV.getOrElse(0L) + 1
     commitManifest(fs, root, v, commitId, manifestBody(
-      v, mode, rows, snapStats, prevKey, prevLines ++ newLines, prevDeletes))
+      v, mode, rows, snapStats, prevKey, snapBloom,
+      prevLines ++ newLines, prevDeletes, prevBlooms ++ newBloom.toSeq))
     v
   }
 
@@ -259,7 +325,8 @@ object ManifestTable {
     val v = prevV.get + 1
     commitManifest(fs, root, v, commitId, manifestBody(
       v, "delete", nKeys, prev.statsCol, Some(keyCol),
-      prev.files.map(_.line), prev.deletes ++ newLines.map(FileEntry(_).path)))
+      prev.bloomCol.zip(prev.bloomBits), prev.files.map(_.line),
+      prev.deletes ++ newLines.map(FileEntry(_).path), prev.blooms))
     v
   }
 
@@ -312,6 +379,55 @@ object ManifestTable {
       kept.size.toLong, snap.files.size.toLong)
   }
 
+  /** Bloom-pruned POINT-LOOKUP read: plan only the data files whose
+    * sidecar Bloom filter might contain `key` (stringified, hashed with
+    * the same md5 chain the sidecar was built with). The Bloom law
+    * holds per file — a file holding the key is NEVER pruned; a file
+    * without it survives only on full k-position collision — so the
+    * residual `col = key` filter on the returned frame gives exact
+    * results over a metadata-sized file subset. Files from commits
+    * that carried no bloom are conservatively kept. The probe reads
+    * ONLY the ≤ 4 probe-bit rows per file from the sidecars (a
+    * predicate-pushed tiny scan), never the filters themselves.
+    * Sizing honesty: at the default 2¹⁶ bits a file beyond ~10⁵ keys
+    * saturates and passes everything — size bloomBits ≈ 10× keys/file
+    * at commit time, exactly as the real formats make you. */
+  def readBloomPruned(spark: SparkSession, root: String, key: String,
+      version: Option[Long] = None): PrunedRead = {
+    val (_, snap) = snapshotAt(spark, root, version)
+    require(snap.bloomCol.nonEmpty,
+      s"snapshot at $root carries no bloom index — commit with bloomCol")
+    val m = snap.bloomBits.get
+    val h = graft.functions.Md5Mix.halves(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key))(0)
+    val mask26 = (1L << 26) - 1
+    val (a, b0) = (h & mask26, (h >> 26) & mask26)
+    val probe = (0 until 4).map(r => (a + r * b0) & (m - 1).toLong).distinct
+    val hits: Map[String, Long] =
+      if (snap.blooms.isEmpty) Map.empty
+      else spark.read
+        .parquet(snap.blooms.map(b => new HPath(root, b).toString): _*)
+        .where(col("bit").isin(probe: _*))
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("_hits")) // bit rows are distinct per file
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bloomedCommits: Set[String] =
+      snap.blooms.map(_.split('/')(1)).toSet
+    val kept = snap.files.filter { f =>
+      val commit = f.path.split('/')(1)
+      !bloomedCommits.contains(commit) ||
+        hits.getOrElse(f.path, 0L) == probe.size.toLong
+    }
+    val data =
+      if (kept.nonEmpty)
+        spark.read.parquet(kept.map(f => new HPath(root, f.path).toString): _*)
+      else // a clean miss: empty frame, snapshot schema
+        spark.read.parquet(
+          snap.files.map(f => new HPath(root, f.path).toString): _*).limit(0)
+    PrunedRead(applyDeletes(spark, root, snap, data),
+      kept.size.toLong, snap.files.size.toLong)
+  }
+
   /** Schema-evolving snapshot read: each commit's files are read with
     * their OWN schema (all files of one commit dir share it), then
     * aligned by column name — columns missing from an older or newer
@@ -339,16 +455,19 @@ object ManifestTable {
     * moved). Pass `statsCol` to re-collect pruning stats on the
     * compacted files. Returns the committed version. */
   def compact(spark: SparkSession, root: String, nFiles: Int,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None, bloomCol: Option[String] = None,
+      bloomBits: Int = 1 << 16): Long = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
     val prevV = versions(spark, root).lastOption
     require(prevV.nonEmpty, s"cannot compact an empty table at $root")
     val live = read(spark, root).repartition(nFiles)
     val commitId = java.util.UUID.randomUUID().toString
     val (newLines, rows) = stage(live, root, commitId, statsCol)
+    val newBloom = bloomCol.map(c => stageBloom(spark, root, commitId, c, bloomBits))
     val v = prevV.get + 1
     commitManifest(fsFor(spark, root), root, v, commitId, manifestBody(
-      v, "compact", rows, statsCol, None, newLines, Nil))
+      v, "compact", rows, statsCol, None, bloomCol.map((_, bloomBits)),
+      newLines, Nil, newBloom.toSeq))
     v
   }
 

@@ -2074,10 +2074,77 @@ object ExtendedQueries {
            |       CAST(SUM(c) AS BIGINT)
            |FROM ext WHERE k % 7 <> 2 GROUP BY 2""".stripMargin))
 
+  /** Bloom-indexed POINT LOOKUP over the manifest table
+    * (ManifestTable.readBloomPruned): each per-year commit writes a
+    * (file, bit) Bloom SIDECAR parquet next to its data (the
+    * real-format index shape — Delta's bloom index, Iceberg's puffin;
+    * never inside the manifest), built with q64's portable
+    * Kirsch–Mitzenmacher md5 chain. A lookup of one orderkey reads 4
+    * probe-bit rows per file from the sidecars and plans only files
+    * whose filter passes — the Bloom law makes the miss pruning safe
+    * (never prunes the true file) and the ORACLE REPLAYS THE FALSE
+    * POSITIVES TOO: per-year bit sets and the probe membership are
+    * re-derived in SQL, so files_kept is hash-exact including
+    * collisions. The oracle-derived probe key (min orderkey of 1997)
+    * keeps the query corpus-adaptive. */
+  val q120ManifestBloom = NamedQuery(
+    "q120_manifest_bloom",
+    (s, dir) => {
+      val root = rtDir(dir, "mbloom")
+      graft.etl.ManifestTable.drop(s, root)
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        Exact.cents(col("o_totalprice")).as("price_cents"))
+      val years = o.select(col("yr")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq // bounded: one row per year
+      years.zipWithIndex.foreach { case (y, i) =>
+        graft.etl.ManifestTable.commit(o.where(col("yr") === y).coalesce(1),
+          root, if (i == 0) "overwrite" else "append",
+          bloomCol = Some("o_orderkey"))
+      }
+      val probeKey = o.where(col("yr") === 1997L)
+        .agg(min(col("o_orderkey"))).collect()(0).getLong(0) // one-row probe
+      val pr = graft.etl.ManifestTable.readBloomPruned(s, root, probeKey.toString)
+      val data = pr.df.where(col("o_orderkey") === probeKey)
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("cents"))
+        .select(lit("data").as("tag"), col("yr").as("k"), col("n"), col("cents"))
+      val files = s.range(1).select(lit("files").as("tag"), lit(0L).as("k"),
+        lit(pr.filesKept).as("n"), lit(pr.filesTotal).as("cents"))
+      data.unionByName(files)
+    },
+    Some("""WITH probe AS (SELECT MIN(o_orderkey) AS pk FROM orders
+           |               WHERE year(o_orderdate) = 1997),
+           |ph AS (SELECT md5_number_upper(CAST(pk AS VARCHAR)) & 67108863 AS a,
+           |              (md5_number_upper(CAST(pk AS VARCHAR)) >> 26) & 67108863 AS b0
+           |       FROM probe),
+           |pbits AS (SELECT DISTINCT (a + r.r * b0) & 65535 AS bit
+           |          FROM ph CROSS JOIN generate_series(0, 3) r(r)),
+           |ybits AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y,
+           |                 ((md5_number_upper(CAST(o_orderkey AS VARCHAR)) & 67108863)
+           |                  + r.r * ((md5_number_upper(CAST(o_orderkey AS VARCHAR)) >> 26)
+           |                           & 67108863)) & 65535 AS bit
+           |          FROM orders CROSS JOIN generate_series(0, 3) r(r)),
+           |pass AS (SELECT y FROM (
+           |           SELECT yb.y, COUNT(DISTINCT pb.bit) AS hits
+           |           FROM pbits pb JOIN ybits yb ON pb.bit = yb.bit GROUP BY 1)
+           |         WHERE hits = (SELECT COUNT(*) FROM pbits))
+           |SELECT 'data' AS tag, CAST(year(o_orderdate) AS BIGINT) AS k,
+           |       CAST(COUNT(*) AS BIGINT) AS n,
+           |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           |FROM orders WHERE o_orderkey = (SELECT pk FROM probe) GROUP BY 2
+           |UNION ALL
+           |SELECT 'files', CAST(0 AS BIGINT),
+           |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pass),
+           |       CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT)
+           |FROM orders""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q103CsvRoundtrip, q104OrcRoundtrip, q105JdbcRoundtrip, q106XmlRoundtrip,
     q108AvroRoundtrip, q112BucketedJoin, q113IntervalOverlap, q115ManifestLog,
     q116ManifestPrune, q117ManifestCompact, q118ManifestEvolve, q119ManifestDelete,
+    q120ManifestBloom,
     q70SkewReport, q71JoinSizeEst, q72HeavyByGroup, q75PromoRatio,
     q76Histogram, q77Division,
     q30RangeJoin, q31Pivot, q32Percentiles, q33SaltedJoin, q102SaltedAuto, q34Explode,

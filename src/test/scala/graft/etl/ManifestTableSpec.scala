@@ -142,6 +142,35 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.read(spark, root, Some(2L)))
   }
 
+  test("bloom sidecar point lookup prunes files and never drops the true one") {
+    val root = freshRoot("bloom")
+    ManifestTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1),
+      root, "overwrite", bloomCol = Some("id"))
+    ManifestTable.commit(Seq((100L, "c")).toDF("id", "s").coalesce(1),
+      root, "append", bloomCol = Some("id"))
+    val pr = ManifestTable.readBloomPruned(spark, root, "100")
+    assert(pr.filesTotal == 2L && pr.filesKept >= 1L && pr.filesKept <= 2L)
+    assert(pr.df.where(col("id") === 100L).count() == 1L) // Bloom law: never pruned
+    // clean miss: zero rows after the residual filter, schema intact
+    val miss = ManifestTable.readBloomPruned(spark, root, "99999")
+    assert(miss.df.where(col("id") === 99999L).count() == 0L)
+    assert(miss.df.columns.toSeq == Seq("id", "s"))
+    // an append WITHOUT a bloom is conservatively kept in every lookup
+    ManifestTable.commit(Seq((7L, "z")).toDF("id", "s").coalesce(1), root, "append")
+    val pr3 = ManifestTable.readBloomPruned(spark, root, "100")
+    assert(pr3.filesTotal == 3L)
+    assert(pr3.df.where(col("id") === 100L).count() == 1L)
+    assert(pr3.df.where(col("id") === 7L).count() == 1L) // bloom-less file present
+    // a mismatched bloom width on append is rejected
+    intercept[IllegalArgumentException](ManifestTable.commit(
+      Seq((8L, "y")).toDF("id", "s"), root, "append",
+      bloomCol = Some("id"), bloomBits = 1 << 8))
+    // compact rebuilds the index over the merged file; lookup survives
+    ManifestTable.compact(spark, root, nFiles = 1, bloomCol = Some("id"))
+    val pc = ManifestTable.readBloomPruned(spark, root, "2")
+    assert(pc.filesTotal == 1L && pc.df.where(col("id") === 2L).count() == 1L)
+  }
+
   test("readEvolved aligns schemas by name across commits, NULL-filling gaps") {
     val root = freshRoot("evolve")
     ManifestTable.commit(Seq((1L, "a")).toDF("id", "s"), root, "overwrite")
