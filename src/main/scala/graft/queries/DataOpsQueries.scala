@@ -627,6 +627,83 @@ object DataOpsQueries {
            |       (SELECT CAST(budget AS BIGINT) FROM b) AS budget
            |FROM src""".stripMargin))
 
+  /** DEDUP RECALL/PRECISION evaluation — d82's honest-measurement
+    * discipline applied to the near-dup family: the banded-minhash
+    * candidate generator (d03's dial: 16 hashes × 4 bands) measured
+    * against the EXACT θ = 0.8 Jaccard pair set from d70's
+    * prefix-filter join as ground truth. Recall says how many true
+    * near-dup pairs the LSH bands surface; precision says how much of
+    * the candidate volume is worth verifying — the two numbers that
+    * justify (or re-dial) bands/hashes before a 100 TB dedup run, and
+    * exactly the audit a curation pipeline should publish next to its
+    * dedup rate. Both legs are scale-proven shapes with caps+audits;
+    * the oracle replays both chains end to end and the semi-join, so
+    * the ×10⁶ ratios are hash-exact. Both pair legs checkpoint once —
+    * the hit join would otherwise re-run both chains. */
+  val d84DedupRecall = NamedQuery(
+    "d84_dedup_recall",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = Dedup.prefixFilterPairs(docs, "doc_id", "text",
+          shingleN = 3, thetaPct = 80, maxPostings = 10000)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      val lsh = Dedup.minhashCandidates(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, minEstJaccard = 0.0)
+        .select(col("doc_a"), col("doc_b")).distinct().localCheckpoint(true)
+      val hit = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          expr("(1000000L * n_hit) div greatest(1L, n_true)").as("recall_x1e6"),
+          expr("(1000000L * n_hit) div greatest(1L, n_cand)").as("precision_x1e6"))
+    },
+    Some(s"""WITH $minhashSigCte,
+            |bands AS (
+            |  SELECT doc_id, b AS band,
+            |         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket
+            |  FROM sig CROSS JOIN generate_series(0, 3) bb(b)),
+            |bc AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
+            |lsh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |        FROM bands a JOIN bands b
+            |          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            |        JOIN bc ON a.band = bc.band AND a.bucket = bc.bucket),
+            |pg AS (SELECT doc_id, list_distinct(list_transform(
+            |         generate_series(1, len(toks) - 2),
+            |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+            |       FROM t WHERE len(toks) >= 3 AND doc_id IS NOT NULL),
+            |ptok AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n,
+            |                unnest(grams) AS gm FROM pg),
+            |pdfr AS (SELECT gm, CAST(COUNT(*) AS BIGINT) AS df FROM ptok GROUP BY 1),
+            |ppfx AS (SELECT doc_id, gm FROM (
+            |           SELECT ptok.doc_id, ptok.gm, ptok.n,
+            |                  row_number() OVER (PARTITION BY ptok.doc_id
+            |                    ORDER BY df, ptok.gm) AS rk
+            |           FROM ptok JOIN pdfr USING (gm))
+            |         WHERE rk <= n - ((80 * n + 99) // 100) + 1),
+            |ppost AS (SELECT gm FROM ppfx GROUP BY gm HAVING COUNT(*) <= 10000),
+            |pkept AS (SELECT doc_id, gm FROM ppfx WHERE gm IN (SELECT gm FROM ppost)),
+            |pcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |          FROM pkept a JOIN pkept b
+            |            ON a.gm = b.gm AND a.doc_id < b.doc_id),
+            |ex AS (SELECT doc_a, doc_b FROM (
+            |         SELECT doc_a, doc_b,
+            |                CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_shared,
+            |                CAST(len(ga.grams) AS BIGINT) AS n_a,
+            |                CAST(len(gb.grams) AS BIGINT) AS n_b
+            |         FROM pcand JOIN pg ga ON ga.doc_id = pcand.doc_a
+            |              JOIN pg gb ON gb.doc_id = pcand.doc_b)
+            |       WHERE 100 * n_shared >= 80 * (n_a + n_b - n_shared)),
+            |hit AS (SELECT ex.doc_a FROM ex JOIN lsh
+            |          ON ex.doc_a = lsh.doc_a AND ex.doc_b = lsh.doc_b)
+            |SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_true,
+            |       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_cand,
+            |       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+            |       CAST(1000000 * (SELECT COUNT(*) FROM hit)
+            |            // GREATEST(1, (SELECT COUNT(*) FROM ex)) AS BIGINT) AS recall_x1e6,
+            |       CAST(1000000 * (SELECT COUNT(*) FROM hit)
+            |            // GREATEST(1, (SELECT COUNT(*) FROM lsh)) AS BIGINT) AS precision_x1e6""".stripMargin))
+
   /** Product-quantization ANN (Similarity.pqTopK): per-subspace
     * codebooks from the same deterministic integer k-means, vectors
     * encoded to nSub codes, queries answered via per-query lookup
@@ -3808,7 +3885,7 @@ object DataOpsQueries {
     d69FeatureHash, d70PrefixJoin, d71HardNegatives, d72Novelty,
     d73QualityEnsemble, d74NgramPrecision, d75JlProjection, d76KnnProbe,
     d77CurationV2, d78PrefixJoinAuto, d79MinhashPairsAuto, d80EmbeddingNeardupAuto,
-    d81NeardupFullAuto, d82AnnRecall, d83Waterfill,
+    d81NeardupFullAuto, d82AnnRecall, d83Waterfill, d84DedupRecall,
     t01LangId, t02TextQuality, t03TokenCount, t04Fingerprint, t05PiiScan,
     t06TopTerms, t07Repetition, t08Entropy, t09BigramLm, t10Pmi, t11Zipf,
     m01MediaMeta, m02MediaDecode, m03MediaResize, m04AudioFrames,
