@@ -217,9 +217,12 @@ object ManifestTable {
   /** Per-file Bloom sidecar for a staged commit (the real-format index
     * shape: Delta's bloom index / Iceberg's puffin live NEXT TO the
     * data, never inside the manifest): one tiny parquet of (file, bit)
-    * rows per commit under `data/<uuid>/_bloom` (underscore-prefixed —
-    * invisible to Spark's file index, so data reads of the commit dir
-    * never see it). Bit positions are the Kirsch–Mitzenmacher chain of
+    * rows per commit under `data/<uuid>/bloomidx` (NOT
+    * underscore-prefixed: Spark's hidden-path filter would warn on the
+    * explicit sidecar reads; data reads never see the subdir anyway
+    * because every snapshot read plans explicit FILE paths, and the
+    * only commit-DIR scan — stage()'s stats pass — runs before the
+    * sidecar exists). Bit positions are the Kirsch–Mitzenmacher chain of
     * ops/Sketches.bloomBits — (a + r·b) & (bits−1), r < 4, a/b the two
     * 26-bit md5 halves — so a DuckDB oracle replays membership exactly
     * and [[readBloomPruned]]'s driver probe computes the same positions
@@ -230,7 +233,7 @@ object ManifestTable {
       (bloomBits & (bloomBits - 1)) == 0,
       s"bloomBits must be a power of two in [2, 2^22], got $bloomBits")
     val dataDir = new HPath(root, s"data/$commitId")
-    val sidecarRel = s"data/$commitId/_bloom"
+    val sidecarRel = s"data/$commitId/bloomidx"
     val staged = spark.read.parquet(dataDir.toString)
     val h = graft.functions.TextHashExpressions.md5Upper(
       col(bloomCol).cast("string"))
