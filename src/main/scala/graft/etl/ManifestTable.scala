@@ -268,10 +268,61 @@ object ManifestTable {
     bloomCol.foreach(c => require(df.columns.contains(c),
       s"bloom column $c not in ${df.columns.mkString(",")}"))
     val spark = df.sparkSession
-    val fs = fsFor(spark, root)
     val commitId = java.util.UUID.randomUUID().toString
     val (newLines, rows) = stage(df, root, commitId, statsCol)
     val newBloom = bloomCol.map(c => stageBloom(spark, root, commitId, c, bloomBits))
+    resolveAndCommit(spark, root, mode, statsCol, bloomCol, bloomBits,
+      commitId, newLines, newBloom, rows)
+  }
+
+  /** Optimistic MULTI-WRITER commit — the real formats' concurrency
+    * protocol, closing [[commit]]'s documented single-writer gap: data
+    * files stage ONCE (they are private to this commitId and conflict
+    * with nobody), then the metadata resolve+rename loop retries on a
+    * lost race — each attempt re-reads the WINNER's manifest as the
+    * new parent, so an append re-resolves its base file set and two
+    * concurrent appends both land, in some serial order, neither lost.
+    * This is safe exactly because the commit point is one atomic
+    * rename: the loser's attempt leaves nothing visible. Contract
+    * violations (stats/bloom column mismatch against the new parent)
+    * still throw immediately — they are correctness errors, not races.
+    * Overwrite-vs-append races resolve by commit order, the same
+    * last-writer-wins a real format gives you. */
+  def commitWithRetry(df: DataFrame, root: String, mode: String,
+      statsCol: Option[String] = None, bloomCol: Option[String] = None,
+      bloomBits: Int = 1 << 16, maxAttempts: Int = 8): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got $mode")
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    bloomCol.foreach(c => require(df.columns.contains(c),
+      s"bloom column $c not in ${df.columns.mkString(",")}"))
+    val spark = df.sparkSession
+    val commitId = java.util.UUID.randomUUID().toString
+    val (newLines, rows) = stage(df, root, commitId, statsCol)
+    val newBloom = bloomCol.map(c => stageBloom(spark, root, commitId, c, bloomBits))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        return resolveAndCommit(spark, root, mode, statsCol, bloomCol,
+          bloomBits, commitId, newLines, newBloom, rows)
+      } catch {
+        case e: IllegalStateException if attempt < maxAttempts =>
+          () // lost the rename race — re-resolve against the winner
+      }
+    }
+    -1L // unreachable: the loop returns or the last attempt throws
+  }
+
+  /** One metadata commit attempt: resolve the current parent snapshot,
+    * run the index-consistency checks against IT, and rename the next
+    * manifest into place. Throws IllegalStateException on a lost
+    * race — [[commitWithRetry]]'s retry unit. */
+  private def resolveAndCommit(spark: SparkSession, root: String,
+      mode: String, statsCol: Option[String], bloomCol: Option[String],
+      bloomBits: Int, commitId: String, newLines: Seq[String],
+      newBloom: Option[String], rows: Long): Long = {
+    val fs = fsFor(spark, root)
     val prevV = versions(spark, root).lastOption
     val prev = prevV.map(pv => parseManifest(fs, manifestPath(root, pv)))
     val isAppend = mode == "append" && prev.nonEmpty

@@ -384,6 +384,49 @@ object EventAnalytics {
     df.withColumn(as, last(value, ignoreNulls = true).over(w))
   }
 
+  /** Linear interpolation between known observations — [[forwardFill]]'s
+    * completion for gap REPAIR rather than carry: each row's value is
+    * interpolated between the latest preceding and earliest following
+    * non-null observation of its key, as the exact integer weighted
+    * average (v_b·(t_f−t) + v_f·(t−t_b)) div (t_f−t_b) — every term
+    * non-negative (values must be ≥ 0), so floor division agrees
+    * across engines and the result is hash-exact with no float
+    * boundary. Rows before the first / after the last observation take
+    * the nearest single observation (the pandas `interpolate(
+    * limit_direction='both')` edge rule); known rows return their own
+    * value exactly (t_b = t_f guard). One exchange on the key, two
+    * frames over it — same plan class as forwardFill, no joins.
+    * Overflow bound: max value × max per-key gap in `tsMicros` units
+    * must stay under 2⁶³ (integer cents × ten-day gaps is safe;
+    * coarsen the time unit for sparser series). `orderCols` must
+    * totally order rows per key (the forwardFill contract). */
+  def linearInterpolate(df: DataFrame, partitionCols: Seq[Column],
+      orderCols: Seq[Column], tsMicros: Column, value: Column,
+      as: String): DataFrame = {
+    require(partitionCols.nonEmpty,
+      "linearInterpolate needs partition columns — an unpartitioned fill " +
+        "would move the whole table through one task")
+    val wb = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tKnown = when(value.isNotNull, tsMicros)
+    val tb = last(tKnown, ignoreNulls = true).over(wb)
+    val vb = last(when(value.isNotNull, value), ignoreNulls = true).over(wb)
+    val tf = first(tKnown, ignoreNulls = true).over(wf)
+    val vf = first(when(value.isNotNull, value), ignoreNulls = true).over(wf)
+    df.withColumn("_t", tsMicros)
+      .withColumn("_tb", tb).withColumn("_vb", vb)
+      .withColumn("_tf", tf).withColumn("_vf", vf)
+      .withColumn(as,
+        when(col("_tb").isNull && col("_tf").isNull, lit(null))
+          .when(col("_tb").isNull, col("_vf"))
+          .when(col("_tf").isNull, col("_vb"))
+          .when(col("_tf") === col("_tb"), col("_vb"))
+          .otherwise(expr("(_vb * (_tf - _t) + _vf * (_t - _tb)) div (_tf - _tb)")))
+      .drop("_t", "_tb", "_vb", "_tf", "_vf")
+  }
+
   /** Days whose event count deviates more than `sigmas`·σ from the
     * key's own daily mean — the monitoring query over an event log
     * ("which days spiked"). The σ test runs entirely in exact integer

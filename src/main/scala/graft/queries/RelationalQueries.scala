@@ -652,7 +652,58 @@ object RelationalQueries {
            |                        WHERE c_mktsegment = 'MACHINERY')
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** Linear interpolation between observations
+    * (EventAnalytics.linearInterpolate) — q69's forward-fill completed
+    * into gap REPAIR: every event row gets the value interpolated
+    * between its user's surrounding 'view' observations as the exact
+    * integer weighted average (v_b·(t_f−t) + v_f·(t−t_b)) div
+    * (t_f−t_b) — all terms non-negative so floor division agrees
+    * across engines; edge rows take the nearest observation, known
+    * rows return themselves exactly. One exchange on user_id, two
+    * frames over it, no joins — the time-series repair plan a 100 TB
+    * telemetry pipeline wants (the as-of-join formulation costs two
+    * extra shuffles). */
+  val q121LinearInterp = NamedQuery(
+    "q121_linear_interp",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "view", Exact.cents(col("value")))
+          .as("cents_known"))
+      EventAnalytics.linearInterpolate(ev,
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          Tables.tsMicros(col("ts")), col("cents_known"), as = "interp_cents")
+        .select(col("event_id"), col("user_id"), col("cents_known"),
+          col("interp_cents"))
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS t, ts,
+           |         CASE WHEN event_type = 'view'
+           |              THEN CAST(round(value * 100) AS BIGINT) END AS cents_known
+           |  FROM events),
+           |w AS (SELECT event_id, user_id, t, cents_known,
+           |        last_value(CASE WHEN cents_known IS NOT NULL THEN t END IGNORE NULLS)
+           |          OVER wb AS tb,
+           |        last_value(cents_known IGNORE NULLS) OVER wb AS vb,
+           |        first_value(CASE WHEN cents_known IS NOT NULL THEN t END IGNORE NULLS)
+           |          OVER wf AS tf,
+           |        first_value(cents_known IGNORE NULLS) OVER wf AS vf
+           |      FROM e
+           |      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           |SELECT event_id, user_id, cents_known,
+           |       CAST(CASE WHEN tb IS NULL AND tf IS NULL THEN NULL
+           |                 WHEN tb IS NULL THEN vf
+           |                 WHEN tf IS NULL THEN vb
+           |                 WHEN tf = tb THEN vb
+           |                 ELSE (vb * (tf - t) + vf * (t - tb)) // (tf - tb)
+           |            END AS BIGINT) AS interp_cents
+           |FROM w""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
+    q121LinearInterp,
     q10JoinDims, q11JoinFact, q12SemiJoin, q13AntiJoin, q14OuterJoin,
     q15WindowTopk, q16WindowRunning, q101RunningSegmented, q109RunningAuto,
     q17Top100, q18Rollup, q19Cube,

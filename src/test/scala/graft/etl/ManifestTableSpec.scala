@@ -189,6 +189,33 @@ class ManifestTableSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("optimistic retry: concurrent appends all land, none lost") {
+    val root = freshRoot("retry")
+    ManifestTable.commit(Seq((0L, "seed")).toDF("id", "s"), root, "overwrite")
+    // 8 threads race their appends through the optimistic loop; the
+    // atomic-rename commit point serializes them in SOME order and
+    // every loser re-resolves the winner's file set — nothing is lost
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            barrier.await()
+            ManifestTable.commitWithRetry(
+              Seq((i.toLong, s"w$i")).toDF("id", "s"), root, "append")
+          }
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.sorted == (2L to 9L), s"got $versions")
+    } finally pool.shutdown()
+    assert(ManifestTable.read(spark, root).select("id")
+      .as[Long].collect().sorted.toSeq == (0L to 8L))
+    assert(ManifestTable.history(spark, root).map(_._2) ==
+      "overwrite" +: Seq.fill(8)("append"))
+  }
+
   test("reading an uncommitted version or an empty root fails loudly") {
     val root = freshRoot("guards")
     intercept[IllegalArgumentException](ManifestTable.read(spark, root))

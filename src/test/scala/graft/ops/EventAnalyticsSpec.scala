@@ -159,6 +159,32 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("linearInterpolate: exact weighted average, edge rows, known rows unchanged") {
+    import spark.implicits._
+    // key 1: known at t=100 (v=10) and t=200 (v=40); probes between and outside
+    val series = Seq(
+      (1L, 50L, None), (1L, 100L, Some(10L)), (1L, 130L, None),
+      (1L, 175L, None), (1L, 200L, Some(40L)), (1L, 300L, None),
+      (2L, 10L, None) // key with no observations at all
+    ).toDF("key", "t", "v")
+    val got = EventAnalytics.linearInterpolate(series,
+        Seq(col("key")), Seq(col("t")), col("t"), col("v"), as = "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == Map(
+      (1L, 50L) -> Some(10L),   // before first: nearest observation
+      (1L, 100L) -> Some(10L),  // known row: itself
+      (1L, 130L) -> Some(19L),  // 10 + 30*(30/100) = 19 exactly
+      (1L, 175L) -> Some(32L),  // 10 + 30*(75/100) = 32.5 -> floor 32
+      (1L, 200L) -> Some(40L),
+      (1L, 300L) -> Some(40L),  // after last: nearest observation
+      (2L, 10L) -> None))       // no observations: stays null
+    intercept[IllegalArgumentException] {
+      EventAnalytics.linearInterpolate(series, Nil, Seq(col("t")),
+        col("t"), col("v"), "i")
+    }
+  }
+
   test("anomalousDays flags exactly the day that breaks 2 sigma, via exact integer arithmetic") {
     // key "a": 9 quiet days of 10 events + one day of 100.
     // mean≈19, var dominated by the spike — only the spike exceeds 2σ.
