@@ -662,26 +662,20 @@ object Graph {
       .groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("_nbrs"))
       .localCheckpoint(true)
-    // per counting edge (u→v): the common out-neighbour VALUES — kept
-    // as an array column so size() credits the endpoints without a
-    // second pass and explode() credits the third corners
-    val perEdge = adj
+    // per (counting edge, witness) row: THREE unit corner credits —
+    // u, v, w — summing to the same per-node triangle count as the old
+    // size()+transform() form, with no higher-order lambda on the path
+    // (transform() is CodegenFallback — interpreted per wedge row; the
+    // round-13 edgeSupportInner measurement, same engine)
+    val credits = adj
       .select(col("src").as("_u"), col("_nbrs").as("_nu"),
         explode(col("_nbrs")).as("_v"))
       .join(adj.select(col("src").as("_sv"), col("_nbrs").as("_nv"))
         .hint("shuffle_hash"), col("_v") === col("_sv"))
       .select(col("_u"), col("_v"),
-        array_intersect(col("_nu"), col("_nv")).as("_ws"))
-      .where(size(col("_ws")) > 0)
-    val credits = perEdge
-      .select(explode(concat(
-        array(
-          struct(col("_u").as("node"), size(col("_ws")).cast("long").as("_c")),
-          struct(col("_v").as("node"), size(col("_ws")).cast("long").as("_c"))),
-        transform(col("_ws"), w => struct(w.as("node"), lit(1L).as("_c")))))
-        .as("_cr"))
-      .select(col("_cr.node").as("node"), col("_cr._c").as("_c"))
-    val tri = credits.groupBy(col("node")).agg(sum(col("_c")).as("_t"))
+        explode(array_intersect(col("_nu"), col("_nv"))).as("_w"))
+      .select(explode(array(col("_u"), col("_v"), col("_w"))).as("node"))
+    val tri = credits.groupBy(col("node")).agg(count(lit(1)).as("_t"))
     degrees(edges)
       .join(tri, Seq("node"), "left")
       .select(col("node"), col("deg").as("degree"),
@@ -1083,41 +1077,62 @@ object Graph {
     * nodes), then one (u,v)-keyed hash-agg folds the 3T credit rows.
     * Edges in no triangle come back support 0 via the left join —
     * peeling needs them visible, not absent. */
-  def edgeSupport(edges: DataFrame): DataFrame = {
-    val adj = orient(edges.select(col("u"), col("v")))
+  def edgeSupport(edges: DataFrame): DataFrame =
+    edges.select(col("u"), col("v"))
+      .join(edgeSupportInner(edges), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+
+  /** [[edgeSupport]] restricted to edges with support ≥ 1 — the form
+    * [[kTruss]] peels on (its k−2 ≥ 1 filter drops support-0 edges
+    * anyway, so the per-round left join back onto the full survivor
+    * list is pure waste there — one |E|-row join per peel round,
+    * measured 0.6 s/round at sf0.1).
+    *
+    * Credit emission is lambda-free (round-13 optimization, guide §4):
+    * the old form built the three credit classes with two
+    * `transform()` higher-order lambdas — CodegenFallback, i.e. an
+    * interpreted expression per wedge row that also breaks the
+    * whole-stage-codegen span around it. Instead each (wedge, witness)
+    * row from the explode emits THREE unit credits — the counting edge
+    * (u,v), and the two witness edges (u,w), (v,w) — whose count-agg
+    * folds to the identical per-edge support (the counting edge
+    * collects |ws| units across its witnesses instead of one |ws|-sized
+    * credit). Every expression on the path is codegen'd; measured
+    * 4.23 s → 2.94 s for one full-graph pass at sf0.1/32c. */
+  private def edgeSupportInner(edges: DataFrame): DataFrame =
+    edgeSupportOriented(orient(edges.select(col("u"), col("v"))))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("support"))
+
+  /** Support per ORIENTED edge of an already-DAG-oriented (src, dst)
+    * list. Every credit pair is known in oriented form for free — the
+    * counting edge IS (src→dst), and a witness w ∈ N⁺(src) ∩ N⁺(dst)
+    * gives oriented (src→w), (dst→w) — and each undirected edge has
+    * exactly one oriented form, so grouping by (src, dst) is grouping
+    * by the edge: no least/greatest in the per-credit path, and a
+    * caller that keeps oriented state (the kTruss peel) can filter and
+    * re-feed the survivors without re-deriving degrees or re-orienting
+    * each round. Returns (src, dst, support ≥ 1). */
+  private def edgeSupportOriented(oriented: DataFrame): DataFrame = {
+    val adj = oriented
       .groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("_nbrs"))
       .localCheckpoint(true)
-    val perEdge = adj
+    adj
       .select(col("src").as("_u"), col("_nbrs").as("_nu"),
         explode(col("_nbrs")).as("_v"))
       .join(adj.select(col("src").as("_sv"), col("_nbrs").as("_nv"))
         .hint("shuffle_hash"), col("_v") === col("_sv"))
       .select(col("_u"), col("_v"),
-        array_intersect(col("_nu"), col("_nv")).as("_ws"))
-      .where(size(col("_ws")) > 0)
-    val credits = perEdge
-      .select(explode(concat(
-        array(struct(
-          least(col("_u"), col("_v")).as("u"),
-          greatest(col("_u"), col("_v")).as("v"),
-          size(col("_ws")).cast("long").as("_c"))),
-        transform(col("_ws"), w => struct(
-          least(col("_u"), w).as("u"),
-          greatest(col("_u"), w).as("v"),
-          lit(1L).as("_c"))),
-        transform(col("_ws"), w => struct(
-          least(col("_v"), w).as("u"),
-          greatest(col("_v"), w).as("v"),
-          lit(1L).as("_c"))))).as("_cr"))
-      .select(col("_cr.u").as("u"), col("_cr.v").as("v"),
-        col("_cr._c").as("_c"))
-    val sup = credits.groupBy(col("u"), col("v"))
-      .agg(sum(col("_c")).as("support"))
-    edges.select(col("u"), col("v"))
-      .join(sup, Seq("u", "v"), "left")
-      .select(col("u"), col("v"),
-        coalesce(col("support"), lit(0L)).as("support"))
+        explode(array_intersect(col("_nu"), col("_nv"))).as("_w"))
+      .select(explode(array(
+        struct(col("_u").as("src"), col("_v").as("dst")),
+        struct(col("_u").as("src"), col("_w").as("dst")),
+        struct(col("_v").as("src"), col("_w").as("dst")))).as("_cr"))
+      .select(col("_cr.src").as("src"), col("_cr.dst").as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("support"))
   }
 
   /** k-truss extraction (Cohen 2008): the maximal subgraph in which
@@ -1143,12 +1158,23 @@ object Graph {
       strict: Boolean = true): DataFrame = {
     require(k >= 3, s"k must be >= 3 for a non-trivial truss, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val cur0 = edges.select(col("u"), col("v")).localCheckpoint(true)
-    iterateToFixpoint(maxIter, strict, "kTruss",
-        cur0.withColumn("support", lit(0L)))(_.count()) { kept =>
-      edgeSupport(kept.select(col("u"), col("v")))
+    // Orient ONCE from the original degrees (round-13 optimization):
+    // (deg, id) is a fixed total order, so every survivor subgraph
+    // stays a DAG under it and the intersection engine's counts stay
+    // exact — re-orienting per round paid one degree agg plus two
+    // degree joins per peel round for nothing. State stays ORIENTED
+    // between rounds ([[edgeSupportOriented]]) so survivors re-feed
+    // the next round without canonicalization or joins; k ≥ 3 makes
+    // the threshold ≥ 1, so dropping the old full-survivor-list left
+    // join (support-0 edges) changes nothing the filter kept.
+    val or0 = orient(edges.select(col("u"), col("v"))).localCheckpoint(true)
+    val kept = iterateToFixpoint(maxIter, strict, "kTruss",
+        or0.withColumn("support", lit(0L)))(_.count()) { kept =>
+      edgeSupportOriented(kept.select(col("src"), col("dst")))
         .where(col("support") >= lit((k - 2).toLong))
     }
+    kept.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"), col("support"))
   }
 
   /** DECREMENTAL k-truss peel — [[kTruss]] with per-round support
