@@ -189,6 +189,34 @@ object OptProbe {
         }
         force(lbl.select(col("node"), col("lbl").as("community")))
       }),
+      // LPA with the edge frame repartitioned by the join key and
+      // CACHED (cache preserves outputPartitioning; localCheckpoint
+      // drops it) — every round's join should skip the 2m-row edge
+      // exchange entirely
+      "lpa4_cache" -> (() => {
+        val e = edges
+        val ed = e.select(col("u").as("s"), col("v").as("t"))
+          .unionByName(e.select(col("v").as("s"), col("u").as("t")))
+          .repartition(col("s"))
+          .cache()
+        ed.count()
+        val lbl0 = ed.select(col("s").as("node")).distinct()
+          .select(col("node"), col("node").as("lbl"))
+          .localCheckpoint(true)
+        var lbl = lbl0
+        for (_ <- 1 to 4) {
+          lbl = ed.join(lbl.withColumnRenamed("node", "s").hint("shuffle_hash"), "s")
+            .groupBy(col("t").as("node"), col("lbl"))
+            .agg(count(lit(1)).as("_c"))
+            .groupBy(col("node"))
+            .agg(min(struct((-col("_c")).as("_nc"), col("lbl").as("_l"))).as("_m"))
+            .select(col("node"), col("_m._l").as("lbl"))
+            .localCheckpoint(true)
+        }
+        force(lbl.select(col("node"), col("lbl").as("community")))
+        ed.unpersist(false)
+        ()
+      }),
       "lpa_plan" -> (() => {
         val e = edges
         val ed = e.select(col("u").as("s"), col("v").as("t"))

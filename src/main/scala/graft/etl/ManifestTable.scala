@@ -159,27 +159,85 @@ object ManifestTable {
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val names = fs.listStatus(dataDir).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
-    val staged = spark.read.parquet(dataDir.toString)
-    val aggs: Seq[Column] = count(lit(1)).as("_n") +: statsCol.toSeq.flatMap(c =>
-      Seq(min(col(c).cast("long")).as("_lo"), max(col(c).cast("long")).as("_hi")))
-    val perFile = staged.groupBy(col("_metadata.file_path").as("_f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // bounded: one row per staged file of THIS commit
-      .map(r => (r.getString(0), r)).toMap
-    val lines = names.map { n =>
-      val row = perFile.collectFirst { case (p, r) if p.endsWith("/" + n) => r }
-        .getOrElse(sys.error(s"staged file $n missing from stats scan"))
-      val base = s"data/$commitId/$n"
-      if (statsCol.isEmpty) base
-      else {
+    // Per-file row counts and stats come from the parquet FOOTERS —
+    // driver-side metadata reads, no Spark job (round-13 optimization,
+    // guide §6): the old form RE-SCANNED the just-written data with a
+    // per-file count/min/max agg, a full second pass over everything
+    // the commit wrote — exactly the pass real formats avoid by
+    // collecting stats at write time. Footer min/max for INT32/INT64
+    // columns is exact (never truncated), so the manifest lines are
+    // byte-identical to the scan-derived ones; a stats column of any
+    // other physical type falls back to the scan (conservative, same
+    // semantics as before).
+    val conf = spark.sparkContext.hadoopConfiguration
+    import scala.jdk.CollectionConverters._
+    final case class FooterInfo(rows: Long, lo: Option[Long], hi: Option[Long],
+      statsUsable: Boolean)
+    def readFooter(n: String): FooterInfo = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new HPath(dataDir, n), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        statsCol match {
+          case None => FooterInfo(rows, None, None, statsUsable = true)
+          case Some(c) =>
+            val chunks = blocks.flatMap(_.getColumns.asScala
+              .find(_.getPath.toDotString == c))
+            val intTyped = chunks.nonEmpty && chunks.forall { ch =>
+              val t = ch.getPrimitiveType.getPrimitiveTypeName
+              (t == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 ||
+                t == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32) &&
+                ch.getStatistics != null && !ch.getStatistics.isEmpty
+            }
+            if (!intTyped) FooterInfo(rows, None, None, statsUsable = false)
+            else {
+              val withVals = chunks.filter(_.getStatistics.hasNonNullValue)
+              def asLong(v: Any): Long = v match {
+                case l: java.lang.Long => l.longValue()
+                case i: java.lang.Integer => i.longValue()
+                case other => sys.error(s"unexpected stats value type: $other")
+              }
+              if (withVals.isEmpty) FooterInfo(rows, None, None, statsUsable = true)
+              else FooterInfo(rows,
+                Some(withVals.map(ch => asLong(ch.getStatistics.genericGetMin)).min),
+                Some(withVals.map(ch => asLong(ch.getStatistics.genericGetMax)).max),
+                statsUsable = true)
+            }
+        }
+      } finally r.close()
+    }
+    val footers = names.map(n => n -> readFooter(n))
+    if (footers.forall(_._2.statsUsable)) {
+      val lines = footers.map { case (n, fi) =>
+        val base = s"data/$commitId/$n"
+        (fi.lo, fi.hi) match {
+          case (Some(lo), Some(hi)) => s"$base|$lo|$hi"
+          case _ => base // all-NULL stats column in this file → never pruned
+        }
+      }
+      (lines, footers.map(_._2.rows).sum)
+    } else {
+      // non-integral stats column: scan-based stats (the pre-round-13 path)
+      val staged = spark.read.parquet(dataDir.toString)
+      val aggs: Seq[Column] = count(lit(1)).as("_n") +: statsCol.toSeq.flatMap(c =>
+        Seq(min(col(c).cast("long")).as("_lo"), max(col(c).cast("long")).as("_hi")))
+      val perFile = staged.groupBy(col("_metadata.file_path").as("_f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // bounded: one row per staged file of THIS commit
+        .map(r => (r.getString(0), r)).toMap
+      val lines = names.map { n =>
+        val row = perFile.collectFirst { case (p, r) if p.endsWith("/" + n) => r }
+          .getOrElse(sys.error(s"staged file $n missing from stats scan"))
+        val base = s"data/$commitId/$n"
         val (lo, hi) = (row.fieldIndex("_lo"), row.fieldIndex("_hi"))
-        // an all-NULL stats column in a file → no stats → never pruned
         if (row.isNullAt(lo) || row.isNullAt(hi)) base
         else s"$base|${row.getLong(lo)}|${row.getLong(hi)}"
       }
+      val rows = perFile.valuesIterator.map(r => r.getLong(r.fieldIndex("_n"))).sum
+      (lines, rows)
     }
-    val rows = perFile.valuesIterator.map(r => r.getLong(r.fieldIndex("_n"))).sum
-    (lines, rows)
   }
 
   /** The commit point: write the manifest body to a temp name, then

@@ -352,10 +352,16 @@ object Dedup {
       p: DataFrame, shingleN: Int): DataFrame = {
     val ids = p.select(col("doc_a").as("_gid"))
       .unionByName(p.select(col("doc_b").as("_gid"))).distinct()
+    // pinned: this candidate-restricted shingle pass feeds FOUR plan
+    // branches (counts joins onto n_a and n_b, exploded joins for
+    // doc_a and doc_b) — unpinned, each branch re-runs the shingle
+    // build over the docs table (round-13 measurement; the cachedPairs
+    // rationale applied one level down)
     val grams = withShingles(df, idCol, textCol, shingleN)
       .where(size(col("_grams")) > 0)
       .select(col(idCol).as("_gid"), col("_grams"))
       .join(ids, Seq("_gid"), "left_semi")
+      .localCheckpoint()
     val counts = grams.select(col("_gid"), size(col("_grams")).cast("long").as("_ng"))
     val exploded = grams
       .select(col("_gid"), explode(col("_grams")).as("_g"))

@@ -373,7 +373,13 @@ object Graph {
       .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
     val ok = adj.groupBy(col("w")).agg(count(lit(1)).as("_d"))
       .where(col("_d") <= maxCenterDegree)
+    // eager localCheckpoint: the wedge self-join reads `a` twice, and
+    // without the pin each side re-runs the 2m-row adjacency union,
+    // degree agg and cap join (the two projections differ, so
+    // ReuseExchange can't deduplicate them — measured as a full second
+    // formation pass at sf0.1)
     val a = adj.join(ok, Seq("w")).select(col("w"), col("_d"), col("x").as("u"))
+      .localCheckpoint(true)
     // the b side is the a side reprojected — deriving it independently
     // (adj ⋈ ok again) costs a second join of the 2m-row adjacency
     // against the degree frame and blocks subtree reuse
@@ -450,15 +456,22 @@ object Graph {
       s"maxCenterDegree must be >= 1, got $maxCenterDegree")
     val adj = edges.select(col("u").as("w"), col("v").as("x"))
       .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
-    val ok = adj.groupBy(col("w")).agg(count(lit(1)).as("_d"))
-      .where(col("_d") <= maxCenterDegree)
+    // full-degree frame computed ONCE (node-sized, eager checkpoint):
+    // it is both the cap filter's input and the Jaccard denominator's
+    // degree source — the old form re-derived degrees(edges) from a
+    // second 2m-row endpoint union + agg
+    val degAll = adj.groupBy(col("w")).agg(count(lit(1)).as("_d"))
+      .localCheckpoint(true)
+    val ok = degAll.where(col("_d") <= maxCenterDegree)
+    // eager pin for the same two-read reason as linkPrediction's `a`
     val a = adj.join(ok, Seq("w")).select(col("w"), col("x").as("u"))
+      .localCheckpoint(true)
     val b = a.select(col("w"), col("u").as("v"))
     val common = a.join(b, Seq("w"))
       .where(col("u") < col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("_cn"))
-    val deg = degrees(edges)
+    val deg = degAll.select(col("w").as("node"), col("_d").as("deg"))
     edges.select(col("u"), col("v"))
       .join(common, Seq("u", "v"), "left")
       .join(deg.select(col("node").as("u"), col("deg").as("_du"))
