@@ -161,9 +161,17 @@ object Dedup {
     // row (verified in the physical plan), while re-splitting the text in
     // the filter costs one cheap pass inside the same codegen stage.
     val valid = df.where(size(split(col(textCol), " ")) >= shingleN)
+    // band explode FIRST, bucket md5 per exploded row — [[lshBands]]'s
+    // nested transform() lambdas (band structs, lane casts) are
+    // CodegenFallback; the cast to array<string> + concat_ws here is
+    // codegen'd end to end and produces the identical bucket string
     signatures(valid, idCol, textCol, shingleN, numHashes)
-      .select(col("doc"), col("sig"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("doc"), col("sig"), col("b.band"), col("b.bucket"))
+      .select(col("doc"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc"), col("sig"), col("band"),
+        md5(concat_ws(",",
+          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))
+            .cast("array<string>"))).as("bucket"))
   }
 
   /** MinHash+LSH near-duplicate candidate pairs.
@@ -718,11 +726,18 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val toks = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+    // span hashes are computed AFTER the position explode, per row —
+    // the transform()-lambda-then-posexplode form ran the md5 chain as
+    // a CodegenFallback higher-order function (interpreted per doc,
+    // whole-stage codegen broken around it) and allocated the full
+    // per-doc hash array; identical (start, _h) values either way
     val spans = toks.where(size(col("_toks")) >= spanN)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("_toks")) - spanN),
-          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(spanN))))))
-          .as(Seq("start", "_h")))
+      .select(col("doc_id"), col("_toks"),
+        posexplode(sequence(lit(0), size(col("_toks")) - spanN))
+          .as(Seq("start", "_i")))
+      .select(col("doc_id"), col("start"),
+        md5(concat_ws(" ", slice(col("_toks"), col("_i") + 1, lit(spanN))))
+          .as("_h"))
     val dupSpans = spans.groupBy(col("_h"))
       .agg(countDistinct(col("doc_id")).as("_nd"))
       .where(col("_nd") >= minDocs)
@@ -788,11 +803,18 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val toks = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+    // span hashes are computed AFTER the position explode, per row —
+    // the transform()-lambda-then-posexplode form ran the md5 chain as
+    // a CodegenFallback higher-order function (interpreted per doc,
+    // whole-stage codegen broken around it) and allocated the full
+    // per-doc hash array; identical (start, _h) values either way
     val spans = toks.where(size(col("_toks")) >= spanN)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("_toks")) - spanN),
-          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(spanN))))))
-          .as(Seq("start", "_h")))
+      .select(col("doc_id"), col("_toks"),
+        posexplode(sequence(lit(0), size(col("_toks")) - spanN))
+          .as(Seq("start", "_i")))
+      .select(col("doc_id"), col("start"),
+        md5(concat_ws(" ", slice(col("_toks"), col("_i") + 1, lit(spanN))))
+          .as("_h"))
     // owner = min doc id per duplicated span (countDistinct gate first)
     val owners = spans.groupBy(col("_h"))
       .agg(countDistinct(col("doc_id")).as("_nd"), min(col("doc_id")).as("_owner"))
@@ -841,11 +863,18 @@ object Dedup {
     require(spanN >= 2, s"spanN must be >= 2, got $spanN")
     val toks = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+    // span hashes are computed AFTER the position explode, per row —
+    // the transform()-lambda-then-posexplode form ran the md5 chain as
+    // a CodegenFallback higher-order function (interpreted per doc,
+    // whole-stage codegen broken around it) and allocated the full
+    // per-doc hash array; identical (start, _h) values either way
     val spans = toks.where(size(col("_toks")) >= spanN)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("_toks")) - spanN),
-          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(spanN))))))
-          .as(Seq("start", "_h")))
+      .select(col("doc_id"), col("_toks"),
+        posexplode(sequence(lit(0), size(col("_toks")) - spanN))
+          .as(Seq("start", "_i")))
+      .select(col("doc_id"), col("start"),
+        md5(concat_ws(" ", slice(col("_toks"), col("_i") + 1, lit(spanN))))
+          .as("_h"))
     val firstStart = spans.groupBy(col("doc_id"), col("_h"))
       .agg(min(col("start")).as("_first"), count(lit(1)).as("_n"))
       .where(col("_n") > 1)
@@ -1057,8 +1086,9 @@ object Dedup {
           size(split(col(textCol), " ")) >= shingleN),
           idCol, textCol, shingleN, numHashes)
         .select(col("doc"),
-          element_at(lshBands(col("sig"), 1, numHashes), 1)
-            .getField("bucket").as("_sk"))
+          // the lshBands(bands = 1) bucket, lambda-free: md5 over every
+          // lane comma-joined — identical string, codegen'd
+          md5(concat_ws(",", col("sig").cast("array<string>"))).as("_sk"))
     val exText = existing.where(col(textCol).isNotNull)
       .select(md5(col(textCol)).as("_th"), col(idCol).as("_eid"))
       .groupBy(col("_th")).agg(min(col("_eid")).as("_tdup"))

@@ -373,16 +373,14 @@ object Graph {
       .unionByName(edges.select(col("v").as("w"), col("u").as("x")))
     val ok = adj.groupBy(col("w")).agg(count(lit(1)).as("_d"))
       .where(col("_d") <= maxCenterDegree)
-    // eager localCheckpoint: the wedge self-join reads `a` twice, and
-    // without the pin each side re-runs the 2m-row adjacency union,
-    // degree agg and cap join (the two projections differ, so
-    // ReuseExchange can't deduplicate them — measured as a full second
-    // formation pass at sf0.1)
     val a = adj.join(ok, Seq("w")).select(col("w"), col("_d"), col("x").as("u"))
-      .localCheckpoint(true)
     // the b side is the a side reprojected — deriving it independently
     // (adj ⋈ ok again) costs a second join of the 2m-row adjacency
-    // against the degree frame and blocks subtree reuse
+    // against the degree frame and blocks subtree reuse. An eager
+    // checkpoint of `a` was MEASURED WORSE at sf0.1 (g09 2.9→3.8 s,
+    // g25 5.1→8.4 s full-bench A/B, round 13): the cap join is a
+    // broadcast over the already-pinned edge frame, so recomputing it
+    // per self-join side is cheaper than materializing 2m capped rows.
     val b = a.select(col("w"), col("u").as("v"))
     a.join(b, Seq("w"))
       .where(col("u") < col("v"))
@@ -463,9 +461,7 @@ object Graph {
     val degAll = adj.groupBy(col("w")).agg(count(lit(1)).as("_d"))
       .localCheckpoint(true)
     val ok = degAll.where(col("_d") <= maxCenterDegree)
-    // eager pin for the same two-read reason as linkPrediction's `a`
     val a = adj.join(ok, Seq("w")).select(col("w"), col("x").as("u"))
-      .localCheckpoint(true)
     val b = a.select(col("w"), col("u").as("v"))
     val common = a.join(b, Seq("w"))
       .where(col("u") < col("v"))
